@@ -1,0 +1,152 @@
+package graft.infer
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, OffsetDateTime}
+
+import graft.CopyConfig
+import graft.csv.RawCell
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's per-cell type-inference cascade
+  * (`/root/reference/write.go:207-223`; SURVEY.md §1.3) — 7 ordered rules:
+  *
+  *   1. quoted in CSV            → string (verbatim)
+  *   2. == falseValue            → boolean false
+  *   3. == trueValue             → boolean true
+  *   4. == nullValue             → SQL NULL
+  *   5. parses with time layout  → timestamp
+  *   6. ParseInt(s, 10, 64) ok   → long
+  *   7. fallback                 → string
+  *
+  * Matching for rules 2-4 is exact and case-sensitive, like the code (the
+  * README's "case-insensitive" claim is aspirational — SURVEY.md §1.3).
+  * There is deliberately no float rule in compat mode (`README.md:11`);
+  * `withDoubles = true` adds rule 5.5 (double) as the engine's documented
+  * extension, since the harness data is double-heavy.
+  *
+  * Two implementations with identical semantics:
+  *  - [[inferCell]]: pure JVM, used by the local pipeline and tests;
+  *  - [[Exprs]]: Catalyst `Column` expressions (when/otherwise chain), so
+  *    the cascade runs inside whole-stage codegen on the cluster — no UDF.
+  */
+object TypeInference {
+
+  /** Tagged result of the cascade — Spark columns are type-homogeneous, so
+    * exact compat carries cells as this tagged union (SURVEY.md §1.4). */
+  sealed trait InferredValue
+  case object NullValue extends InferredValue
+  final case class StringValue(s: String) extends InferredValue
+  final case class BoolValue(b: Boolean) extends InferredValue
+  final case class TimestampValue(micros: Long) extends InferredValue
+  final case class LongValue(l: Long) extends InferredValue
+  final case class DoubleValue(d: Double) extends InferredValue
+
+  private val longPattern = "^[+-]?\\d+$".r
+  // strconv.ParseFloat accepts forms Java's Double.parseDouble mostly does;
+  // restrict to the common decimal/exponent shapes for determinism.
+  private val doublePattern = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$".r
+
+  def formatter(goLayout: String): DateTimeFormatter =
+    DateTimeFormatter.ofPattern(GoTimeFormat.toJavaPattern(goLayout))
+
+  /** Pure cascade. `fmt` must come from [[formatter]] for the config's
+    * layout; passing it in keeps this allocation-free per cell. */
+  def inferCell(
+      cell: RawCell,
+      falseValue: String,
+      trueValue: String,
+      nullValue: String,
+      fmt: DateTimeFormatter,
+      withDoubles: Boolean = false): InferredValue = {
+    val v = cell.value
+    if (cell.quoted) StringValue(v)                     // rule 1
+    else if (v == falseValue) BoolValue(false)          // rule 2
+    else if (v == trueValue) BoolValue(true)            // rule 3
+    else if (v == nullValue) NullValue                  // rule 4
+    else {
+      val ts =
+        try {                                           // rule 5
+          val odt = OffsetDateTime.parse(v, fmt)
+          val inst: Instant = odt.toInstant
+          Some(TimestampValue(inst.getEpochSecond * 1000000L + inst.getNano / 1000L))
+        } catch { case _: Exception => None }
+      ts.getOrElse {
+        // rule 6 — strconv.ParseInt(s,10,64): optional sign, digits only,
+        // must fit in Int64 (Spark's cast is laxer; guard with regex +
+        // exactness check, SURVEY.md §7.4)
+        if (longPattern.matches(v)) {
+          try LongValue(java.lang.Long.parseLong(v))
+          catch { case _: NumberFormatException => StringValue(v) } // overflow
+        } else if (withDoubles && doublePattern.matches(v)) {
+          try DoubleValue(java.lang.Double.parseDouble(v)) // rule 5.5 (ext)
+          catch { case _: NumberFormatException => StringValue(v) }
+        } else StringValue(v)                           // rule 7
+      }
+    }
+  }
+
+  def inferCell(cell: RawCell, cfg: CopyConfig): InferredValue =
+    inferCell(cell, cfg.falseValue, cfg.trueValue, cfg.nullValue,
+      formatter(cfg.timeFormat))
+
+  /** Schema of the tagged-union cell struct used by the exact-compat
+    * DataFrame representation: one struct per column with a type tag and
+    * per-type slots (exactly one non-null, or none for NULL). */
+  val cellStructType: StructType = StructType(Seq(
+    StructField("tag", StringType, nullable = false), // string|bool|ts|long|null
+    StructField("s", StringType, nullable = true),
+    StructField("b", BooleanType, nullable = true),
+    StructField("t", TimestampType, nullable = true),
+    StructField("l", LongType, nullable = true)
+  ))
+
+  /** External-row form of the tagged union (Instant for TimestampType). */
+  def toRow(v: InferredValue)
+      : (String, String, java.lang.Boolean, Instant, java.lang.Long) =
+    v match {
+      case NullValue         => ("null", null, null, null, null)
+      case StringValue(s)    => ("string", s, null, null, null)
+      case BoolValue(b)      => ("bool", null, b, null, null)
+      case TimestampValue(t) =>
+        ("ts", null, null, Instant.ofEpochSecond(t / 1000000L, (t % 1000000L) * 1000L), null)
+      case LongValue(l)      => ("long", null, null, null, l)
+      case DoubleValue(d)    => ("string", d.toString, null, null, null) // compat fallback
+    }
+
+  /** Catalyst-expression form of the cascade over (value, quoted) columns.
+    * Produces the tagged struct; stays inside whole-stage codegen (no UDF).
+    * `javaTsPattern` from [[GoTimeFormat.toJavaPattern]].
+    */
+  object Exprs {
+    def longGuard(v: Column): Column = v.rlike("^[+-]?[0-9]+$")
+
+    /** try_to_timestamp equivalent: NULL unless the layout parses. */
+    def tryTs(v: Column, javaTsPattern: String): Column =
+      try_to_timestamp(v, lit(javaTsPattern))
+
+    def tag(value: Column, quoted: Column, cfg: CopyConfig): Column = {
+      val pat = GoTimeFormat.toJavaPattern(cfg.timeFormat)
+      when(quoted, "string")
+        .when(value === cfg.falseValue, "bool")
+        .when(value === cfg.trueValue, "bool")
+        .when(value === cfg.nullValue, "null")
+        .when(tryTs(value, pat).isNotNull, "ts")
+        .when(longGuard(value) && value.cast(LongType).isNotNull, "long")
+        .otherwise("string")
+    }
+
+    /** Full tagged-union struct for one (value, quoted) pair. */
+    def cell(value: Column, quoted: Column, cfg: CopyConfig): Column = {
+      val t = tag(value, quoted, cfg)
+      struct(
+        t.as("tag"),
+        when(t === "string", value).as("s"),
+        when(t === "bool", value === cfg.trueValue).as("b"),
+        when(t === "ts", tryTs(value, GoTimeFormat.toJavaPattern(cfg.timeFormat))).as("t"),
+        when(t === "long", value.cast(LongType)).as("l")
+      )
+    }
+  }
+}
