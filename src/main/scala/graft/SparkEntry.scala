@@ -18,12 +18,30 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_pricing_summary" -> Relational.pricingSummary
+    "q01_pricing_summary" -> Relational.pricingSummary,
+    "q02_offset_scan" -> Relational.offsetScan,
+    "q03_revenue_by_nation" -> Relational.revenueByNation,
+    "q04_window_top_orders" -> Relational.windowTopOrders,
+    "q05_top_revenue_parts" -> Relational.topRevenueParts,
+    "q06_setops_customers" -> Relational.setOpsCustomers,
+    "q07_rollup_pricing" -> Relational.rollupPricing,
+    "q08_distinct_customers" -> Relational.distinctCustomers,
+    "q09_json_props" -> Relational.jsonProps,
+    "q10_event_windows" -> Relational.eventTumblingWindows
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "q01_pricing_summary" -> Relational.pricingSummarySql
+    "q01_pricing_summary" -> Relational.pricingSummarySql,
+    "q02_offset_scan" -> Relational.offsetScanSql,
+    "q03_revenue_by_nation" -> Relational.revenueByNationSql,
+    "q04_window_top_orders" -> Relational.windowTopOrdersSql,
+    "q05_top_revenue_parts" -> Relational.topRevenuePartsSql,
+    "q06_setops_customers" -> Relational.setOpsCustomersSql,
+    "q07_rollup_pricing" -> Relational.rollupPricingSql,
+    "q08_distinct_customers" -> Relational.distinctCustomersSql,
+    "q09_json_props" -> Relational.jsonPropsSql,
+    "q10_event_windows" -> Relational.eventTumblingWindowsSql
   )
 }

@@ -16,7 +16,8 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$table.parquet")
+    if (table == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$table.parquet")
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
@@ -25,7 +26,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read nanos as long (legacy flag) and convert to a
+    * microsecond TimestampType column — lossless for this data and keeps
+    * every downstream op on a native timestamp. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$d/events.parquet")
+    import org.apache.spark.sql.functions._
+    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

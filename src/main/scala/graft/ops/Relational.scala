@@ -49,4 +49,185 @@ object Relational {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Offset-predicate scan — the reference's `--offset` token bound
+    * (`read.go:30, 83-86`; SURVEY.md §2A #21) as a pushed-down range
+    * predicate plus column projection (#16's SELECT-cols-only).
+    * Scale: both the filter and the 3-column projection reach the parquet
+    * scan (PushedFilters / ReadSchema) — no full-table read. */
+  def offsetScan(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    // scale-relative bound: mean key, joined in as a broadcast scalar (no
+    // driver collect; the range predicate still prunes via AQE runtime
+    // filtering / dynamic pruning at real scale)
+    // floor explicitly: DuckDB's double→BIGINT cast rounds, Spark's truncates
+    val bound = o.agg(floor(avg(col("o_orderkey"))).cast("long").as("bound"))
+    o.join(broadcast(bound))
+      .where(col("o_orderkey") > col("bound"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
+  val offsetScanSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE o_orderkey > (SELECT CAST(floor(avg(o_orderkey)) AS BIGINT) FROM orders)""".stripMargin
+
+  /** Multi-way star join: revenue per region/nation. Fact tables join on
+    * keys; all three dimension sides are broadcast-hinted so at 100 TB the
+    * only shuffle is lineitem⋈orders (and AQE can pick SMJ there).
+    * customer is ~150k rows/SF=1 → still broadcastable at real scale. */
+  def revenueByNation(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = broadcast(Tables.customer(s, d))
+    val n = broadcast(Tables.nation(s, d))
+    val r = broadcast(Tables.region(s, d))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val revenueByNationSql: String =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Window function: top-3 orders per customer by price, deterministic
+    * tiebreak on orderkey. Scale: single shuffle on o_custkey; rank
+    * computed streaming per partition — no global sort. */
+  def windowTopOrders(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"), col("rank"))
+  }
+
+  val windowTopOrdersSql: String =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rank
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+      |  FROM orders)
+      |WHERE rank <= 3""".stripMargin
+
+  /** Global top-k with deterministic tiebreak — Spark plans
+    * orderBy+limit as TakeOrderedAndProject (per-partition top-k then
+    * k-way merge on the driver; no global sort shuffle). */
+  def topRevenueParts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("part_revenue"))
+      .orderBy(col("part_revenue").desc, col("l_partkey").asc)
+      .limit(100)
+
+  val topRevenuePartsSql: String =
+    """SELECT l_partkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_revenue
+      |FROM lineitem GROUP BY l_partkey
+      |ORDER BY part_revenue DESC, l_partkey ASC LIMIT 100""".stripMargin
+
+  /** Set operations: customers with orders but no high-value order —
+    * EXCEPT (distinct semantics in both engines). Scale: both sides
+    * aggregate/shuffle on the same key; AQE coalesces. */
+  def setOpsCustomers(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val withOrders = o.select(col("o_custkey"))
+    val highValue = o.where(col("o_totalprice") > 200000.0).select(col("o_custkey"))
+    withOrders.except(highValue).orderBy(col("o_custkey"))
+  }
+
+  val setOpsCustomersSql: String =
+    """SELECT o_custkey FROM orders
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0
+      |ORDER BY o_custkey""".stripMargin
+
+  /** ROLLUP grouping sets over returnflag/linestatus — subtotals + grand
+    * total; identical NULL-marking semantics in DuckDB. */
+  def rollupPricing(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val rollupPricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Exact + distinct aggregation shapes: distinct count per segment.
+    * (approx_count_distinct is benchmarked separately, rows-only — HLL
+    * implementations differ across engines.) */
+  def distinctCustomers(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+
+  val distinctCustomersSql: String =
+    """SELECT c_mktsegment,
+      |  count(DISTINCT o_custkey) AS n_customers,
+      |  count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** JSON property extraction from events.props (SURVEY.md §2B multimodal/
+    * JSON row). regexp_extract is used on both sides for engine-portable
+    * semantics; the Spark plan stays in whole-stage codegen. */
+  def jsonProps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("k")), 4).as("avg_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val jsonPropsSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(avg(k), 4) AS avg_k, max(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Event-time tumbling windows (10 min) over events.ts — the batch face
+    * of SURVEY.md §2B event-time windows. Bucket start exposed as epoch
+    * seconds (BIGINT) for engine-portable comparison; the streaming
+    * variant uses window()/watermark (graft.streaming). */
+  def eventTumblingWindows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("window_start", (unix_timestamp(col("ts")).divide(600)).cast("long") * 600)
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val eventTumblingWindowsSql: String =
+    """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600 AS window_start,
+      |  event_type, count(*) AS n_events,
+      |  round(sum(value), 4) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }
