@@ -27,7 +27,17 @@ object SparkEntry {
     "q07_rollup_pricing" -> Relational.rollupPricing,
     "q08_distinct_customers" -> Relational.distinctCustomers,
     "q09_json_props" -> Relational.jsonProps,
-    "q10_event_windows" -> Relational.eventTumblingWindows
+    "q10_event_windows" -> Relational.eventTumblingWindows,
+    "q20_text_stats" -> TextAnalysis.textStats,
+    "q21_token_counts" -> TextAnalysis.tokenCounts,
+    "q22_lang_id" -> TextAnalysis.langId,
+    "q23_fingerprint" -> TextAnalysis.fingerprint,
+    "q30_dedup_exact" -> Dedup.exactDedup,
+    "q31_dedup_first_per_key" -> Dedup.firstEventPerKey,
+    "q32_jaccard_pairs" -> Dedup.jaccardPairs,
+    "q33_minhash_signatures" -> Dedup.minhashSignatures,
+    "q34_minhash_lsh_pairs" -> Dedup.minhashLshPairs,
+    "q35_simhash" -> Dedup.simhash
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -42,6 +52,16 @@ object SparkEntry {
     "q07_rollup_pricing" -> Relational.rollupPricingSql,
     "q08_distinct_customers" -> Relational.distinctCustomersSql,
     "q09_json_props" -> Relational.jsonPropsSql,
-    "q10_event_windows" -> Relational.eventTumblingWindowsSql
+    "q10_event_windows" -> Relational.eventTumblingWindowsSql,
+    "q20_text_stats" -> TextAnalysis.textStatsSql,
+    "q21_token_counts" -> TextAnalysis.tokenCountsSql,
+    "q22_lang_id" -> TextAnalysis.langIdSql,
+    "q23_fingerprint" -> TextAnalysis.fingerprintSql,
+    "q30_dedup_exact" -> Dedup.exactDedupSql,
+    "q31_dedup_first_per_key" -> Dedup.firstEventPerKeySql,
+    "q32_jaccard_pairs" -> Dedup.jaccardPairsSql,
+    "q33_minhash_signatures" -> Dedup.minhashSignaturesSql,
+    // q34_minhash_lsh_pairs: banding layout is engine-internal → rows-only
+    "q35_simhash" -> Dedup.simhashSql
   )
 }

@@ -1,0 +1,220 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY.md §2B; BASELINE.json north_star):
+  * exact, key-based with deterministic representative, exact n-gram
+  * Jaccard (the verification baseline), MinHash signatures + LSH banding
+  * (the 100 TB path), and SimHash.
+  *
+  * Portability: hashes that feed oracle-checked queries are md5-derived
+  * (identical in Spark and DuckDB); engine-internal fast paths use
+  * xxhash64 (codegen'd, no md5 string round-trip) in the rows-only
+  * variants.
+  *
+  * Scale design:
+  *  - exact dedup = hash-agg on the fingerprint; partial agg map-side.
+  *  - MinHash: one explode + one groupBy per corpus — O(shingles);
+  *    signatures are k=32 longs, ~tiny per doc.
+  *  - LSH banding turns all-pairs O(n²) into equi-joins on (band, hash):
+  *    only bucket collisions are compared. Skewed buckets (stop-shingles)
+  *    are AQE-skew-join territory; candidate verification is a narrow
+  *    zip over two 32-long arrays.
+  */
+object Dedup {
+
+  import TextAnalysis.words
+
+  /** 3-word shingles per doc via posexplode + lead window (null-propagating
+    * concat so tail positions drop out, matching `a || ' ' || b` in SQL). */
+  private def shingles(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "word")))
+      .select(col("doc_id"), concat(
+        col("word"), lit(" "),
+        lead(col("word"), 1).over(w), lit(" "),
+        lead(col("word"), 2).over(w)).as("shingle"))
+      .where(col("shingle").isNotNull)
+      .distinct()
+  }
+
+  private val shinglesSql: String =
+    """SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id,
+      |    word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w AS shingle
+      |  FROM (
+      |    SELECT doc_id,
+      |      unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word,
+      |      generate_subscripts(regexp_extract_all(text, '[a-z0-9]+'), 1) AS pos
+      |    FROM documents)
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      |WHERE shingle IS NOT NULL""".stripMargin
+
+  /** Exact dedup: group documents by content fingerprint, keep the lowest
+    * doc_id as representative. Deterministic (unlike dropDuplicates, whose
+    * representative is partition-order-dependent). */
+  def exactDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("fp"), col("keep_id"), col("n_copies"))
+
+  val exactDedupSql: String =
+    """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** Key-based dedup with deterministic representative over events:
+    * first event per (user_id, event_type). The scalable
+    * "dropDuplicates-with-order" idiom — single hash-agg, no window. */
+  def firstEventPerKey(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("first_event"), count(lit(1)).as("n_dups"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  val firstEventPerKeySql: String =
+    """SELECT user_id, event_type, min(event_id) AS first_event,
+      |  count(*) AS n_dups
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) — the quadratic
+    * baseline that MinHash approximates, made join-shaped: docs sharing a
+    * shingle meet in an equi-join, common counts aggregate, Jaccard
+    * filters. Only pairs with ≥1 shared shingle are ever materialized. */
+  def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(Tables.documents(s, d)).cache()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.select(col("doc_id"), col("ns").as("ns1")), col("d1") === col("doc_id")).drop("doc_id")
+      .join(counts.select(col("doc_id"), col("ns").as("ns2")), col("d2") === col("doc_id")).drop("doc_id")
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") / (col("ns1") + col("ns2") - col("n_common")), 4))
+      .where(col("jaccard") >= 0.5)
+      .select(col("d1"), col("d2"), col("n_common"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val jaccardPairsSql: String =
+    s"""WITH s AS ($shinglesSql),
+       | n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
+       | common AS (
+       |   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+       |   FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |   GROUP BY 1, 2)
+       |SELECT d1, d2, n_common,
+       |  round(n_common * 1.0 / (n1.ns + n2.ns - n_common), 4) AS jaccard
+       |FROM common
+       |JOIN n n1 ON d1 = n1.doc_id
+       |JOIN n n2 ON d2 = n2.doc_id
+       |WHERE round(n_common * 1.0 / (n1.ns + n2.ns - n_common), 4) >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+
+  /** Number of MinHash permutations (k) and LSH bands (b); r = k/b rows
+    * per band. k=32, b=8, r=4 → catches jaccard ≳ 0.5 pairs w.h.p. */
+  val K = 32
+  val BANDS = 8
+  val ROWS_PER_BAND: Int = K / BANDS
+
+  /** Portable 60-bit hash of a shingle under seed i (md5-derived; identical
+    * expression exists in DuckDB for the oracle). */
+  private def seededHash(seed: Int, c: Column): Column =
+    conv(substring(md5(concat(lit(seed.toString), lit("|"), c)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** MinHash signatures: k md5-seeded min-hashes per doc, one groupBy.
+    * Oracle-checked end-to-end (the whole signature, all 32 components). */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(Tables.documents(s, d))
+    val aggs = (0 until K).map(i => min(seededHash(i, col("shingle"))).as(s"mh$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*).orderBy(col("doc_id"))
+  }
+
+  val minhashSignaturesSql: String = {
+    val cols = (0 until K).map(i =>
+      s"min(CAST('0x' || substr(md5('$i' || '|' || shingle), 1, 15) AS BIGINT)) AS mh$i")
+      .mkString(",\n  ")
+    s"""WITH s AS ($shinglesSql)
+       |SELECT doc_id,
+       |  $cols
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** MinHash-LSH near-dup pairs: band the signatures, equi-join on
+    * (band, band-hash), dedup candidates, verify by estimated Jaccard
+    * (fraction of equal signature components) ≥ 0.5.
+    * This is the 100 TB dedup path: no all-pairs comparison exists
+    * anywhere in the plan. */
+  def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSignatures(s, d)
+      .withColumn("sig", array((0 until K).map(i => col(s"mh$i")): _*))
+      .select(col("doc_id"), col("sig"))
+      .cache()
+    val banded = sig.select(
+      col("doc_id"), col("sig"),
+      posexplode(array((0 until BANDS).map(b =>
+        md5(concat_ws(",",
+          (0 until ROWS_PER_BAND).map(r => col("sig")(b * ROWS_PER_BAND + r)): _*))): _*))
+        .as(Seq("band", "bandhash")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bandhash") === col("b.bandhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .distinct()
+    cand
+      .withColumn("est_jaccard", round(
+        aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / K, 4))
+      .where(col("est_jaccard") >= 0.5)
+      .select(col("d1"), col("d2"), col("est_jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** SimHash (64-bit) per document: sign-sum of per-word hash bits weighted
+    * by term frequency; near-dups differ in few bits. Hamming-distance
+    * pairs are found by pigeonhole banding (16-bit chunks) — same LSH
+    * join shape as MinHash, no all-pairs. Signatures oracle-checked. */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val terms = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      .withColumn("h", seededHash(0, col("word")))
+    // per bit: sum(tf * (bit ? 1 : -1)); simhash bit = sign of sum
+    val bitCols = (0 until 60).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"s$i")
+    }
+    val sums = terms.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val sh = (0 until 60).map(i =>
+      when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+    sums.select(col("doc_id"), sh.as("simhash")).orderBy(col("doc_id"))
+  }
+
+  val simhashSql: String = {
+    val sumCols = (0 until 60).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN tf ELSE -tf END) AS s$i").mkString(",\n  ")
+    val orExpr = (0 until 60).map(i =>
+      s"CASE WHEN s$i > 0 THEN (1::BIGINT << $i) ELSE 0 END").mkString(" | ")
+    s"""WITH terms AS (
+       |  SELECT doc_id, word, count(*) AS tf,
+       |    CAST('0x' || substr(md5('0' || '|' || word), 1, 15) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word
+       |        FROM documents)
+       |  GROUP BY doc_id, word),
+       | sums AS (SELECT doc_id, $sumCols FROM terms GROUP BY doc_id)
+       |SELECT doc_id, $orExpr AS simhash FROM sums ORDER BY doc_id""".stripMargin
+  }
+}

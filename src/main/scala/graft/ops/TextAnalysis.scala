@@ -1,0 +1,122 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (SURVEY.md §2B; BASELINE.json
+  * north_star: language-ID, quality scoring, token counting, document
+  * fingerprinting). All pure built-in expressions — regexp extraction and
+  * higher-order functions — so every operator runs inside whole-stage
+  * codegen with no UDFs, and each has an exact DuckDB oracle.
+  *
+  * Scale: every operator here is embarrassingly parallel per document
+  * (narrow, no shuffle except the final aggregation where noted); at
+  * 100 TB the cost is one scan.
+  */
+object TextAnalysis {
+
+  private val wordPat = "[a-z0-9]+"
+  // BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbol
+  private val tokenPat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  private val stopPat = "\\b(the|a|of|and|in|to|is)\\b"
+
+  def words(c: Column): Column = regexp_extract_all(c, lit(wordPat), lit(0))
+
+  /** Per-document quality statistics: char/word/distinct-word counts,
+    * stopword ratio, mean word length. */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        size(words(col("text"))).as("n_words"),
+        size(array_distinct(words(col("text")))).as("n_distinct_words"),
+        round(size(regexp_extract_all(col("text"), lit(stopPat), lit(0)))
+          .cast("double") / size(words(col("text"))), 4).as("stopword_ratio"),
+        round(length(regexp_replace(col("text"), "[^a-z0-9]", ""))
+          .cast("double") / size(words(col("text"))), 4).as("avg_word_len"))
+
+  val textStatsSql: String =
+    """SELECT doc_id,
+      |  length(text) AS n_chars_m,
+      |  len(regexp_extract_all(text, '[a-z0-9]+')) AS n_words,
+      |  len(list_distinct(regexp_extract_all(text, '[a-z0-9]+'))) AS n_distinct_words,
+      |  round(len(regexp_extract_all(text, '\b(the|a|of|and|in|to|is)\b'))::DOUBLE
+      |        / len(regexp_extract_all(text, '[a-z0-9]+')), 4) AS stopword_ratio,
+      |  round(length(regexp_replace(text, '[^a-z0-9]', '', 'g'))::DOUBLE
+      |        / len(regexp_extract_all(text, '[a-z0-9]+')), 4) AS avg_word_len
+      |FROM documents""".stripMargin
+
+  /** Token counting with the BPE-ish pre-tokenizer, aggregated per lang:
+    * the "how many tokens is this corpus" pipeline question. Narrow map +
+    * one tiny agg shuffle (5 langs). */
+  def tokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(regexp_extract_all(col("text"), lit(tokenPat), lit(0))).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
+  val tokenCountsSql: String =
+    """SELECT lang,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  round(avg(n_tokens), 4) AS avg_tokens,
+      |  count(*) AS n_docs
+      |FROM (SELECT lang,
+      |        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_tokens
+      |      FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Heuristic language-ID: stopword-list scores per language, argmax with
+    * a fixed tie-break order. (The synthetic corpus shares one vocabulary,
+    * so the labels aren't recoverable — the operator's contract is
+    * determinism, checked against the oracle; accuracy is a data
+    * property.) */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    def score(pat: String): Column =
+      size(regexp_extract_all(t, lit(pat), lit(0)))
+    val en = score("\\b(the|and|of|is|to)\\b")
+    val es = score("\\b(el|la|de|que|los)\\b")
+    val de = score("\\b(der|die|das|und|ist)\\b")
+    val fr = score("\\b(le|la|les|et|est)\\b")
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang").as("lang_label"),
+      when(en >= greatest(es, de, fr), "en")
+        .when(es >= greatest(de, fr), "es")
+        .when(de >= fr, "de")
+        .otherwise("fr").as("lang_pred"))
+  }
+
+  val langIdSql: String =
+    """SELECT doc_id, lang AS lang_label,
+      |  CASE
+      |    WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+      |    WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+      |    WHEN s_de >= s_fr THEN 'de'
+      |    ELSE 'fr' END AS lang_pred
+      |FROM (SELECT doc_id, lang,
+      |  len(regexp_extract_all(text, '\b(the|and|of|is|to)\b')) AS s_en,
+      |  len(regexp_extract_all(text, '\b(el|la|de|que|los)\b')) AS s_es,
+      |  len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS s_de,
+      |  len(regexp_extract_all(text, '\b(le|la|les|et|est)\b')) AS s_fr
+      |  FROM documents)""".stripMargin
+
+  /** Content fingerprint: md5 over whitespace-normalized lowercase text —
+    * the exact-dedup key and the cheap "same doc modulo spacing" check.
+    * (A winnowed rolling-hash fingerprint is in Dedup.simhash territory —
+    * see graft.ops.Dedup.) */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |FROM documents""".stripMargin
+}
