@@ -37,7 +37,11 @@ object SparkEntry {
     "q32_jaccard_pairs" -> Dedup.jaccardPairs,
     "q33_minhash_signatures" -> Dedup.minhashSignatures,
     "q34_minhash_lsh_pairs" -> Dedup.minhashLshPairs,
-    "q35_simhash" -> Dedup.simhash
+    "q35_simhash" -> Dedup.simhash,
+    "q40_cosine_topk" -> Similarity.cosineTopK,
+    "q41_cosine_pairs" -> Similarity.cosinePairs,
+    "q42_ann_lsh_pairs" -> Similarity.annLshPairs,
+    "q43_ivf_topk" -> Similarity.ivfTopK
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -62,6 +66,10 @@ object SparkEntry {
     "q32_jaccard_pairs" -> Dedup.jaccardPairsSql,
     "q33_minhash_signatures" -> Dedup.minhashSignaturesSql,
     // q34_minhash_lsh_pairs: banding layout is engine-internal → rows-only
-    "q35_simhash" -> Dedup.simhashSql
+    "q35_simhash" -> Dedup.simhashSql,
+    "q40_cosine_topk" -> Similarity.cosineTopKSql,
+    "q41_cosine_pairs" -> Similarity.cosinePairsSql
+    // q42/q43: approximate-by-design (LSH banding / IVF routing) → rows-only;
+    // their exactness oracle is q41/q40.
   )
 }
