@@ -41,7 +41,10 @@ object SparkEntry {
     "q40_cosine_topk" -> Similarity.cosineTopK,
     "q41_cosine_pairs" -> Similarity.cosinePairs,
     "q42_ann_lsh_pairs" -> Similarity.annLshPairs,
-    "q43_ivf_topk" -> Similarity.ivfTopK
+    "q43_ivf_topk" -> Similarity.ivfTopK,
+    "q50_infer_cascade" -> Pipelines.inferCascade,
+    "q51_csv_roundtrip" -> Pipelines.csvRoundtrip,
+    "q52_tagged_inference" -> Pipelines.taggedInference
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -68,8 +71,11 @@ object SparkEntry {
     // q34_minhash_lsh_pairs: banding layout is engine-internal → rows-only
     "q35_simhash" -> Dedup.simhashSql,
     "q40_cosine_topk" -> Similarity.cosineTopKSql,
-    "q41_cosine_pairs" -> Similarity.cosinePairsSql
+    "q41_cosine_pairs" -> Similarity.cosinePairsSql,
     // q42/q43: approximate-by-design (LSH banding / IVF routing) → rows-only;
     // their exactness oracle is q41/q40.
+    "q50_infer_cascade" -> Pipelines.inferCascadeSql
+    // q51/q52: file round-trip and quoted-bit semantics live outside SQL →
+    // rows-only here, asserted exactly in ScalaTest.
   )
 }

@@ -1,0 +1,124 @@
+package graft.ops
+
+import graft.{CopyConfig, Tables}
+import graft.infer.TypeInference
+import graft.pipeline.{CopyRead, CopyWrite}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Query-surface entries that exercise the reference's two verbs — the
+  * inference cascade and the CSV round-trip — over harness tables, so the
+  * correctness gate covers the compat core, not just the relational ops.
+  */
+object Pipelines {
+
+  private val cfg = CopyConfig()
+
+  /** The 7-rule cascade (SURVEY.md §1.3) applied to strings constructed
+    * deterministically from orders — every rule exercised, oracle-checked
+    * against an identical CASE cascade in DuckDB. Timestamps surface as
+    * epoch seconds so the comparison is timezone-representation-proof. */
+  def inferCascade(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      (col("o_orderkey") % 7).cast("int").as("kind"))
+    val str = when(col("kind") === 0, "true")
+      .when(col("kind") === 1, "false")
+      .when(col("kind") === 2, "NULL")
+      .when(col("kind") === 3, col("o_orderkey").cast(StringType))
+      .when(col("kind") === 4, "2024-01-02 03:04:05+0000")
+      .when(col("kind") === 5, "3.14")
+      .otherwise("hello world")
+    val cell = TypeInference.Exprs.cell(str, lit(false), cfg)
+    src.select(col("o_orderkey"), cell.as("c"))
+      .select(
+        col("o_orderkey"),
+        col("c.tag").as("tag"),
+        col("c.s").as("s_val"),
+        col("c.b").as("b_val"),
+        col("c.l").as("l_val"),
+        unix_timestamp(col("c.t")).as("ts_epoch"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val inferCascadeSql: String =
+    """WITH src AS (
+      |  SELECT o_orderkey,
+      |    CASE CAST(o_orderkey % 7 AS INT)
+      |      WHEN 0 THEN 'true' WHEN 1 THEN 'false' WHEN 2 THEN 'NULL'
+      |      WHEN 3 THEN CAST(o_orderkey AS VARCHAR)
+      |      WHEN 4 THEN '2024-01-02 03:04:05+0000'
+      |      WHEN 5 THEN '3.14' ELSE 'hello world' END AS s
+      |  FROM orders),
+      | tagged AS (
+      |  SELECT o_orderkey, s,
+      |    CASE WHEN s = 'false' THEN 'bool' WHEN s = 'true' THEN 'bool'
+      |         WHEN s = 'NULL' THEN 'null'
+      |         WHEN try_strptime(s, '%Y-%m-%d %H:%M:%S%z') IS NOT NULL THEN 'ts'
+      |         WHEN regexp_matches(s, '^[+-]?[0-9]+$')
+      |              AND TRY_CAST(s AS BIGINT) IS NOT NULL THEN 'long'
+      |         ELSE 'string' END AS tag
+      |  FROM src)
+      |SELECT o_orderkey, tag,
+      |  CASE WHEN tag = 'string' THEN s END AS s_val,
+      |  CASE WHEN tag = 'bool' THEN s = 'true' END AS b_val,
+      |  CASE WHEN tag = 'long' THEN CAST(s AS BIGINT) END AS l_val,
+      |  CASE WHEN tag = 'ts' THEN CAST(floor(epoch(try_strptime(s, '%Y-%m-%d %H:%M:%S%z'))) AS BIGINT)
+      |  END AS ts_epoch
+      |FROM tagged ORDER BY o_orderkey""".stripMargin
+
+  /** Full write→read round-trip through real files: lineitem → typed CSV
+    * (CopyRead rendering) → CopyWrite parse + schema'd inference → compare.
+    * Returns a single summary row; n_mismatch must be 0 (asserted in
+    * ScalaTest; the driver's rows>0 check sees 1 row). */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"/root/repo/target/tmp/roundtrip_${java.util.UUID.randomUUID().toString.take(8)}"
+    val src = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+        col("l_returnflag"), col("l_shipdate").cast(TimestampType).as("l_shipdate"),
+        col("l_quantity"))
+    CopyRead.run(s, src, src.columns.toSeq, "l_orderkey", cfg, tmp)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", LongType),
+      StructField("l_returnflag", StringType), StructField("l_shipdate", TimestampType),
+      StructField("l_quantity", DoubleType)))
+    val (typed, errs) = CopyWrite.read(s, tmp, schema.fieldNames.toSeq, cfg, Some(schema))
+    val back = typed.cache()
+    val nSrc = src.count()
+    val nBack = back.count()
+    errs.check()
+    val nMismatch = src.exceptAll(back).count() + back.exceptAll(src).count()
+    import s.implicits._
+    try Seq((nSrc, nBack, nMismatch)).toDF("n_source", "n_roundtrip", "n_mismatch")
+    finally back.unpersist()
+  }
+
+  /** Quote-dominance path (rule 1) through the real parser: CSV lines with
+    * quoted and unquoted variants of the same payloads, via inferTagged.
+    * Deterministic tag histogram per column position. Not SQL-expressible
+    * (the quoted bit exists only in CSV) → rows-only + ScalaTest. */
+  def taggedInference(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables.orders(s, d)
+      .select(concat(
+        col("o_orderkey").cast(StringType), lit(","),
+        lit("\""), col("o_orderkey").cast(StringType), lit("\","), // quoted → string
+        col("o_totalprice").cast(StringType), lit(","),
+        lit("true,NULL")).as("line"))
+      .as[String]
+    val (parsed, errs) = CopyWrite.parseRecords(lines, cfg)
+    val tagged = CopyWrite.inferTagged(parsed, Seq("k", "k_quoted", "price", "flag", "nothing"), cfg)
+    val out = tagged.select(
+      col("k.tag").as("k_tag"), col("k_quoted.tag").as("kq_tag"),
+      col("price.tag").as("price_tag"), col("flag.tag").as("flag_tag"),
+      col("nothing.tag").as("null_tag"))
+      .groupBy("k_tag", "kq_tag", "price_tag", "flag_tag", "null_tag")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k_tag", "kq_tag", "price_tag", "flag_tag", "null_tag")
+    val res = out.cache()
+    res.count()
+    errs.check()
+    res
+  }
+}
