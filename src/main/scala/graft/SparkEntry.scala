@@ -44,7 +44,9 @@ object SparkEntry {
     "q43_ivf_topk" -> Similarity.ivfTopK,
     "q50_infer_cascade" -> Pipelines.inferCascade,
     "q51_csv_roundtrip" -> Pipelines.csvRoundtrip,
-    "q52_tagged_inference" -> Pipelines.taggedInference
+    "q52_tagged_inference" -> Pipelines.taggedInference,
+    "q60_media_meta" -> Multimodal.mediaMeta,
+    "q61_media_decode_summary" -> Multimodal.decodeSummary
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -74,8 +76,10 @@ object SparkEntry {
     "q41_cosine_pairs" -> Similarity.cosinePairsSql,
     // q42/q43: approximate-by-design (LSH banding / IVF routing) → rows-only;
     // their exactness oracle is q41/q40.
-    "q50_infer_cascade" -> Pipelines.inferCascadeSql
+    "q50_infer_cascade" -> Pipelines.inferCascadeSql,
     // q51/q52: file round-trip and quoted-bit semantics live outside SQL →
     // rows-only here, asserted exactly in ScalaTest.
+    "q60_media_meta" -> Multimodal.mediaMetaSql
+    // q61: decode goes through the stubbed fake codec → rows-only + ScalaTest.
   )
 }

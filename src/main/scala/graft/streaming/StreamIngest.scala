@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.CopyConfig
+import graft.pipeline.CopyWrite
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming face of the copy pipeline — the idiomatic mapping
+  * of the reference's unbounded-stdin ingest plus its fault-tolerance
+  * machinery (SURVEY.md §2A):
+  *  - resumable checkpoint scan (#17, `read.go:100-107`): exactly
+  *    `option("checkpointLocation", …)` — restart resumes from the last
+  *    committed offset, at-least-once, monotone progress;
+  *  - retry w/ backoff (#10, #19): task + trigger retry under the
+  *    streaming commit protocol;
+  *  - progress reporter (#13, `write.go:162-179`): [[RateReporter]], a
+  *    StreamingQueryListener — rows/sec per trigger is built into
+  *    Spark's progress events (reference hand-rolls a ticker goroutine);
+  *  - backpressure (unbuffered channel, `write.go:122`): maxFilesPerTrigger
+  *    bounds each micro-batch.
+  */
+object StreamIngest {
+
+  /** Unbounded CSV-line ingest from a directory: text stream → quote-
+    * preserving parse → schema'd inference. Same per-record code path as
+    * batch CopyWrite (one pipeline, two execution modes). */
+  def readCsvStream(spark: SparkSession, dir: String, schema: StructType,
+      cfg: CopyConfig, maxFilesPerTrigger: Int = 16): DataFrame = {
+    val lines: Dataset[String] = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .textFile(dir)
+    // header handling is per-file in streaming; the reference's stdin
+    // stream has no file boundary, so header=false is the faithful mode
+    val (parsed, _) = CopyWrite.parseRecords(lines, cfg)
+    CopyWrite.inferSchemad(parsed, schema, cfg)
+  }
+
+  /** Sink with checkpoint-resume (the `read.go` token-checkpoint analog). */
+  def writeParquetStream(df: DataFrame, outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** Event-time tumbling/sliding aggregation with watermark — the
+    * streaming face of Relational.eventTumblingWindows. State is bounded
+    * by the watermark; at 100 TB/day this is the only shape that holds. */
+  def windowedEventCounts(events: DataFrame, watermark: String = "10 minutes",
+      window_ : String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Session windows (gap-based) per user — state-bounded by watermark. */
+  def sessionizedEvents(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", gap)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** The reference's ticker reporter (`write.go:162-179`: done/fail/cur/avg
+    * per interval) as a StreamingQueryListener: logs rows/sec per trigger
+    * and cumulative totals. Attach with
+    * `spark.streams.addListener(new RateReporter)`. */
+  final class RateReporter(log: String => Unit = s => Console.err.println(s))
+      extends StreamingQueryListener {
+    @volatile private var total = 0L
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+      log(s"[graft] query ${e.id} started")
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      total += p.numInputRows
+      log(f"[graft] done=$total%d cur=${p.inputRowsPerSecond}%.1f/s " +
+        f"avg=${p.processedRowsPerSecond}%.1f/s batch=${p.batchId}%d")
+    }
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+      log(s"[graft] query ${e.id} terminated" +
+        e.exception.map(x => s" with error: $x").getOrElse(""))
+  }
+}
