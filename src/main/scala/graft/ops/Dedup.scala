@@ -28,17 +28,25 @@ object Dedup {
 
   import TextAnalysis.words
 
-  /** 3-word shingles per doc via posexplode + lead window (null-propagating
-    * concat so tail positions drop out, matching `a || ' ' || b` in SQL). */
+  /** 3-word shingles per doc, built inside the row: words array →
+    * per-index concat via transform/sequence (small per-doc arrays, so
+    * the HOF's interpreted eval is irrelevant) → explode → distinct.
+    * No explode-then-window shuffle+sort: one narrow projection per doc,
+    * then a single distinct — the shape that survives 100 TB. */
   private def shingles(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // materialize the words array behind a projection boundary FIRST:
+    // inside an interpreted HOF the regexp would otherwise re-run per
+    // lambda element (measured 5× on this query)
+    val w = col("w")
+    val shingleArr = when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2), i =>
+        concat(element_at(w, i), lit(" "),
+          element_at(w, i + 1), lit(" "),
+          element_at(w, i + 2))))
+      .otherwise(array())
     docs
-      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "word")))
-      .select(col("doc_id"), concat(
-        col("word"), lit(" "),
-        lead(col("word"), 1).over(w), lit(" "),
-        lead(col("word"), 2).over(w)).as("shingle"))
-      .where(col("shingle").isNotNull)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), explode(shingleArr).as("shingle"))
       .distinct()
   }
 
@@ -150,29 +158,34 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup pairs: band the signatures, equi-join on
-    * (band, band-hash), dedup candidates, verify by estimated Jaccard
-    * (fraction of equal signature components) ≥ 0.5.
-    * This is the 100 TB dedup path: no all-pairs comparison exists
-    * anywhere in the plan. */
+    * (band, band-hash), dedup candidates to ID PAIRS before re-joining
+    * signatures, verify by estimated Jaccard (fraction of equal
+    * signature components) ≥ 0.5. This is the 100 TB dedup path: no
+    * all-pairs comparison exists anywhere in the plan.
+    *
+    * Engine-internal fast path: signatures here use xxhash64 (native,
+    * codegen'd) instead of q33's md5-derived hashes — q33 exists to
+    * oracle-check the minhash construction; this query exists to run
+    * fast. Both are deterministic. */
   def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSignatures(s, d)
-      .withColumn("sig", array((0 until K).map(i => col(s"mh$i")): _*))
-      .select(col("doc_id"), col("sig"))
-      .cache()
+    val sh = shingles(Tables.documents(s, d))
+    val aggs = (0 until K).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until K).map(i => col(s"mh$i")): _*).as("sig"))
     val banded = sig.select(
       col("doc_id"), col("sig"),
       posexplode(array((0 until BANDS).map(b =>
-        md5(concat_ws(",",
-          (0 until ROWS_PER_BAND).map(r => col("sig")(b * ROWS_PER_BAND + r)): _*))): _*))
+        xxhash64((0 until ROWS_PER_BAND).map(r => col("sig")(b * ROWS_PER_BAND + r)): _*)): _*))
         .as(Seq("band", "bandhash")))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bandhash") === col("b.bandhash") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     cand
+      .join(sig.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .join(sig.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
       .withColumn("est_jaccard", round(
         aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / K, 4))

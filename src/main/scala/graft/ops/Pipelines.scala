@@ -78,7 +78,9 @@ object Pipelines {
       .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
         col("l_returnflag"), col("l_shipdate").cast(TimestampType).as("l_shipdate"),
         col("l_quantity"))
-    CopyRead.run(s, src, src.columns.toSeq, "l_orderkey", cfg, tmp)
+    // one parquet file in = one partition; fan out so the CSV write AND
+    // the read-back parse both run on all cores
+    CopyRead.run(s, src.repartition(32), src.columns.toSeq, "l_orderkey", cfg, tmp)
     val schema = StructType(Seq(
       StructField("l_orderkey", LongType), StructField("l_linenumber", LongType),
       StructField("l_returnflag", StringType), StructField("l_shipdate", TimestampType),
@@ -88,7 +90,14 @@ object Pipelines {
     val nSrc = src.count()
     val nBack = back.count()
     errs.check()
-    val nMismatch = src.exceptAll(back).count() + back.exceptAll(src).count()
+    // single-shuffle multiset compare: +1/-1 sides, any nonzero sum is a
+    // mismatch (cheaper than two exceptAll shuffles)
+    val cols = src.columns.map(col)
+    val nMismatch = src.withColumn("side", lit(1))
+      .unionByName(back.withColumn("side", lit(-1)))
+      .groupBy(cols.toSeq: _*).agg(sum(col("side")).as("delta"))
+      .where(col("delta") =!= 0)
+      .count()
     import s.implicits._
     try Seq((nSrc, nBack, nMismatch)).toDF("n_source", "n_roundtrip", "n_mismatch")
     finally back.unpersist()
@@ -106,6 +115,7 @@ object Pipelines {
         lit("\""), col("o_orderkey").cast(StringType), lit("\","), // quoted → string
         col("o_totalprice").cast(StringType), lit(","),
         lit("true,NULL")).as("line"))
+      .repartition(32) // parquet scan is 1 split; fan the parse out
       .as[String]
     val (parsed, errs) = CopyWrite.parseRecords(lines, cfg)
     val tagged = CopyWrite.inferTagged(parsed, Seq("k", "k_quoted", "price", "flag", "nothing"), cfg)

@@ -1,46 +1,42 @@
 package graft.ops
 
 import graft.Tables
+import graft.functions.VectorExprs.{vecDot, vecNorm}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over `embeddings.embedding: array<float>` (SURVEY.md
-  * §2B): brute-force cosine top-k (the exactness baseline), exact
-  * cosine near-dup pairs, and a random-hyperplane LSH bucketed variant
-  * (the 100 TB path — candidates meet in an equi-join on 4-bit band
-  * signatures instead of an all-pairs cross join).
+  * §2B): brute-force cosine top-k (the exactness baseline), exact cosine
+  * near-dup pairs, random-hyperplane LSH, and IVF cell routing (the
+  * 100 TB paths — candidates meet in equi-joins, never a full cross
+  * join).
   *
-  * Math is done with Spark higher-order functions (`zip_with` +
-  * `aggregate`) in double precision — codegen'd, no UDFs. The array fold
-  * is index-ordered, so results are deterministic; ranks order by the
-  * ROUNDED similarity with an id tiebreak so engine FP noise below the
-  * rounding precision cannot reorder the oracle compare.
+  * The inner kernel is [[graft.functions.VectorExprs.DotProduct]], a
+  * native codegen'd Catalyst expression (HOF `zip_with`/`aggregate` are
+  * CodegenFallback — interpreted — and profiled 50× slower here). Norms
+  * are computed ONCE per vector in the scan projection and reused across
+  * every pair; ranks order by the ROUNDED similarity with an id tiebreak
+  * so FP noise below the rounding precision cannot reorder the oracle
+  * compare.
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double precision over two float arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
-  def norm(a: Column): Column = sqrt(dot(a, a))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Corpus with per-vector norm computed once in the scan projection. */
+  private def withNorm(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
 
   /** Brute-force cosine top-10 for a deterministic probe set (vec_id < 5)
-    * against the whole corpus. Scale: the probe side is broadcast; the
-    * corpus side streams — one narrow pass + per-query top-k via window
-    * (rank over ≤|corpus| rows per query; for huge k·q use
-    * TakeOrderedAndProject per group instead). */
+    * against the whole corpus. Scale: probe side broadcast; corpus side
+    * streams once; one dot per (probe, candidate). */
   def cosineTopK(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e = withNorm(s, d)
     val q = e.where(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("nrm").as("qnrm"))
     val sims = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cid"),
-        round(cosine(col("qvec"), col("embedding")), 4).as("cos"))
+        round(vecDot(col("qvec"), col("embedding")) / (col("qnrm") * col("nrm")), 4).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
     sims.withColumn("rank", row_number().over(w))
       .where(col("rank") <= 10)
@@ -71,15 +67,16 @@ object Similarity {
       |ORDER BY qid, rank""".stripMargin
 
   /** Exact cosine near-duplicate pairs (≥ 0.45) — the embedding-space
-    * dedup baseline. All-pairs by construction; kept as the verification
-    * oracle for [[annLshPairs]], which is the plan you'd run at scale. */
+    * dedup baseline. All-pairs by construction (one codegen'd dot per
+    * pair); kept as the verification oracle for [[annLshPairs]], which is
+    * the plan you'd run at scale. */
   def cosinePairs(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
-    val b = e.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    val e = withNorm(s, d)
+    val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"), col("nrm").as("n1"))
+    val b = e.select(col("vec_id").as("id2"), col("embedding").as("v2"), col("nrm").as("n2"))
     a.join(b, col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        round(cosine(col("v1"), col("v2")), 4).as("cos"))
+        round(vecDot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4).as("cos"))
       .where(col("cos") >= 0.45)
       .orderBy(col("id1"), col("id2"))
   }
@@ -105,35 +102,36 @@ object Similarity {
   val PLANES = 16
   val SIGN_BANDS = 4
   val BITS_PER_BAND: Int = PLANES / SIGN_BANDS
+  val DIMS = 64
 
-  /** Deterministic pseudo-random hyperplane component r[p][i] ∈ {−1,+1},
-    * derived from xxhash64 so "training" is reproducible with no
-    * driver-side state. */
-  private def planeComponent(p: Int, dimIdx: Column): Column =
-    when(xxhash64(lit(p), dimIdx).bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0))
+  /** Deterministic pseudo-random hyperplanes (±1 components from a
+    * splitmix-style hash) — "training" reproducible with no driver
+    * state; materialized as literal arrays so each projection is one
+    * codegen'd dot against a constant. */
+  private def plane(p: Int): Seq[Float] =
+    (0 until DIMS).map { i =>
+      var z = (p.toLong << 32 | i.toLong) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      if (((z ^ (z >>> 31)) & 1L) == 1L) 1.0f else -1.0f
+    }
 
-  /** Sign-bit p of a vector: sign(Σᵢ r[p][i]·vᵢ). */
-  private def signBit(vec: Column, p: Int): Column = {
-    val proj = aggregate(
-      zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, i) => x.cast("double") * planeComponent(p, i)),
-      lit(0.0), (acc, v) => acc + v)
-    when(proj > 0, 1L).otherwise(0L)
-  }
+  private def signBit(vec: Column, p: Int): Column =
+    when(vecDot(vec, typedLit(plane(p))) > 0, 1L).otherwise(0L)
 
-  /** ANN via random-hyperplane LSH: 16 sign bits per vector, split into
-    * 4 bands of 4 bits; vectors sharing any band bucket become candidates
-    * (equi-join on (band, bits)); candidates are verified with the exact
-    * cosine. No cross join anywhere — this is the 100 TB plan shape.
-    * Approximate by design (banding trades recall for candidate count) →
-    * rows-only check; exactness oracle is [[cosinePairs]]. */
+  /** ANN via random-hyperplane LSH: 16 sign bits per vector, 4 bands of
+    * 4 bits; vectors sharing any band bucket become candidates (equi-join
+    * on (band, bits)); candidates dedup to id pairs BEFORE re-joining
+    * vectors, then verify with one exact dot each. No cross join anywhere
+    * — the 100 TB plan shape. Approximate by design (banding trades
+    * recall for candidates) → rows-only; exactness oracle is q41. */
   def annLshPairs(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e = withNorm(s, d)
     val sig = e.select(
-      col("vec_id"), col("embedding"),
+      col("vec_id"),
       array((0 until PLANES).map(p => signBit(col("embedding"), p)): _*).as("bits"))
     val banded = sig.select(
-      col("vec_id"), col("embedding"),
+      col("vec_id"),
       posexplode(array((0 until SIGN_BANDS).map { b =>
         concat_ws(",", (0 until BITS_PER_BAND).map(r => col("bits")(b * BITS_PER_BAND + r)): _*)
       }: _*)).as(Seq("band", "bucket")))
@@ -141,42 +139,41 @@ object Similarity {
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        col("a.embedding").as("v1"), col("b.embedding").as("v2"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
       .distinct()
     cand
+      .join(e.select(col("vec_id").as("id1"), col("embedding").as("v1"), col("nrm").as("n1")), "id1")
+      .join(e.select(col("vec_id").as("id2"), col("embedding").as("v2"), col("nrm").as("n2")), "id2")
       .select(col("id1"), col("id2"),
-        round(cosine(col("v1"), col("v2")), 4).as("cos"))
+        round(vecDot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4).as("cos"))
       .where(col("cos") >= 0.45)
       .orderBy(col("id1"), col("id2"))
   }
 
   /** IVF-style ANN: coarse-quantize the corpus to deterministic centroids
-    * (every 100th vector), search only the probe's nearest cells.
-    * The scale path when vectors live in many partitions: the centroid
+    * (every 100th vector), search only the probe's cell. The centroid
     * table is tiny and broadcast twice (assignment + probe routing);
     * each query touches 1/|cells| of the corpus. Rows-only (cell routing
     * is engine-internal). */
   def ivfTopK(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e = withNorm(s, d)
     val cent = e.where(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-    // assign every vector to its nearest centroid (broadcast join + argmax)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id").asc)
     val assigned = e.join(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        cosine(col("embedding"), col("cvec")).as("csim"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+        (vecDot(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm"))).as("csim"))
       .withColumn("rn", row_number().over(wAssign))
       .where(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
-    // probes = vec_id < 5; route each probe to its own cell, search there
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
     val probes = assigned.where(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("cent_id").as("qcell"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("nrm").as("qnrm"), col("cent_id").as("qcell"))
     val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
     assigned.join(broadcast(probes),
         col("cent_id") === col("qcell") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cid"),
-        round(cosine(col("qvec"), col("embedding")), 4).as("cos"))
+        round(vecDot(col("qvec"), col("embedding")) / (col("qnrm") * col("nrm")), 4).as("cos"))
       .withColumn("rank", row_number().over(wTop))
       .where(col("rank") <= 10)
       .orderBy(col("qid"), col("rank"))

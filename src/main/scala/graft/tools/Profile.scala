@@ -1,0 +1,25 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc profiling entry: time one or more SparkEntry queries repeatedly.
+  * Usage: graft.tools.Profile <sfDir> <repeat> <queryName>... */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val repeat = args(1).toInt
+    val names = args.drop(2)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (name <- names; i <- 1 to repeat) {
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"$name run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs ($n rows)")
+    }
+    spark.stop()
+  }
+}
