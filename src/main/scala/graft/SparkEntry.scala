@@ -28,10 +28,16 @@ object SparkEntry {
     "q08_distinct_customers" -> Relational.distinctCustomers,
     "q09_json_props" -> Relational.jsonProps,
     "q10_event_windows" -> Relational.eventTumblingWindows,
+    "q11_order_priority" -> Relational.orderPriorityCheck,
+    "q12_customers_no_orders" -> Relational.customersWithoutOrders,
+    "q13_cube_events" -> Relational.cubeEvents,
+    "q14_approx_distinct" -> Relational.approxDistinctUsers,
     "q20_text_stats" -> TextAnalysis.textStats,
     "q21_token_counts" -> TextAnalysis.tokenCounts,
     "q22_lang_id" -> TextAnalysis.langId,
     "q23_fingerprint" -> TextAnalysis.fingerprint,
+    "q24_quality_filter" -> TextAnalysis.qualityFilter,
+    "q25_word_topk" -> TextAnalysis.wordTopK,
     "q30_dedup_exact" -> Dedup.exactDedup,
     "q31_dedup_first_per_key" -> Dedup.firstEventPerKey,
     "q32_jaccard_pairs" -> Dedup.jaccardPairs,
@@ -62,10 +68,17 @@ object SparkEntry {
     "q08_distinct_customers" -> Relational.distinctCustomersSql,
     "q09_json_props" -> Relational.jsonPropsSql,
     "q10_event_windows" -> Relational.eventTumblingWindowsSql,
+    "q11_order_priority" -> Relational.orderPriorityCheckSql,
+    "q12_customers_no_orders" -> Relational.customersWithoutOrdersSql,
+    "q13_cube_events" -> Relational.cubeEventsSql,
+    // q14: HLL sketches are not engine-portable → rows-only (error bound
+    // asserted in ScalaTest against the exact count in the same row)
     "q20_text_stats" -> TextAnalysis.textStatsSql,
     "q21_token_counts" -> TextAnalysis.tokenCountsSql,
     "q22_lang_id" -> TextAnalysis.langIdSql,
     "q23_fingerprint" -> TextAnalysis.fingerprintSql,
+    "q24_quality_filter" -> TextAnalysis.qualityFilterSql,
+    "q25_word_topk" -> TextAnalysis.wordTopKSql,
     "q30_dedup_exact" -> Dedup.exactDedupSql,
     "q31_dedup_first_per_key" -> Dedup.firstEventPerKeySql,
     "q32_jaccard_pairs" -> Dedup.jaccardPairsSql,

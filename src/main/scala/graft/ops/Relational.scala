@@ -230,4 +230,71 @@ object Relational {
       |  round(sum(value), 4) AS sum_value
       |FROM events
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Semi-join shape (TPC-H Q4): order priority counts where at least one
+    * lineitem shipped late. leftsemi = one probe, no fact-side dup. */
+  def orderPriorityCheck(s: SparkSession, d: String): DataFrame = {
+    val late = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"))
+    Tables.orders(s, d)
+      .join(late, col("o_orderkey") === col("l_orderkey"), "leftsemi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val orderPriorityCheckSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Anti-join: customers with no RECENT order (none since 2001-01-01). */
+  def customersWithoutOrders(s: SparkSession, d: String): DataFrame = {
+    val recent = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    Tables.customer(s, d)
+      .join(recent, col("c_custkey") === col("o_custkey"), "leftanti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val customersWithoutOrdersSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** CUBE over event_type × hour-of-day: all four grouping sets. */
+  def cubeEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("hour_of_day", hour(col("ts")).cast("int"))
+      .cube(col("event_type"), col("hour_of_day"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("hour_of_day").asc_nulls_first)
+
+  val cubeEventsSql: String =
+    """SELECT event_type, hour_of_day, count(*) AS n,
+      |  round(sum(value), 4) AS sum_value
+      |FROM (SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day, value
+      |      FROM events)
+      |GROUP BY CUBE (event_type, hour_of_day)
+      |ORDER BY event_type NULLS FIRST, hour_of_day NULLS FIRST""".stripMargin
+
+  /** Sketch aggregation: HyperLogLog++ approximate distinct users per
+    * event type, alongside the exact count. HLL implementations are not
+    * oracle-portable → rows-only; ScalaTest bounds the relative error. */
+  def approxDistinctUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
 }

@@ -119,4 +119,57 @@ object TextAnalysis {
     """SELECT doc_id,
       |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
       |FROM documents""".stripMargin
+
+  /** C4-style quality filter: keep documents passing word-count,
+    * stopword-ratio and mean-word-length gates; emit the gates so the
+    * filter is auditable. The training-data "keep or drop" pipeline
+    * stage — pure narrow projection + filter. */
+  def qualityFilter(s: SparkSession, d: String): DataFrame = {
+    val w = col("w")
+    val nWords = size(w)
+    val stopRatio = size(regexp_extract_all(col("text"), lit(stopPat), lit(0)))
+      .cast("double") / nWords
+    val avgLen = length(regexp_replace(col("text"), "[^a-z0-9]", ""))
+      .cast("double") / nWords
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), words(col("text")).as("w"))
+      .select(col("doc_id"),
+        nWords.as("n_words"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(avgLen, 4).as("avg_len"))
+      .where(col("n_words") >= 20 &&
+        col("stop_ratio").between(0.01, 0.5) &&
+        col("avg_len").between(2.0, 10.0))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityFilterSql: String =
+    """SELECT doc_id, n_words, stop_ratio, avg_len
+      |FROM (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(text, '[a-z0-9]+')) AS n_words,
+      |    round(len(regexp_extract_all(text, '\b(the|a|of|and|in|to|is)\b'))::DOUBLE
+      |          / len(regexp_extract_all(text, '[a-z0-9]+')), 4) AS stop_ratio,
+      |    round(length(regexp_replace(text, '[^a-z0-9]', '', 'g'))::DOUBLE
+      |          / len(regexp_extract_all(text, '[a-z0-9]+')), 4) AS avg_len
+      |  FROM documents)
+      |WHERE n_words >= 20 AND stop_ratio BETWEEN 0.01 AND 0.5
+      |  AND avg_len BETWEEN 2.0 AND 10.0
+      |ORDER BY doc_id""".stripMargin
+
+  /** Corpus-level word frequency top-k with deterministic tiebreak —
+    * explode + count + TakeOrdered. */
+  def wordTopK(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(20)
+
+  val wordTopKSql: String =
+    """SELECT word, count(*) AS n
+      |FROM (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word
+      |      FROM documents)
+      |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin
 }

@@ -28,11 +28,20 @@ object CopyRead {
   private def quoted(c: Column): Column =
     concat(lit("\""), regexp_replace(c, "\"", "\"\""), lit("\""))
 
+  /** Is this the tagged-union cell struct from CopyWrite.inferTagged? */
+  def isTaggedCell(dt: DataType): Boolean = dt match {
+    case st: StructType => st.fieldNames.sameElements(Array("tag", "s", "b", "t", "l"))
+    case _ => false
+  }
+
   /** Render one column to its CSV cell per the reference's typed quoting:
     * strings quoted, everything else bare; NULL renders as cfg.nullValue,
     * bools as the configured literals, timestamps in the configured
     * layout (deviation from the reference's Go-default `%v` dump,
-    * documented: this makes read→write round-trips re-infer correctly). */
+    * documented: this makes read→write round-trips re-infer correctly).
+    * Tagged-union cells (exact-compat mode) render by their tag — the
+    * faithful mirror of the reference's `quote iff *string`
+    * (`read.go:183-185`). */
   def renderCell(c: Column, dt: DataType, cfg: CopyConfig): Column = {
     val pat = GoTimeFormat.toJavaPattern(cfg.timeFormat)
     val rendered: Column = dt match {
@@ -43,6 +52,13 @@ object CopyRead {
       // render them as session-TZ (UTC-pinned) instants so the zoned layout
       // round-trips
       case TimestampNTZType => date_format(c.cast(TimestampType), pat)
+      case st if isTaggedCell(st) =>
+        when(c.getField("tag") === "string", quoted(c.getField("s")))
+          .when(c.getField("tag") === "bool",
+            when(c.getField("b"), cfg.trueValue).otherwise(cfg.falseValue))
+          .when(c.getField("tag") === "ts", date_format(c.getField("t"), pat))
+          .when(c.getField("tag") === "long", c.getField("l").cast(StringType))
+          .otherwise(lit(cfg.nullValue))
       case _ => c.cast(StringType)
     }
     when(c.isNull, lit(cfg.nullValue)).otherwise(rendered)
@@ -67,8 +83,11 @@ object CopyRead {
   def run(spark: SparkSession, source: DataFrame, cols: Seq[String],
       keyCol: String, cfg: CopyConfig, outPath: String): Unit = {
     cols.foreach(Identifiers.requireIdentifier(_, "column"))
+    // offset bound on a tagged cell compares its long slot (token() analog)
+    val keyDt = source.schema(keyCol).dataType
+    val key = if (isTaggedCell(keyDt)) col(keyCol).getField("l") else col(keyCol)
     val projected = source
-      .where(col(keyCol) > lit(cfg.offset))
+      .where(key > lit(cfg.offset))
       .select(cols.map(col): _*)
     toCsvLines(projected, cfg).write.mode("overwrite").text(outPath)
   }

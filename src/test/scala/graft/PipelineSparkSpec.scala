@@ -91,6 +91,43 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalStateException](errs.check())
   }
 
+  test("approx_count_distinct stays within the configured 2% rsd envelope") {
+    val rows = Relational.approxDistinctUsers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.10,
+        s"approx=$approx exact=$exact drift too large")
+    }
+  }
+
+  test("batch progress listener counts written rows") {
+    val rep = new graft.pipeline.BatchProgressListener(
+      CopyConfig(reportFrequencyMs = 100), _ => ())
+    rep.start(spark)
+    val out = s"/root/repo/target/tmp/progress_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      val df = Tables.orders(spark, sf).select("o_orderkey")
+      val n = df.count()
+      df.write.mode("overwrite").parquet(out)
+      // listener events are delivered async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (rep.rowsDone < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(rep.rowsDone == n, s"listener saw ${rep.rowsDone}, wrote $n")
+    } finally rep.stop()
+  }
+
+  test("cli flag parsing maps the reference flag surface") {
+    val (cfg, other) = Cli.parseFlags(Seq(
+      "--header", "--null", "-", "--bool-style", "no,yes", "--chunk-size", "500",
+      "--max-parse-errors", "3", "--offset", "42", "--in", "/a", "--out", "/b"))
+    assert(cfg.header && cfg.nullValue == "-" && cfg.trueValue == "yes")
+    assert(cfg.chunkSize == 500 && cfg.maxParseErrors == 3 && cfg.offset == 42L)
+    assert(other == Map("in" -> "/a", "out" -> "/b"))
+  }
+
   test("ivf topk returns ranked neighbors per probe") {
     val rows = Similarity.ivfTopK(spark, sf).collect()
     assert(rows.nonEmpty)
