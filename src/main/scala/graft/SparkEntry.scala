@@ -51,6 +51,7 @@ object SparkEntry {
     "q50_infer_cascade" -> Pipelines.inferCascade,
     "q51_csv_roundtrip" -> Pipelines.csvRoundtrip,
     "q52_tagged_inference" -> Pipelines.taggedInference,
+    "q53_dsv2_source_agg" -> Pipelines.dsv2SourceAgg,
     "q60_media_meta" -> Multimodal.mediaMeta,
     "q61_media_decode_summary" -> Multimodal.decodeSummary
   )
@@ -92,6 +93,7 @@ object SparkEntry {
     "q50_infer_cascade" -> Pipelines.inferCascadeSql,
     // q51/q52: file round-trip and quoted-bit semantics live outside SQL →
     // rows-only here, asserted exactly in ScalaTest.
+    "q53_dsv2_source_agg" -> Pipelines.dsv2SourceAggSql,
     "q60_media_meta" -> Multimodal.mediaMetaSql
     // q61: decode goes through the stubbed fake codec → rows-only + ScalaTest.
   )

@@ -103,6 +103,34 @@ object Pipelines {
     finally back.unpersist()
   }
 
+  /** End-to-end through the DSv2 source: orders → typed CSV files →
+    * `format("graft-quotecsv")` with declared schema and a PUSHED range
+    * filter (the --offset analog evaluated inside the scan) → aggregate.
+    * Oracle: the same aggregate straight off the orders table — so the
+    * render → parse → infer → filter → agg chain must be value-exact. */
+  def dsv2SourceAgg(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val bound = src.agg(max(col("o_orderkey"))).head.getLong(0) / 2
+    val tmp = s"/root/repo/target/tmp/dsv2agg_${java.util.UUID.randomUUID().toString.take(8)}"
+    CopyRead.run(s, src.repartition(8), src.columns.toSeq, "o_orderkey", cfg, tmp)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_orderpriority", StringType),
+      StructField("o_totalprice", DoubleType)))
+    s.read.format("graft-quotecsv").schema(schema).option("path", tmp).load()
+      .where(col("o_orderkey") > bound)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val dsv2SourceAggSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |WHERE o_orderkey > (SELECT max(o_orderkey) // 2 FROM orders)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Quote-dominance path (rule 1) through the real parser: CSV lines with
     * quoted and unquoted variants of the same payloads, via inferTagged.
     * Deterministic tag histogram per column position. Not SQL-expressible
