@@ -168,6 +168,10 @@ object Dedup {
     * oracle-check the minhash construction; this query exists to run
     * fast. Both are deterministic. */
   def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
+    // k codegen'd min(xxhash64) aggs measured faster cold than the
+    // one-pass TypedImperativeAggregate (graft.functions.MinHashAgg,
+    // kept for large-k/sketch-merge uses) — interpreted update loops
+    // lose to whole-stage codegen at k=32
     val sh = shingles(Tables.documents(s, d))
     val aggs = (0 until K).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
     val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
