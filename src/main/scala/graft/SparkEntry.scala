@@ -53,7 +53,20 @@ object SparkEntry {
     "q52_tagged_inference" -> Pipelines.taggedInference,
     "q53_dsv2_source_agg" -> Pipelines.dsv2SourceAgg,
     "q60_media_meta" -> Multimodal.mediaMeta,
-    "q61_media_decode_summary" -> Multimodal.decodeSummary
+    "q61_media_decode_summary" -> Multimodal.decodeSummary,
+    "q62_sessionize" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val ev = graft.Tables.events(s, d)
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "value")
+        .as[graft.streaming.Sessionize.Event]
+      graft.streaming.Sessionize.sessions(ev, gapMs = 60 * 60 * 1000L, flushOpen = true)
+        .groupBy(col("closed_by"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("total_events"),
+          round(sum(col("sum_value")), 4).as("total_value"))
+        .orderBy(col("closed_by"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -65,6 +65,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.agg(sum("id")).head.getLong(0) == (1 to 100).sum + (1 to 50).sum)
   }
 
+  test("sessionize step function: gap closes sessions, accumulators correct") {
+    import graft.streaming.Sessionize._
+    def ev(uid: Long, tMs: Long, et: String, v: Double) =
+      Event(uid, new java.sql.Timestamp(tMs), et, v)
+    val gap = 1000L
+    val (closed, open) = step(None, Seq(
+      ev(1, 0, "a", 1.0), ev(1, 500, "b", 2.0),   // session 1
+      ev(1, 2000, "a", 3.0),                      // gap > 1000 → closes s1
+      ev(1, 2500, "c", 4.0)), gap)
+    assert(closed.length == 1)
+    assert(closed.head.n_events == 2 && closed.head.sum_value == 3.0 &&
+      closed.head.n_types == 2 && closed.head.closed_by == "gap")
+    assert(open.exists(s => s.nEvents == 2 && s.sumValue == 7.0))
+    // continuing from open state within gap extends it
+    val (closed2, open2) = step(open, Seq(ev(1, 3000, "a", 1.0)), gap)
+    assert(closed2.isEmpty && open2.exists(_.nEvents == 3))
+  }
+
+  test("batch sessionization over real events: flushOpen accounts for every event") {
+    import graft.streaming.Sessionize
+    val s = spark
+    import s.implicits._
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "value")
+      .as[Sessionize.Event]
+    val total = ev.count()
+    val sessions = Sessionize.sessions(ev, gapMs = 60 * 60 * 1000L, flushOpen = true)
+      .collect()
+    assert(sessions.nonEmpty)
+    assert(sessions.map(_.n_events).sum == total) // every event in exactly one session
+    assert(sessions.forall(x => x.session_end.getTime >= x.session_start.getTime))
+  }
+
   test("windowed event counts with watermark produce bounded-state plan") {
     // batch-mode check of the same transformation (streaming plan tested
     // via the analyzer accepting watermark + window grouping)
