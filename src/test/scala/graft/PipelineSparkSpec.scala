@@ -128,6 +128,32 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(other == Map("in" -> "/a", "out" -> "/b"))
   }
 
+  test("salted join is row-equivalent to the plain join") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(o, "l_orderkey")
+    val salted = ops.SkewJoin.saltedJoin(li, o, "l_orderkey", 8)
+    assert(salted.count() == plain.count())
+    assert(salted.columns.sorted.toSeq == plain.columns.sorted.toSeq)
+    // multiset equality via counts per full row
+    val a = plain.groupBy(plain.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*).count()
+    val b = salted.groupBy(salted.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*).count()
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("hot-key split join is row-equivalent to the plain join") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val hot = li.groupBy("l_orderkey").count()
+      .orderBy(org.apache.spark.sql.functions.col("count").desc).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    val plain = li.join(o, "l_orderkey")
+    val split = ops.SkewJoin.hotKeySplitJoin(li, o, "l_orderkey", hot)
+    assert(split.count() == plain.count())
+  }
+
   test("ivf topk returns ranked neighbors per probe") {
     val rows = Similarity.ivfTopK(spark, sf).collect()
     assert(rows.nonEmpty)
