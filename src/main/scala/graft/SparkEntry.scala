@@ -32,6 +32,9 @@ object SparkEntry {
     "q12_customers_no_orders" -> Relational.customersWithoutOrders,
     "q13_cube_events" -> Relational.cubeEvents,
     "q14_approx_distinct" -> Relational.approxDistinctUsers,
+    "q15_pivot_events" -> Relational.pivotEvents,
+    "q16_intersect_customers" -> Relational.intersectCustomers,
+    "q17_scalar_functions" -> Relational.scalarFunctions,
     "q20_text_stats" -> TextAnalysis.textStats,
     "q21_token_counts" -> TextAnalysis.tokenCounts,
     "q22_lang_id" -> TextAnalysis.langId,
@@ -87,6 +90,9 @@ object SparkEntry {
     "q13_cube_events" -> Relational.cubeEventsSql,
     // q14: HLL sketches are not engine-portable → rows-only (error bound
     // asserted in ScalaTest against the exact count in the same row)
+    "q15_pivot_events" -> Relational.pivotEventsSql,
+    "q16_intersect_customers" -> Relational.intersectCustomersSql,
+    "q17_scalar_functions" -> Relational.scalarFunctionsSql,
     "q20_text_stats" -> TextAnalysis.textStatsSql,
     "q21_token_counts" -> TextAnalysis.tokenCountsSql,
     "q22_lang_id" -> TextAnalysis.langIdSql,

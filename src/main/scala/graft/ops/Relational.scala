@@ -287,6 +287,80 @@ object Relational {
       |GROUP BY CUBE (event_type, hour_of_day)
       |ORDER BY event_type NULLS FIRST, hour_of_day NULLS FIRST""".stripMargin
 
+  /** Pivot via conditional aggregation (engine-portable — DataFrame
+    * .pivot() compiles to exactly this shape): event-type columns per
+    * hour-of-day. */
+  def pivotEvents(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val aggs = types.map(t =>
+      round(sum(when(col("event_type") === t, col("value")).otherwise(0.0)), 4)
+        .as(s"${t}_value"))
+    Tables.events(s, d)
+      .withColumn("hour_of_day", hour(col("ts")).cast("int"))
+      .groupBy(col("hour_of_day"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("hour_of_day"))
+  }
+
+  val pivotEventsSql: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cols = types.map(t =>
+      s"round(sum(CASE WHEN event_type = '$t' THEN value ELSE 0.0 END), 4) AS ${t}_value")
+      .mkString(",\n  ")
+    s"""SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+       |  $cols
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** INTERSECT (distinct semantics both engines): customers active in
+    * both the first and last order-month of the dataset. */
+  def intersectCustomers(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val early = o.where(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val late = o.where(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    early.intersect(late).orderBy(col("o_custkey"))
+  }
+
+  val intersectCustomersSql: String =
+    """SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Scalar-function zoo in one codegen'd projection: string, date, math
+    * and conditional functions with engine-portable semantics. */
+  def scalarFunctions(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_type")).as("type_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        round(sqrt(col("p_retailprice")), 4).as("price_sqrt"),
+        round(log(col("p_retailprice") + 1.0), 4).as("price_log"),
+        (col("p_size") % 5).cast("int").as("size_mod"),
+        when(col("p_size") >= 25, "large").when(col("p_size") >= 10, "medium")
+          .otherwise("small").as("size_class"),
+        coalesce(nullif(col("p_brand"), lit("Brand#1")), lit("OTHER")).as("brand_or_other"))
+      .orderBy(col("p_partkey"))
+
+  val scalarFunctionsSql: String =
+    """SELECT p_partkey,
+      |  upper(p_brand) AS brand_upper,
+      |  substring(p_name, 1, 8) AS name_prefix,
+      |  length(p_type) AS type_len,
+      |  concat_ws('|', p_brand, p_type) AS brand_type,
+      |  round(sqrt(p_retailprice), 4) AS price_sqrt,
+      |  round(ln(p_retailprice + 1.0), 4) AS price_log,
+      |  CAST(p_size % 5 AS INT) AS size_mod,
+      |  CASE WHEN p_size >= 25 THEN 'large' WHEN p_size >= 10 THEN 'medium'
+      |       ELSE 'small' END AS size_class,
+      |  coalesce(nullif(p_brand, 'Brand#1'), 'OTHER') AS brand_or_other
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   /** Sketch aggregation: HyperLogLog++ approximate distinct users per
     * event type, alongside the exact count. HLL implementations are not
     * oracle-portable → rows-only; ScalaTest bounds the relative error. */
