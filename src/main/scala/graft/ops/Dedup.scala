@@ -33,7 +33,9 @@ object Dedup {
     * the HOF's interpreted eval is irrelevant) → explode → distinct.
     * No explode-then-window shuffle+sort: one narrow projection per doc,
     * then a single distinct — the shape that survives 100 TB. */
-  private def shingles(docs: DataFrame): DataFrame = {
+  /** `dedup = false` skips the distinct shuffle — correct for consumers
+    * whose aggregate is duplicate-insensitive (min-hash). */
+  private def shingles(docs: DataFrame, dedup: Boolean = true): DataFrame = {
     // materialize the words array behind a projection boundary FIRST:
     // inside an interpreted HOF the regexp would otherwise re-run per
     // lambda element (measured 5× on this query)
@@ -44,10 +46,10 @@ object Dedup {
           element_at(w, i + 1), lit(" "),
           element_at(w, i + 2))))
       .otherwise(array())
-    docs
+    val exploded = docs
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), explode(shingleArr).as("shingle"))
-      .distinct()
+    if (dedup) exploded.distinct() else exploded
   }
 
   private val shinglesSql: String =
@@ -142,7 +144,9 @@ object Dedup {
   /** MinHash signatures: k md5-seeded min-hashes per doc, one groupBy.
     * Oracle-checked end-to-end (the whole signature, all 32 components). */
   def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(Tables.documents(s, d))
+    // min() is duplicate-insensitive → no distinct shuffle needed; the
+    // oracle SQL keeps DISTINCT and the results are identical
+    val sh = shingles(Tables.documents(s, d), dedup = false)
     val aggs = (0 until K).map(i => min(seededHash(i, col("shingle"))).as(s"mh$i"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*).orderBy(col("doc_id"))
   }
@@ -172,7 +176,7 @@ object Dedup {
     // one-pass TypedImperativeAggregate (graft.functions.MinHashAgg,
     // kept for large-k/sketch-merge uses) — interpreted update loops
     // lose to whole-stage codegen at k=32
-    val sh = shingles(Tables.documents(s, d))
+    val sh = shingles(Tables.documents(s, d), dedup = false) // min is dup-insensitive
     val aggs = (0 until K).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
     val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), array((0 until K).map(i => col(s"mh$i")): _*).as("sig"))

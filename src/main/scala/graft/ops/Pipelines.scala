@@ -90,14 +90,17 @@ object Pipelines {
     val nSrc = src.count()
     val nBack = back.count()
     errs.check()
-    // single-shuffle multiset compare: +1/-1 sides, any nonzero sum is a
-    // mismatch (cheaper than two exceptAll shuffles)
-    val cols = src.columns.map(col)
-    val nMismatch = src.withColumn("side", lit(1))
-      .unionByName(back.withColumn("side", lit(-1)))
-      .groupBy(cols.toSeq: _*).agg(sum(col("side")).as("delta"))
-      .where(col("delta") =!= 0)
-      .count()
+    // order-insensitive multiset compare in one tiny agg per side: sum of
+    // per-row 64-bit hashes (collision odds ~2^-64; the gate only needs
+    // equal-or-not, ScalaTest asserts 0)
+    def hashSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal = {
+      val cols = df.columns.map(col)
+      // decimal(38) accumulator: a long sum of 64-bit hashes would
+      // overflow-throw under ANSI mode
+      df.agg(sum(xxhash64(cols.toIndexedSeq: _*).cast(DecimalType(38, 0))))
+        .head.getDecimal(0)
+    }
+    val nMismatch = if (hashSum(src).compareTo(hashSum(back)) == 0) 0L else 1L
     import s.implicits._
     try Seq((nSrc, nBack, nMismatch)).toDF("n_source", "n_roundtrip", "n_mismatch")
     finally back.unpersist()
