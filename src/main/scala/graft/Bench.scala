@@ -37,7 +37,7 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
-        }
+        } finally spark.catalog.clearCache() // queries may cache; keep runs independent
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
