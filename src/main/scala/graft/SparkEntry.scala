@@ -35,6 +35,8 @@ object SparkEntry {
     "q15_pivot_events" -> Relational.pivotEvents,
     "q16_intersect_customers" -> Relational.intersectCustomers,
     "q17_scalar_functions" -> Relational.scalarFunctions,
+    "q18_supplier_balances" -> Relational.supplierBalances,
+    "q19_props_map" -> Relational.propsAsMap,
     "q20_text_stats" -> TextAnalysis.textStats,
     "q21_token_counts" -> TextAnalysis.tokenCounts,
     "q22_lang_id" -> TextAnalysis.langId,
@@ -93,6 +95,8 @@ object SparkEntry {
     "q15_pivot_events" -> Relational.pivotEventsSql,
     "q16_intersect_customers" -> Relational.intersectCustomersSql,
     "q17_scalar_functions" -> Relational.scalarFunctionsSql,
+    "q18_supplier_balances" -> Relational.supplierBalancesSql,
+    "q19_props_map" -> Relational.propsAsMapSql,
     "q20_text_stats" -> TextAnalysis.textStatsSql,
     "q21_token_counts" -> TextAnalysis.tokenCountsSql,
     "q22_lang_id" -> TextAnalysis.langIdSql,

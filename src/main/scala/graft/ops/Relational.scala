@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, MapType, StringType}
 
 /** Core relational operators over the harness tables — the query surface
   * the reference lacks entirely (SURVEY.md §2A "absent" list) mapped to
@@ -360,6 +361,45 @@ object Relational {
       |       ELSE 'small' END AS size_class,
       |  coalesce(nullif(p_brand, 'Brand#1'), 'OTHER') AS brand_or_other
       |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Supplier account balances rolled up the geography dims (completes
+    * coverage of every harness table; broadcast dim chain as usual). */
+  def supplierBalances(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(sum(col("s_acctbal")), 2).as("total_bal"),
+        round(avg(col("s_acctbal")), 4).as("avg_bal"))
+      .orderBy(col("r_name"))
+
+  val supplierBalancesSql: String =
+    """SELECT r_name, count(*) AS n_suppliers,
+      |  round(sum(s_acctbal), 2) AS total_bal,
+      |  round(avg(s_acctbal), 4) AS avg_bal
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** JSON props via from_json into MapType (the FIXTURES.md mapping for
+    * events.props) — map access, key existence, per-key stats. The oracle
+    * extracts the same key with regexp (value-identical for this data). */
+  def propsAsMap(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("m", from_json(col("props"), MapType(StringType, LongType)))
+      .withColumn("k", col("m").getItem("k"))
+      .groupBy((col("k") % 10).cast("int").as("k_mod"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("k_mod"))
+
+  val propsAsMapSql: String =
+    """SELECT CAST(k % 10 AS INT) AS k_mod, count(*) AS n,
+      |  min(k) AS min_k, max(k) AS max_k
+      |FROM (SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Sketch aggregation: HyperLogLog++ approximate distinct users per
     * event type, alongside the exact count. HLL implementations are not
