@@ -157,6 +157,50 @@ object TextAnalysis {
       |  AND avg_len BETWEEN 2.0 AND 10.0
       |ORDER BY doc_id""".stripMargin
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
+    * w-word shingle (rolling window over the words array), then keep the
+    * MINIMUM hash of every window of `winnow` consecutive shingle hashes —
+    * guarantees any shared run of ≥ w+winnow-1 words yields a shared
+    * fingerprint. All per-row HOF math (narrow, no shuffle); candidates
+    * then meet in an equi-join on fingerprint like every LSH path here. */
+  def winnowFingerprints(s: SparkSession, d: String, w: Int = 4, winnow: Int = 5): DataFrame = {
+    val wc = col("w")
+    val hashes = when(size(wc) >= w,
+      transform(sequence(lit(1), size(wc) - (w - 1)), i =>
+        xxhash64((0 until w).map(k => element_at(wc, i + k)): _*)))
+      .otherwise(array(xxhash64(col("text"))))
+    val fps = when(size(col("h")) >= winnow,
+      array_distinct(transform(sequence(lit(0), size(col("h")) - winnow), i =>
+        array_min(slice(col("h"), i + 1, lit(winnow))))))
+      .otherwise(array(array_min(col("h"))))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), words(col("text")).as("w"))
+      .select(col("doc_id"), hashes.as("h"))
+      .select(col("doc_id"), fps.as("fps"))
+  }
+
+  /** Near-dup candidate pairs via shared winnow fingerprints: explode →
+    * equi-join on fingerprint → count shared per pair. The rolling-hash
+    * face of the dedup family (MinHash estimates Jaccard; winnowing
+    * finds shared RUNS). Deterministic → rows-only + ScalaTest. */
+  def winnowPairs(s: SparkSession, d: String): DataFrame = {
+    val fp = winnowFingerprints(s, d)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .distinct()
+    val counts = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(counts.select(col("doc_id").as("d1"), col("nfp").as("nfp1")), "d1")
+      .join(counts.select(col("doc_id").as("d2"), col("nfp").as("nfp2")), "d2")
+      .withColumn("overlap",
+        round(col("n_shared").cast("double") / least(col("nfp1"), col("nfp2")), 4))
+      .where(col("overlap") >= 0.5)
+      .select(col("d1"), col("d2"), col("n_shared"), col("overlap"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Corpus-level word frequency top-k with deterministic tiebreak —
     * explode + count + TakeOrdered. */
   def wordTopK(s: SparkSession, d: String): DataFrame =

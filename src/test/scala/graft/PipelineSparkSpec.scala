@@ -154,6 +154,28 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(split.count() == plain.count())
   }
 
+  test("winnowing: shared-run pairs overlap the jaccard near-dups") {
+    val winnow = TextAnalysis.winnowPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    val exact = Dedup.jaccardPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(winnow.nonEmpty)
+    // near-identical docs share long runs → winnowing must find them
+    assert((exact -- winnow).isEmpty, s"winnowing missed: ${exact -- winnow}")
+  }
+
+  test("partitioned write + partition-pruned read") {
+    val out = s"/root/repo/target/tmp/part_${java.util.UUID.randomUUID().toString.take(8)}"
+    Tables.events(spark, sf).write.partitionBy("event_type").parquet(out)
+    val df = spark.read.parquet(out)
+      .where(org.apache.spark.sql.functions.col("event_type") === "click")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString()
+    assert(scan.contains("PartitionFilters") && scan.contains("event_type"), scan)
+    val expected = Tables.events(spark, sf)
+      .where(org.apache.spark.sql.functions.col("event_type") === "click").count()
+    assert(df.count() == expected)
+  }
+
   test("ivf topk returns ranked neighbors per probe") {
     val rows = Similarity.ivfTopK(spark, sf).collect()
     assert(rows.nonEmpty)
