@@ -58,6 +58,7 @@ object SparkEntry {
     "q51_csv_roundtrip" -> Pipelines.csvRoundtrip,
     "q52_tagged_inference" -> Pipelines.taggedInference,
     "q53_dsv2_source_agg" -> Pipelines.dsv2SourceAgg,
+    "q54_stream_ingest" -> Pipelines.streamIngestSummary,
     "q60_media_meta" -> Multimodal.mediaMeta,
     "q61_media_decode_summary" -> Multimodal.decodeSummary,
     "q62_sessionize" -> ((s: SparkSession, d: String) => {

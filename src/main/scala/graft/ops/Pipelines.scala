@@ -134,6 +134,30 @@ object Pipelines {
       |WHERE o_orderkey > (SELECT max(o_orderkey) // 2 FROM orders)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Streaming face end-to-end inside one query: orders → CSV files →
+    * readStream (AvailableNow) through the same parse/inference path →
+    * checkpointed parquet sink → summary vs source. Proves the streaming
+    * pipeline computes exactly what the batch verb computes. */
+  def streamIngestSummary(s: SparkSession, d: String): DataFrame = {
+    val base = s"/root/repo/target/tmp/stream_q_${java.util.UUID.randomUUID().toString.take(8)}"
+    val src = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    CopyRead.run(s, src.repartition(8), src.columns.toSeq, "o_orderkey", cfg, s"$base/csv")
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_orderpriority", StringType),
+      StructField("o_totalprice", DoubleType)))
+    val q = graft.streaming.StreamIngest.writeParquetStream(
+      graft.streaming.StreamIngest.readCsvStream(s, s"$base/csv", schema, cfg),
+      s"$base/out", s"$base/ckpt")
+    q.awaitTermination(120000)
+    val out = s.read.parquet(s"$base/out")
+    import s.implicits._
+    Seq((src.count(), out.count(),
+      out.agg(round(sum(col("o_totalprice")), 2)).head.getDouble(0),
+      src.agg(round(sum(col("o_totalprice")), 2)).head.getDouble(0)))
+      .toDF("n_source", "n_streamed", "sum_streamed", "sum_source")
+  }
+
   /** Quote-dominance path (rule 1) through the real parser: CSV lines with
     * quoted and unquoted variants of the same payloads, via inferTagged.
     * Deterministic tag histogram per column position. Not SQL-expressible
