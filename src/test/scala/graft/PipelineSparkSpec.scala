@@ -176,6 +176,32 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == expected)
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    import org.apache.spark.sql.functions.col
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // files persist — clear the locations too
+    for (t <- Seq("orders_b", "customer_b")) {
+      val p = new org.apache.hadoop.fs.Path(wh, t)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    Tables.orders(spark, sf).write
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("orders_b")
+    Tables.customer(spark, sf).write
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("customer_b")
+    val joined = spark.table("orders_b")
+      .join(spark.table("customer_b"), col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString()
+    // co-located bucketing: sort-merge join with NO shuffle exchange
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(joined.count() ==
+      Tables.orders(spark, sf).join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey")).count())
+    assert(wh != null)
+  }
+
   test("ivf topk returns ranked neighbors per probe") {
     val rows = Similarity.ivfTopK(spark, sf).collect()
     assert(rows.nonEmpty)
