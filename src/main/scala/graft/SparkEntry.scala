@@ -43,7 +43,7 @@ object SparkEntry {
     "q23_fingerprint" -> TextAnalysis.fingerprint,
     "q24_quality_filter" -> TextAnalysis.qualityFilter,
     "q25_word_topk" -> TextAnalysis.wordTopK,
-    "q26_winnow_pairs" -> TextAnalysis.winnowPairs,
+    "q26_winnow_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.winnowPairs(s, d)),
     "q30_dedup_exact" -> Dedup.exactDedup,
     "q31_dedup_first_per_key" -> Dedup.firstEventPerKey,
     "q32_jaccard_pairs" -> Dedup.jaccardPairs,

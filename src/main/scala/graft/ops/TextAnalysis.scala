@@ -164,29 +164,55 @@ object TextAnalysis {
     * fingerprint. All per-row HOF math (narrow, no shuffle); candidates
     * then meet in an equi-join on fingerprint like every LSH path here. */
   def winnowFingerprints(s: SparkSession, d: String, w: Int = 4, winnow: Int = 5): DataFrame = {
-    val wc = col("w")
-    val hashes = when(size(wc) >= w,
-      transform(sequence(lit(1), size(wc) - (w - 1)), i =>
-        xxhash64((0 until w).map(k => element_at(wc, i + k)): _*)))
-      .otherwise(array(xxhash64(col("text"))))
-    val fps = when(size(col("h")) >= winnow,
-      array_distinct(transform(sequence(lit(0), size(col("h")) - winnow), i =>
-        array_min(slice(col("h"), i + 1, lit(winnow))))))
-      .otherwise(array(array_min(col("h"))))
+    import org.apache.spark.sql.expressions.Window
+    // fully codegen'd rolling pipeline over ONE shuffle+sort per doc:
+    // posexplode words → shingle hash via lead() → sliding-frame min →
+    // full-window filter → set per doc. (Array-HOF formulations were
+    // measured quadratic — Catalyst collapses projections and re-evals
+    // the hash array per window; and interpreted lambdas lose to
+    // codegen'd window exec by an order of magnitude here.)
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val slide = byPos.rowsBetween(Window.currentRow, winnow - 1)
+    val whole = Window.partitionBy(col("doc_id"))
+    val shingleHash = xxhash64(
+      (0 until w).map(k => if (k == 0) col("word") else lead(col("word"), k).over(byPos)): _*)
     Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), words(col("text")).as("w"))
-      .select(col("doc_id"), hashes.as("h"))
-      .select(col("doc_id"), fps.as("fps"))
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "word")))
+      // hv is only a valid w-shingle hash where the last lead exists
+      // (tail rows hash fewer words — drop them before the sliding min)
+      .select(col("doc_id"), col("pos"), shingleHash.as("hv"),
+        lead(col("word"), w - 1).over(byPos).as("w_last"))
+      .where(col("w_last").isNotNull)
+      .withColumn("fp", min(col("hv")).over(slide))
+      .withColumn("nh", count(lit(1)).over(whole))
+      // full winnow windows only (pos is 0-based and, after the tail
+      // filter, equals the row index); short docs keep their first
+      // (shrunken) frame so every doc with ≥ w words yields ≥ 1 fp
+      .where(col("pos") <= greatest(col("nh") - winnow, lit(0)))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("fp")).as("fps"))
   }
 
   /** Near-dup candidate pairs via shared winnow fingerprints: explode →
-    * equi-join on fingerprint → count shared per pair. The rolling-hash
-    * face of the dedup family (MinHash estimates Jaccard; winnowing
-    * finds shared RUNS). Deterministic → rows-only + ScalaTest. */
-  def winnowPairs(s: SparkSession, d: String): DataFrame = {
-    val fp = winnowFingerprints(s, d)
+    * drop ubiquitous fingerprints → equi-join on fingerprint → count
+    * shared per pair. The rolling-hash face of the dedup family (MinHash
+    * estimates Jaccard; winnowing finds shared RUNS).
+    *
+    * The document-frequency cap (`maxDf`) is load-bearing at scale:
+    * window-min selection concentrates globally-small hashes into many
+    * documents (especially under small vocabularies), and a fingerprint
+    * shared by f docs contributes f² join pairs. Capping f bounds the
+    * join at Σ f² ≤ maxDf · |fp-postings| — linear in corpus size —
+    * while near-identical docs still meet through their RARE shared
+    * fingerprints (a fingerprint carried by every doc carries no
+    * signal anyway). Deterministic → rows-only + ScalaTest. */
+  def winnowPairs(s: SparkSession, d: String, maxDf: Int = 100): DataFrame = {
+    val fpAll = winnowFingerprints(s, d)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
       .distinct()
+    val rare = fpAll.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("fp"))
+    val fp = fpAll.join(rare, "fp")
     val counts = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
     fp.as("a").join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
