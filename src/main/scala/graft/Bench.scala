@@ -28,6 +28,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // wipe our scratch area (file-round-trip queries write here; keep
+    // repeated rounds from accumulating)
+    scala.reflect.io.Path("/root/repo/target/tmp").deleteRecursively()
     // untimed warm-up: JIT, codegen cache, parquet footers
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
