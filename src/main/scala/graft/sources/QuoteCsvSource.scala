@@ -120,12 +120,26 @@ final class QuoteCsvScan(fullSchema: StructType, required: StructType,
     val hconf = new org.apache.hadoop.conf.Configuration()
     val p = new Path(path)
     val fs = p.getFileSystem(hconf)
-    val files: Seq[String] =
+    val statuses =
       if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).toIndexedSeq.filter(_.isFile).map(_.getPath.toString)
-          .filterNot(f => f.endsWith("_SUCCESS") || f.contains("/."))
-      else Seq(path)
-    files.sorted.map(f => QuoteCsvInputPartition(f): InputPartition).toArray
+        fs.listStatus(p).toIndexedSeq.filter(_.isFile)
+          .filterNot(s => s.getPath.getName == "_SUCCESS" || s.getPath.getName.startsWith("."))
+      else IndexedSeq(fs.getFileStatus(p))
+    // byte-range splits aligned to the next newline by the reader — the
+    // 100 TB shape (one giant CSV still parallelizes). Multiline mode
+    // (quoted embedded newlines) cannot split safely → whole files, the
+    // same contract as Spark's own csv multiLine option.
+    val multiline = options.getBoolean("multiline", false)
+    val splitBytes = options.getLong("maxSplitBytes", 128L * 1024 * 1024)
+    statuses.sortBy(_.getPath.toString).flatMap { st =>
+      val len = st.getLen
+      if (multiline || len <= splitBytes)
+        Seq(QuoteCsvInputPartition(st.getPath.toString, 0L, len): InputPartition)
+      else
+        (0L until len by splitBytes).map(start =>
+          QuoteCsvInputPartition(st.getPath.toString, start,
+            math.min(start + splitBytes, len)): InputPartition)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -133,16 +147,18 @@ final class QuoteCsvScan(fullSchema: StructType, required: StructType,
       QuoteCsvSource.cfgFromOptions(options))
 }
 
-final case class QuoteCsvInputPartition(file: String) extends InputPartition
+final case class QuoteCsvInputPartition(file: String, start: Long, end: Long)
+    extends InputPartition
 
 final class QuoteCsvReaderFactory(fullSchema: StructType, required: StructType,
     pushed: Array[Filter], cfg: CopyConfig) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new QuoteCsvPartitionReader(
-      partition.asInstanceOf[QuoteCsvInputPartition].file, fullSchema, required, pushed, cfg)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[QuoteCsvInputPartition]
+    new QuoteCsvPartitionReader(p, fullSchema, required, pushed, cfg)
+  }
 }
 
-final class QuoteCsvPartitionReader(file: String, fullSchema: StructType,
+final class QuoteCsvPartitionReader(part: QuoteCsvInputPartition, fullSchema: StructType,
     required: StructType, pushed: Array[Filter], cfg: CopyConfig)
     extends PartitionReader[InternalRow] {
 
@@ -157,19 +173,81 @@ final class QuoteCsvPartitionReader(file: String, fullSchema: StructType,
     case GreaterThanOrEqual(a, v: java.lang.Long) => (fullSchema.fieldIndex(a), v.longValue, true)
   }
 
+  /** Records of this split. Split semantics: a record belongs to the
+    * split in which it STARTS. A reader whose split begins mid-file skips
+    * to the first record boundary (next '\n') and reads past `end` to
+    * finish its last record — so every record is read exactly once across
+    * splits. Whole-file splits (start=0, end=len) additionally handle
+    * quoted embedded newlines via splitRecords. */
   private val records: Iterator[String] = {
     val hconf = new org.apache.hadoop.conf.Configuration()
-    val p = new Path(file)
-    val in = p.getFileSystem(hconf).open(p)
-    val text = try {
-      val out = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
-      out.toString("UTF-8")
-    } finally in.close()
-    val all = QuoteCsv.splitRecords(text).iterator.filter(_.nonEmpty)
-    if (cfg.header && all.hasNext) { all.next(); () }
-    all
+    val p = new Path(part.file)
+    val fs = p.getFileSystem(hconf)
+    val len = fs.getFileStatus(p).getLen
+    val wholeFile = part.start == 0L && part.end >= len
+    val in = fs.open(p)
+    if (wholeFile) {
+      val text = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
+        out.toString("UTF-8")
+      } finally in.close()
+      QuoteCsv.splitRecords(text).iterator.filter(_.nonEmpty)
+    } else {
+      // ranged split (line mode): seek, align to the next line start,
+      // stream lines while their starting offset is < end
+      in.seek(part.start)
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8),
+        64 * 1024)
+      var offset = part.start
+      def readLineCounting(): String = {
+        val sb = new java.lang.StringBuilder
+        var c = reader.read()
+        if (c < 0) return null
+        while (c >= 0 && c != '\n') {
+          if (c != '\r') sb.append(c.toChar)
+          // count BYTES, not chars: 1/2/3 by UTF-8 class; surrogate pairs
+          // are 4 bytes total (4 on the high half, 0 on the low half)
+          offset += (
+            if (c < 0x80) 1L else if (c < 0x800) 2L
+            else if (c >= 0xD800 && c < 0xDC00) 4L
+            else if (c >= 0xDC00 && c < 0xE000) 0L
+            else 3L)
+          c = reader.read()
+        }
+        if (c == '\n') offset += 1L
+        sb.toString
+      }
+      if (part.start > 0L) readLineCounting() // skip the partial first line
+      new Iterator[String] {
+        private var nextLine: String = advance()
+        private def advance(): String = {
+          // the record must START before `end`; it may finish past it
+          if (offset >= part.end) null
+          else {
+            val l = readLineCounting()
+            if (l == null) { reader.close(); null } else l
+          }
+        }
+        override def hasNext: Boolean = nextLine != null
+        override def next(): String = {
+          val r = nextLine
+          nextLine = advance()
+          if (nextLine == null) reader.close()
+          r
+        }
+      }.filter(_.nonEmpty)
+      // header handling in ranged mode: only the split at offset 0 sees
+      // the header line; it is skipped there by the cfg.header check in
+      // the first-split path below
+    }
   }
+  // ranged first split must also honor the header flag
+  private val recordsWithHeader: Iterator[String] =
+    if (cfg.header && part.start == 0L && part.end > 0L && records.hasNext) {
+      records.next(); records
+    } else records
 
   private var recordNo = 0L
   private var current: InternalRow = _
@@ -187,10 +265,10 @@ final class QuoteCsvPartitionReader(file: String, fullSchema: StructType,
   }
 
   override def next(): Boolean = {
-    while (records.hasNext) {
+    while (recordsWithHeader.hasNext) {
       recordNo += 1
       val rec =
-        try QuoteCsv.parseRecord(records.next(), recordNo)
+        try QuoteCsv.parseRecord(recordsWithHeader.next(), recordNo)
         catch { case _: CsvParseException => null }
       if (rec != null) {
         if (isRaw) {

@@ -78,7 +78,28 @@ class QuoteCsvSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(first.exists(r => r.getString(0) == "1" && !r.getBoolean(1)))
   }
 
-  test("one partition per file") {
+  test("one partition per file (small files / multiline)") {
     assert(load().rdd.getNumPartitions == 2)
+  }
+
+  test("byte-range splits: one big file parallelizes, no row lost or duplicated") {
+    val big = s"$dir-big"
+    Files.createDirectories(Paths.get(big))
+    val n = 20000
+    val body = (1 to n).map(i => s"""$i,"name-$i",${i % 2 == 0},note $i""").mkString("\n")
+    Files.writeString(Paths.get(s"$big/data.csv"), "id,name,flag,note\n" + body)
+    val df = spark.read.format("graft-quotecsv").schema(schema)
+      .option("path", big).option("header", true)
+      .option("maxSplitBytes", 64 * 1024) // force many splits
+      .load()
+    assert(df.rdd.getNumPartitions > 4, s"got ${df.rdd.getNumPartitions}")
+    assert(df.count() == n)
+    // exactly-once across split boundaries: ids sum and distinct count
+    import org.apache.spark.sql.functions._
+    val agg = df.agg(sum(col("id")), countDistinct(col("id"))).head()
+    assert(agg.getLong(0) == n.toLong * (n + 1) / 2)
+    assert(agg.getLong(1) == n)
+    // pushed range filter still works on ranged splits
+    assert(df.where(col("id") > (n - 100L)).count() == 100)
   }
 }
