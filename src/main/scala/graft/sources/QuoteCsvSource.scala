@@ -33,9 +33,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (SupportsPushDownFilters) — the `--offset` token-bound analog
   *    (SURVEY.md §2A #21) skips rows before they materialize.
   *
-  * Partitioning: one input partition per file (the reference reads one
-  * stdin stream; files are this source's token ranges). Records with
-  * quoted embedded newlines are handled by whole-file record splitting.
+  * Partitioning: byte-range splits (`maxSplitBytes`, default 128 MB) with
+  * newline alignment in the reader, so one giant CSV still parallelizes —
+  * these splits are this source's token ranges. `multiline=true` (quoted
+  * embedded newlines) falls back to whole-file partitions, the same
+  * contract as Spark's own csv multiLine option.
   */
 class QuoteCsvSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
