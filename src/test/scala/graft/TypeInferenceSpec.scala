@@ -94,6 +94,38 @@ class TypeInferenceSpec extends AnyFunSuite {
     assert(GoTimeFormat.toJavaPattern("15:04:05.000") == "HH:mm:ss.SSS")
   }
 
+  test("Go layout translation: additional token coverage") {
+    assert(GoTimeFormat.toJavaPattern("Jan 2, 2006") == "MMM d, yyyy")
+    assert(GoTimeFormat.toJavaPattern("Monday 02 January 2006 MST") ==
+      "EEEE dd MMMM yyyy zzz")
+    assert(GoTimeFormat.toJavaPattern("15:04:05.000000") == "HH:mm:ss.SSSSSS")
+    // round-trip: the default layout's Java pattern parses what it formats
+    val fmt = TypeInference.formatter(GoTimeFormat.defaultGoLayout)
+    val s = java.time.OffsetDateTime.parse("2024-03-04T05:06:07Z")
+      .format(fmt)
+    assert(java.time.OffsetDateTime.parse(s, fmt).toInstant.getEpochSecond ==
+      1709528767L)
+  }
+
+  test("config invariants: report clamp and bool-style validation") {
+    assert(CopyConfig(reportFrequencyMs = 10).reportFrequencyClamped == 100L)
+    assert(CopyConfig(reportFrequencyMs = 250).reportFrequencyClamped == 250L)
+    intercept[IllegalArgumentException](CopyConfig(boolStyle = "nocommas").trueValue)
+    assert(CopyConfig(boolStyle = "0,1").falseValue == "0")
+  }
+
+  test("tagged-union row conversion (external form)") {
+    import java.time.Instant
+    assert(toRow(NullValue) == (("null", null, null, null, null)))
+    assert(toRow(StringValue("x")) == (("string", "x", null, null, null)))
+    assert(toRow(BoolValue(true))._3 == java.lang.Boolean.TRUE)
+    val TimestampValue(micros) =
+      infer("2024-01-02 03:04:05+0000"): @unchecked
+    assert(toRow(TimestampValue(micros))._4 ==
+      Instant.parse("2024-01-02T03:04:05Z"))
+    assert(toRow(LongValue(7L))._5 == 7L)
+  }
+
   test("identifier guard parity with util.go") {
     assert(Identifiers.checkIdentifier("users.by_id"))
     assert(Identifiers.checkIdentifier("Tbl_1"))
