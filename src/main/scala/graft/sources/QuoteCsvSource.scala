@@ -69,13 +69,19 @@ object QuoteCsvSource {
 }
 
 final class QuoteCsvTable(schema: StructType, options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-quotecsv(${options.get("path")})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new QuoteCsvScanBuilder(schema, o)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new QuoteCsvWriteBuilder(info)
 }
 
 final class QuoteCsvScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)

@@ -82,6 +82,31 @@ class QuoteCsvSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(load().rdd.getNumPartitions == 2)
   }
 
+  test("DSv2 write → read round-trip through the connector commit protocol") {
+    import org.apache.spark.sql.functions._
+    val out = s"$dir-w"
+    val src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"),
+        col("l_returnflag").as("flag"),
+        col("l_quantity"),
+        col("l_shipdate").cast("timestamp").as("ship"))
+    src.write.format("graft-quotecsv")
+      .option("path", out).mode("overwrite").save()
+    assert(Files.exists(Paths.get(s"$out/_SUCCESS")))
+    val wSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("l_orderkey", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("flag", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("l_quantity", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("ship", org.apache.spark.sql.types.TimestampType)))
+    val back = spark.read.format("graft-quotecsv").schema(wSchema)
+      .option("path", out).load()
+    assert(back.count() == src.count())
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(xxhash64(df.columns.map(col).toIndexedSeq: _*)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head.getDecimal(0)
+    assert(sig(src).compareTo(sig(back)) == 0) // value-exact round-trip
+  }
+
   test("byte-range splits: one big file parallelizes, no row lost or duplicated") {
     val big = s"$dir-big"
     Files.createDirectories(Paths.get(big))
