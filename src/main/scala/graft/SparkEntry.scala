@@ -37,6 +37,11 @@ object SparkEntry {
     "q17_scalar_functions" -> Relational.scalarFunctions,
     "q18_supplier_balances" -> Relational.supplierBalances,
     "q19_props_map" -> Relational.propsAsMap,
+    "q70_shipping_priority" -> Relational.shippingPriority,
+    "q71_forecast_revenue" -> Relational.forecastRevenue,
+    "q72_promo_revenue" -> Relational.promoRevenue,
+    "q73_user_activity" -> Relational.userActivityStats,
+    "q74_fuzzy_brand_match" -> Relational.fuzzyTypeMatch,
     "q20_text_stats" -> TextAnalysis.textStats,
     "q21_token_counts" -> TextAnalysis.tokenCounts,
     "q22_lang_id" -> TextAnalysis.langId,
@@ -99,6 +104,11 @@ object SparkEntry {
     "q17_scalar_functions" -> Relational.scalarFunctionsSql,
     "q18_supplier_balances" -> Relational.supplierBalancesSql,
     "q19_props_map" -> Relational.propsAsMapSql,
+    "q70_shipping_priority" -> Relational.shippingPrioritySql,
+    "q71_forecast_revenue" -> Relational.forecastRevenueSql,
+    "q72_promo_revenue" -> Relational.promoRevenueSql,
+    "q73_user_activity" -> Relational.userActivityStatsSql,
+    "q74_fuzzy_brand_match" -> Relational.fuzzyTypeMatchSql,
     "q20_text_stats" -> TextAnalysis.textStatsSql,
     "q21_token_counts" -> TextAnalysis.tokenCountsSql,
     "q22_lang_id" -> TextAnalysis.langIdSql,

@@ -401,6 +401,129 @@ object Relational {
       |      FROM events)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** TPC-H Q3 shape: shipping-priority top-10 — 3-way join, filter both
+    * fact sides, group, top-k with deterministic tiebreak. */
+  def shippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("1998-01-01").cast("timestamp")
+    Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .where(col("o_orderdate") < cut)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .where(col("l_shipdate") > cut)
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val shippingPrioritySql: String =
+    """SELECT l_orderkey, o_orderdate,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin
+
+  /** TPC-H Q6 shape: forecast-revenue — pure scan+filter+scalar agg, the
+    * pushdown-everything query (range predicates on 3 columns). */
+  def forecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.08) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val forecastRevenueSql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.02 AND 0.08 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share). */
+  def promoRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        sum(when(col("p_type").startsWith("PROMO"),
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) * 100.0 /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_pct"))
+
+  val promoRevenueSql: String =
+    """SELECT round(
+      |  sum(CASE WHEN p_type LIKE 'PROMO%'
+      |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 100.0 /
+      |  sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+
+  /** Window-function variety: per-user event gaps (lag) + quartiles
+    * (ntile) over activity counts. */
+  def userActivityStats(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val gaps = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        (unix_timestamp(col("ts")) -
+          lag(unix_timestamp(col("ts")), 1).over(byUser)).as("gap_s"))
+      .groupBy(col("user_id"))
+      // keep exact integer sums; a rounded inner avg double-rounds and
+      // flips the oracle compare at half-boundaries
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("gap_s")).cast("double") / count(col("gap_s"))).as("avg_gap_s"))
+    gaps.withColumn("quartile",
+        ntile(4).over(Window.orderBy(col("n_events").desc, col("user_id").asc)))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("total_events"),
+        round(avg(col("avg_gap_s")), 2).as("mean_avg_gap"))
+      .orderBy(col("quartile"))
+  }
+
+  val userActivityStatsSql: String =
+    """WITH gaps AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |    CAST(sum(gap_s) AS DOUBLE) / count(gap_s) AS avg_gap_s
+      |  FROM (
+      |    SELECT user_id,
+      |      CAST(floor(epoch(ts)) AS BIGINT) -
+      |        lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+      |          OVER (PARTITION BY user_id ORDER BY event_id) AS gap_s
+      |    FROM events)
+      |  GROUP BY user_id),
+      | q AS (
+      |  SELECT *, ntile(4) OVER (ORDER BY n_events DESC, user_id ASC) AS quartile
+      |  FROM gaps)
+      |SELECT quartile, count(*) AS n_users,
+      |  CAST(sum(n_events) AS BIGINT) AS total_events,
+      |  round(avg(avg_gap_s), 2) AS mean_avg_gap
+      |FROM q GROUP BY quartile ORDER BY quartile""".stripMargin
+
+  /** Fuzzy key matching via levenshtein (identical semantics in both
+    * engines): near-matching part brand/type label pairs. */
+  def fuzzyTypeMatch(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.part(s, d).select(col("p_brand")).distinct()
+    t.as("a").join(t.as("b"),
+        col("a.p_brand") < col("b.p_brand") &&
+          levenshtein(col("a.p_brand"), col("b.p_brand")) <= 1)
+      .select(col("a.p_brand").as("t1"), col("b.p_brand").as("t2"),
+        levenshtein(col("a.p_brand"), col("b.p_brand")).as("dist"))
+      .orderBy(col("t1"), col("t2"))
+  }
+
+  val fuzzyTypeMatchSql: String =
+    """SELECT a.p_brand AS t1, b.p_brand AS t2,
+      |  levenshtein(a.p_brand, b.p_brand) AS dist
+      |FROM (SELECT DISTINCT p_brand FROM part) a
+      |JOIN (SELECT DISTINCT p_brand FROM part) b
+      |  ON a.p_brand < b.p_brand AND levenshtein(a.p_brand, b.p_brand) <= 1
+      |ORDER BY t1, t2""".stripMargin
+
   /** Sketch aggregation: HyperLogLog++ approximate distinct users per
     * event type, alongside the exact count. HLL implementations are not
     * oracle-portable → rows-only; ScalaTest bounds the relative error. */
