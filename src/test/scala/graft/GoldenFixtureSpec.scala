@@ -65,6 +65,26 @@ class GoldenFixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).getString(4) == "string" && rows(1).getString(5) == "")
   }
 
+  test("edge inputs: empty file, header-only, single column, blank lines") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/root/repo/target/tmp"), "edge").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/empty.csv"), "")
+    val (t1, e1) = CopyWrite.read(spark, s"$dir/empty.csv", Seq("a"), CopyConfig())
+    assert(t1.count() == 0); e1.check()
+
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/header_only.csv"), "a,b\n")
+    val (t2, e2) = CopyWrite.read(spark, s"$dir/header_only.csv", Seq("a", "b"),
+      CopyConfig(header = true))
+    assert(t2.count() == 0); e2.check()
+
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/single.csv"), "1\n\n\"two\"\n\nNULL\n")
+    val (t3, e3) = CopyWrite.read(spark, s"$dir/single.csv", Seq("v"), CopyConfig())
+    val tags = t3.select(col("v.tag")).collect().map(_.getString(0)).sorted
+    assert(tags.toSeq == Seq("long", "null", "string")) // blank lines skipped
+    e3.check()
+  }
+
   test("A3 parse_errors.csv: budget counts bad rows, good rows survive") {
     val (typed, errs) = CopyWrite.read(spark, s"$res/parse_errors.csv",
       Seq("k", "v"), CopyConfig(maxParseErrors = 2))
