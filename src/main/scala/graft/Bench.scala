@@ -34,14 +34,21 @@ object Bench {
     // untimed warm-up: JIT, codegen cache, parquet footers
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-        } finally spark.catalog.clearCache() // queries may cache; keep runs independent
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+          }
+        spark.catalog.clearCache() // queries may cache; keep runs independent
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      // noisy-neighbor guard: cheap queries get a second run, min wins
+      // (expensive ones aren't repeated to bound total bench time)
+      val r1 = once()
+      name -> (if (r1 >= 0 && r1 < 3.0) math.min(r1, once()) else r1)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

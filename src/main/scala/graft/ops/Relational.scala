@@ -476,6 +476,8 @@ object Relational {
       // flips the oracle compare at half-boundaries
       .agg(count(lit(1)).as("n_events"),
         (sum(col("gap_s")).cast("double") / count(col("gap_s"))).as("avg_gap_s"))
+    // global ntile = single-partition window: fine here because the input
+    // is ALREADY one row per user (small); never do this pre-aggregation
     gaps.withColumn("quartile",
         ntile(4).over(Window.orderBy(col("n_events").desc, col("user_id").asc)))
       .groupBy(col("quartile"))
