@@ -86,24 +86,22 @@ object Pipelines {
       StructField("l_returnflag", StringType), StructField("l_shipdate", TimestampType),
       StructField("l_quantity", DoubleType)))
     val (typed, errs) = CopyWrite.read(s, tmp, schema.fieldNames.toSeq, cfg, Some(schema))
-    val back = typed.cache()
-    val nSrc = src.count()
-    val nBack = back.count()
-    errs.check()
-    // order-insensitive multiset compare in one tiny agg per side: sum of
-    // per-row 64-bit hashes (collision odds ~2^-64; the gate only needs
-    // equal-or-not, ScalaTest asserts 0)
-    def hashSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal = {
+    // order-insensitive multiset compare, ONE action per side: count +
+    // sum of per-row 64-bit hashes (collision odds ~2^-64; the gate only
+    // needs equal-or-not, ScalaTest asserts 0). decimal(38) accumulator —
+    // a long sum of 64-bit hashes would overflow-throw under ANSI mode.
+    def signature(df: org.apache.spark.sql.DataFrame): (Long, java.math.BigDecimal) = {
       val cols = df.columns.map(col)
-      // decimal(38) accumulator: a long sum of 64-bit hashes would
-      // overflow-throw under ANSI mode
-      df.agg(sum(xxhash64(cols.toIndexedSeq: _*).cast(DecimalType(38, 0))))
-        .head.getDecimal(0)
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(cols.toIndexedSeq: _*).cast(DecimalType(38, 0)))).head
+      (r.getLong(0), r.getDecimal(1))
     }
-    val nMismatch = if (hashSum(src).compareTo(hashSum(back)) == 0) 0L else 1L
+    val (nSrc, srcSig) = signature(src)
+    val (nBack, backSig) = signature(typed)
+    errs.check()
+    val nMismatch = if (nSrc == nBack && srcSig.compareTo(backSig) == 0) 0L else 1L
     import s.implicits._
-    try Seq((nSrc, nBack, nMismatch)).toDF("n_source", "n_roundtrip", "n_mismatch")
-    finally back.unpersist()
+    Seq((nSrc, nBack, nMismatch)).toDF("n_source", "n_roundtrip", "n_mismatch")
   }
 
   /** End-to-end through the DSv2 source: orders → typed CSV files →
