@@ -34,7 +34,9 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$d/events.parquet")
     import org.apache.spark.sql.functions._
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    // integer division: `/` on longs is double division, and doubles lose
+    // sub-µs exactness at epoch-nano magnitudes (ulp ≈ 256ns)
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -36,7 +36,7 @@ object GoTimeFormat {
     "-0700" -> "Z",
     "-07" -> "X",
     "Z07:00" -> "XXX",
-    "Z0700" -> "ZZ",
+    "Z0700" -> "XX", // X accepts a literal 'Z' for UTC like Go; 'ZZ' doesn't
     "MST" -> "zzz",
     "1" -> "M",
     "2" -> "d",

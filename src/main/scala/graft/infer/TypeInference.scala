@@ -51,6 +51,22 @@ object TypeInference {
   def formatter(goLayout: String): DateTimeFormatter =
     DateTimeFormatter.ofPattern(GoTimeFormat.toJavaPattern(goLayout))
 
+  /** Timestamp parse shared by the pure cascade and the DSv2 reader:
+    * zoned layouts parse as OffsetDateTime; zone-less layouts (which make
+    * OffsetDateTime.parse always throw) fall back to LocalDateTime in UTC
+    * — mirroring Catalyst try_to_timestamp under the UTC-pinned session
+    * zone. Returns epoch micros. */
+  def parseTimestampMicros(v: String, fmt: DateTimeFormatter): Option[Long] = {
+    def micros(inst: Instant): Long =
+      inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+    (try Some(micros(OffsetDateTime.parse(v, fmt).toInstant))
+    catch { case _: Exception => None }).orElse {
+      try Some(micros(java.time.LocalDateTime.parse(v, fmt)
+        .toInstant(java.time.ZoneOffset.UTC)))
+      catch { case _: Exception => None }
+    }
+  }
+
   /** Pure cascade. `fmt` must come from [[formatter]] for the config's
     * layout; passing it in keeps this allocation-free per cell. */
   def inferCell(
@@ -66,12 +82,7 @@ object TypeInference {
     else if (v == trueValue) BoolValue(true)            // rule 3
     else if (v == nullValue) NullValue                  // rule 4
     else {
-      val ts =
-        try {                                           // rule 5
-          val odt = OffsetDateTime.parse(v, fmt)
-          val inst: Instant = odt.toInstant
-          Some(TimestampValue(inst.getEpochSecond * 1000000L + inst.getNano / 1000L))
-        } catch { case _: Exception => None }
+      val ts = parseTimestampMicros(v, fmt).map(TimestampValue.apply) // rule 5
       ts.getOrElse {
         // rule 6 — strconv.ParseInt(s,10,64): optional sign, digits only,
         // must fit in Int64 (Spark's cast is laxer; guard with regex +
@@ -128,7 +139,11 @@ object TypeInference {
 
     def tag(value: Column, quoted: Column, cfg: CopyConfig): Column = {
       val pat = GoTimeFormat.toJavaPattern(cfg.timeFormat)
-      when(quoted, "string")
+      // a missing cell (ragged record: getItem past the end) is NULL input
+      // → tag 'null', so downstream rendering emits the NULL literal
+      // instead of a NULL string that would vanish in concat_ws
+      when(value.isNull, "null")
+        .when(quoted, "string")
         .when(value === cfg.falseValue, "bool")
         .when(value === cfg.trueValue, "bool")
         .when(value === cfg.nullValue, "null")

@@ -64,9 +64,13 @@ object CopyRead {
     when(c.isNull, lit(cfg.nullValue)).otherwise(rendered)
   }
 
-  /** Typed DataFrame → Dataset of CSV lines (whole projection codegen'd). */
+  /** Typed DataFrame → Dataset of CSV lines (whole projection codegen'd).
+    * Each cell is coalesced to the NULL literal before joining — a NULL
+    * rendered cell would otherwise be silently dropped by concat_ws,
+    * shifting every later column left. */
   def toCsvLines(df: DataFrame, cfg: CopyConfig): Dataset[String] = {
-    val cells = df.schema.fields.map(f => renderCell(col(f.name), f.dataType, cfg))
+    val cells = df.schema.fields.map(f =>
+      coalesce(renderCell(col(f.name), f.dataType, cfg), lit(cfg.nullValue)))
     val spark = df.sparkSession
     import spark.implicits._
     df.select(concat_ws(",", cells.toSeq: _*).as("line")).as[String]
@@ -83,12 +87,18 @@ object CopyRead {
   def run(spark: SparkSession, source: DataFrame, cols: Seq[String],
       keyCol: String, cfg: CopyConfig, outPath: String): Unit = {
     cols.foreach(Identifiers.requireIdentifier(_, "column"))
-    // offset bound on a tagged cell compares its long slot (token() analog)
-    val keyDt = source.schema(keyCol).dataType
-    val key = if (isTaggedCell(keyDt)) col(keyCol).getField("l") else col(keyCol)
-    val projected = source
-      .where(key > lit(cfg.offset))
-      .select(cols.map(col): _*)
+    // offset bound on a tagged cell compares its long slot (token() analog).
+    // The sentinel default (Long.MinValue, like the reference's MinInt64)
+    // must be a TRUE no-op: applying `key > MinValue` would still drop
+    // NULL keys and non-long tagged cells.
+    val filtered =
+      if (cfg.offset == Long.MinValue) source
+      else {
+        val keyDt = source.schema(keyCol).dataType
+        val key = if (isTaggedCell(keyDt)) col(keyCol).getField("l") else col(keyCol)
+        source.where(key > lit(cfg.offset))
+      }
+    val projected = filtered.select(cols.map(col): _*)
     toCsvLines(projected, cfg).write.mode("overwrite").text(outPath)
   }
 }

@@ -85,7 +85,9 @@ object CopyWrite {
   def inferTagged(parsed: DataFrame, cols: Seq[String], cfg: CopyConfig): DataFrame = {
     cols.foreach(Identifiers.requireIdentifier(_, "column"))
     val out = cols.zipWithIndex.map { case (name, i) =>
-      val cell = col("cells").getItem(i)
+      // get() tolerates ragged records (out-of-bounds → NULL cell → 'null'
+      // tag); ANSI getItem would throw instead
+      val cell = get(col("cells"), lit(i))
       TypeInference.Exprs
         .cell(cell.getField("value"), cell.getField("quoted"), cfg)
         .as(name)
@@ -101,7 +103,7 @@ object CopyWrite {
     val pat = GoTimeFormat.toJavaPattern(cfg.timeFormat)
     val out = schema.fields.zipWithIndex.map { case (f, i) =>
       Identifiers.requireIdentifier(f.name, "column")
-      val cell = col("cells").getItem(i)
+      val cell = get(col("cells"), lit(i)) // ragged-tolerant (see inferTagged)
       val v = cell.getField("value")
       val quoted = cell.getField("quoted")
       val base: Column = f.dataType match {
@@ -124,16 +126,26 @@ object CopyWrite {
   /** End-to-end: CSV path(s) → typed DataFrame. Line-mode by default
     * (distributed, splittable); `multiline` falls back to whole-file
     * record splitting for quoted embedded newlines (same tradeoff as
-    * Spark's own csv multiLine option). */
+    * Spark's own csv multiLine option).
+    *
+    * Header semantics are PER FILE here (each file written with
+    * `header=true` — e.g. by our own CSV sink — carries its own header;
+    * dropping only the globally-first record would leak the others into
+    * the data). Header'd reads therefore go whole-file per partition;
+    * the reference's single-stream semantics (header = first record of
+    * the stream) live in [[dropHeader]] for Dataset[String] callers. */
   def read(spark: SparkSession, path: String, cols: Seq[String], cfg: CopyConfig,
       schema: Option[StructType] = None, multiline: Boolean = false)
       : (DataFrame, ParseErrors) = {
     import spark.implicits._
     val lines: Dataset[String] =
-      if (!multiline) spark.read.textFile(path)
+      if (!multiline && !cfg.header) spark.read.textFile(path)
       else spark.sparkContext.wholeTextFiles(path)
-        .flatMap { case (_, text) => QuoteCsv.splitRecords(text) }.toDS()
-    val (parsed, errs) = parseRecords(dropHeader(lines, cfg), cfg)
+        .flatMap { case (_, text) =>
+          val recs = QuoteCsv.splitRecords(text)
+          if (cfg.header) recs.drop(1) else recs
+        }.toDS()
+    val (parsed, errs) = parseRecords(lines, cfg)
     val typed = schema match {
       case Some(st) => inferSchemad(parsed, st, cfg)
       case None => inferTagged(parsed, cols, cfg)

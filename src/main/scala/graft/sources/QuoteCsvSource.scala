@@ -93,19 +93,19 @@ final class QuoteCsvScanBuilder(fullSchema: StructType, options: CaseInsensitive
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Accept range bounds on LongType fields and IsNotNull — evaluated
-    * per-record inside the scan; everything else stays in Spark. */
+  /** Accept range bounds on LongType fields — evaluated per-record inside
+    * the scan. ALL filters (including accepted ones) are returned as
+    * residuals so Spark re-applies them post-scan: the scan-side
+    * evaluation is an optimization, never the only enforcement. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def longField(name: String): Boolean =
       fullSchema.fields.exists(f => f.name == name && f.dataType == LongType)
-    val (accepted, rejected) = filters.partition {
+    pushed = filters.filter {
       case GreaterThan(a, _: java.lang.Long) => longField(a)
       case GreaterThanOrEqual(a, _: java.lang.Long) => longField(a)
-      case IsNotNull(_) => true
       case _ => false
     }
-    pushed = accepted
-    rejected ++ accepted.filterNot(_.isInstanceOf[IsNotNull]) // IsNotNull fully handled
+    filters
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -231,8 +231,11 @@ final class QuoteCsvPartitionReader(part: QuoteCsvInputPartition, fullSchema: St
       new Iterator[String] {
         private var nextLine: String = advance()
         private def advance(): String = {
-          // the record must START before `end`; it may finish past it
-          if (offset >= part.end) null
+          // a record STARTING at exactly `end` still belongs to THIS split
+          // (<=, not <): the next split unconditionally discards its first
+          // line, so a boundary-aligned record would otherwise be read by
+          // neither side (Hadoop LineRecordReader uses the same pairing)
+          if (offset > part.end) null
           else {
             val l = readLineCounting()
             if (l == null) { reader.close(); null } else l
@@ -260,16 +263,37 @@ final class QuoteCsvPartitionReader(part: QuoteCsvInputPartition, fullSchema: St
   private var recordNo = 0L
   private var current: InternalRow = _
 
-  private def convert(v: InferredValue, dt: DataType): Any = (v, dt) match {
-    case (NullValue, _) => null
-    case (StringValue(s), StringType) => UTF8String.fromString(s)
-    case (BoolValue(b), BooleanType) => b
-    case (LongValue(l), LongType) => l
-    case (TimestampValue(t), TimestampType) => t
-    case (DoubleValue(d), DoubleType) => d
-    // inferred type doesn't match the declared column type → null (the
-    // server-side schema is the arbiter, like Cassandra for the reference)
-    case _ => null
+  private val longPat = java.util.regex.Pattern.compile("^[+-]?[0-9]+$")
+
+  /** Declared-type conversion — the SAME semantics as
+    * CopyWrite.inferSchemad (the declared schema is the arbiter, like
+    * Cassandra's server-side schema for the reference): strings are
+    * verbatim (quoted or not), other types only parse from unquoted
+    * cells, the NULL literal nulls any type, mismatches null out. */
+  private def convertCell(cell: graft.csv.RawCell, dt: DataType): Any = {
+    val v = cell.value
+    if (v == null) return null
+    if (!cell.quoted && v == cfg.nullValue) return null
+    dt match {
+      case StringType => UTF8String.fromString(v)
+      case BooleanType =>
+        if (cell.quoted) null
+        else if (v == cfg.trueValue) java.lang.Boolean.TRUE
+        else if (v == cfg.falseValue) java.lang.Boolean.FALSE
+        else null
+      case TimestampType =>
+        if (cell.quoted) null
+        else parseTimestampMicros(v, fmt).map(java.lang.Long.valueOf).orNull
+      case LongType =>
+        if (cell.quoted || !longPat.matcher(v).matches()) null
+        else try java.lang.Long.valueOf(v) catch { case _: NumberFormatException => null }
+      case DoubleType =>
+        if (cell.quoted) null
+        else try java.lang.Double.valueOf(v) catch { case _: NumberFormatException => null }
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft-quotecsv: unsupported declared type $other")
+    }
   }
 
   override def next(): Boolean = {
@@ -285,20 +309,21 @@ final class QuoteCsvPartitionReader(part: QuoteCsvInputPartition, fullSchema: St
           current = InternalRow(cells)
           return true
         } else {
-          // infer only what the scan needs: pushed-bound columns + output
-          val inferred = new Array[InferredValue](fullSchema.length)
-          def cellAt(i: Int): InferredValue = {
-            if (inferred(i) == null)
-              inferred(i) =
-                if (i < rec.length)
-                  inferCell(rec(i), cfg.falseValue, cfg.trueValue, cfg.nullValue, fmt,
-                    withDoubles = fullSchema.fields(i).dataType == DoubleType)
-                else NullValue
-            inferred(i)
+          // convert only what the scan needs: pushed-bound columns + output
+          val conv = new Array[Any](fullSchema.length)
+          val done = new Array[Boolean](fullSchema.length)
+          def cellAt(i: Int): Any = {
+            if (!done(i)) {
+              conv(i) =
+                if (i < rec.length) convertCell(rec(i), fullSchema.fields(i).dataType)
+                else null
+              done(i) = true
+            }
+            conv(i)
           }
           val pass = bounds.forall { case (i, bound, incl) =>
             cellAt(i) match {
-              case LongValue(l) => if (incl) l >= bound else l > bound
+              case l: java.lang.Long => if (incl) l >= bound else l > bound
               case _ => false
             }
           }
@@ -306,8 +331,7 @@ final class QuoteCsvPartitionReader(part: QuoteCsvInputPartition, fullSchema: St
             val row = new Array[Any](fieldIdx.length)
             var j = 0
             while (j < fieldIdx.length) {
-              val i = fieldIdx(j)
-              row(j) = convert(cellAt(i), fullSchema.fields(i).dataType)
+              row(j) = cellAt(fieldIdx(j))
               j += 1
             }
             current = InternalRow.fromSeq(row.toIndexedSeq)

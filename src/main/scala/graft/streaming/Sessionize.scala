@@ -74,20 +74,31 @@ object Sessionize {
             closed.iterator
           } else {
             val (closed, next) = step(state.getOption, it.toSeq, gapMs)
+            var expiredNow: Seq[SessionOut] = Seq.empty
             next match {
-              case Some(s) =>
-                state.update(s)
+              case Some(sess) =>
+                state.update(sess)
                 // only legal when a watermark exists (streaming); batch
-                // never times out
-                try state.setTimeoutTimestamp(s.lastTs + gapMs)
-                catch { case _: Exception => () }
+                // never times out. If the requested timeout is already
+                // behind the watermark the session IS expired — close it
+                // now instead of leaking state with no timeout armed.
+                try state.setTimeoutTimestamp(sess.lastTs + gapMs)
+                catch {
+                  case _: IllegalArgumentException
+                      if state.getCurrentWatermarkMs() >= sess.lastTs + gapMs =>
+                    expiredNow = Seq(toOut(uid, sess, "timeout"))
+                    state.remove()
+                  case _: UnsupportedOperationException => () // batch: no watermark
+                }
               case None => state.remove()
             }
-            val tail = if (flushOpen) { // batch: emit the open session too
+            // batch: emit the still-open session too (never overlaps with
+            // expiredNow — batch has no watermark, so expiredNow is empty)
+            val tail = if (flushOpen && expiredNow.isEmpty) {
               val open = next.map(toOut(uid, _, "flush")).toSeq
               state.remove(); open
             } else Seq.empty
-            (closed ++ tail).iterator
+            (closed ++ expiredNow ++ tail).iterator
           }
       }
   }
