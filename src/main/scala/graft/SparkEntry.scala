@@ -55,6 +55,7 @@ object SparkEntry {
     "q33_minhash_signatures" -> Dedup.minhashSignatures,
     "q34_minhash_lsh_pairs" -> Dedup.minhashLshPairs,
     "q35_simhash" -> Dedup.simhash,
+    "q36_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q40_cosine_topk" -> Similarity.cosineTopK,
     "q41_cosine_pairs" -> Similarity.cosinePairs,
     "q42_ann_lsh_pairs" -> Similarity.annLshPairs,

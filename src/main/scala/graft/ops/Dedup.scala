@@ -223,6 +223,34 @@ object Dedup {
     sums.select(col("doc_id"), sh.as("simhash")).orderBy(col("doc_id"))
   }
 
+  /** SimHash near-dup pairs via pigeonhole banding: split the 60-bit
+    * signature into 4 15-bit chunks — any pair within Hamming distance 3
+    * must agree on ≥1 chunk (pigeonhole), so candidates meet in an
+    * equi-join on (chunk index, chunk value) and are verified exactly
+    * with bit_count. No all-pairs scan; threshold ≤ 6 bits keeps recall
+    * high for near-identical docs while the 4-chunk guarantee is exact
+    * for ≤ 3. Deterministic → rows-only; family baseline is q32. */
+  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame = {
+    val sig = simhash(s, d)
+    val banded = sig.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 15).bitwiseAND(0x7FFF)): _*))
+        .as(Seq("chunk", "chunkval")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.chunkval") === col("b.chunkval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   val simhashSql: String = {
     val sumCols = (0 until 60).map(i =>
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN tf ELSE -tf END) AS s$i").mkString(",\n  ")

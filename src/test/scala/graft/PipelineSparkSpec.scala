@@ -154,6 +154,16 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(split.count() == plain.count())
   }
 
+  test("simhash banding finds the near-identical pairs") {
+    val sh = Dedup.simhashPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    val exact = Dedup.jaccardPairs(spark, sf)
+      .where(org.apache.spark.sql.functions.col("jaccard") >= 0.9).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(exact.nonEmpty && (exact -- sh).isEmpty,
+      s"simhash missed near-identical pairs: ${exact -- sh}")
+  }
+
   test("winnowing: shared-run pairs overlap the jaccard near-dups") {
     val winnow = TextAnalysis.winnowPairs(spark, sf).collect()
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
