@@ -224,18 +224,19 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs via pigeonhole banding: split the 60-bit
-    * signature into 4 15-bit chunks — any pair within Hamming distance 3
+    * signature into 10 6-bit chunks — any pair within Hamming distance 9
     * must agree on ≥1 chunk (pigeonhole), so candidates meet in an
     * equi-join on (chunk index, chunk value) and are verified exactly
-    * with bit_count. No all-pairs scan; threshold ≤ 6 bits keeps recall
-    * high for near-identical docs while the 4-chunk guarantee is exact
-    * for ≤ 3. Deterministic → rows-only; family baseline is q32. */
-  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame = {
+    * with bit_count. No all-pairs scan; 6-bit chunks trade candidate
+    * volume (64 buckets/chunk) for a distance-9 guarantee, which covers
+    * the word-substitution noise near-identical docs actually show.
+    * Deterministic → rows-only; family baseline is q32. */
+  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 9): DataFrame = {
     val sig = simhash(s, d)
     val banded = sig.select(
       col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 15).bitwiseAND(0x7FFF)): _*))
+      posexplode(array((0 until 10).map(b =>
+        shiftright(col("simhash"), b * 6).bitwiseAND(0x3F)): _*))
         .as(Seq("chunk", "chunkval")))
     val cand = banded.as("a")
       .join(banded.as("b"),

@@ -154,14 +154,20 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(split.count() == plain.count())
   }
 
-  test("simhash banding finds the near-identical pairs") {
-    val sh = Dedup.simhashPairs(spark, sf).collect()
+  test("simhash banding is complete for its own metric (all Hamming<=9 pairs found)") {
+    import org.apache.spark.sql.functions._
+    val banded = Dedup.simhashPairs(spark, sf).collect()
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
-    val exact = Dedup.jaccardPairs(spark, sf)
-      .where(org.apache.spark.sql.functions.col("jaccard") >= 0.9).collect()
-      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
-    assert(exact.nonEmpty && (exact -- sh).isEmpty,
-      s"simhash missed near-identical pairs: ${exact -- sh}")
+    // brute-force ground truth over all pairs (fine at sf0.001)
+    val sig = Dedup.simhash(spark, sf)
+    val a = sig.select(col("doc_id").as("d1"), col("simhash").as("s1"))
+    val b = sig.select(col("doc_id").as("d2"), col("simhash").as("s2"))
+    val exact = a.join(b, col("d1") < col("d2"))
+      .where(bit_count(col("s1").bitwiseXOR(col("s2"))) <= 9)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(exact.nonEmpty)
+    assert(banded == exact, // pigeonhole guarantee: banding loses nothing <= 9
+      s"missed: ${exact -- banded}; spurious: ${banded -- exact}")
   }
 
   test("winnowing: shared-run pairs overlap the jaccard near-dups") {
