@@ -224,19 +224,20 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs via pigeonhole banding: split the 60-bit
-    * signature into 10 6-bit chunks — any pair within Hamming distance 9
+    * signature into 6 10-bit chunks — any pair within Hamming distance 5
     * must agree on ≥1 chunk (pigeonhole), so candidates meet in an
     * equi-join on (chunk index, chunk value) and are verified exactly
-    * with bit_count. No all-pairs scan; 6-bit chunks trade candidate
-    * volume (64 buckets/chunk) for a distance-9 guarantee, which covers
-    * the word-substitution noise near-identical docs actually show.
+    * with bit_count. No all-pairs scan; 10-bit chunks (1024 buckets)
+    * keep candidate volume linear-ish while guaranteeing distance ≤ 5
+    * (coarser chunks guarantee more but explode candidates — 6-bit
+    * chunks measured 74k result pairs and 2.4M candidates at sf0.1).
     * Deterministic → rows-only; family baseline is q32. */
-  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 9): DataFrame = {
+  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 5): DataFrame = {
     val sig = simhash(s, d)
     val banded = sig.select(
       col("doc_id"), col("simhash"),
-      posexplode(array((0 until 10).map(b =>
-        shiftright(col("simhash"), b * 6).bitwiseAND(0x3F)): _*))
+      posexplode(array((0 until 6).map(b =>
+        shiftright(col("simhash"), b * 10).bitwiseAND(0x3FF)): _*))
         .as(Seq("chunk", "chunkval")))
     val cand = banded.as("a")
       .join(banded.as("b"),

@@ -154,7 +154,7 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(split.count() == plain.count())
   }
 
-  test("simhash banding is complete for its own metric (all Hamming<=9 pairs found)") {
+  test("simhash banding is complete for its own metric (all Hamming<=5 pairs found)") {
     import org.apache.spark.sql.functions._
     val banded = Dedup.simhashPairs(spark, sf).collect()
       .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
@@ -163,10 +163,10 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val a = sig.select(col("doc_id").as("d1"), col("simhash").as("s1"))
     val b = sig.select(col("doc_id").as("d2"), col("simhash").as("s2"))
     val exact = a.join(b, col("d1") < col("d2"))
-      .where(bit_count(col("s1").bitwiseXOR(col("s2"))) <= 9)
+      .where(bit_count(col("s1").bitwiseXOR(col("s2"))) <= 5)
       .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
     assert(exact.nonEmpty)
-    assert(banded == exact, // pigeonhole guarantee: banding loses nothing <= 9
+    assert(banded == exact, // pigeonhole guarantee: banding loses nothing <= 5
       s"missed: ${exact -- banded}; spurious: ${banded -- exact}")
   }
 
