@@ -7,7 +7,7 @@ package graft
   */
 final case class CopyConfig(
     // write-path flags (write.go:30-41)
-    boolStyle: String = "false,true",     // --bool-style: "<false>,<true>"
+    boolStyle: String = "true,false",     // --bool-style: "<true>,<false>" (write.go:117-118)
     timeFormat: String = "2006-01-02 15:04:05-0700", // --time-format (Go layout)
     header: Boolean = false,              // --header
     maxAttempts: Int = 5,                 // --max-attempts (0 = infinite)
@@ -25,9 +25,10 @@ final case class CopyConfig(
     offset: Long = Long.MinValue,         // --offset (exclusive lower bound)
     prefetch: Int = 1024                  // --prefetch
 ) {
-  /** bool-style split, mirroring `write.go:111-118` (exactly two parts). */
-  def falseValue: String = boolStyle.split(",", 2)(0)
-  def trueValue: String = {
+  /** bool-style split, mirroring `write.go:111-118` (exactly two parts):
+    * trueValue = parts[0], falseValue = parts[1] — the reference's order. */
+  def trueValue: String = boolStyle.split(",", 2)(0)
+  def falseValue: String = {
     val parts = boolStyle.split(",", 2)
     require(parts.length == 2, s"invalid bool style: $boolStyle")
     parts(1)

@@ -32,7 +32,18 @@ object CopyWrite {
 
   /** Parse-error bookkeeping: accumulator so the budget is counted across
     * all executors, checked once per action (the reference checks inline
-    * on its single reader thread, `write.go:140-147`). */
+    * on its single reader thread, `write.go:140-147`).
+    *
+    * Caveat (documented, not a bug for this budget's semantics): the
+    * accumulator is updated inside a TRANSFORMATION, so Spark only
+    * guarantees at-least-once counting — task retries, speculation, or
+    * plan re-execution can over-count. The budget therefore fails no
+    * later than it should (a budget breach is always detected) but may
+    * occasionally fail a run whose true error count was under the limit.
+    * That is the conservative direction for an abort threshold; exact
+    * counting would need an action-side metric (df.observe) which cannot
+    * see parse failures because failed records are filtered before the
+    * typed plan exists. */
   final case class ParseErrors(acc: LongAccumulator, maxParseErrors: Int) {
     def check(): Unit =
       if (maxParseErrors >= 0 && acc.value > maxParseErrors)

@@ -63,9 +63,10 @@ object QuoteCsvSource {
 
   def cfgFromOptions(o: CaseInsensitiveStringMap): CopyConfig = CopyConfig(
     nullValue = o.getOrDefault("nullValue", "NULL"),
-    boolStyle = o.getOrDefault("boolStyle", "false,true"),
+    boolStyle = o.getOrDefault("boolStyle", "true,false"),
     timeFormat = o.getOrDefault("timeFormat", "2006-01-02 15:04:05-0700"),
-    header = o.getBoolean("header", false))
+    header = o.getBoolean("header", false),
+    maxParseErrors = o.getInt("maxParseErrors", -1))
 }
 
 final class QuoteCsvTable(schema: StructType, options: CaseInsensitiveStringMap)
@@ -205,10 +206,25 @@ final class QuoteCsvPartitionReader(part: QuoteCsvInputPartition, fullSchema: St
       // ranged split (line mode): seek, align to the next line start,
       // stream lines while their starting offset is < end
       in.seek(part.start)
-      val reader = new java.io.BufferedReader(
-        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8),
-        64 * 1024)
+      val buffered = new java.io.BufferedInputStream(in, 64 * 1024)
       var offset = part.start
+      if (part.start > 0L) {
+        // Skip the partial first line at the BYTE level, before any UTF-8
+        // decoding: a split may begin mid-character, and a decoder fed
+        // stray continuation bytes emits U+FFFD replacements whose UTF-8
+        // width (3) differs from the bytes consumed (1 each) — a per-char
+        // byte count would drift and silently lose boundary records.
+        // '\n' (0x0A) never occurs inside a multi-byte UTF-8 sequence
+        // (continuation bytes are >= 0x80), so the raw scan is exact.
+        var b = buffered.read()
+        while (b >= 0 && b != '\n') { offset += 1L; b = buffered.read() }
+        if (b >= 0) offset += 1L
+      }
+      // From here the stream is at a line start = a UTF-8 character
+      // boundary, so per-char byte-class arithmetic below is exact.
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(buffered, java.nio.charset.StandardCharsets.UTF_8),
+        64 * 1024)
       def readLineCounting(): String = {
         val sb = new java.lang.StringBuilder
         var c = reader.read()
@@ -227,7 +243,6 @@ final class QuoteCsvPartitionReader(part: QuoteCsvInputPartition, fullSchema: St
         if (c == '\n') offset += 1L
         sb.toString
       }
-      if (part.start > 0L) readLineCounting() // skip the partial first line
       new Iterator[String] {
         private var nextLine: String = advance()
         private def advance(): String = {
@@ -261,6 +276,7 @@ final class QuoteCsvPartitionReader(part: QuoteCsvInputPartition, fullSchema: St
     } else records
 
   private var recordNo = 0L
+  private var parseErrors = 0L
   private var current: InternalRow = _
 
   private val longPat = java.util.regex.Pattern.compile("^[+-]?[0-9]+$")
@@ -301,7 +317,23 @@ final class QuoteCsvPartitionReader(part: QuoteCsvInputPartition, fullSchema: St
       recordNo += 1
       val rec =
         try QuoteCsv.parseRecord(recordsWithHeader.next(), recordNo)
-        catch { case _: CsvParseException => null }
+        catch {
+          case e: CsvParseException =>
+            // the reference's --max-parse-errors budget (write.go:140-147):
+            // malformed records are counted, and the scan FAILS once the
+            // budget is exceeded instead of silently dropping them.
+            // Default -1 = unlimited (drop-and-count, logged in close()).
+            // Distributed semantics: the budget applies PER INPUT SPLIT —
+            // the reference's global single-stream budget corresponds to
+            // the one-split case; a cross-task global budget would need a
+            // driver round-trip mid-scan, which DSv2 readers can't do.
+            parseErrors += 1
+            if (cfg.maxParseErrors >= 0 && parseErrors > cfg.maxParseErrors)
+              throw new IllegalStateException(
+                s"graft-quotecsv: too many parse errors ($parseErrors > " +
+                  s"${cfg.maxParseErrors}) in ${part.file}: ${e.msg}", e)
+            null
+        }
       if (rec != null) {
         if (isRaw) {
           val cells = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
@@ -344,5 +376,10 @@ final class QuoteCsvPartitionReader(part: QuoteCsvInputPartition, fullSchema: St
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  // task-side visibility for dropped records when the budget is unlimited
+  override def close(): Unit =
+    if (parseErrors > 0)
+      Console.err.println(
+        s"graft-quotecsv: dropped $parseErrors malformed record(s) in ${part.file} " +
+          s"[${part.start},${part.end})")
 }

@@ -15,10 +15,13 @@ import org.apache.spark.sql.types._
 
 /** DataSource V2 write side of graft-quotecsv: the `read` verb's CSV
   * export (typed quoting — quote iff string, `read.go:183-185`) through
-  * the standard connector commit protocol. Each task writes
-  * `part-<partition>-<task>.csv`; commit publishes `_SUCCESS`, abort
-  * removes the task's file — so failed/speculative tasks never corrupt
-  * the output (the commit-protocol fix for the reference's §3.4 bugs).
+  * the standard connector commit protocol. Tasks stage to
+  * `_temporary/part-<partition>-<task>.csv`; the driver's commit() renames
+  * ONLY the files named in WriterCommitMessages into the final directory
+  * and deletes the staging dir — so a killed executor (whose abort() never
+  * runs) or a zombie speculative task leaves at most an orphan under
+  * `_temporary`, never a visible partial/duplicate part file (the
+  * commit-protocol fix for the reference's §3.4 bugs).
   */
 final class QuoteCsvWriteBuilder(info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
@@ -41,20 +44,35 @@ final class QuoteCsvBatchWrite(path: String, schema: StructType,
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
     if (truncate && fs.exists(p)) fs.delete(p, true)
-    fs.mkdirs(p)
+    fs.mkdirs(new Path(p, "_temporary"))
     new QuoteCsvWriterFactory(path, schema, cfg)
   }
 
+  /** Publish exactly the task outputs Spark acknowledged: rename each
+    * committed staging file to its final name, then drop the staging dir
+    * (taking any zombie-task orphans with it) and mark _SUCCESS last. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val p = new Path(path, "_SUCCESS")
-    val fs = p.getFileSystem(new Configuration())
-    fs.create(p, true).close()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    messages.foreach { case QuoteCsvCommit(staged, finalName, _) =>
+      val from = new Path(staged)
+      val to = new Path(dir, finalName)
+      if (!fs.rename(from, to))
+        sys.error(s"graft-quotecsv write: failed to publish $staged -> $to")
+    }
+    fs.delete(new Path(dir, "_temporary"), true)
+    fs.create(new Path(dir, "_SUCCESS"), true).close()
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    fs.delete(new Path(dir, "_temporary"), true)
+  }
 }
 
-final case class QuoteCsvCommit(file: String, rows: Long) extends WriterCommitMessage
+final case class QuoteCsvCommit(stagedFile: String, finalName: String, rows: Long)
+    extends WriterCommitMessage
 
 final class QuoteCsvWriterFactory(path: String, schema: StructType, cfg: CopyConfig)
     extends DataWriterFactory {
@@ -65,7 +83,10 @@ final class QuoteCsvWriterFactory(path: String, schema: StructType, cfg: CopyCon
 final class QuoteCsvDataWriter(dir: String, partitionId: Int, taskId: Long,
     schema: StructType, cfg: CopyConfig) extends DataWriter[InternalRow] {
 
-  private val file = new Path(dir, f"part-$partitionId%05d-$taskId.csv")
+  // stage under _temporary; the task-unique name disambiguates speculative
+  // attempts, and the commit message tells the driver the final name
+  private val finalName = f"part-$partitionId%05d.csv"
+  private val file = new Path(new Path(dir, "_temporary"), f"part-$partitionId%05d-$taskId.csv")
   private val fs = file.getFileSystem(new Configuration())
   private val out = new BufferedWriter(
     new OutputStreamWriter(fs.create(file, true), StandardCharsets.UTF_8), 64 * 1024)
@@ -111,7 +132,7 @@ final class QuoteCsvDataWriter(dir: String, partitionId: Int, taskId: Long,
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    QuoteCsvCommit(file.toString, rows)
+    QuoteCsvCommit(file.toString, finalName, rows)
   }
 
   override def abort(): Unit = {

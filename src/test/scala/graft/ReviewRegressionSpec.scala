@@ -96,6 +96,77 @@ class ReviewRegressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(line == "1,\"only-two\",NULL,NULL") // 4 cells, aligned
   }
 
+  test("ranged splits over non-ASCII CSV lose no records (mid-UTF-8 split starts)") {
+    // 2-byte Greek letters make most byte offsets fall inside a character;
+    // pre-fix, the decoded-char byte arithmetic drifted on the replacement
+    // chars produced by a mid-character seek and dropped boundary records.
+    val n = 400
+    val lines = (0 until n).map(i => f"$i%06d,αβγδε").mkString("\n") + "\n"
+    Files.writeString(Paths.get(s"$base/utf8.csv"), lines)
+    // line = 6+1+10 bytes payload + '\n' = 18 bytes; 97 is coprime → splits
+    // land mid-line and mid-character
+    val schema = StructType(Seq(StructField("id", LongType), StructField("s", StringType)))
+    val df = spark.read.format("graft-quotecsv").schema(schema)
+      .option("path", s"$base/utf8.csv").option("maxSplitBytes", 97).load()
+    assert(df.rdd.getNumPartitions > 10)
+    assert(df.count() == n)
+    assert(df.agg(countDistinct(col("id"))).head.getLong(0) == n)
+    assert(df.where(col("s") === "αβγδε").count() == n)
+  }
+
+  test("bool-style follows the reference order: trueValue first (write.go:117)") {
+    val c = CopyConfig(boolStyle = "yes,no")
+    assert(c.trueValue == "yes" && c.falseValue == "no")
+    assert(TypeInference.inferCell(RawCell("yes", quoted = false), c) ==
+      TypeInference.BoolValue(true))
+    assert(TypeInference.inferCell(RawCell("no", quoted = false), c) ==
+      TypeInference.BoolValue(false))
+  }
+
+  test("DSv2 write publishes atomically: zombie staging files never surface") {
+    val out = s"$base/atomic"
+    Files.createDirectories(Paths.get(s"$out/_temporary"))
+    // a lingering file from a dead executor whose abort() never ran
+    Files.writeString(Paths.get(s"$out/_temporary/part-99999-13.csv"), "999,zombie\n")
+    val src = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(java.lang.Long.valueOf(1L), "a"),
+        org.apache.spark.sql.Row(java.lang.Long.valueOf(2L), "b")),
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))))
+      .repartition(2)
+    src.write.format("graft-quotecsv").option("path", out)
+      .mode("append").save() // append: pre-planted staging dir survives until commit
+    assert(!Files.exists(Paths.get(s"$out/_temporary")), "staging dir must be gone after commit")
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    val back = spark.read.format("graft-quotecsv").schema(schema)
+      .option("path", out).load()
+    assert(back.count() == 2)
+    assert(back.where(col("v") === "zombie").count() == 0)
+  }
+
+  test("DSv2 read enforces the parse-error budget; default counts and drops") {
+    Files.writeString(Paths.get(s"$base/bad.csv"),
+      "1,ok\n2,\"unterminated\n3,ok\n4,bad\"quote\n5,ok\n")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("s", StringType)))
+    def read(opts: Map[String, String]) = {
+      // small maxSplitBytes forces ranged (line) mode, where each physical
+      // line parses independently — the unterminated quote on line 2 and
+      // the bare quote on line 4 are the 2 budgeted errors
+      val r = spark.read.format("graft-quotecsv").schema(schema)
+        .option("path", s"$base/bad.csv").option("maxSplitBytes", 20)
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load()
+    }
+    assert(read(Map.empty).count() == 3) // dropped, not silently wrong rows
+    // budget is per split; 0 = any malformed record in any split fails the scan
+    val e = intercept[org.apache.spark.SparkException] {
+      read(Map("maxParseErrors" -> "0")).count()
+    }
+    assert(e.getMessage.contains("too many parse errors") ||
+      Option(e.getCause).exists(_.getMessage.contains("too many parse errors")))
+    assert(read(Map("maxParseErrors" -> "2")).count() == 3) // within budget: ok
+  }
+
   test("per-file headers: reading back our own multi-part header'd export is clean") {
     val src = Tables.orders(spark, "/root/testdata/sf0.001")
       .select(col("o_orderkey"), col("o_orderpriority")).repartition(4)

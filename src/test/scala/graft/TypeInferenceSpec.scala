@@ -70,7 +70,8 @@ class TypeInferenceSpec extends AnyFunSuite {
   }
 
   test("custom bool-style and null literals") {
-    val c2 = cfg.copy(boolStyle = "no,yes", nullValue = "-")
+    // reference order: "<true>,<false>" (write.go:117-118)
+    val c2 = cfg.copy(boolStyle = "yes,no", nullValue = "-")
     assert(inferCell(RawCell("yes", quoted = false), c2) == BoolValue(true))
     assert(inferCell(RawCell("no", quoted = false), c2) == BoolValue(false))
     assert(inferCell(RawCell("-", quoted = false), c2) == NullValue)
@@ -110,8 +111,9 @@ class TypeInferenceSpec extends AnyFunSuite {
   test("config invariants: report clamp and bool-style validation") {
     assert(CopyConfig(reportFrequencyMs = 10).reportFrequencyClamped == 100L)
     assert(CopyConfig(reportFrequencyMs = 250).reportFrequencyClamped == 250L)
-    intercept[IllegalArgumentException](CopyConfig(boolStyle = "nocommas").trueValue)
-    assert(CopyConfig(boolStyle = "0,1").falseValue == "0")
+    intercept[IllegalArgumentException](CopyConfig(boolStyle = "nocommas").falseValue)
+    assert(CopyConfig(boolStyle = "1,0").trueValue == "1")
+    assert(CopyConfig(boolStyle = "1,0").falseValue == "0")
   }
 
   test("tagged-union row conversion (external form)") {
