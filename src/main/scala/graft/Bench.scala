@@ -45,16 +45,22 @@ object Bench {
         spark.catalog.clearCache() // queries may cache; keep runs independent
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      // best-of-2: this box runs noisy neighbors; a single sample can read
-      // 3-4x high (standard benchmarking practice, not cherry-picking —
-      // min estimates the true cost, mean estimates the noise)
+      // 2 samples: this box runs noisy neighbors; a single sample can read
+      // 3-4x high. min estimates the true cost (the headline), mean is
+      // ALSO reported so the noise is visible rather than hidden.
       val r1 = once()
-      name -> (if (r1 >= 0) math.min(r1, once()) else r1)
+      val (mn, mean) =
+        if (r1 >= 0) { val r2 = once(); (math.min(r1, r2), (r1 + r2) / 2) }
+        else (r1, r1)
+      name -> (mn, mean)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qsMean = results.map { case (k, (_, m)) => "\"" + k + "\":" + f"$m%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val totalMean = results.map(_._2._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"total_mean":$totalMean%.3f,"queries_mean":$qsMean,"n_samples":2,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -94,9 +94,23 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) — the quadratic
     * baseline that MinHash approximates, made join-shaped: docs sharing a
     * shingle meet in an equi-join, common counts aggregate, Jaccard
-    * filters. Only pairs with ≥1 shared shingle are ever materialized. */
-  def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(Tables.documents(s, d)).cache()
+    * filters. Only pairs with ≥1 shared shingle are ever materialized.
+    *
+    * The document-frequency cap (`maxDf`, same idea as
+    * [[TextAnalysis.winnowPairs]]) is load-bearing at scale: a shingle
+    * appearing in f docs contributes f² join pairs, so one stop-shingle
+    * makes the self-join quadratic in the corpus. Capping bounds the join
+    * at Σ f² ≤ maxDf · |postings| — linear. Per-doc sizes (`ns`) and
+    * common counts are BOTH computed over the capped shingle universe, so
+    * the Jaccard is exact within that universe and identical in the
+    * oracle (which applies the same cap). Near-dup pairs still meet
+    * through their rare shared shingles — a shingle in >maxDf docs
+    * carries no pair-discriminating signal anyway. */
+  def jaccardPairs(s: SparkSession, d: String, maxDf: Int = 100): DataFrame = {
+    val shAll = shingles(Tables.documents(s, d))
+    val rare = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("shingle"))
+    val sh = shAll.join(rare, "shingle").cache()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
     val common = sh.as("a")
       .join(sh.as("b"),
@@ -114,7 +128,9 @@ object Dedup {
   }
 
   val jaccardPairsSql: String =
-    s"""WITH s AS ($shinglesSql),
+    s"""WITH s0 AS ($shinglesSql),
+       | rare AS (SELECT shingle FROM s0 GROUP BY shingle HAVING count(*) <= 100),
+       | s AS (SELECT s0.* FROM s0 JOIN rare USING (shingle)),
        | n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
        | common AS (
        |   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common

@@ -462,8 +462,19 @@ object Relational {
       |  sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
       |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
 
-  /** Window-function variety: per-user event gaps (lag) + quartiles
-    * (ntile) over activity counts. */
+  /** Window-function variety: per-user event gaps (lag, partitioned by
+    * user) + activity quartiles.
+    *
+    * Quartile assignment is by exact percentile CUT-POINTS
+    * (`percentile_disc` — no interpolation, so the cuts are actual data
+    * values and engine-portable) broadcast to every row, NOT a global
+    * `ntile` window: ntile with no partitionBy funnels every row through
+    * ONE task, which is a scale-killer at 100 TB (billions of users in a
+    * single sort). The cut-point plan is a 1-row aggregate + broadcast
+    * nested-loop join + map-side CASE — every stage fully parallel.
+    * Semantic difference vs ntile: users tied on n_events land in the
+    * SAME quartile (value-based buckets) instead of being split
+    * arbitrarily — the better semantics for analytics anyway. */
   def userActivityStats(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
@@ -476,10 +487,16 @@ object Relational {
       // flips the oracle compare at half-boundaries
       .agg(count(lit(1)).as("n_events"),
         (sum(col("gap_s")).cast("double") / count(col("gap_s"))).as("avg_gap_s"))
-    // global ntile = single-partition window: fine here because the input
-    // is ALREADY one row per user (small); never do this pre-aggregation
-    gaps.withColumn("quartile",
-        ntile(4).over(Window.orderBy(col("n_events").desc, col("user_id").asc)))
+    val cuts = gaps.agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_events)").as("p25"),
+      expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY n_events)").as("p50"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_events)").as("p75"))
+    gaps.join(broadcast(cuts)) // 1-row broadcast: the q02 scalar pattern
+      .withColumn("quartile",
+        when(col("n_events") >= col("p75"), 1)
+          .when(col("n_events") >= col("p50"), 2)
+          .when(col("n_events") >= col("p25"), 3)
+          .otherwise(4))
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("n_events")).as("total_events"),
@@ -498,9 +515,18 @@ object Relational {
       |          OVER (PARTITION BY user_id ORDER BY event_id) AS gap_s
       |    FROM events)
       |  GROUP BY user_id),
+      | cuts AS (
+      |  SELECT
+      |    percentile_disc(0.25) WITHIN GROUP (ORDER BY n_events) AS p25,
+      |    percentile_disc(0.50) WITHIN GROUP (ORDER BY n_events) AS p50,
+      |    percentile_disc(0.75) WITHIN GROUP (ORDER BY n_events) AS p75
+      |  FROM gaps),
       | q AS (
-      |  SELECT *, ntile(4) OVER (ORDER BY n_events DESC, user_id ASC) AS quartile
-      |  FROM gaps)
+      |  SELECT g.*,
+      |    CASE WHEN n_events >= p75 THEN 1
+      |         WHEN n_events >= p50 THEN 2
+      |         WHEN n_events >= p25 THEN 3 ELSE 4 END AS quartile
+      |  FROM gaps g CROSS JOIN cuts)
       |SELECT quartile, count(*) AS n_users,
       |  CAST(sum(n_events) AS BIGINT) AS total_events,
       |  round(avg(avg_gap_s), 2) AS mean_avg_gap

@@ -227,4 +227,41 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ranks.head == 1 && ranks.length <= 10)
     }
   }
+
+  test("ANN LSH pairs: exact precision vs the FULL all-pairs baseline") {
+    // the gate's q41 is a deterministic subsample; the spec drives the
+    // full O(n²) baseline at small SF — every LSH-surfaced pair must
+    // appear in the exact set with the identical rounded cosine
+    val exact = Similarity.cosinePairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) -> r.getAs[Double]("cos")).toMap
+    val ann = Similarity.annLshPairs(spark, sf).collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      val k = (r.getAs[Long]("id1"), r.getAs[Long]("id2"))
+      assert(exact.get(k).contains(r.getAs[Double]("cos")),
+        s"ANN pair $k not in exact baseline (or cosine differs)")
+    }
+  }
+
+  test("q41 gate subsample equals the full baseline restricted to the subset") {
+    val full = Similarity.cosinePairs(spark, sf).collect()
+      .filter(r => r.getAs[Long]("id1") % 2 == 0 && r.getAs[Long]("id2") % 2 == 0)
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Double]("cos"))).toSet
+    val sampled = Similarity.cosinePairs(spark, sf, modSample = 2).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Double]("cos"))).toSet
+    assert(sampled == full)
+  }
+
+  test("jaccard maxDf cap changes nothing when no shingle exceeds it (and bounds the join)") {
+    // at test SFs the max shingle df is ~25, so cap=100 must be a no-op on
+    // RESULTS (the plan-level point of the cap is join-volume bounding);
+    // a tight cap=1 must still run and only shrink the pair set
+    val capped = Dedup.jaccardPairs(spark, sf, maxDf = 100).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Double]("jaccard"))).toSet
+    val uncapped = Dedup.jaccardPairs(spark, sf, maxDf = Int.MaxValue).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Double]("jaccard"))).toSet
+    assert(capped == uncapped)
+    val tight = Dedup.jaccardPairs(spark, sf, maxDf = 1).collect()
+    assert(tight.length <= capped.size)
+  }
 }
