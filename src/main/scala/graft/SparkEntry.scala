@@ -48,7 +48,10 @@ object SparkEntry {
     "q23_fingerprint" -> TextAnalysis.fingerprint,
     "q24_quality_filter" -> TextAnalysis.qualityFilter,
     "q25_word_topk" -> TextAnalysis.wordTopK,
-    "q26_winnow_pairs" -> ((s: SparkSession, d: String) => TextAnalysis.winnowPairs(s, d)),
+    // portable=true: md5-derived shingle hash so the whole winnow pipeline
+    // is oracle-checkable in DuckDB (engine-internal callers keep xxhash64)
+    "q26_winnow_pairs" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.winnowPairs(s, d, portable = true)),
     "q30_dedup_exact" -> Dedup.exactDedup,
     "q31_dedup_first_per_key" -> Dedup.firstEventPerKey,
     "q32_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.jaccardPairs(s, d)),
@@ -119,12 +122,17 @@ object SparkEntry {
     "q23_fingerprint" -> TextAnalysis.fingerprintSql,
     "q24_quality_filter" -> TextAnalysis.qualityFilterSql,
     "q25_word_topk" -> TextAnalysis.wordTopKSql,
+    "q26_winnow_pairs" -> TextAnalysis.winnowPairsSql,
     "q30_dedup_exact" -> Dedup.exactDedupSql,
     "q31_dedup_first_per_key" -> Dedup.firstEventPerKeySql,
     "q32_jaccard_pairs" -> Dedup.jaccardPairsSql,
     "q33_minhash_signatures" -> Dedup.minhashSignaturesSql,
     // q34_minhash_lsh_pairs: banding layout is engine-internal → rows-only
     "q35_simhash" -> Dedup.simhashSql,
+    // q36: banding is complete for Hamming<=5 (pigeonhole, spec-asserted),
+    // so the brute-force all-pairs filter over per-doc signatures is an
+    // exact oracle — tiny in DuckDB at verify SF
+    "q36_simhash_pairs" -> Dedup.simhashPairsSql,
     "q40_cosine_topk" -> Similarity.cosineTopKSql,
     "q41_cosine_pairs" -> Similarity.cosinePairsSql,
     // q42/q43: approximate-by-design (LSH banding / IVF routing) → rows-only;

@@ -269,6 +269,21 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Oracle for [[simhashPairs]]: the banding is COMPLETE for Hamming ≤ 5
+    * (pigeonhole over 6 chunks, spec-asserted), so the result set equals
+    * the brute-force all-pairs filter — which IS expressible in DuckDB
+    * (the oracle corpus is one signature row per doc, so n² stays tiny at
+    * verify SF; the engine-side plan remains the banded equi-join).
+    * (def, not val: refers to simhashSql defined below — object val
+    * init order would read null.) */
+  def simhashPairsSql: String =
+    s"""WITH sh AS ($simhashSql)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+       |ORDER BY d1, d2""".stripMargin
+
   val simhashSql: String = {
     val sumCols = (0 until 60).map(i =>
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN tf ELSE -tf END) AS s$i").mkString(",\n  ")

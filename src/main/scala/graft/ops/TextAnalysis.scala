@@ -163,7 +163,8 @@ object TextAnalysis {
     * guarantees any shared run of ≥ w+winnow-1 words yields a shared
     * fingerprint. All per-row HOF math (narrow, no shuffle); candidates
     * then meet in an equi-join on fingerprint like every LSH path here. */
-  def winnowFingerprints(s: SparkSession, d: String, w: Int = 4, winnow: Int = 5): DataFrame = {
+  def winnowFingerprints(s: SparkSession, d: String, w: Int = 4, winnow: Int = 5,
+      portable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // fully codegen'd rolling pipeline over ONE shuffle+sort per doc:
     // posexplode words → shingle hash via lead() → sliding-frame min →
@@ -174,8 +175,17 @@ object TextAnalysis {
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val slide = byPos.rowsBetween(Window.currentRow, winnow - 1)
     val whole = Window.partitionBy(col("doc_id"))
-    val shingleHash = xxhash64(
-      (0 until w).map(k => if (k == 0) col("word") else lead(col("word"), k).over(byPos)): _*)
+    val shingleWords =
+      (0 until w).map(k => if (k == 0) col("word") else lead(col("word"), k).over(byPos))
+    // portable = md5-derived 60-bit hash (identical expression exists in
+    // DuckDB → q26 becomes oracle-checkable; the q33/q35 idiom). The
+    // default stays xxhash64 (native, codegen'd) for engine-internal use.
+    // NOTE the hash choice changes WHICH shingle wins each winnow window,
+    // so the two variants select different (equally valid) fingerprints.
+    val shingleHash =
+      if (portable)
+        conv(substring(md5(concat_ws(" ", shingleWords: _*)), 1, 15), 16, 10).cast("long")
+      else xxhash64(shingleWords: _*)
     Tables.documents(s, d)
       .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "word")))
       // hv is only a valid w-shingle hash where the last lead exists
@@ -206,8 +216,9 @@ object TextAnalysis {
     * while near-identical docs still meet through their RARE shared
     * fingerprints (a fingerprint carried by every doc carries no
     * signal anyway). Deterministic → rows-only + ScalaTest. */
-  def winnowPairs(s: SparkSession, d: String, maxDf: Int = 100): DataFrame = {
-    val fpAll = winnowFingerprints(s, d)
+  def winnowPairs(s: SparkSession, d: String, maxDf: Int = 100,
+      portable: Boolean = false): DataFrame = {
+    val fpAll = winnowFingerprints(s, d, portable = portable)
       .select(col("doc_id"), explode(col("fps")).as("fp"))
       .distinct()
     val rare = fpAll.groupBy(col("fp")).agg(count(lit(1)).as("df"))
@@ -226,6 +237,48 @@ object TextAnalysis {
       .select(col("d1"), col("d2"), col("n_shared"), col("overlap"))
       .orderBy(col("d1"), col("d2"))
   }
+
+  /** Oracle for the portable-variant [[winnowPairs]]: the identical
+    * rolling pipeline in DuckDB window SQL — md5-derived shingle hash via
+    * lead(), sliding-frame min (ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING),
+    * full-window filter (DuckDB positions are 1-based: `pos <=
+    * greatest(nh-4, 1)` ≡ Spark's 0-based `pos <= greatest(nh-5, 0)`),
+    * df-capped fingerprint join, overlap ≥ 0.5. */
+  val winnowPairsSql: String =
+    """WITH wordpos AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word,
+      |    generate_subscripts(regexp_extract_all(text, '[a-z0-9]+'), 1) AS pos
+      |  FROM documents),
+      | sh AS (
+      |  SELECT doc_id, pos,
+      |    CAST('0x' || substr(md5(
+      |      word || ' ' || lead(word,1) OVER w || ' ' ||
+      |      lead(word,2) OVER w || ' ' || lead(word,3) OVER w), 1, 15) AS BIGINT) AS hv,
+      |    lead(word,3) OVER w AS w_last
+      |  FROM wordpos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      | win AS (
+      |  SELECT doc_id, pos,
+      |    min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+      |                  ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp,
+      |    count(*) OVER (PARTITION BY doc_id) AS nh
+      |  FROM sh WHERE w_last IS NOT NULL),
+      | fps AS (
+      |  SELECT DISTINCT doc_id, fp FROM win WHERE pos <= greatest(nh - 4, 1)),
+      | rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
+      | s AS (SELECT fps.* FROM fps JOIN rare USING (fp)),
+      | n AS (SELECT doc_id, count(*) AS nfp FROM s GROUP BY doc_id),
+      | pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+      |  FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2, n_shared,
+      |  round(n_shared * 1.0 / least(n1.nfp, n2.nfp), 4) AS overlap
+      |FROM pairs
+      |JOIN n n1 ON d1 = n1.doc_id
+      |JOIN n n2 ON d2 = n2.doc_id
+      |WHERE round(n_shared * 1.0 / least(n1.nfp, n2.nfp), 4) >= 0.5
+      |ORDER BY d1, d2""".stripMargin
 
   /** Corpus-level word frequency top-k with deterministic tiebreak —
     * explode + count + TakeOrdered. */
