@@ -71,6 +71,7 @@ object SparkEntry {
     "q52_tagged_inference" -> Pipelines.taggedInference,
     "q53_dsv2_source_agg" -> Pipelines.dsv2SourceAgg,
     "q54_stream_ingest" -> Pipelines.streamIngestSummary,
+    "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q60_media_meta" -> Multimodal.mediaMeta,
     "q61_media_decode_summary" -> Multimodal.decodeSummary,
     "q62_sessionize" -> ((s: SparkSession, d: String) => {
@@ -141,6 +142,7 @@ object SparkEntry {
     // q51/q52: file round-trip and quoted-bit semantics live outside SQL →
     // rows-only here, asserted exactly in ScalaTest.
     "q53_dsv2_source_agg" -> Pipelines.dsv2SourceAggSql,
+    "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtripSql,
     "q60_media_meta" -> Multimodal.mediaMetaSql
     // q61: decode goes through the stubbed fake codec → rows-only + ScalaTest.
   )

@@ -105,21 +105,30 @@ object Pipelines {
   }
 
   /** End-to-end through the DSv2 source: orders → typed CSV files →
-    * `format("graft-quotecsv")` with declared schema and a PUSHED range
-    * filter (the --offset analog evaluated inside the scan) → aggregate.
-    * Oracle: the same aggregate straight off the orders table — so the
-    * render → parse → infer → filter → agg chain must be value-exact. */
+    * `format("graft-quotecsv")` with declared schema → range filter →
+    * aggregate. Oracle: the same aggregate straight off the orders table —
+    * so the render → parse → infer → filter → agg chain must be
+    * value-exact.
+    *
+    * The data-derived bound comes in as a BROADCAST SCALAR (the q02
+    * pattern) — no driver-side `.head` serializing scan → driver →
+    * re-plan. A literal bound (the reference's actual `--offset`
+    * contract, where the user supplies the constant) IS pushed into the
+    * DSv2 scan; that path is exercised by QuoteCsvSourceSpec's
+    * pushed-filter test. */
   def dsv2SourceAgg(s: SparkSession, d: String): DataFrame = {
     val src = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-    val bound = src.agg(max(col("o_orderkey"))).head.getLong(0) / 2
+    // `div`: long division to match the oracle's `//` (plain `/` is double)
+    val bound = src.agg(expr("max(o_orderkey) div 2").as("bound"))
     val tmp = s"/root/repo/target/tmp/dsv2agg_${java.util.UUID.randomUUID().toString.take(8)}"
     CopyRead.run(s, src.repartition(8), src.columns.toSeq, "o_orderkey", cfg, tmp)
     val schema = StructType(Seq(
       StructField("o_orderkey", LongType), StructField("o_orderpriority", StringType),
       StructField("o_totalprice", DoubleType)))
     s.read.format("graft-quotecsv").schema(schema).option("path", tmp).load()
-      .where(col("o_orderkey") > bound)
+      .join(broadcast(bound))
+      .where(col("o_orderkey") > col("bound"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
       .orderBy(col("o_orderpriority"))
@@ -155,6 +164,32 @@ object Pipelines {
       src.agg(round(sum(col("o_totalprice")), 2)).head.getDouble(0)))
       .toDF("n_source", "n_streamed", "sum_streamed", "sum_source")
   }
+
+  /** Second-backend round-trip through the pluggable seam: supplier →
+    * prepared-INSERT batches into embedded Derby ([[graft.sources.JdbcBackend]]
+    * — the role Cassandra plays for the reference) → `spark.read.jdbc`
+    * back out → aggregate. Oracle: the same aggregate straight off the
+    * parquet table, so typed fidelity through DDL + INSERT + JDBC scan
+    * must be value-exact. */
+  def jdbcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val db = s"/root/repo/target/tmp/derby_${java.util.UUID.randomUUID().toString.take(8)}"
+    val u = graft.sources.JdbcBackend.derbyUrl(db)
+    val src = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      .repartition(8) // fan the INSERT batches out (one parquet file = 1 split)
+    graft.sources.JdbcBackend.writeTable(src, u, "supplier_rt", cfg)
+    graft.sources.JdbcBackend.readTable(s, u, "supplier_rt")
+      .toDF("s_suppkey", "s_nationkey", "s_acctbal") // Derby uppercases identifiers
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(sum(col("s_acctbal")), 2).as("total_bal"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val jdbcRoundtripSql: String =
+    """SELECT s_nationkey, count(*) AS n_suppliers,
+      |  round(sum(s_acctbal), 2) AS total_bal
+      |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
   /** Quote-dominance path (rule 1) through the real parser: CSV lines with
     * quoted and unquoted variants of the same payloads, via inferTagged.

@@ -1,0 +1,143 @@
+package graft.sources
+
+import java.sql.DriverManager
+
+import graft.{CopyConfig, Identifiers}
+import graft.pipeline.BatchingSink
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Second pluggable backend behind the [[graft.Tables]] seam: a JDBC
+  * row-store (embedded Derby in this harness — the only JDBC engine on
+  * the Spark classpath), playing the role Cassandra plays for the
+  * reference (`/root/reference/write.go:70` prepared INSERT batches,
+  * `read.go:45` full-table scan back out).
+  *
+  * Write path = the reference's shape end-to-end: a prepared
+  * `INSERT INTO t (cols…) VALUES (?,…)` (`write.go:90-93`) executed in
+  * batches through [[BatchingSink]] — so the chunk-size/byte-size flush
+  * thresholds, the retry-with-backoff commit (`write.go:253-265`) and
+  * the insert-error budget all apply to a REAL second sink, not just
+  * parquet.
+  *
+  * Read path = `spark.read.format("jdbc")`, optionally partitioned on a
+  * numeric column (`partitionColumn`/bounds) — the token-range-parallel
+  * scan analog (`read.go:83-86`). Embedded Derby is single-JVM so the
+  * harness reads it unpartitioned; against a networked store the
+  * partitioned branch is the 1000-executor path.
+  */
+object JdbcBackend {
+
+  val DriverClass = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  /** Embedded-Derby URL for a database directory (created on demand). */
+  def derbyUrl(dbDir: String): String = {
+    // keep derby.log out of the CWD (once per JVM, before engine boot)
+    if (System.getProperty("derby.stream.error.file") == null)
+      System.setProperty("derby.stream.error.file",
+        "/root/repo/target/tmp/derby.log")
+    s"jdbc:derby:$dbDir;create=true"
+  }
+
+  private def sqlType(dt: DataType): String = dt match {
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case ShortType => "SMALLINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case TimestampType => "TIMESTAMP"
+    case DateType => "DATE"
+    case StringType => "VARCHAR(4000)"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case other => sys.error(s"jdbc sink: unsupported type $other")
+  }
+
+  private def jdbcTypeCode(dt: DataType): Int = dt match {
+    case LongType => java.sql.Types.BIGINT
+    case IntegerType => java.sql.Types.INTEGER
+    case ShortType => java.sql.Types.SMALLINT
+    case DoubleType => java.sql.Types.DOUBLE
+    case FloatType => java.sql.Types.REAL
+    case BooleanType => java.sql.Types.BOOLEAN
+    case TimestampType => java.sql.Types.TIMESTAMP
+    case DateType => java.sql.Types.DATE
+    case _ => java.sql.Types.VARCHAR
+  }
+
+  /** (Re)create the target table from a Spark schema. Identifier
+    * validation is the reference's CQL-injection guard (`util.go:3-18`)
+    * applied to the same surface: names are interpolated into DDL. */
+  def createTable(url: String, table: String, schema: StructType): Unit = {
+    Identifiers.requireIdentifier(table, "table")
+    schema.fieldNames.foreach(Identifiers.requireIdentifier(_, "column"))
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DROP TABLE $table")
+      catch { case _: java.sql.SQLException => () } // no DROP IF EXISTS in Derby
+      val cols = schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
+      st.executeUpdate(s"CREATE TABLE $table ($cols)")
+      st.close()
+    } finally conn.close()
+  }
+
+  /** Distributed prepared-INSERT write through the batching sink. Each
+    * flushed batch commits in one JDBC transaction (addBatch/executeBatch)
+    * with the reference's retry loop around it; a batch that exhausts its
+    * attempts counts against the insert-error budget and the job aborts
+    * past it. Connections are per-batch: at chunkSize=1000 rows the open
+    * cost amortizes to noise, and embedded Derby shares one engine across
+    * all executor threads anyway (a pooled connection per task is the
+    * drop-in upgrade for a networked store). */
+  def writeTable(df: DataFrame, url: String, table: String, cfg: CopyConfig): Unit = {
+    createTable(url, table, df.schema)
+    val schema = df.schema
+    val fieldTypes = schema.fields.map(f => jdbcTypeCode(f.dataType))
+    val insertSql =
+      s"INSERT INTO $table (${schema.fieldNames.mkString(", ")}) " +
+        s"VALUES (${Array.fill(schema.length)("?").mkString(", ")})"
+    val failed = df.sparkSession.sparkContext.longAccumulator("jdbcFailedBatches")
+    BatchingSink.run(df, cfg, { batch =>
+      val conn = DriverManager.getConnection(url)
+      try {
+        conn.setAutoCommit(false)
+        val ps = conn.prepareStatement(insertSql)
+        batch.foreach { row =>
+          var i = 0
+          while (i < schema.length) {
+            val v = row.get(i)
+            if (v == null) ps.setNull(i + 1, fieldTypes(i))
+            else ps.setObject(i + 1, v)
+            i += 1
+          }
+          ps.addBatch()
+        }
+        ps.executeBatch()
+        conn.commit()
+        ps.close()
+      } finally conn.close()
+    }, failed)
+  }
+
+  /** Read a JDBC table back as a DataFrame. With `partitionColumn` +
+    * bounds the scan fans out over `numPartitions` parallel range reads
+    * (the token-range analog); unpartitioned otherwise. */
+  def readTable(s: SparkSession, url: String, table: String,
+      partitionColumn: Option[String] = None,
+      lowerBound: Long = 0L, upperBound: Long = 0L, numPartitions: Int = 8): DataFrame = {
+    val base = s.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", DriverClass)
+    partitionColumn match {
+      case Some(c) => base
+        .option("partitionColumn", c)
+        .option("lowerBound", lowerBound)
+        .option("upperBound", upperBound)
+        .option("numPartitions", numPartitions)
+        .load()
+      case None => base.load()
+    }
+  }
+}
