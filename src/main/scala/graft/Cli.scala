@@ -26,6 +26,8 @@ object Cli {
       val (k, v) = (args(i), if (i + 1 < args.length) args(i + 1) else "")
       k match {
         case "--header" => c = c.copy(header = true); i += 1
+        // engine extension (not in flag.go): double rule in the cascade
+        case "--with-doubles" => c = c.copy(withDoubles = true); i += 1
         case "--null" => c = c.copy(nullValue = v); i += 2
         case "--bool-style" => c = c.copy(boolStyle = v); i += 2
         case "--time-format" => c = c.copy(timeFormat = v); i += 2

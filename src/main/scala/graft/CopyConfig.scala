@@ -23,7 +23,11 @@ final case class CopyConfig(
     pageSize: Int = 128,                  // --page-size
     partitionKeySize: Int = 1,            // --partition-key-size
     offset: Long = Long.MinValue,         // --offset (exclusive lower bound)
-    prefetch: Int = 1024                  // --prefetch
+    prefetch: Int = 1024,                 // --prefetch
+    // engine extension (NOT a reference flag): adds the double rule (5.5)
+    // to the inference cascade. Default false = strict compat, where
+    // "3.14" stays a string (the reference's admitted gap, README.md:11).
+    withDoubles: Boolean = false          // --with-doubles
 ) {
   /** bool-style split, mirroring `write.go:111-118` (exactly two parts):
     * trueValue = parts[0], falseValue = parts[1] — the reference's order. */

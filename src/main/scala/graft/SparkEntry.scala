@@ -72,8 +72,27 @@ object SparkEntry {
     "q53_dsv2_source_agg" -> Pipelines.dsv2SourceAgg,
     "q54_stream_ingest" -> Pipelines.streamIngestSummary,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
+    "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
     "q61_media_decode_summary" -> Multimodal.decodeSummary,
+    // the whole-history batch face of sessionization (window SQL — spills
+    // on hot keys instead of buffering; see Sessionize.sessionsBatch).
+    // Fully SQL-expressible → hash-checked, closing the family's oracle
+    // gap (q62's flatMapGroupsWithState face stays rows-only + spec).
+    "q63_sessionize_batch" -> ((s: SparkSession, d: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val ev = graft.Tables.events(s, d)
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "value")
+        .as[graft.streaming.Sessionize.Event]
+      graft.streaming.Sessionize.sessionsBatch(ev, gapMs = 60 * 60 * 1000L)
+        .select(col("user_id"),
+          unix_millis(col("session_start")).as("start_ms"),
+          unix_millis(col("session_end")).as("end_ms"),
+          col("n_events"), round(col("sum_value"), 4).as("sum_value"),
+          col("n_types"), col("closed_by"))
+        .orderBy(col("user_id"), col("start_ms"))
+    }),
     "q62_sessionize" -> ((s: SparkSession, d: String) => {
       import s.implicits._
       import org.apache.spark.sql.functions._
@@ -143,7 +162,27 @@ object SparkEntry {
     // rows-only here, asserted exactly in ScalaTest.
     "q53_dsv2_source_agg" -> Pipelines.dsv2SourceAggSql,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtripSql,
-    "q60_media_meta" -> Multimodal.mediaMetaSql
+    "q56_double_cascade" -> Pipelines.doubleCascadeSql,
+    "q60_media_meta" -> Multimodal.mediaMetaSql,
     // q61: decode goes through the stubbed fake codec → rows-only + ScalaTest.
+    "q63_sessionize_batch" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ms(ts) AS tms, event_type, value FROM events),
+        | flagged AS (
+        |  SELECT *, CASE WHEN tms - lag(tms) OVER w <= 3600000 THEN 0 ELSE 1 END AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_type)),
+        | numbered AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY tms, event_type
+        |                                ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM flagged),
+        | agg AS (
+        |  SELECT user_id, sess, min(tms) AS start_ms, max(tms) AS end_ms,
+        |    count(*) AS n_events, round(sum(value), 4) AS sum_value,
+        |    CAST(count(DISTINCT event_type) AS INT) AS n_types
+        |  FROM numbered GROUP BY 1, 2)
+        |SELECT user_id, start_ms, end_ms, n_events, sum_value, n_types,
+        |  CASE WHEN sess = max(sess) OVER (PARTITION BY user_id)
+        |       THEN 'flush' ELSE 'gap' END AS closed_by
+        |FROM agg ORDER BY user_id, start_ms""".stripMargin
   )
 }

@@ -100,30 +100,31 @@ object TypeInference {
 
   def inferCell(cell: RawCell, cfg: CopyConfig): InferredValue =
     inferCell(cell, cfg.falseValue, cfg.trueValue, cfg.nullValue,
-      formatter(cfg.timeFormat))
+      formatter(cfg.timeFormat), cfg.withDoubles)
 
   /** Schema of the tagged-union cell struct used by the exact-compat
     * DataFrame representation: one struct per column with a type tag and
     * per-type slots (exactly one non-null, or none for NULL). */
   val cellStructType: StructType = StructType(Seq(
-    StructField("tag", StringType, nullable = false), // string|bool|ts|long|null
+    StructField("tag", StringType, nullable = false), // string|bool|ts|long|double|null
     StructField("s", StringType, nullable = true),
     StructField("b", BooleanType, nullable = true),
     StructField("t", TimestampType, nullable = true),
-    StructField("l", LongType, nullable = true)
+    StructField("l", LongType, nullable = true),
+    StructField("d", DoubleType, nullable = true)
   ))
 
   /** External-row form of the tagged union (Instant for TimestampType). */
   def toRow(v: InferredValue)
-      : (String, String, java.lang.Boolean, Instant, java.lang.Long) =
+      : (String, String, java.lang.Boolean, Instant, java.lang.Long, java.lang.Double) =
     v match {
-      case NullValue         => ("null", null, null, null, null)
-      case StringValue(s)    => ("string", s, null, null, null)
-      case BoolValue(b)      => ("bool", null, b, null, null)
+      case NullValue         => ("null", null, null, null, null, null)
+      case StringValue(s)    => ("string", s, null, null, null, null)
+      case BoolValue(b)      => ("bool", null, b, null, null, null)
       case TimestampValue(t) =>
-        ("ts", null, null, Instant.ofEpochSecond(t / 1000000L, (t % 1000000L) * 1000L), null)
-      case LongValue(l)      => ("long", null, null, null, l)
-      case DoubleValue(d)    => ("string", d.toString, null, null, null) // compat fallback
+        ("ts", null, null, Instant.ofEpochSecond(t / 1000000L, (t % 1000000L) * 1000L), null, null)
+      case LongValue(l)      => ("long", null, null, null, l, null)
+      case DoubleValue(d)    => ("double", null, null, null, null, d) // withDoubles ext
     }
 
   /** Catalyst-expression form of the cascade over (value, quoted) columns.
@@ -132,6 +133,10 @@ object TypeInference {
     */
   object Exprs {
     def longGuard(v: Column): Column = v.rlike("^[+-]?[0-9]+$")
+
+    /** Same shapes as [[doublePattern]] (decimal/exponent forms only). */
+    def doubleGuard(v: Column): Column =
+      v.rlike("^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$")
 
     /** try_to_timestamp equivalent: NULL unless the layout parses. */
     def tryTs(v: Column, javaTsPattern: String): Column =
@@ -142,14 +147,22 @@ object TypeInference {
       // a missing cell (ragged record: getItem past the end) is NULL input
       // → tag 'null', so downstream rendering emits the NULL literal
       // instead of a NULL string that would vanish in concat_ws
-      when(value.isNull, "null")
+      val base = when(value.isNull, "null")
         .when(quoted, "string")
         .when(value === cfg.falseValue, "bool")
         .when(value === cfg.trueValue, "bool")
         .when(value === cfg.nullValue, "null")
         .when(tryTs(value, pat).isNotNull, "ts")
         .when(longGuard(value) && value.cast(LongType).isNotNull, "long")
-        .otherwise("string")
+      // rule 5.5 (engine ext): only non-integer shapes — an int64-OVERFLOW
+      // digit string must stay 'string' exactly like the pure cascade
+      // (longPattern matched → parse failed → string, never double)
+      val withExt =
+        if (cfg.withDoubles)
+          base.when(!longGuard(value) && doubleGuard(value) &&
+            value.cast(DoubleType).isNotNull, "double")
+        else base
+      withExt.otherwise("string")
     }
 
     /** Full tagged-union struct for one (value, quoted) pair. */
@@ -160,7 +173,8 @@ object TypeInference {
         when(t === "string", value).as("s"),
         when(t === "bool", value === cfg.trueValue).as("b"),
         when(t === "ts", tryTs(value, GoTimeFormat.toJavaPattern(cfg.timeFormat))).as("t"),
-        when(t === "long", value.cast(LongType)).as("l")
+        when(t === "long", value.cast(LongType)).as("l"),
+        when(t === "double", value.cast(DoubleType)).as("d")
       )
     }
   }

@@ -68,6 +68,61 @@ object Pipelines {
       |  END AS ts_epoch
       |FROM tagged ORDER BY o_orderkey""".stripMargin
 
+  /** The cascade WITH the double extension (rule 5.5, `withDoubles=true`):
+    * same construction as [[inferCascade]], but "3.14" now tags `double`
+    * with its value in the `d` slot — while q50 (strict compat) keeps it
+    * a string, byte-identical to the reference's behavior. Both are
+    * oracle-checked, so the mode switch itself is verified. */
+  def doubleCascade(s: SparkSession, d: String): DataFrame = {
+    val cfgD = cfg.copy(withDoubles = true)
+    val src = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      (col("o_orderkey") % 7).cast("int").as("kind"))
+    val str = when(col("kind") === 0, "true")
+      .when(col("kind") === 1, "false")
+      .when(col("kind") === 2, "NULL")
+      .when(col("kind") === 3, col("o_orderkey").cast(StringType))
+      .when(col("kind") === 4, "2024-01-02 03:04:05+0000")
+      .when(col("kind") === 5, "3.14")
+      .otherwise("hello world")
+    val cell = TypeInference.Exprs.cell(str, lit(false), cfgD)
+    src.select(col("o_orderkey"), cell.as("c"))
+      .select(
+        col("o_orderkey"),
+        col("c.tag").as("tag"),
+        col("c.s").as("s_val"),
+        col("c.l").as("l_val"),
+        col("c.d").as("d_val"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val doubleCascadeSql: String =
+    """WITH src AS (
+      |  SELECT o_orderkey,
+      |    CASE CAST(o_orderkey % 7 AS INT)
+      |      WHEN 0 THEN 'true' WHEN 1 THEN 'false' WHEN 2 THEN 'NULL'
+      |      WHEN 3 THEN CAST(o_orderkey AS VARCHAR)
+      |      WHEN 4 THEN '2024-01-02 03:04:05+0000'
+      |      WHEN 5 THEN '3.14' ELSE 'hello world' END AS s
+      |  FROM orders),
+      | tagged AS (
+      |  SELECT o_orderkey, s,
+      |    CASE WHEN s = 'false' THEN 'bool' WHEN s = 'true' THEN 'bool'
+      |         WHEN s = 'NULL' THEN 'null'
+      |         WHEN try_strptime(s, '%Y-%m-%d %H:%M:%S%z') IS NOT NULL THEN 'ts'
+      |         WHEN regexp_matches(s, '^[+-]?[0-9]+$')
+      |              AND TRY_CAST(s AS BIGINT) IS NOT NULL THEN 'long'
+      |         WHEN NOT regexp_matches(s, '^[+-]?[0-9]+$')
+      |              AND regexp_matches(s, '^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$')
+      |              AND TRY_CAST(s AS DOUBLE) IS NOT NULL THEN 'double'
+      |         ELSE 'string' END AS tag
+      |  FROM src)
+      |SELECT o_orderkey, tag,
+      |  CASE WHEN tag = 'string' THEN s END AS s_val,
+      |  CASE WHEN tag = 'long' THEN CAST(s AS BIGINT) END AS l_val,
+      |  CASE WHEN tag = 'double' THEN CAST(s AS DOUBLE) END AS d_val
+      |FROM tagged ORDER BY o_orderkey""".stripMargin
+
   /** Full write→read round-trip through real files: lineitem → typed CSV
     * (CopyRead rendering) → CopyWrite parse + schema'd inference → compare.
     * Returns a single summary row; n_mismatch must be 0 (asserted in

@@ -30,7 +30,7 @@ object CopyRead {
 
   /** Is this the tagged-union cell struct from CopyWrite.inferTagged? */
   def isTaggedCell(dt: DataType): Boolean = dt match {
-    case st: StructType => st.fieldNames.sameElements(Array("tag", "s", "b", "t", "l"))
+    case st: StructType => st.fieldNames.sameElements(Array("tag", "s", "b", "t", "l", "d"))
     case _ => false
   }
 
@@ -58,6 +58,7 @@ object CopyRead {
             when(c.getField("b"), cfg.trueValue).otherwise(cfg.falseValue))
           .when(c.getField("tag") === "ts", date_format(c.getField("t"), pat))
           .when(c.getField("tag") === "long", c.getField("l").cast(StringType))
+          .when(c.getField("tag") === "double", c.getField("d").cast(StringType))
           .otherwise(lit(cfg.nullValue))
       case _ => c.cast(StringType)
     }

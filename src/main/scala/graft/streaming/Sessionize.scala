@@ -28,14 +28,16 @@ object Sessionize {
 
   val DefaultGapMs: Long = 30 * 60 * 1000L
 
-  /** The state-transition function — pure, unit-testable. Returns
-    * (closed sessions to emit, next state). */
-  def step(existing: Option[SessionState], events: Seq[Event], gapMs: Long)
+  /** One-pass state transition over TIME-ORDERED events — pure,
+    * unit-testable, and O(closed sessions) memory rather than O(events):
+    * a hot key's event list is never buffered here. Callers must supply
+    * events sorted by (ts, event_type); [[step]] does that sort for the
+    * bounded micro-batch case. */
+  def stepOrdered(existing: Option[SessionState], events: Iterator[Event], gapMs: Long)
       : (Seq[SessionOut], Option[SessionState]) = {
-    val sorted = events.sortBy(e => (e.ts.getTime, e.event_type))
     var state = existing
     val out = Seq.newBuilder[SessionOut]
-    for (e <- sorted) {
+    for (e <- events) {
       val t = e.ts.getTime
       state = state match {
         case Some(s) if t - s.lastTs <= gapMs =>
@@ -51,6 +53,12 @@ object Sessionize {
     (out.result(), state)
   }
 
+  /** Sort-then-step convenience for a bounded batch of events (a
+    * streaming micro-batch). The sort is the only buffering. */
+  def step(existing: Option[SessionState], events: Seq[Event], gapMs: Long)
+      : (Seq[SessionOut], Option[SessionState]) =
+    stepOrdered(existing, events.sortBy(e => (e.ts.getTime, e.event_type)).iterator, gapMs)
+
   private def toOut(uid: Long, s: SessionState, why: String): SessionOut =
     SessionOut(uid, new Timestamp(s.start), new Timestamp(s.lastTs),
       s.nEvents, s.sumValue, s.types.size, why)
@@ -58,7 +66,13 @@ object Sessionize {
   /** Streaming/batch sessionization. In streaming, state times out on
     * event-time (watermark-driven). In batch, timeouts never fire, so
     * batch callers get only gap-closed sessions unless `flushOpen` also
-    * emits the still-open session per key at end of input. */
+    * emits the still-open session per key at end of input.
+    *
+    * Scale note: each invocation sorts ONE key's events from ONE
+    * micro-batch (bounded by trigger interval) — fine in streaming. For
+    * whole-history batch sessionization of a skewed corpus prefer
+    * [[sessionsBatch]], whose window sort spills to disk instead of
+    * buffering a hot key's full event list in task memory. */
   def sessions(events: Dataset[Event], gapMs: Long = DefaultGapMs,
       flushOpen: Boolean = false): Dataset[SessionOut] = {
     val spark = events.sparkSession
@@ -101,5 +115,44 @@ object Sessionize {
             (closed ++ expiredNow ++ tail).iterator
           }
       }
+  }
+
+  /** Batch sessionization as pure window SQL — the 100 TB shape for
+    * historical reprocessing: lag() flags session starts, a running sum
+    * numbers sessions, one hash-agg per (user, session). The per-user
+    * sort runs in WindowExec, which SPILLS — a hot user costs disk and
+    * time in one task but never OOMs (sessionization is inherently
+    * sequential per key; bounding further means splitting keys on
+    * calendar boundaries upstream). Semantics match
+    * `sessions(flushOpen = true)`: every event lands in exactly one
+    * session; the last session per user closes as "flush", others "gap".
+    * (sum_value may differ from the sequential path by FP rounding only —
+    * addition order differs.) */
+  def sessionsBatch(events: Dataset[Event], gapMs: Long = DefaultGapMs): Dataset[SessionOut] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val spark = events.sparkSession
+    import spark.implicits._
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("tms"), col("event_type"))
+    val run = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perUser = Window.partitionBy(col("user_id"))
+    events.toDF()
+      .withColumn("tms", unix_millis(col("ts")))
+      .withColumn("new_sess",
+        when(col("tms") - lag(col("tms"), 1).over(byTime) <= gapMs, 0L).otherwise(1L))
+      .withColumn("sess", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(
+        min(col("tms")).as("start_ms"), max(col("tms")).as("end_ms"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"),
+        countDistinct(col("event_type")).as("n_types"))
+      .withColumn("closed_by",
+        when(col("sess") === max(col("sess")).over(perUser), "flush").otherwise("gap"))
+      .select(col("user_id"),
+        timestamp_millis(col("start_ms")).as("session_start"),
+        timestamp_millis(col("end_ms")).as("session_end"),
+        col("n_events"), col("sum_value"), col("n_types").cast("int").as("n_types"),
+        col("closed_by"))
+      .as[SessionOut]
   }
 }

@@ -98,6 +98,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sessions.forall(x => x.session_end.getTime >= x.session_start.getTime))
   }
 
+  test("sessionsBatch (window SQL) matches the stateful path, incl. a hot key") {
+    import graft.streaming.Sessionize
+    val s = spark
+    import s.implicits._
+    // real events PLUS one synthetic hot user (id -1) with 5000 events
+    // spanning many gaps — the skew case the window path must absorb
+    val hot = {
+      var t = 0L
+      (0 until 5000).map { i =>
+        if (i > 0) t += (if (i % 50 == 0) 7200000L else 1000L) // 2h jump per 50
+        Sessionize.Event(-1L, new java.sql.Timestamp(t), s"t${i % 3}", 0.5)
+      }
+    }
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "value")
+      .as[Sessionize.Event]
+      .union(hot.toDS())
+    val gap = 60 * 60 * 1000L
+    def key(x: Sessionize.SessionOut) =
+      (x.user_id, x.session_start.getTime, x.session_end.getTime,
+        x.n_events, x.n_types, x.closed_by, math.round(x.sum_value * 1e6))
+    val a = Sessionize.sessions(ev, gap, flushOpen = true).collect().map(key).sorted
+    val b = Sessionize.sessionsBatch(ev, gap).collect().map(key).sorted
+    assert(a.nonEmpty && a.length == b.length)
+    assert(a.toSeq == b.toSeq)
+    // the hot key produced many sessions, all accounted
+    val hotSessions = Sessionize.sessionsBatch(ev, gap).where(col("user_id") === -1L).collect()
+    assert(hotSessions.map(_.n_events).sum == 5000L)
+    assert(hotSessions.length == 100) // 5000 events / 50-event sessions
+  }
+
   test("windowed event counts with watermark produce bounded-state plan") {
     // batch-mode check of the same transformation (streaming plan tested
     // via the analyzer accepting watermark + window grouping)

@@ -118,14 +118,21 @@ class TypeInferenceSpec extends AnyFunSuite {
 
   test("tagged-union row conversion (external form)") {
     import java.time.Instant
-    assert(toRow(NullValue) == (("null", null, null, null, null)))
-    assert(toRow(StringValue("x")) == (("string", "x", null, null, null)))
+    assert(toRow(NullValue) == (("null", null, null, null, null, null)))
+    assert(toRow(StringValue("x")) == (("string", "x", null, null, null, null)))
     assert(toRow(BoolValue(true))._3 == java.lang.Boolean.TRUE)
     val TimestampValue(micros) =
       infer("2024-01-02 03:04:05+0000"): @unchecked
     assert(toRow(TimestampValue(micros))._4 ==
       Instant.parse("2024-01-02T03:04:05Z"))
     assert(toRow(LongValue(7L))._5 == 7L)
+    assert(toRow(DoubleValue(3.14)) == (("double", null, null, null, null, 3.14)))
+  }
+
+  test("double extension: int64-overflow digit strings stay string (never double)") {
+    val big = "99999999999999999999" // matches longPattern, overflows Int64
+    assert(inferCell(RawCell(big, quoted = false), cfg.falseValue, cfg.trueValue,
+      cfg.nullValue, fmt, withDoubles = true) == StringValue(big))
   }
 
   test("identifier guard parity with util.go") {
