@@ -31,7 +31,12 @@ object Tables {
     * microsecond TimestampType column — lossless for this data and keeps
     * every downstream op on a native timestamp. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // session-wide legacy flag (no per-read option exists for it). Set
+    // once, idempotently: repeated set() on every call is a write to
+    // shared session state — harmless here but racy as a library pattern
+    // if another thread snapshots conf mid-call.
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$d/events.parquet")
     import org.apache.spark.sql.functions._
     // integer division: `/` on longs is double division, and doubles lose
