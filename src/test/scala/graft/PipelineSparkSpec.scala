@@ -122,8 +122,10 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("cli flag parsing maps the reference flag surface") {
     val (cfg, other) = Cli.parseFlags(Seq(
       "--header", "--null", "-", "--bool-style", "yes,no", "--chunk-size", "500",
-      "--max-parse-errors", "3", "--offset", "42", "--in", "/a", "--out", "/b"))
+      "--max-parse-errors", "3", "--offset", "42", "--with-doubles",
+      "--in", "/a", "--out", "/b"))
     assert(cfg.header && cfg.nullValue == "-" && cfg.trueValue == "yes")
+    assert(cfg.withDoubles)
     assert(cfg.chunkSize == 500 && cfg.maxParseErrors == 3 && cfg.offset == 42L)
     assert(other == Map("in" -> "/a", "out" -> "/b"))
   }
