@@ -65,6 +65,10 @@ object SparkEntry {
     // benchmarked scale path is q42); specs drive the full version
     "q41_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosinePairs(s, d, modSample = 2)),
     "q42_ann_lsh_pairs" -> Similarity.annLshPairs,
+    // exact keep-list on the q41 subset (oracle-checked); the 100 TB pair
+    // source is annLshPairs (exact=false), spec-compared
+    "q44_cosine_dedup" -> ((s: SparkSession, d: String) =>
+      Similarity.cosineDedup(s, d, modSample = 2)),
     "q43_ivf_topk" -> Similarity.ivfTopK,
     "q50_infer_cascade" -> Pipelines.inferCascade,
     "q51_csv_roundtrip" -> Pipelines.csvRoundtrip,
@@ -155,6 +159,7 @@ object SparkEntry {
     "q36_simhash_pairs" -> Dedup.simhashPairsSql,
     "q40_cosine_topk" -> Similarity.cosineTopKSql,
     "q41_cosine_pairs" -> Similarity.cosinePairsSql,
+    "q44_cosine_dedup" -> Similarity.cosineDedupSql,
     // q42/q43: approximate-by-design (LSH banding / IVF routing) → rows-only;
     // their exactness oracle is q41/q40.
     "q50_infer_cascade" -> Pipelines.inferCascadeSql,

@@ -106,6 +106,44 @@ object Similarity {
       |WHERE round(dp / (n1.nrm * n2.nrm), 4) >= 0.45
       |ORDER BY id1, id2""".stripMargin
 
+  /** Embedding near-dup DEDUP (the keep-list, not just the pairs): drop
+    * every vector that has a near-duplicate (cos ≥ threshold) with a
+    * SMALLER id — the standard one-pass near-dup policy for training-data
+    * pipelines: deterministic, a single anti-join, no iterative
+    * connected-components. At scale the pair source is [[annLshPairs]]
+    * (`exact = false`); the gate runs the exact pair source on the same
+    * deterministic subset as q41 so the keep-list is oracle-checkable. */
+  def cosineDedup(s: SparkSession, d: String, modSample: Int = 1,
+      exact: Boolean = true): DataFrame = {
+    val e0 = Tables.embeddings(s, d).select(col("vec_id"))
+    val e = if (modSample > 1) e0.where(col("vec_id") % modSample === 0) else e0
+    val pairs = if (exact) cosinePairs(s, d, modSample) else annLshPairs(s, d)
+    // id2 always > id1, so "has a near-dup with smaller id" = appears as id2
+    e.join(pairs.select(col("id2")), e("vec_id") === col("id2"), "left_anti")
+      .select(col("vec_id").as("keep_id"))
+      .orderBy(col("keep_id"))
+  }
+
+  val cosineDedupSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings WHERE vec_id % 2 = 0),
+      | norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM ex GROUP BY vec_id),
+      | dots AS (
+      |   SELECT a.vec_id AS id1, b.vec_id AS id2, sum(a.v * b.v) AS dp
+      |   FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+      |   GROUP BY 1, 2),
+      | dropped AS (
+      |   SELECT DISTINCT id2 FROM dots
+      |   JOIN norms n1 ON id1 = n1.vec_id
+      |   JOIN norms n2 ON id2 = n2.vec_id
+      |   WHERE round(dp / (n1.nrm * n2.nrm), 4) >= 0.45)
+      |SELECT vec_id AS keep_id
+      |FROM (SELECT DISTINCT vec_id FROM ex)
+      |WHERE vec_id NOT IN (SELECT id2 FROM dropped)
+      |ORDER BY keep_id""".stripMargin
+
   /** Number of random hyperplanes (signature bits) and LSH bands. */
   val PLANES = 16
   val SIGN_BANDS = 4

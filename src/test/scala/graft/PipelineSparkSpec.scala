@@ -279,6 +279,24 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(part.count() == src.count())
   }
 
+  test("cosine dedup: keep-list drops exactly the id2 side of near-dup pairs") {
+    import org.apache.spark.sql.functions._
+    val kept = Similarity.cosineDedup(spark, sf).collect().map(_.getLong(0)).toSet
+    val all = Tables.embeddings(spark, sf).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    val pairs = Similarity.cosinePairs(spark, sf).collect()
+    val dropped = pairs.map(_.getAs[Long]("id2")).toSet
+    assert(kept == all -- dropped)
+    // every dropped vec has a kept (or earlier-dropped) smaller near-dup;
+    // no kept vec appears as the larger side of any pair
+    assert(kept.intersect(dropped).isEmpty)
+    // the LSH-sourced variant (the scale path) keeps a superset: banding
+    // can only MISS pairs, so it never drops a vector the exact path keeps
+    val keptLsh = Similarity.cosineDedup(spark, sf, exact = false)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(keptLsh))
+  }
+
   test("jaccard maxDf cap changes nothing when no shingle exceeds it (and bounds the join)") {
     // at test SFs the max shingle df is ~25, so cap=100 must be a no-op on
     // RESULTS (the plan-level point of the cap is join-volume bounding);
