@@ -56,6 +56,8 @@ object SparkEntry {
     "q31_dedup_first_per_key" -> Dedup.firstEventPerKey,
     "q32_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.jaccardPairs(s, d)),
     "q33_minhash_signatures" -> Dedup.minhashSignatures,
+    // exact keep-list (oracle); LSH-sourced scale variant spec-compared
+    "q37_jaccard_dedup" -> ((s: SparkSession, d: String) => Dedup.nearDedup(s, d)),
     "q34_minhash_lsh_pairs" -> Dedup.minhashLshPairs,
     "q35_simhash" -> Dedup.simhash,
     "q36_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
@@ -151,6 +153,7 @@ object SparkEntry {
     "q31_dedup_first_per_key" -> Dedup.firstEventPerKeySql,
     "q32_jaccard_pairs" -> Dedup.jaccardPairsSql,
     "q33_minhash_signatures" -> Dedup.minhashSignaturesSql,
+    "q37_jaccard_dedup" -> Dedup.nearDedupSql,
     // q34_minhash_lsh_pairs: banding layout is engine-internal → rows-only
     "q35_simhash" -> Dedup.simhashSql,
     // q36: banding is complete for Hamming<=5 (pigeonhole, spec-asserted),

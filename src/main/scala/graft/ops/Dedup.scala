@@ -144,6 +144,29 @@ object Dedup {
        |WHERE round(n_common * 1.0 / (n1.ns + n2.ns - n_common), 4) >= 0.5
        |ORDER BY d1, d2""".stripMargin
 
+  /** Text near-dup DEDUP (the keep-list): drop every document with a
+    * near-duplicate (Jaccard ≥ 0.5) of smaller doc_id — one anti-join,
+    * deterministic, no iterative clustering (same policy as
+    * [[Similarity.cosineDedup]]). `exact = true` sources pairs from the
+    * capped exact join (oracle-checkable); the 100 TB path sources them
+    * from [[minhashLshPairs]] — spec-compared, since est_jaccard on
+    * signatures can differ from true Jaccard at the 0.5 boundary. */
+  def nearDedup(s: SparkSession, d: String, exact: Boolean = true): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val pairs =
+      if (exact) jaccardPairs(s, d).select(col("d2"))
+      else minhashLshPairs(s, d).select(col("d2"))
+    docs.join(pairs, docs("doc_id") === pairs("d2"), "left_anti")
+      .select(col("doc_id").as("keep_id"))
+      .orderBy(col("keep_id"))
+  }
+
+  def nearDedupSql: String =
+    s"""WITH pairs AS ($jaccardPairsSql)
+       |SELECT doc_id AS keep_id FROM documents
+       |WHERE doc_id NOT IN (SELECT d2 FROM pairs)
+       |ORDER BY keep_id""".stripMargin
+
   /** Number of MinHash permutations (k) and LSH bands (b); r = k/b rows
     * per band. k=32, b=8, r=4 → catches jaccard ≳ 0.5 pairs w.h.p. */
   val K = 32

@@ -297,6 +297,23 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.subsetOf(keptLsh))
   }
 
+  test("text near-dedup keep-list: exact policy holds; LSH variant accounted") {
+    import org.apache.spark.sql.functions._
+    val kept = Dedup.nearDedup(spark, sf).collect().map(_.getLong(0)).toSet
+    val all = Tables.documents(spark, sf).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val dropped = Dedup.jaccardPairs(spark, sf).collect().map(_.getAs[Long]("d2")).toSet
+    assert(kept == all -- dropped)
+    // the LSH-sourced keep-list may differ only on pairs whose estimated
+    // jaccard crosses 0.5 differently from the true jaccard; every doc is
+    // still either kept or dropped by a smaller near-dup, never lost
+    val keptLsh = Dedup.nearDedup(spark, sf, exact = false)
+      .collect().map(_.getLong(0)).toSet
+    val droppedLsh = Dedup.minhashLshPairs(spark, sf).collect()
+      .map(_.getAs[Long]("d2")).toSet
+    assert(keptLsh == all -- droppedLsh)
+  }
+
   test("jaccard maxDf cap changes nothing when no shingle exceeds it (and bounds the join)") {
     // at test SFs the max shingle df is ~25, so cap=100 must be a no-op on
     // RESULTS (the plan-level point of the cap is join-volume bounding);
