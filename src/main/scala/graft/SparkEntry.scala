@@ -71,7 +71,7 @@ object SparkEntry {
     // source is annLshPairs (exact=false), spec-compared
     "q44_cosine_dedup" -> ((s: SparkSession, d: String) =>
       Similarity.cosineDedup(s, d, modSample = 2)),
-    "q43_ivf_topk" -> Similarity.ivfTopK,
+    "q43_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "q50_infer_cascade" -> Pipelines.inferCascade,
     "q51_csv_roundtrip" -> Pipelines.csvRoundtrip,
     "q52_tagged_inference" -> Pipelines.taggedInference,

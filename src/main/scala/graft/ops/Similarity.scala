@@ -196,22 +196,42 @@ object Similarity {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** IVF-style ANN: coarse-quantize the corpus to deterministic centroids
-    * (every 100th vector), search only the probe's cell. The centroid
-    * table is tiny and broadcast twice (assignment + probe routing);
-    * each query touches 1/|cells| of the corpus. Rows-only (cell routing
-    * is engine-internal). */
-  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+  /** IVF-style ANN: coarse-quantize the corpus (deterministic seeds =
+    * every 100th vector, refined by `refineIters` Lloyd step(s)), search
+    * only the probe's cell. The centroid table is tiny and broadcast at
+    * every use (assignment + probe routing); each query touches
+    * 1/|cells| of the corpus. Rows-only (cell routing is
+    * engine-internal).
+    *
+    * The Lloyd step is all DataFrame ops: broadcast argmax assignment,
+    * then the per-cell mean via posexplode → (cell, dim) partial-agg'd
+    * avg → re-assembled array. The explode shuffles |corpus|·dims rows
+    * once per iteration — the standard distributed k-means cost, run
+    * once here ("training" IVF lists is a batch job; routing reuses the
+    * result). */
+  def ivfTopK(s: SparkSession, d: String, refineIters: Int = 1): DataFrame = {
     val e = withNorm(s, d)
-    val cent = e.where(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id").asc)
-    val assigned = e.join(broadcast(cent))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
-        (vecDot(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm"))).as("csim"))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
+    def assign(cent: DataFrame): DataFrame =
+      e.join(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+          (vecDot(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm"))).as("csim"))
+        .withColumn("rn", row_number().over(wAssign))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
+    var cent = e.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
+    for (_ <- 0 until refineIters) {
+      val means = assign(cent)
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("cent_id"), col("i")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cent_id"))
+        // array_sort on struct<i,m> orders by i (first field) → dims align
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          p => p.getField("m")).as("cvec"))
+      cent = means.select(col("cent_id"), col("cvec"), vecNorm(col("cvec")).as("cnrm"))
+    }
+    val assigned = assign(cent)
     val probes = assigned.where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
         col("nrm").as("qnrm"), col("cent_id").as("qcell"))
