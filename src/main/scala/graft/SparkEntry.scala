@@ -58,7 +58,10 @@ object SparkEntry {
     "q33_minhash_signatures" -> Dedup.minhashSignatures,
     // exact keep-list (oracle); LSH-sourced scale variant spec-compared
     "q37_jaccard_dedup" -> ((s: SparkSession, d: String) => Dedup.nearDedup(s, d)),
-    "q34_minhash_lsh_pairs" -> Dedup.minhashLshPairs,
+    // portable=true: md5 signatures + value-keyed buckets → the whole LSH
+    // pipeline is hash-checked in DuckDB (engine callers keep xxhash64)
+    "q34_minhash_lsh_pairs" -> ((s: SparkSession, d: String) =>
+      Dedup.minhashLshPairs(s, d, portable = true)),
     "q35_simhash" -> Dedup.simhash,
     "q36_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q40_cosine_topk" -> Similarity.cosineTopK,
@@ -153,8 +156,8 @@ object SparkEntry {
     "q31_dedup_first_per_key" -> Dedup.firstEventPerKeySql,
     "q32_jaccard_pairs" -> Dedup.jaccardPairsSql,
     "q33_minhash_signatures" -> Dedup.minhashSignaturesSql,
+    "q34_minhash_lsh_pairs" -> Dedup.minhashLshPairsSql,
     "q37_jaccard_dedup" -> Dedup.nearDedupSql,
-    // q34_minhash_lsh_pairs: banding layout is engine-internal → rows-only
     "q35_simhash" -> Dedup.simhashSql,
     // q36: banding is complete for Hamming<=5 (pigeonhole, spec-asserted),
     // so the brute-force all-pairs filter over per-doc signatures is an
@@ -162,9 +165,12 @@ object SparkEntry {
     "q36_simhash_pairs" -> Dedup.simhashPairsSql,
     "q40_cosine_topk" -> Similarity.cosineTopKSql,
     "q41_cosine_pairs" -> Similarity.cosinePairsSql,
+    // q42: the hyperplanes are deterministic ±1 literals → the full LSH
+    // pipeline (sign bits, banding, exact verify) replays in DuckDB
+    "q42_ann_lsh_pairs" -> Similarity.annLshPairsSql,
     "q44_cosine_dedup" -> Similarity.cosineDedupSql,
-    // q42/q43: approximate-by-design (LSH banding / IVF routing) → rows-only;
-    // their exactness oracle is q41/q40.
+    // q43: IVF cell routing (Lloyd-refined centroids) → rows-only;
+    // its exactness oracle is q40.
     "q50_infer_cascade" -> Pipelines.inferCascadeSql,
     // q51/q52: file round-trip and quoted-bit semantics live outside SQL →
     // rows-only here, asserted exactly in ScalaTest.

@@ -208,20 +208,33 @@ object Dedup {
     * Engine-internal fast path: signatures here use xxhash64 (native,
     * codegen'd) instead of q33's md5-derived hashes — q33 exists to
     * oracle-check the minhash construction; this query exists to run
-    * fast. Both are deterministic. */
-  def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
+    * fast. Both are deterministic. `portable = true` switches to the
+    * md5-derived signatures and VALUE-keyed band buckets (no engine
+    * hash anywhere), making the entire LSH pipeline reproducible in
+    * DuckDB — the gate runs that variant so q34 is hash-checked
+    * end-to-end, not rows-only. */
+  def minhashLshPairs(s: SparkSession, d: String, portable: Boolean = false): DataFrame = {
     // k codegen'd min(xxhash64) aggs measured faster cold than the
     // one-pass TypedImperativeAggregate (graft.functions.MinHashAgg,
     // kept for large-k/sketch-merge uses) — interpreted update loops
     // lose to whole-stage codegen at k=32
     val sh = shingles(Tables.documents(s, d), dedup = false) // min is dup-insensitive
-    val aggs = (0 until K).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
+    val hashOf: Int => Column =
+      if (portable) i => seededHash(i, col("shingle"))
+      else i => xxhash64(lit(i), col("shingle"))
+    val aggs = (0 until K).map(i => min(hashOf(i)).as(s"mh$i"))
     val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), array((0 until K).map(i => col(s"mh$i")): _*).as("sig"))
+    // bucket key: hashed band values on the fast path (narrow long), the
+    // raw comma-joined values on the portable path (engine-free)
+    val bucketOf: Int => Column =
+      if (portable) b => concat_ws(",",
+        (0 until ROWS_PER_BAND).map(r => col("sig")(b * ROWS_PER_BAND + r).cast("string")): _*)
+      else b => xxhash64(
+        (0 until ROWS_PER_BAND).map(r => col("sig")(b * ROWS_PER_BAND + r)): _*).cast("string")
     val banded = sig.select(
       col("doc_id"), col("sig"),
-      posexplode(array((0 until BANDS).map(b =>
-        xxhash64((0 until ROWS_PER_BAND).map(r => col("sig")(b * ROWS_PER_BAND + r)): _*)): _*))
+      posexplode(array((0 until BANDS).map(bucketOf): _*))
         .as(Seq("band", "bandhash")))
     val cand = banded.as("a")
       .join(banded.as("b"),
@@ -238,6 +251,38 @@ object Dedup {
       .where(col("est_jaccard") >= 0.5)
       .select(col("d1"), col("d2"), col("est_jaccard"))
       .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Oracle for the portable-variant [[minhashLshPairs]]: the identical
+    * pipeline in DuckDB — md5-derived signatures (q33's construction),
+    * value-keyed band buckets, candidate dedup, est-Jaccard verify. */
+  def minhashLshPairsSql: String = {
+    val sigCols = (0 until K).map(i =>
+      s"min(CAST('0x' || substr(md5('$i' || '|' || shingle), 1, 15) AS BIGINT)) AS mh$i")
+      .mkString(",\n  ")
+    val bandSelects = (0 until BANDS).map { b =>
+      val vals = (0 until ROWS_PER_BAND).map(r => s"mh${b * ROWS_PER_BAND + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $vals) AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val eq = (0 until K).map(i => s"CASE WHEN s1.mh$i = s2.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH s AS ($shinglesSql),
+       | sig AS (SELECT doc_id,
+       |  $sigCols
+       |  FROM s GROUP BY doc_id),
+       | bands AS (
+       |  $bandSelects),
+       | cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       | est AS (
+       |  SELECT d1, d2, round(($eq) / 32.0, 4) AS est_jaccard
+       |  FROM cand
+       |  JOIN sig s1 ON d1 = s1.doc_id
+       |  JOIN sig s2 ON d2 = s2.doc_id)
+       |SELECT d1, d2, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.5 ORDER BY d1, d2""".stripMargin
   }
 
   /** SimHash (64-bit) per document: sign-sum of per-word hash bits weighted

@@ -196,6 +196,46 @@ object Similarity {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Oracle for [[annLshPairs]]: the hyperplanes are DETERMINISTIC (pure
+    * function of (plane, dim)), so they embed into the SQL as ±1 literal
+    * lists — DuckDB recomputes sign bits, value-keyed band buckets,
+    * candidate dedup, and the exact-cosine verify with
+    * `list_dot_product`. The "approximate" in ANN is a fixed determinate
+    * function, so it IS hash-checkable. */
+  def annLshPairsSql: String = {
+    def planeList(p: Int): String =
+      plane(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    val bits = (0 until PLANES).map(p =>
+      s"CASE WHEN list_dot_product(ed, ${planeList(p)}) > 0 THEN '1' ELSE '0' END AS bit$p")
+      .mkString(",\n  ")
+    val bandSelects = (0 until SIGN_BANDS).map { b =>
+      val parts = (0 until BITS_PER_BAND).map(r => s"bit${b * BITS_PER_BAND + r}")
+        .mkString(" || ',' || ")
+      s"SELECT vec_id, $b AS band, $parts AS bucket FROM bits"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
+       | bits AS (
+       |  SELECT vec_id, ed,
+       |  $bits
+       |  FROM e),
+       | bands AS (
+       |  $bandSelects),
+       | cand AS (
+       |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       | verified AS (
+       |  SELECT id1, id2,
+       |    round(list_dot_product(e1.ed, e2.ed) /
+       |      (sqrt(list_dot_product(e1.ed, e1.ed)) * sqrt(list_dot_product(e2.ed, e2.ed))), 4) AS cos
+       |  FROM cand
+       |  JOIN e e1 ON id1 = e1.vec_id
+       |  JOIN e e2 ON id2 = e2.vec_id)
+       |SELECT id1, id2, cos FROM verified WHERE cos >= 0.45
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   /** IVF-style ANN: coarse-quantize the corpus (deterministic seeds =
     * every 100th vector, refined by `refineIters` Lloyd step(s)), search
     * only the probe's cell. The centroid table is tiny and broadcast at
