@@ -173,30 +173,60 @@ object Dedup {
   val BANDS = 8
   val ROWS_PER_BAND: Int = K / BANDS
 
-  /** Portable 60-bit hash of a shingle under seed i (md5-derived; identical
-    * expression exists in DuckDB for the oracle). */
+  /** Portable 60-bit hash of a value under seed i (md5-derived; identical
+    * expression exists in DuckDB). Costs one md5 PER SEED — fine for
+    * single-seed uses (simhash); minhash uses [[affineHash]] instead. */
   private def seededHash(seed: Int, c: Column): Column =
     conv(substring(md5(concat(lit(seed.toString), lit("|"), c)), 1, 15), 16, 10)
       .cast("long")
 
-  /** MinHash signatures: k md5-seeded min-hashes per doc, one groupBy.
-    * Oracle-checked end-to-end (the whole signature, all 32 components). */
+  /** MinHash family: ONE md5 per shingle reduced to 40 bits, then k
+    * affine universal-family transforms h_i = (a_i·h + b_i) mod P.
+    * Hashing k seeds via k md5s costs 32× the string hashing (measured
+    * 8 s vs 1 s at sf0.1 on the banded query); the affine family is one
+    * md5 + integer arithmetic, portable to DuckDB verbatim, and
+    * overflow-free in 64-bit: a < 2^20, h < 2^40 → a·h + b < 2^61. */
+  val AffineP = 1099511627791L // smallest prime > 2^40
+  private def affineConsts(i: Int): (Long, Long) = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val a = (mix(i.toLong) & 0xFFFFFL) | 1L        // odd, nonzero, < 2^20
+    val b = mix(i.toLong * 2 + 1) & 0xFFFFFFFFFFL  // < 2^40
+    (a, b)
+  }
+  private def baseHash(c: Column): Column =
+    conv(substring(md5(c), 1, 10), 16, 10).cast("long") // 40-bit
+  private def affineHash(i: Int, base: Column): Column = {
+    val (a, b) = affineConsts(i)
+    pmod(base * lit(a) + lit(b), lit(AffineP))
+  }
+
+  /** MinHash signatures: k affine min-hashes per doc over one md5 base,
+    * one groupBy. Oracle-checked end-to-end (all 32 components). */
   def minhashSignatures(s: SparkSession, d: String): DataFrame = {
     // min() is duplicate-insensitive → no distinct shuffle needed; the
     // oracle SQL keeps DISTINCT and the results are identical
     val sh = shingles(Tables.documents(s, d), dedup = false)
-    val aggs = (0 until K).map(i => min(seededHash(i, col("shingle"))).as(s"mh$i"))
+      .select(col("doc_id"), baseHash(col("shingle")).as("h"))
+    val aggs = (0 until K).map(i => min(affineHash(i, col("h"))).as(s"mh$i"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*).orderBy(col("doc_id"))
   }
 
   val minhashSignaturesSql: String = {
-    val cols = (0 until K).map(i =>
-      s"min(CAST('0x' || substr(md5('$i' || '|' || shingle), 1, 15) AS BIGINT)) AS mh$i")
-      .mkString(",\n  ")
-    s"""WITH s AS ($shinglesSql)
+    val cols = (0 until K).map { i =>
+      val (a, b) = affineConsts(i)
+      s"min(($a * h + $b) % $AffineP) AS mh$i"
+    }.mkString(",\n  ")
+    s"""WITH s AS ($shinglesSql),
+       | hs AS (SELECT doc_id,
+       |   CAST('0x' || substr(md5(shingle), 1, 10) AS BIGINT) AS h FROM s)
        |SELECT doc_id,
        |  $cols
-       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |FROM hs GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** MinHash-LSH near-dup pairs: band the signatures, equi-join on
@@ -218,13 +248,19 @@ object Dedup {
     // one-pass TypedImperativeAggregate (graft.functions.MinHashAgg,
     // kept for large-k/sketch-merge uses) — interpreted update loops
     // lose to whole-stage codegen at k=32
-    val sh = shingles(Tables.documents(s, d), dedup = false) // min is dup-insensitive
+    val sh0 = shingles(Tables.documents(s, d), dedup = false) // min is dup-insensitive
+    val sh =
+      if (portable) sh0.select(col("doc_id"), baseHash(col("shingle")).as("h"))
+      else sh0.select(col("doc_id"), col("shingle"))
     val hashOf: Int => Column =
-      if (portable) i => seededHash(i, col("shingle"))
+      if (portable) i => affineHash(i, col("h")) // one md5 + k affine transforms
       else i => xxhash64(lit(i), col("shingle"))
     val aggs = (0 until K).map(i => min(hashOf(i)).as(s"mh$i"))
+    // cache: the signature subtree feeds FOUR plan branches (both sides
+    // of the band self-join + both verify re-joins). Tiny: k longs/doc.
     val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), array((0 until K).map(i => col(s"mh$i")): _*).as("sig"))
+      .cache()
     // bucket key: hashed band values on the fast path (narrow long), the
     // raw comma-joined values on the portable path (engine-free)
     val bucketOf: Int => Column =
@@ -257,9 +293,10 @@ object Dedup {
     * pipeline in DuckDB — md5-derived signatures (q33's construction),
     * value-keyed band buckets, candidate dedup, est-Jaccard verify. */
   def minhashLshPairsSql: String = {
-    val sigCols = (0 until K).map(i =>
-      s"min(CAST('0x' || substr(md5('$i' || '|' || shingle), 1, 15) AS BIGINT)) AS mh$i")
-      .mkString(",\n  ")
+    val sigCols = (0 until K).map { i =>
+      val (a, b) = affineConsts(i)
+      s"min(($a * h + $b) % $AffineP) AS mh$i"
+    }.mkString(",\n  ")
     val bandSelects = (0 until BANDS).map { b =>
       val vals = (0 until ROWS_PER_BAND).map(r => s"mh${b * ROWS_PER_BAND + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws(',', $vals) AS bucket FROM sig"
@@ -267,9 +304,11 @@ object Dedup {
     val eq = (0 until K).map(i => s"CASE WHEN s1.mh$i = s2.mh$i THEN 1 ELSE 0 END")
       .mkString(" + ")
     s"""WITH s AS ($shinglesSql),
+       | hs AS (SELECT doc_id,
+       |   CAST('0x' || substr(md5(shingle), 1, 10) AS BIGINT) AS h FROM s),
        | sig AS (SELECT doc_id,
        |  $sigCols
-       |  FROM s GROUP BY doc_id),
+       |  FROM hs GROUP BY doc_id),
        | bands AS (
        |  $bandSelects),
        | cand AS (
