@@ -42,6 +42,8 @@ object SparkEntry {
     "q72_promo_revenue" -> Relational.promoRevenue,
     "q73_user_activity" -> Relational.userActivityStats,
     "q74_fuzzy_brand_match" -> Relational.fuzzyTypeMatch,
+    "q75_min_cost_supplier" -> Relational.minCostSupplier,
+    "q76_sole_late_supplier" -> Relational.soleLateSupplier,
     "q20_text_stats" -> TextAnalysis.textStats,
     "q21_token_counts" -> TextAnalysis.tokenCounts,
     "q22_lang_id" -> TextAnalysis.langId,
@@ -145,6 +147,8 @@ object SparkEntry {
     "q72_promo_revenue" -> Relational.promoRevenueSql,
     "q73_user_activity" -> Relational.userActivityStatsSql,
     "q74_fuzzy_brand_match" -> Relational.fuzzyTypeMatchSql,
+    "q75_min_cost_supplier" -> Relational.minCostSupplierSql,
+    "q76_sole_late_supplier" -> Relational.soleLateSupplierSql,
     "q20_text_stats" -> TextAnalysis.textStatsSql,
     "q21_token_counts" -> TextAnalysis.tokenCountsSql,
     "q22_lang_id" -> TextAnalysis.langIdSql,

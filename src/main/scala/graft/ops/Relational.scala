@@ -532,6 +532,89 @@ object Relational {
       |  round(avg(avg_gap_s), 2) AS mean_avg_gap
       |FROM q GROUP BY quartile ORDER BY quartile""".stripMargin
 
+  /** Correlated-subquery / groupwise-min shape (TPC-H Q2's core, adapted
+    * to the harness schema — no partsupp table, so lineitem is the
+    * part↔supplier bridge): for every part, the supplier(s) achieving the
+    * minimum per-unit rate. Decorrelated into two keyed aggregations +
+    * one co-partitioned equi-join — all three shuffles share the partkey,
+    * so at 100 TB one exchange feeds all stages (no per-row subquery). */
+  def minCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"),
+      (col("l_extendedprice") / col("l_quantity")).as("rate"))
+    // NO round() here: Spark rounds HALF_UP, DuckDB HALF_EVEN, and a rate
+    // landing exactly on a .5 boundary at 4 dp flips the compare. The raw
+    // IEEE division/min are bit-identical across engines; the driver's
+    // float canon (6 significant digits) handles display.
+    val perPS = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("rate")).as("ps_rate"))
+    val perP = perPS.groupBy(col("l_partkey")).agg(min(col("ps_rate")).as("p_min"))
+    perPS.join(perP, "l_partkey")
+      .where(col("ps_rate") === col("p_min"))
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_brand"),
+        col("l_suppkey").as("s_suppkey"), col("ps_rate"))
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+  }
+
+  val minCostSupplierSql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    min(l_extendedprice / l_quantity) AS ps_rate
+      |  FROM lineitem GROUP BY 1, 2),
+      | pm AS (SELECT l_partkey, min(ps_rate) AS p_min FROM ps GROUP BY 1)
+      |SELECT p.p_partkey, p.p_brand, ps.l_suppkey AS s_suppkey, ps.ps_rate
+      |FROM ps JOIN pm USING (l_partkey) JOIN part p ON p_partkey = l_partkey
+      |WHERE ps_rate = p_min
+      |ORDER BY p_partkey, s_suppkey""".stripMargin
+
+  /** EXISTS / NOT-EXISTS chain (TPC-H Q21's core shape): suppliers who
+    * shipped late (> 90 days after order date) into multi-supplier
+    * orders where NO other supplier shipped late — i.e. the sole
+    * blocker. Decorrelated into a left-semi (another supplier exists)
+    * and a left-anti (no other late supplier) on the order key: both are
+    * keyed equi-joins, the Spark-native form of correlated EXISTS at
+    * scale. */
+  def soleLateSupplier(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+    val late = l.where(col("l_shipdate") > date_add(col("o_orderdate"), 90))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val present = l.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val hasOther = late.as("a").join(present.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") =!= col("b.l_suppkey"), "left_semi")
+    val sole = hasOther.as("a").join(late.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") =!= col("b.l_suppkey"), "left_anti")
+    sole.groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey").asc)
+      .limit(20)
+  }
+
+  val soleLateSupplierSql: String =
+    """WITH l AS (
+      |  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      | late AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey FROM l
+      |  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY),
+      | present AS (SELECT DISTINCT l_orderkey, l_suppkey FROM l),
+      | sole AS (
+      |  SELECT a.l_orderkey, a.l_suppkey FROM late a
+      |  WHERE EXISTS (SELECT 1 FROM present b
+      |                WHERE b.l_orderkey = a.l_orderkey
+      |                  AND b.l_suppkey <> a.l_suppkey)
+      |    AND NOT EXISTS (SELECT 1 FROM late c
+      |                    WHERE c.l_orderkey = a.l_orderkey
+      |                      AND c.l_suppkey <> a.l_suppkey))
+      |SELECT l_suppkey AS s_suppkey, count(*) AS numwait
+      |FROM sole GROUP BY 1
+      |ORDER BY numwait DESC, s_suppkey ASC LIMIT 20""".stripMargin
+
   /** Fuzzy key matching via levenshtein (identical semantics in both
     * engines): near-matching part brand/type label pairs. */
   def fuzzyTypeMatch(s: SparkSession, d: String): DataFrame = {
