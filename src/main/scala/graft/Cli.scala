@@ -71,11 +71,33 @@ object Cli {
     try {
       verb match {
         case "write" =>
-          val (typed, errs) = CopyWrite.read(spark, in, cols, cfg)
-          CopyWrite.sink(typed, out, cfg, errs)
-          System.err.println(s"[graft] wrote ${spark.read.parquet(out).count()} rows to $out")
+          // CSV → typed rows → sink. A jdbc: --out is the reference's
+          // actual shape (CSV → Cassandra ≙ CSV → JDBC store: prepared
+          // INSERT batches, retry, budgets); otherwise parquet files.
+          if (out.startsWith("jdbc:")) {
+            val schema = org.apache.spark.sql.types.StructType(cols.map(c =>
+              org.apache.spark.sql.types.StructField(c,
+                org.apache.spark.sql.types.StringType)))
+            // tagged compat cells don't map to JDBC DDL; string columns do
+            // (the server-side schema is the arbiter, like Cassandra) —
+            // callers wanting typed columns pre-declare them via a typed
+            // store table; the harness demo keeps the stringly contract
+            val (typed, errs) = CopyWrite.read(spark, in, cols, cfg,
+              schema = Some(schema))
+            graft.sources.JdbcBackend.writeTable(typed, out, table, cfg)
+            errs.check()
+            System.err.println(s"[graft] wrote table $table via $out")
+          } else {
+            val (typed, errs) = CopyWrite.read(spark, in, cols, cfg)
+            CopyWrite.sink(typed, out, cfg, errs)
+            System.err.println(s"[graft] wrote ${spark.read.parquet(out).count()} rows to $out")
+          }
         case "read" =>
-          val src = spark.read.parquet(in)
+          val src =
+            if (in.startsWith("jdbc:"))
+              graft.sources.JdbcBackend.readTable(spark, in, table)
+                .toDF(cols: _*) // JDBC stores may case-fold identifiers
+            else spark.read.parquet(in)
           CopyRead.run(spark, src, cols, cols.head, cfg, out)
           System.err.println(s"[graft] exported $out")
         case v => sys.error(s"unknown verb: $v (want write|read)")
