@@ -60,6 +60,18 @@ object StreamIngest {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming dedup with BOUNDED state: duplicates of a key arriving
+    * within the watermark horizon are dropped; state for keys older than
+    * the watermark is evicted (plain dropDuplicates on a stream retains
+    * every key forever — unusable at 100 TB/day). The dedup face of the
+    * training-data pipeline for event/document streams; batch twins are
+    * Dedup.exactDedup / firstEventPerKey. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Session windows (gap-based) per user — state-bounded by watermark. */
   def sessionizedEvents(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events

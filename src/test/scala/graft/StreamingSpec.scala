@@ -98,6 +98,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sessions.forall(x => x.session_end.getTime >= x.session_start.getTime))
   }
 
+  test("streaming dedup drops within-watermark duplicates across micro-batches") {
+    // Spark 4.1 moved MemoryStream under execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+    val deduped = StreamIngest.dedupStream(events, Seq("user_id"), "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+      // batch 1: user 1 twice (dup within batch), user 2 once
+      mem.addData((1L, ts(0), 1.0), (1L, ts(1), 2.0), (2L, ts(1), 3.0))
+      q.processAllAvailable()
+      // batch 2: user 1 again within the watermark horizon → still a dup;
+      // user 3 is new
+      mem.addData((1L, ts(2), 4.0), (3L, ts(3), 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = s.sql("SELECT user_id FROM dedup_out").collect().map(_.getLong(0)).toSeq
+    assert(out.sorted == Seq(1L, 2L, 3L), s"got $out")
+  }
+
   test("sessionsBatch (window SQL) matches the stateful path, incl. a hot key") {
     import graft.streaming.Sessionize
     val s = spark
