@@ -32,6 +32,7 @@ object SparkEntry {
     "q12_customers_no_orders" -> Relational.customersWithoutOrders,
     "q13_cube_events" -> Relational.cubeEvents,
     "q14_approx_distinct" -> Relational.approxDistinctUsers,
+    "q77_cms_frequency" -> Relational.cmsUserFrequency,
     "q15_pivot_events" -> Relational.pivotEvents,
     "q16_intersect_customers" -> Relational.intersectCustomers,
     "q17_scalar_functions" -> Relational.scalarFunctions,

@@ -645,4 +645,29 @@ object Relational {
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy(col("event_type"))
+
+  /** Count-Min sketch frequency estimation: the third sketch family
+    * (HLL++ = distinct, MinHash = similarity, CMS = frequency). The
+    * sketch is built DISTRIBUTED — Spark's `count_min_sketch` aggregate
+    * merges partial sketches map-side, the 100 TB shape; only the final
+    * ~KB sketch reaches the driver, where a handful of probe keys are
+    * estimated against their exact counts. CMS guarantees est ≥ exact
+    * and est ≤ exact + ε·N w.h.p. — asserted in ScalaTest; sketch
+    * internals are not oracle-portable → rows-only (q14 precedent). */
+  def cmsUserFrequency(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"))
+    val bytes = ev
+      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val probes = Seq(1L, 2L, 3L, 4L, 5L)
+    val exact = ev.where(col("user_id").isin(probes: _*))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    import s.implicits._
+    probes.map(u => (u, exact.getOrElse(u, 0L), cms.estimateCount(u)))
+      .toDF("user_id", "exact_n", "est_n")
+      .orderBy(col("user_id"))
+  }
 }

@@ -102,6 +102,18 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("count-min sketch: est >= exact and within the epsilon*N bound") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.cmsUserFrequency(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.events(spark, sf).count()
+    rows.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("exact_n"), r.getAs[Long]("est_n"))
+      assert(est >= exact, s"CMS must never underestimate: $r")
+      assert(est <= exact + (0.001 * n).toLong + 1, s"CMS above eps*N bound: $r (n=$n)")
+    }
+  }
+
   test("batch progress listener counts written rows") {
     val rep = new graft.pipeline.BatchProgressListener(
       CopyConfig(reportFrequencyMs = 100), _ => ())
