@@ -106,7 +106,13 @@ object Dedup {
     * oracle (which applies the same cap). Near-dup pairs still meet
     * through their rare shared shingles — a shingle in >maxDf docs
     * carries no pair-discriminating signal anyway. */
-  def jaccardPairs(s: SparkSession, d: String, maxDf: Int = 100): DataFrame = {
+  def jaccardPairs(s: SparkSession, d: String, maxDf: Int = 100): DataFrame =
+    // memoized per (session, dir, cap): the keep-list (nearDedup/q37) is an
+    // anti-join against these pairs — sharing the persisted result means the
+    // capped self-join is paid once per run, not once per consumer
+    SharedPlans.cached(s, s"jaccardPairs|$d|$maxDf")(jaccardPairsPlan(s, d, maxDf))
+
+  private def jaccardPairsPlan(s: SparkSession, d: String, maxDf: Int): DataFrame = {
     val shAll = shingles(Tables.documents(s, d))
     val rare = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select(col("shingle"))

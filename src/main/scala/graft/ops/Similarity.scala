@@ -77,7 +77,13 @@ object Similarity {
     * pairs) so the O(n²) baseline doesn't dominate the benchmark;
     * ScalaTest drives the full modSample=1 version at small SF to
     * verify annLshPairs precision/recall. */
-  def cosinePairs(s: SparkSession, d: String, modSample: Int = 1): DataFrame = {
+  def cosinePairs(s: SparkSession, d: String, modSample: Int = 1): DataFrame =
+    // memoized per (session, dir, subset): cosineDedup/q44's keep-list is an
+    // anti-join against these pairs — share the persisted result instead of
+    // re-running the all-pairs baseline per consumer
+    SharedPlans.cached(s, s"cosinePairs|$d|$modSample")(cosinePairsPlan(s, d, modSample))
+
+  private def cosinePairsPlan(s: SparkSession, d: String, modSample: Int): DataFrame = {
     val e0 = withNorm(s, d)
     val e = if (modSample > 1) e0.where(col("vec_id") % modSample === 0) else e0
     val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"), col("nrm").as("n1"))
