@@ -87,6 +87,11 @@ object SparkEntry {
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
     "q61_media_decode_summary" -> Multimodal.decodeSummary,
+    // REAL codecs (JDK javax.imageio / javax.sound.sampled): Spark must
+    // round-trip actual PNG/WAV bytes through the decoder to match the
+    // oracle's closed-form recomputation from doc_id.
+    "q64_image_decode" -> Multimodal.imageDecode,
+    "q65_audio_decode" -> Multimodal.audioDecode,
     // the whole-history batch face of sessionization (window SQL — spills
     // on hot keys instead of buffering; see Sessionize.sessionsBatch).
     // Fully SQL-expressible → hash-checked, closing the family's oracle
@@ -183,7 +188,10 @@ object SparkEntry {
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtripSql,
     "q56_double_cascade" -> Pipelines.doubleCascadeSql,
     "q60_media_meta" -> Multimodal.mediaMetaSql,
-    // q61: decode goes through the stubbed fake codec → rows-only + ScalaTest.
+    // q61: mixed-kind summary includes the video FakeCodec seam → rows-only;
+    // the real-decode faces q64/q65 below are hash-checked.
+    "q64_image_decode" -> Multimodal.imageDecodeSql,
+    "q65_audio_decode" -> Multimodal.audioDecodeSql,
     "q63_sessionize_batch" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_ms(ts) AS tms, event_type, value FROM events),

@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.Multimodal
-import graft.ops.Multimodal.{Decoded, FakeCodec, MediaRow}
+import graft.ops.Multimodal.{Decoded, FakeCodec, JdkCodec, MediaRow}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -33,9 +33,13 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("decode is deterministic and batch-shaped; resize bounds dims") {
-    val dec = Multimodal.decodeAll(Multimodal.mediaTable(spark, sf), batchSize = 7)
+    // opaque text payloads → FakeCodec explicitly (the default JdkCodec
+    // requires real PNG/WAV bytes, exercised in the round-trip specs below)
+    val dec = Multimodal.decodeAll(Multimodal.mediaTable(spark, sf),
+        batchSize = 7, codec = FakeCodec.decode)
       .collect().sortBy(_.media_id)
-    val dec2 = Multimodal.decodeAll(Multimodal.mediaTable(spark, sf), batchSize = 64)
+    val dec2 = Multimodal.decodeAll(Multimodal.mediaTable(spark, sf),
+        batchSize = 64, codec = FakeCodec.decode)
       .collect().sortBy(_.media_id)
     assert(dec.map(_.width).toSeq == dec2.map(_.width).toSeq) // batch size can't change results
     dec.foreach { d =>
@@ -53,6 +57,64 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val vid = Decoded(2, "video", 100, 100, 3, 60000, 10)
     val frames = FakeCodec.sampleFrames(vid, 4)
     assert(frames.length == 4 && frames.forall(o => o >= 0 && o < 60000))
+  }
+
+  test("JdkCodec PNG round-trip: encode → javax.imageio decode → closed-form stats") {
+    for (docId <- Seq(0L, 3L, 42L, 999L, 123456L)) {
+      val bytes = JdkCodec.encodePng(docId)
+      // real PNG on the wire
+      assert(bytes.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+      val st = JdkCodec.decodeImage(bytes)
+      val (w, h) = (JdkCodec.imageWidth(docId), JdkCodec.imageHeight(docId))
+      assert(st.width == w && st.height == h && st.nChannels == 1)
+      val expectedSum = (for (y <- 0 until h; x <- 0 until w)
+        yield JdkCodec.pixel(docId, x, y).toLong).sum
+      assert(st.sumPx == expectedSum) // byte-exact pixel recovery
+    }
+  }
+
+  test("JdkCodec WAV round-trip: encode → javax.sound decode → closed-form stats") {
+    for (docId <- Seq(1L, 4L, 77L, 1000L, 54321L)) {
+      val bytes = JdkCodec.encodeWav(docId)
+      assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+      val st = JdkCodec.decodeAudio(bytes)
+      val n = JdkCodec.audioFrames(docId)
+      assert(st.nChannels == 1 && st.sampleRate == JdkCodec.SampleRate)
+      assert(st.nFrames == n.toLong)
+      assert(st.durationMs == n.toLong * 1000 / JdkCodec.SampleRate)
+      val expectedSum = (0 until n).map(i => JdkCodec.sample(docId, i).toLong).sum
+      assert(st.sumSamples == expectedSum) // byte-exact PCM recovery
+    }
+  }
+
+  test("q64/q65 decode queries run the real codecs distributed and match closed form") {
+    val img = Multimodal.imageDecode(spark, sf).collect()
+    assert(img.nonEmpty)
+    img.foreach { r =>
+      val id = r.getLong(0)
+      assert(id % 3 == 0)
+      assert(r.getInt(1) == JdkCodec.imageWidth(id) && r.getInt(2) == JdkCodec.imageHeight(id))
+      val expected = (for (y <- 0 until JdkCodec.imageHeight(id);
+                           x <- 0 until JdkCodec.imageWidth(id))
+        yield JdkCodec.pixel(id, x, y).toLong).sum
+      assert(r.getLong(4) == expected)
+    }
+    val aud = Multimodal.audioDecode(spark, sf).collect()
+    assert(aud.nonEmpty)
+    aud.foreach { r =>
+      val id = r.getLong(0)
+      assert(id % 3 == 1)
+      val n = JdkCodec.audioFrames(id)
+      assert(r.getLong(3) == n.toLong)
+      val expected = (0 until n).map(i => JdkCodec.sample(id, i).toLong).sum
+      assert(r.getLong(5) == expected)
+    }
+  }
+
+  test("decodeSummary drives the mixed-kind pipeline through real codecs") {
+    val rows = Multimodal.decodeSummary(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
+    rows.foreach(r => assert(r.getLong(1) > 0))
   }
 
   test("features: 16-dim normalized byte histogram, unit mass") {
