@@ -65,6 +65,21 @@ object RetryCommit {
 object BatchingSink {
   def run(df: DataFrame, cfg: CopyConfig,
       commit: Seq[org.apache.spark.sql.Row] => Unit,
+      failedBatches: LongAccumulator): Unit =
+    runWith[Unit](df, cfg, () => (), (_, batch) => commit(batch), _ => (),
+      failedBatches)
+
+  /** Resource-scoped variant: `open` once per partition (a connection /
+    * prepared statement / codec context — the expensive part of a
+    * row-protocol sink), `commit(resource, batch)` per flushed batch
+    * inside the retry loop, `close` in a finally. A failed attempt
+    * recycles the resource (close + reopen on the next attempt) so a
+    * broken connection can't poison the rest of the partition, while a
+    * healthy one is reused across every batch the task writes. */
+  def runWith[R](df: DataFrame, cfg: CopyConfig,
+      open: () => R,
+      commit: (R, Seq[org.apache.spark.sql.Row]) => Unit,
+      close: R => Unit,
       failedBatches: LongAccumulator): Unit = {
     val chunk = cfg.chunkSize
     val maxKb = cfg.maxBatchSizeKb
@@ -72,13 +87,24 @@ object BatchingSink {
     val backoff = cfg.backoffMs
     val maxInsertErrors = cfg.maxInsertErrors
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      var held: Option[R] = None
+      def resource(): R = held.getOrElse { val r = open(); held = Some(r); r }
+      def recycle(): Unit = {
+        held.foreach(r => try close(r) catch { case _: Exception => () })
+        held = None
+      }
       val b = new Batcher[org.apache.spark.sql.Row](chunk, maxKb,
         r => (0 until r.length).map(i => String.valueOf(r.get(i)).length.toLong).sum)
       def commitBatch(batch: Seq[org.apache.spark.sql.Row]): Unit =
-        if (batch.nonEmpty && !RetryCommit(batch, attempts, backoff, commit))
+        if (batch.nonEmpty && !RetryCommit(batch, attempts, backoff, { b2: Seq[org.apache.spark.sql.Row] =>
+              try commit(resource(), b2)
+              catch { case e: Exception => recycle(); throw e }
+            }))
           failedBatches.add(1L)
-      rows.foreach(r => b.next(r).foreach(commitBatch))
-      commitBatch(b.flushRemaining())
+      try {
+        rows.foreach(r => b.next(r).foreach(commitBatch))
+        commitBatch(b.flushRemaining())
+      } finally recycle()
     }
     if (maxInsertErrors >= 0 && failedBatches.value > maxInsertErrors)
       throw new IllegalStateException(

@@ -86,10 +86,14 @@ object JdbcBackend {
     * flushed batch commits in one JDBC transaction (addBatch/executeBatch)
     * with the reference's retry loop around it; a batch that exhausts its
     * attempts counts against the insert-error budget and the job aborts
-    * past it. Connections are per-batch: at chunkSize=1000 rows the open
-    * cost amortizes to noise, and embedded Derby shares one engine across
-    * all executor threads anyway (a pooled connection per task is the
-    * drop-in upgrade for a networked store). */
+    * past it. One connection + prepared statement per PARTITION (opened
+    * lazily, closed in a finally) — the statement is prepared once and
+    * reused for every batch the task writes, which is the economics a
+    * networked store needs (the reference likewise keeps one session per
+    * worker, `write.go:70`). A failed commit attempt recycles the
+    * connection, so the retry reopens instead of hammering a broken
+    * session; autoCommit=false means close-without-commit rolls back any
+    * half-applied attempt. */
   def writeTable(df: DataFrame, url: String, table: String, cfg: CopyConfig): Unit = {
     createTable(url, table, df.schema)
     val schema = df.schema
@@ -98,11 +102,15 @@ object JdbcBackend {
       s"INSERT INTO $table (${schema.fieldNames.mkString(", ")}) " +
         s"VALUES (${Array.fill(schema.length)("?").mkString(", ")})"
     val failed = df.sparkSession.sparkContext.longAccumulator("jdbcFailedBatches")
-    BatchingSink.run(df, cfg, { batch =>
-      val conn = DriverManager.getConnection(url)
-      try {
+    BatchingSink.runWith[(java.sql.Connection, java.sql.PreparedStatement)](
+      df, cfg,
+      open = () => {
+        val conn = DriverManager.getConnection(url)
         conn.setAutoCommit(false)
-        val ps = conn.prepareStatement(insertSql)
+        (conn, conn.prepareStatement(insertSql))
+      },
+      commit = { case ((conn, ps), batch) =>
+        ps.clearBatch() // drop leftovers from any failed prior attempt
         batch.foreach { row =>
           var i = 0
           while (i < schema.length) {
@@ -115,9 +123,11 @@ object JdbcBackend {
         }
         ps.executeBatch()
         conn.commit()
-        ps.close()
-      } finally conn.close()
-    }, failed)
+      },
+      close = { case (conn, ps) =>
+        try ps.close() finally conn.close()
+      },
+      failed)
   }
 
   /** Read a JDBC table back as a DataFrame. With `partitionColumn` +

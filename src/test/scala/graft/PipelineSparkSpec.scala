@@ -68,6 +68,31 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(failed.value == 0L)
   }
 
+  test("runWith: one resource per partition, recycled on failure, all closed") {
+    val df = Tables.orders(spark, sf).select("o_orderkey").repartition(4)
+    val n = df.count()
+    val opens = spark.sparkContext.longAccumulator("opens")
+    val closes = spark.sparkContext.longAccumulator("closes")
+    val committed = spark.sparkContext.longAccumulator("committedW")
+    val failed = spark.sparkContext.longAccumulator("failedW")
+    // per-task mutable state: each task deserializes its own copy
+    class Flaky extends ((Unit, Seq[org.apache.spark.sql.Row]) => Unit) with Serializable {
+      var failedOnce = false
+      def apply(r: Unit, batch: Seq[org.apache.spark.sql.Row]): Unit = {
+        if (!failedOnce) { failedOnce = true; sys.error("transient sink hiccup") }
+        committed.add(batch.size.toLong)
+      }
+    }
+    BatchingSink.runWith[Unit](df,
+      CopyConfig(chunkSize = 100, maxAttempts = 3, backoffMs = 0),
+      () => opens.add(1L), new Flaky, _ => closes.add(1L), failed)
+    assert(committed.value == n) // retry recovered every row
+    assert(failed.value == 0L)
+    assert(opens.value == closes.value, "every opened resource is closed")
+    // per partition: 1 lazy open + 1 reopen after the transient failure
+    assert(opens.value == 8L, s"expected 2 opens x 4 partitions, got ${opens.value}")
+  }
+
   test("insert-error budget actually aborts (reference bug #4 fixed)") {
     val df = Tables.orders(spark, sf).select("o_orderkey").limit(500)
     val failed = spark.sparkContext.longAccumulator("failedBatches2")
