@@ -6,8 +6,8 @@ import org.apache.spark.sql.SparkSession
 /** CLI dispatch — the reference's verb surface (`main.go:11-50`,
   * SURVEY.md §2A #22) over the Spark engine:
   *
-  *   graft.Cli write <table> <col,col,...> --in <csvPathOrDir> --out <parquetDir> [flags]
-  *   graft.Cli read  <table> <col,col,...> --in <parquetPath> --out <csvDir> [flags]
+  *   graft.Cli write <table> <col[:type],...> --in <csvPathOrDir> --out <parquetDirOrJdbcUrl> [flags]
+  *   graft.Cli read  <table> <col,col,...> --in <parquetPathOrJdbcUrl> --out <csvDir> [flags]
   *
   * Flags mirror `flag.go` names (SURVEY.md §2C): --header, --null,
   * --bool-style, --time-format, --chunk-size, --max-batch-size,
@@ -15,8 +15,45 @@ import org.apache.spark.sql.SparkSession
   * --num-processes, --offset. `--connect/--keyspace` have no meaning
   * without a cluster; the table argument resolves to parquet here and to
   * a catalog table in production (see Tables).
+  *
+  * TYPED COLUMNS: a column may carry a declared type —
+  * `s_suppkey:long,s_name:string,s_acctbal:double` — playing exactly the
+  * role Cassandra's server-side schema plays for the reference (the
+  * table's types are declared ahead of the copy, and cells resolve
+  * against them; SURVEY.md §1.2). With any type declared, the write verb
+  * parses via the schema'd decode rules and emits typed DDL to a jdbc:
+  * sink (or typed parquet), so CSV → store → CSV round-trips preserve
+  * types with no server-side-schema caveat. With bare names the verb
+  * keeps the reference-compat tagged/stringly contract.
   */
 object Cli {
+
+  /** `name[:type]` column spec → (names, declared schema if any type
+    * present; untyped columns in a typed list default to string). */
+  def parseCols(spec: Seq[String]): (Seq[String], Option[org.apache.spark.sql.types.StructType]) = {
+    import org.apache.spark.sql.types._
+    val parsed = spec.map { s =>
+      s.split(":", 2) match {
+        case Array(n) => (n, None)
+        case Array(n, t) => (n, Some(t match {
+          case "long" | "bigint" => LongType
+          case "double" => DoubleType
+          case "bool" | "boolean" => BooleanType
+          case "timestamp" => TimestampType
+          case "string" | "text" | "varchar" => StringType
+          case other => sys.error(s"unknown column type: $other (want long|double|bool|timestamp|string)")
+        }))
+      }
+    }
+    val names = parsed.map(_._1)
+    names.foreach(Identifiers.requireIdentifier(_, "column"))
+    val schema =
+      if (parsed.forall(_._2.isEmpty)) None
+      else Some(StructType(parsed.map { case (n, t) =>
+        StructField(n, t.getOrElse(StringType))
+      }))
+    (names, schema)
+  }
 
   def parseFlags(args: Seq[String], cfg: CopyConfig = CopyConfig()): (CopyConfig, Map[String, String]) = {
     var c = cfg
@@ -51,57 +88,62 @@ object Cli {
 
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
-      System.err.println("usage: graft.Cli <write|read> <table> <col,col,...> --in <path> --out <path> [flags]")
+      System.err.println("usage: graft.Cli <write|read> <table> <col[:type],...> --in <path> --out <path> [flags]")
       sys.exit(2)
     }
+    val cfgPeek = parseFlags(args.drop(3).toSeq)._1
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${math.max(cfgPeek.numProcesses, 1)}]"))
+      .appName(s"graft-${args(0)}-${args(1)}")
+      .config("spark.sql.shuffle.partitions", math.max(cfgPeek.numProcesses, 1))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try run(args, spark) finally spark.stop()
+  }
+
+  /** Verb dispatch against a caller-owned session (main wraps this; tests
+    * drive it directly). */
+  def run(args: Array[String], spark: SparkSession): Unit = {
     val verb = args(0)
     val table = args(1)
-    val cols = args(2).split(",").toSeq
+    val (cols, declared) = parseCols(args(2).split(",").toSeq)
     Identifiers.requireIdentifier(table, "table")
-    cols.foreach(Identifiers.requireIdentifier(_, "column"))
     val (cfg, other) = parseFlags(args.drop(3).toSeq)
     val in = other.getOrElse("in", sys.error("--in is required"))
     val out = other.getOrElse("out", sys.error("--out is required"))
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${math.max(cfg.numProcesses, 1)}]"))
-      .appName(s"graft-$verb-$table")
-      .config("spark.sql.shuffle.partitions", math.max(cfg.numProcesses, 1))
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    try {
-      verb match {
-        case "write" =>
-          // CSV → typed rows → sink. A jdbc: --out is the reference's
-          // actual shape (CSV → Cassandra ≙ CSV → JDBC store: prepared
-          // INSERT batches, retry, budgets); otherwise parquet files.
-          if (out.startsWith("jdbc:")) {
-            val schema = org.apache.spark.sql.types.StructType(cols.map(c =>
+    verb match {
+      case "write" =>
+        // CSV → typed rows → sink. A jdbc: --out is the reference's
+        // actual shape (CSV → Cassandra ≙ CSV → JDBC store: prepared
+        // INSERT batches, retry, budgets); otherwise parquet files.
+        if (out.startsWith("jdbc:")) {
+          // the declared col:type schema is the server-side-schema
+          // analog; bare names keep the stringly compat contract
+          val schema = declared.getOrElse(
+            org.apache.spark.sql.types.StructType(cols.map(c =>
               org.apache.spark.sql.types.StructField(c,
-                org.apache.spark.sql.types.StringType)))
-            // tagged compat cells don't map to JDBC DDL; string columns do
-            // (the server-side schema is the arbiter, like Cassandra) —
-            // callers wanting typed columns pre-declare them via a typed
-            // store table; the harness demo keeps the stringly contract
-            val (typed, errs) = CopyWrite.read(spark, in, cols, cfg,
-              schema = Some(schema))
-            graft.sources.JdbcBackend.writeTable(typed, out, table, cfg)
-            errs.check()
-            System.err.println(s"[graft] wrote table $table via $out")
-          } else {
-            val (typed, errs) = CopyWrite.read(spark, in, cols, cfg)
-            CopyWrite.sink(typed, out, cfg, errs)
-            System.err.println(s"[graft] wrote ${spark.read.parquet(out).count()} rows to $out")
-          }
-        case "read" =>
-          val src =
-            if (in.startsWith("jdbc:"))
-              graft.sources.JdbcBackend.readTable(spark, in, table)
-                .toDF(cols: _*) // JDBC stores may case-fold identifiers
-            else spark.read.parquet(in)
-          CopyRead.run(spark, src, cols, cols.head, cfg, out)
-          System.err.println(s"[graft] exported $out")
-        case v => sys.error(s"unknown verb: $v (want write|read)")
-      }
-    } finally spark.stop()
+                org.apache.spark.sql.types.StringType))))
+          val (typed, errs) = CopyWrite.read(spark, in, cols, cfg,
+            schema = Some(schema))
+          graft.sources.JdbcBackend.writeTable(typed, out, table, cfg)
+          errs.check()
+          System.err.println(s"[graft] wrote table $table via $out")
+        } else {
+          // declared types → schema'd decode (typed parquet); bare names
+          // → reference-compat tagged cells
+          val (typed, errs) = CopyWrite.read(spark, in, cols, cfg, schema = declared)
+          CopyWrite.sink(typed, out, cfg, errs)
+          System.err.println(s"[graft] wrote ${spark.read.parquet(out).count()} rows to $out")
+        }
+      case "read" =>
+        val src =
+          if (in.startsWith("jdbc:"))
+            graft.sources.JdbcBackend.readTable(spark, in, table)
+              .toDF(cols: _*) // JDBC stores may case-fold identifiers
+          else spark.read.parquet(in)
+        CopyRead.run(spark, src, cols, cols.head, cfg, out)
+        System.err.println(s"[graft] exported $out")
+      case v => sys.error(s"unknown verb: $v (want write|read)")
+    }
   }
 }

@@ -72,7 +72,7 @@ object SparkEntry {
     // but the O(n²) baseline no longer dominates the timed gate (the
     // benchmarked scale path is q42); specs drive the full version
     "q41_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosinePairs(s, d, modSample = 2)),
-    "q42_ann_lsh_pairs" -> Similarity.annLshPairs,
+    "q42_ann_lsh_pairs" -> ((s: SparkSession, d: String) => Similarity.annLshPairs(s, d)),
     // exact keep-list on the q41 subset (oracle-checked); the 100 TB pair
     // source is annLshPairs (exact=false), spec-compared
     "q44_cosine_dedup" -> ((s: SparkSession, d: String) =>

@@ -156,6 +156,23 @@ object Similarity {
   val BITS_PER_BAND: Int = PLANES / SIGN_BANDS
   val DIMS = 64
 
+  /** Bits per band sized to the corpus: a FIXED bucket count is the
+    * classic LSH scale bug — 4-bit bands give 16 buckets forever, so
+    * occupancy grows linearly with n and candidate pairs quadratically
+    * (measured 11.4× time for 10× data in the sf0.1→sf1 probe,
+    * BASELINE.md). Sizing bits ≈ log2(n / target-occupancy) keeps
+    * expected bucket occupancy — and so candidates per vector — constant
+    * as the corpus grows. Floored at [[BITS_PER_BAND]], which is the
+    * size the literal oracle SQL uses: at every driver-checked SF
+    * (n ≤ 2000) the rule lands exactly there, so q42 stays
+    * hash-checkable. Recall note: for genuine near-dups (cos ≥ 0.95,
+    * per-bit collision ≥ 0.9) four 8-bit bands still catch ≥ 90%; the
+    * band count is the recall dial if a corpus needs more. */
+  val TargetOccupancy = 125
+  def bitsForCorpus(n: Long): Int =
+    math.max(BITS_PER_BAND,
+      math.ceil(math.log(math.max(1.0, n.toDouble / TargetOccupancy)) / math.log(2.0)).toInt)
+
   /** Deterministic pseudo-random hyperplanes (±1 components from a
     * splitmix-style hash) — "training" reproducible with no driver
     * state; materialized as literal arrays so each projection is one
@@ -171,21 +188,28 @@ object Similarity {
   private def signBit(vec: Column, p: Int): Column =
     when(vecDot(vec, typedLit(plane(p))) > 0, 1L).otherwise(0L)
 
-  /** ANN via random-hyperplane LSH: 16 sign bits per vector, 4 bands of
-    * 4 bits; vectors sharing any band bucket become candidates (equi-join
-    * on (band, bits)); candidates dedup to id pairs BEFORE re-joining
-    * vectors, then verify with one exact dot each. No cross join anywhere
-    * — the 100 TB plan shape. Approximate by design (banding trades
-    * recall for candidates) → rows-only; exactness oracle is q41. */
-  def annLshPairs(s: SparkSession, d: String): DataFrame = {
+  /** ANN via random-hyperplane LSH: sign bits per vector in
+    * [[SIGN_BANDS]] bands; vectors sharing any band bucket become
+    * candidates (equi-join on (band, bits)); candidates dedup to id
+    * pairs BEFORE re-joining vectors, then verify with one exact dot
+    * each. No cross join anywhere — the 100 TB plan shape. Band WIDTH
+    * auto-sizes to the corpus ([[bitsForCorpus]]; pass `bitsPerBand > 0`
+    * to pin it) so bucket occupancy stays constant as data grows.
+    * Approximate by design (banding trades recall for candidates) →
+    * rows-only; exactness oracle is q41. */
+  def annLshPairs(s: SparkSession, d: String, bitsPerBand: Int = 0): DataFrame = {
     val e = withNorm(s, d)
+    // metadata-cheap count: "training" the signature size, one job
+    val bpb = if (bitsPerBand > 0) bitsPerBand
+      else bitsForCorpus(Tables.embeddings(s, d).count())
+    val planes = SIGN_BANDS * bpb
     val sig = e.select(
       col("vec_id"),
-      array((0 until PLANES).map(p => signBit(col("embedding"), p)): _*).as("bits"))
+      array((0 until planes).map(p => signBit(col("embedding"), p)): _*).as("bits"))
     val banded = sig.select(
       col("vec_id"),
       posexplode(array((0 until SIGN_BANDS).map { b =>
-        concat_ws(",", (0 until BITS_PER_BAND).map(r => col("bits")(b * BITS_PER_BAND + r)): _*)
+        concat_ws(",", (0 until bpb).map(r => col("bits")(b * bpb + r)): _*)
       }: _*)).as(Seq("band", "bucket")))
     val cand = banded.as("a")
       .join(banded.as("b"),
@@ -207,7 +231,10 @@ object Similarity {
     * lists — DuckDB recomputes sign bits, value-keyed band buckets,
     * candidate dedup, and the exact-cosine verify with
     * `list_dot_product`. The "approximate" in ANN is a fixed determinate
-    * function, so it IS hash-checkable. */
+    * function, so it IS hash-checkable. The literals mirror the
+    * [[BITS_PER_BAND]] floor config, which [[bitsForCorpus]] selects at
+    * every driver-checked SF (n ≤ 2000) — the auto-sizing only departs
+    * from it on corpora the oracle never runs on. */
   def annLshPairsSql: String = {
     def planeList(p: Int): String =
       plane(p).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")

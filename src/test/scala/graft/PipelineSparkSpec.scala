@@ -116,6 +116,38 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalStateException](errs.check())
   }
 
+  test("CLI typed jdbc round-trip: CSV -> Derby typed DDL -> CSV preserves types") {
+    val base = s"/root/repo/target/tmp/cli_typed_${java.util.UUID.randomUUID().toString.take(8)}"
+    val csvIn = s"$base/in"
+    new java.io.File(csvIn).mkdirs()
+    val lines = Seq(
+      "1,\"alpha\",3.5,true,2024-01-02 03:04:05+0000",
+      "2,\"beta, with comma\",-0.25,false,2024-06-07 08:09:10+0000",
+      "3,\"gamma \"\"q\"\"\",12.0,true,2024-12-31 23:59:59+0000")
+    val pw = new java.io.PrintWriter(s"$csvIn/part-0.csv")
+    lines.foreach(pw.println); pw.close()
+    val url = graft.sources.JdbcBackend.derbyUrl(s"$base/db")
+    // write verb with DECLARED types → typed decode + typed DDL
+    Cli.run(Array("write", "cli_rt",
+      "id:long,name:string,score:double,flag:bool,ts:timestamp",
+      "--in", csvIn, "--out", url), spark)
+    val conn = java.sql.DriverManager.getConnection(url)
+    val md = conn.getMetaData.getColumns(null, null, "CLI_RT", null)
+    val types = scala.collection.mutable.Map[String, String]()
+    while (md.next())
+      types(md.getString("COLUMN_NAME").toLowerCase) = md.getString("TYPE_NAME")
+    conn.close()
+    assert(types("id") == "BIGINT" && types("score") == "DOUBLE"
+      && types("flag") == "BOOLEAN" && types("ts") == "TIMESTAMP"
+      && types("name").startsWith("VARCHAR"))
+    // read verb: Derby → CSV; typed quoting must reproduce the input
+    val csvOut = s"$base/out"
+    Cli.run(Array("read", "cli_rt", "id,name,score,flag,ts",
+      "--in", url, "--out", csvOut), spark)
+    val out = spark.read.textFile(csvOut).collect().sorted
+    assert(out.toSeq == lines)
+  }
+
   test("approx_count_distinct stays within the configured 2% rsd envelope") {
     val rows = Relational.approxDistinctUsers(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -279,6 +311,23 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       val k = (r.getAs[Long]("id1"), r.getAs[Long]("id2"))
       assert(exact.get(k).contains(r.getAs[Double]("cos")),
         s"ANN pair $k not in exact baseline (or cosine differs)")
+    }
+  }
+
+  test("LSH band width sizes to corpus: floor at driver SFs, grows with n") {
+    // every driver-checked corpus (n<=2000) must land on the oracle's
+    // literal 4-bit config; beyond that occupancy stays ~constant
+    assert(Similarity.bitsForCorpus(500) == 4)
+    assert(Similarity.bitsForCorpus(2000) == 4)
+    assert(Similarity.bitsForCorpus(20000) == 8)   // synthetic sf1
+    assert(Similarity.bitsForCorpus(2000000) == 14)
+    // wider bands must not surface pairs outside the exact baseline
+    val exact = Similarity.cosinePairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) -> r.getAs[Double]("cos")).toMap
+    val wide = Similarity.annLshPairs(spark, sf, bitsPerBand = 6).collect()
+    wide.foreach { r =>
+      val k = (r.getAs[Long]("id1"), r.getAs[Long]("id2"))
+      assert(exact.get(k).contains(r.getAs[Double]("cos")))
     }
   }
 
