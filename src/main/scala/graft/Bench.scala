@@ -99,7 +99,12 @@ object Bench {
       stats.map(t => "\"" + t._1 + "\":" + f"${f(t)}%.3f").mkString("{", ",", "}")
     def tot(f: ((String, Double, Double, Double)) => Double): Double =
       stats.map(f).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":${tot(_._2)}%.3f,"unit":"sec","queries":${obj(_._2)},"total_min":${tot(_._3)}%.3f,"queries_min":${obj(_._3)},"total_mean":${tot(_._4)}%.3f,"queries_mean":${obj(_._4)},"n_samples":$passes,"stat":"median","forced_eval":"noop_sink","sf":"$sfDir"}""")
+    // per-query successful sample counts: a query that failed some passes
+    // has stats over fewer samples than n_samples claims (r3 advice) —
+    // make that visible instead of overstating flaky queries
+    val perQueryN = names.map(n => "\"" + n + "\":" + samples(n).size).mkString("{", ",", "}")
+    val failedPasses = names.map(n => passes - samples(n).size).sum
+    println(f"""{"metric":"total","value":${tot(_._2)}%.3f,"unit":"sec","queries":${obj(_._2)},"total_min":${tot(_._3)}%.3f,"queries_min":${obj(_._3)},"total_mean":${tot(_._4)}%.3f,"queries_mean":${obj(_._4)},"n_samples":$passes,"queries_n":$perQueryN,"failed_passes":$failedPasses,"stat":"median","forced_eval":"noop_sink","sf":"$sfDir"}""")
     spark.stop()
   }
 }

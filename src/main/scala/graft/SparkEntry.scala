@@ -68,15 +68,16 @@ object SparkEntry {
     "q35_simhash" -> Dedup.simhash,
     "q36_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q40_cosine_topk" -> Similarity.cosineTopK,
-    // gate runs the deterministic 1-in-2 subset: exact + oracle-checked,
-    // but the O(n²) baseline no longer dominates the timed gate (the
-    // benchmarked scale path is q42); specs drive the full version
-    "q41_cosine_pairs" -> ((s: SparkSession, d: String) => Similarity.cosinePairs(s, d, modSample = 2)),
+    // gate runs a deterministic subsample with a CONSTANT pair budget:
+    // the stride auto-sizes to the corpus (ceil(n/1000), floored at the
+    // oracle's 1-in-2 literal for every driver-checked SF) so the exact
+    // O(n²) baseline stays bounded as data grows; the benchmarked scale
+    // path is q42, and specs drive the full modSample=1 version
+    "q41_cosine_pairs" -> Similarity.cosinePairsAuto _,
     "q42_ann_lsh_pairs" -> ((s: SparkSession, d: String) => Similarity.annLshPairs(s, d)),
     // exact keep-list on the q41 subset (oracle-checked); the 100 TB pair
     // source is annLshPairs (exact=false), spec-compared
-    "q44_cosine_dedup" -> ((s: SparkSession, d: String) =>
-      Similarity.cosineDedup(s, d, modSample = 2)),
+    "q44_cosine_dedup" -> Similarity.cosineDedupAuto _,
     "q43_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
     "q50_infer_cascade" -> Pipelines.inferCascade,
     "q51_csv_roundtrip" -> Pipelines.csvRoundtrip,

@@ -1,9 +1,12 @@
 package graft.ops
 
+import java.lang.ref.WeakReference
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
-/** Memoized persisted subtrees shared ACROSS gate queries.
+/** Memoized persisted subtrees (and corpus-sizing counts) shared ACROSS
+  * gate queries.
   *
   * Motivation (r2 verdict "What's wrong #2"): the near-dup keep-lists are
   * anti-joins against the near-dup PAIR queries — q37 needs q32's pairs,
@@ -19,28 +22,51 @@ import org.apache.spark.storage.StorageLevel
   * Persistence hygiene: `spark.catalog.clearCache()` (bench pass
   * boundaries, verify isolation) unpersists the data but leaves the plan
   * valid — [[cached]] re-persists on next access, so a cleared entry
-  * costs one recompute, never a correctness change. Entries are keyed
-  * weakly by session: a stopped session's plans become unreachable
-  * together with the session object.
+  * costs one recompute, never a correctness change.
+  *
+  * GC hygiene (r3 advice): a DataFrame strongly references its
+  * SparkSession, so holding DataFrames as strong WeakHashMap VALUES would
+  * pin the weak session KEY forever. Values are therefore held behind
+  * [[WeakReference]]s: the session (and its plans) become collectable the
+  * moment no caller retains them, and a collected entry just means one
+  * rebuild of a driver-side plan — Spark's CacheManager matches the
+  * rebuilt (canonically identical) subtree against any still-cached data,
+  * so even then the persisted rows are reused, not recomputed.
   */
 object SharedPlans {
-  private val bySession =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+  private final class Entry {
+    val plans = scala.collection.mutable.Map.empty[String, WeakReference[DataFrame]]
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+  }
+  private val bySession = new java.util.WeakHashMap[SparkSession, Entry]()
+
+  private def entryFor(s: SparkSession): Entry = {
+    val existing = bySession.get(s)
+    if (existing != null) existing
+    else { val fresh = new Entry; bySession.put(s, fresh); fresh }
+  }
 
   def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     synchronized {
-      val m = {
-        val existing = bySession.get(s)
-        if (existing != null) existing
-        else {
-          val fresh = scala.collection.mutable.Map.empty[String, DataFrame]
-          bySession.put(s, fresh)
-          fresh
-        }
+      val m = entryFor(s).plans
+      val df = m.get(key).flatMap(r => Option(r.get())) match {
+        case Some(live) => live
+        case None =>
+          val built = build.persist(StorageLevel.MEMORY_AND_DISK)
+          m(key) = new WeakReference(built)
+          built
       }
-      val df = m.getOrElseUpdate(key, build.persist(StorageLevel.MEMORY_AND_DISK))
       if (df.storageLevel == StorageLevel.NONE)
         df.persist(StorageLevel.MEMORY_AND_DISK)
       df
+    }
+
+  /** Memoized scalar count per (session, key) — e.g. the corpus size that
+    * "trains" LSH signature width or the exact-baseline sample stride.
+    * Parquet-metadata counts are cheap but they are still one Spark job
+    * per call; sizing decisions should pay it once per session+dir. */
+  def cachedCount(s: SparkSession, key: String)(compute: => Long): Long =
+    synchronized {
+      entryFor(s).counts.getOrElseUpdate(key, compute)
     }
 }

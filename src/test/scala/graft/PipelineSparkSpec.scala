@@ -340,6 +340,35 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sampled == full)
   }
 
+  test("q41 auto stride: constant pair budget — floors at driver SFs, grows with n") {
+    // every driver-checked corpus (n<=2000) lands on the oracle's
+    // `vec_id % 2` literal; beyond that the sampled set stays ~constant
+    assert(Similarity.modSampleForCorpus(500) == 2)
+    assert(Similarity.modSampleForCorpus(2000) == 2)
+    assert(Similarity.modSampleForCorpus(20000) == 20)    // synthetic sf1
+    assert(Similarity.modSampleForCorpus(2000000) == 2000)
+    for (n <- Seq(2000L, 20000L, 2000000L))
+      assert(n / Similarity.modSampleForCorpus(n) <= Similarity.TargetSample)
+    // at driver SFs the auto face IS the oracle-checked 1-in-2 subset
+    val auto = Similarity.cosinePairsAuto(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Double]("cos"))).toSet
+    val fixed = Similarity.cosinePairs(spark, sf, modSample = 2).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Double]("cos"))).toSet
+    assert(auto == fixed)
+    val autoKeep = Similarity.cosineDedupAuto(spark, sf).collect().map(_.getLong(0)).toSet
+    val fixedKeep = Similarity.cosineDedup(spark, sf, modSample = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(autoKeep == fixedKeep)
+  }
+
+  test("SharedPlans.cachedCount runs the sizing job once per (session, key)") {
+    var calls = 0
+    def get() = SharedPlans.cachedCount(spark, "spec-sizing-key") { calls += 1; 42L }
+    assert(get() == 42L)
+    assert(get() == 42L)
+    assert(calls == 1)
+  }
+
   test("JDBC (Derby) round-trip through the batching sink is lossless") {
     import org.apache.spark.sql.functions._
     val db = s"/root/repo/target/tmp/derby_spec_${java.util.UUID.randomUUID().toString.take(8)}"
