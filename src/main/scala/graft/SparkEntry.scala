@@ -189,8 +189,9 @@ object SparkEntry {
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtripSql,
     "q56_double_cascade" -> Pipelines.doubleCascadeSql,
     "q60_media_meta" -> Multimodal.mediaMetaSql,
-    // q61: mixed-kind summary includes the video FakeCodec seam → rows-only;
-    // the real-decode faces q64/q65 below are hash-checked.
+    // q61: all three decode paths (PNG, WAV, GFV1 video container) have
+    // closed-form stats in doc_id → the mixed-kind summary hash-checks.
+    "q61_media_decode_summary" -> Multimodal.decodeSummarySql,
     "q64_image_decode" -> Multimodal.imageDecodeSql,
     "q65_audio_decode" -> Multimodal.audioDecodeSql,
     "q63_sessionize_batch" ->

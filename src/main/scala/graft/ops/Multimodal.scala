@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   * queries (q64/q65) are ORACLE-CHECKED: DuckDB recomputes the expected
   * width/height/pixel-sum and frame/sample sums from `doc_id` alone,
   * while Spark must round-trip actual PNG/WAV bytes through a real
-  * decoder to match. Only VIDEO decode remains a deterministic stub
-  * ([[FakeCodec]]) — the JDK has no video codec; that seam is where a
-  * production FFmpeg-style decoder plugs in.
+  * decoder to match. VIDEO has no JDK codec, so it uses a deterministic
+  * GFV1 binary container (real header encode/parse round-trip,
+  * closed-form stats — q61 is oracle-checked too); the frame-data
+  * decode inside it is the seam where a production FFmpeg-style decoder
+  * plugs in. [[FakeCodec]] remains for opaque payloads.
   *
   * Scale: payloads stay opaque binary end-to-end (no driver collect, no
   * string round-trip); per-partition batching keeps codec state (an
@@ -170,8 +172,44 @@ object Multimodal {
         nFrames * 1000L / fmt.getSampleRate.toLong, sum)
     }
 
-    /** Kind dispatch for the batched decode seam. Video falls back to
-      * the documented [[FakeCodec]] stub (no JDK video codec). */
+    // ---- video: deterministic container stub (the JDK has no video
+    // codec, so this is the documented FFmpeg seam) — but the CONTAINER
+    // is a real binary format: a big-endian header (magic, width,
+    // height, duration) followed by per-frame filler bytes, written by
+    // the encoder and parsed back by the decoder. Stats are closed-form
+    // in doc_id, so the mixed-kind summary (q61) is oracle-checkable
+    // exactly like the PNG/WAV faces (q64/q65). ----
+    val VideoMagic = 0x47465631 // "GFV1"
+    def videoWidth(docId: Long): Int = (docId % 320 + 16).toInt
+    def videoHeight(docId: Long): Int = (docId % 240 + 16).toInt
+    def videoDurationMs(docId: Long): Long = docId % 59000 + 1000
+
+    def encodeVideo(docId: Long): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(VideoMagic)
+      out.writeInt(videoWidth(docId))
+      out.writeInt(videoHeight(docId))
+      out.writeLong(videoDurationMs(docId))
+      // deterministic frame filler — keeps the payload opaque-binary
+      // shaped (n_bytes varies per row) without bloating the fixture
+      val n = (docId % 100 + 10).toInt
+      var i = 0
+      while (i < n) { out.writeByte(((docId * 17 + i * 29) % 256).toInt); i += 1 }
+      bos.toByteArray
+    }
+
+    def decodeVideo(bytes: Array[Byte]): Decoded = {
+      val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+      require(in.readInt() == VideoMagic, "payload is not a GFV1 video container")
+      Decoded(0L, "video", in.readInt(), in.readInt(), 3, in.readLong(),
+        bytes.length.toLong)
+    }
+
+    /** Kind dispatch for the batched decode seam. Video parses the
+      * deterministic [[encodeVideo]] container (real header round-trip;
+      * the frame DATA decode is the production-codec seam). Unknown
+      * kinds fall back to the opaque [[FakeCodec]]. */
     def decode(r: MediaRow): Decoded = r.kind match {
       case "image" =>
         val st = decodeImage(r.payload)
@@ -181,6 +219,8 @@ object Multimodal {
         val st = decodeAudio(r.payload)
         Decoded(r.media_id, r.kind, 0, 0, st.nChannels,
           st.durationMs, r.payload.length.toLong)
+      case "video" =>
+        decodeVideo(r.payload).copy(media_id = r.media_id)
       case _ => FakeCodec.decode(r)
     }
   }
@@ -203,20 +243,20 @@ object Multimodal {
   }
 
   /** Decodable media table: REAL PNG payloads for image rows, REAL WAV
-    * payloads for audio rows (encoded per partition in executors —
-    * deterministic content, see [[JdkCodec]]); video keeps opaque text
-    * bytes for the FakeCodec seam. Same schema as [[mediaTable]]. */
+    * payloads for audio rows, GFV1 container payloads for video rows
+    * (encoded per partition in executors — deterministic content, see
+    * [[JdkCodec]]). Same schema as [[mediaTable]]. */
   def realMediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), col("source"), col("lang"))
-      .as[(Long, String, String, String)]
+      .select(col("doc_id"), col("source"), col("lang"))
+      .as[(Long, String, String)]
       .mapPartitions { it =>
-        it.map { case (docId, text, source, lang) =>
+        it.map { case (docId, source, lang) =>
           (docId % 3) match {
             case 0 => MediaRow(docId, "image", JdkCodec.encodePng(docId), source, lang)
             case 1 => MediaRow(docId, "audio", JdkCodec.encodeWav(docId), source, lang)
-            case _ => MediaRow(docId, "video", text.getBytes("UTF-8"), source, lang)
+            case _ => MediaRow(docId, "video", JdkCodec.encodeVideo(docId), source, lang)
           }
         }
       }
@@ -341,10 +381,15 @@ object Multimodal {
       |GROUP BY 1, 2, 3, 4, 5
       |ORDER BY doc_id""".stripMargin
 
-  /** Decode + resize + frame-sample pipeline, summarized per kind. Image
-    * and audio go through the REAL JDK codecs; video through the
-    * documented fake — the mixed-kind summary stays rows-only (its
-    * per-kind real-decode faces are q64/q65, oracle-checked). */
+  /** q61 — decode + resize + frame-sample pipeline, summarized per kind,
+    * ORACLE-CHECKED: image and audio go through the REAL JDK codecs,
+    * video through the deterministic GFV1 container parse — every
+    * decoded stat is closed-form in doc_id, so DuckDB recomputes the
+    * per-kind summary while Spark must round-trip real bytes through
+    * all three decoders. Resize(512) is an identity on this corpus
+    * (every width/height < 512 by construction), which keeps the
+    * float-free summary exactly recomputable; the resize math itself is
+    * spec-covered. */
   def decodeSummary(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dec = decodeAll(realMediaTable(s, d))
@@ -358,4 +403,22 @@ object Multimodal {
         sum(col("n_frames")).as("total_frames"))
       .orderBy(col("kind"))
   }
+
+  /** DuckDB recomputes the q61 summary from doc_id alone: dims are the
+    * closed-form encode functions (image (doc_id%13+4)×(doc_id%11+4),
+    * audio 0×0, video (doc_id%320+16)×(doc_id%240+16)); frame-sample
+    * count is 1 when duration is 0 (images), else 4 (audio durations are
+    * ≥ 12 ms, video ≥ 1000 ms by construction). */
+  val decodeSummarySql: String =
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS m FROM documents),
+      | stats AS (
+      |  SELECT CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    CASE m WHEN 0 THEN greatest(doc_id % 13 + 4, doc_id % 11 + 4)
+      |           WHEN 1 THEN 0
+      |           ELSE greatest(doc_id % 320 + 16, doc_id % 240 + 16) END AS max_dim,
+      |    CASE m WHEN 0 THEN 1 ELSE 4 END AS n_frames
+      |  FROM d)
+      |SELECT kind, count(*) AS n, CAST(max(max_dim) AS BIGINT) AS largest_dim,
+      |  CAST(sum(n_frames) AS BIGINT) AS total_frames
+      |FROM stats GROUP BY kind ORDER BY kind""".stripMargin
 }

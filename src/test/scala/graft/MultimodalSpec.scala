@@ -111,10 +111,45 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("decodeSummary drives the mixed-kind pipeline through real codecs") {
+  test("GFV1 video container round-trip: encode → parse → closed-form stats") {
+    for (docId <- Seq(2L, 5L, 80L, 998L, 65537L)) {
+      val bytes = JdkCodec.encodeVideo(docId)
+      val d = JdkCodec.decodeVideo(bytes)
+      assert(d.width == JdkCodec.videoWidth(docId))
+      assert(d.height == JdkCodec.videoHeight(docId))
+      assert(d.duration_ms == JdkCodec.videoDurationMs(docId))
+      assert(d.n_channels == 3 && d.n_bytes == bytes.length.toLong)
+      // dims stay under the q61 resize bound by construction, so
+      // resize(512) is the identity the oracle SQL assumes
+      assert(math.max(d.width, d.height) < 512 && d.duration_ms > 0)
+    }
+    val bad = JdkCodec.encodeVideo(2L); bad(0) = 0
+    intercept[IllegalArgumentException](JdkCodec.decodeVideo(bad))
+  }
+
+  test("decodeSummary matches closed-form per-kind stats (q61 oracle shape)") {
+    val ids = Tables.documents(spark, sf).select(col("doc_id")).collect().map(_.getLong(0))
+    val byKind = ids.groupBy(id => (id % 3) match {
+      case 0 => "image"; case 1 => "audio"; case _ => "video" })
+    val expect = byKind.map { case (k, xs) =>
+      val maxDim = k match {
+        case "image" => xs.map(id =>
+          math.max(JdkCodec.imageWidth(id), JdkCodec.imageHeight(id)).toLong).max
+        case "audio" => 0L
+        case _ => xs.map(id =>
+          math.max(JdkCodec.videoWidth(id), JdkCodec.videoHeight(id)).toLong).max
+      }
+      val frames = if (k == "image") xs.length.toLong else 4L * xs.length
+      k -> ((xs.length.toLong, maxDim, frames))
+    }
     val rows = Multimodal.decodeSummary(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
-    rows.foreach(r => assert(r.getLong(1) > 0))
+    rows.foreach { r =>
+      val (n, maxDim, frames) = expect(r.getString(0))
+      assert(r.getLong(1) == n, s"${r.getString(0)} count")
+      assert(r.getLong(2) == maxDim, s"${r.getString(0)} largest_dim")
+      assert(r.getLong(3) == frames, s"${r.getString(0)} total_frames")
+    }
   }
 
   test("features: 16-dim normalized byte histogram, unit mass") {
