@@ -20,8 +20,12 @@ object Profile {
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- names; i <- 1 to repeat) {
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"$name run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs ($n rows)")
+      // noop DSv2 sink: full evaluation of every output row, same forced
+      // eval as Bench (`.count()` would prune the very projections being
+      // profiled)
+      graft.SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"$name run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     spark.stop()
   }
