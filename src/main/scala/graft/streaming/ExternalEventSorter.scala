@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+
+import graft.streaming.Sessionize.Event
+
+/** Bounded-memory (ts, event_type) sort for ONE key's event slice.
+  *
+  * [[Sessionize.sessions]] must feed its state transition time-ordered
+  * events, but `flatMapGroupsWithState` hands each key an UNORDERED
+  * iterator — and sorting by `it.toSeq` materializes a hot key's whole
+  * micro-batch slice in task memory (the r2/r3 verdict carry-item). This
+  * sorter is the external-merge answer: buffer at most `maxInMem` events,
+  * spill each full buffer to a temp file as a sorted run (compact binary
+  * encoding, no JVM object retention), then stream a k-way merge of the
+  * in-memory tail plus all runs. Task memory is O(maxInMem + #runs) and a
+  * hot key costs sequential disk I/O instead of an OOM — the same
+  * bargain WindowExec's spilling sort makes for the batch face
+  * ([[Sessionize.sessionsBatch]]).
+  *
+  * Run files live in `java.io.tmpdir` (Spark points this at executor
+  * scratch space on a cluster) and are deleted as soon as each run is
+  * exhausted, with `deleteOnExit` as the abnormal-termination backstop.
+  */
+final class ExternalEventSorter(maxInMem: Int) {
+  require(maxInMem > 0, "maxInMem must be positive")
+
+  private val runs = scala.collection.mutable.ArrayBuffer.empty[Path]
+
+  /** Number of runs spilled to disk (0 = the slice fit in memory). */
+  def nSpilledRuns: Int = runs.size
+
+  private val ord: Ordering[Event] =
+    Ordering.by((e: Event) => (e.ts.getTime, e.event_type))
+
+  private def spill(buf: scala.collection.mutable.ArrayBuffer[Event]): Unit = {
+    val sorted = buf.sorted(ord)
+    val path = Files.createTempFile("graft-sess-run", ".bin")
+    path.toFile.deleteOnExit()
+    val out = new DataOutputStream(new BufferedOutputStream(
+      Files.newOutputStream(path), 1 << 16))
+    try sorted.foreach { e =>
+      out.writeLong(e.user_id); out.writeLong(e.ts.getTime)
+      out.writeUTF(e.event_type); out.writeDouble(e.value)
+    } finally out.close()
+    runs += path
+  }
+
+  private def readRun(path: Path): Iterator[Event] = new Iterator[Event] {
+    private val in = new DataInputStream(new BufferedInputStream(
+      Files.newInputStream(path), 1 << 16))
+    private var nextEvent: Event = advance()
+    private def advance(): Event =
+      try Event(in.readLong(), new Timestamp(in.readLong()), in.readUTF(), in.readDouble())
+      catch { case _: EOFException => in.close(); Files.deleteIfExists(path); null }
+    def hasNext: Boolean = nextEvent != null
+    def next(): Event = { val e = nextEvent; nextEvent = advance(); e }
+  }
+
+  /** Consume `events`, return them ordered by (ts, event_type). The
+    * result is a streaming iterator: merged lazily, runs deleted as they
+    * drain. Single-shot — call once per sorter instance. */
+  def sorted(events: Iterator[Event]): Iterator[Event] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[Event]
+    while (events.hasNext) {
+      buf += events.next()
+      if (buf.size >= maxInMem) { spill(buf); buf.clear() }
+    }
+    val tail = buf.sorted(ord).iterator
+    if (runs.isEmpty) tail
+    else {
+      // k-way merge: min-heap of (head, source); ties resolved by the
+      // same (ts, event_type) key, so the merge IS the sort order
+      val heads = (tail +: runs.map(readRun).toSeq).filter(_.hasNext)
+      val pq = new scala.collection.mutable.PriorityQueue[(Event, Iterator[Event])]()(
+        Ordering.by[(Event, Iterator[Event]), Event](_._1)(ord.reverse))
+      heads.foreach(it => pq.enqueue((it.next(), it)))
+      new Iterator[Event] {
+        def hasNext: Boolean = pq.nonEmpty
+        def next(): Event = {
+          val (e, it) = pq.dequeue()
+          if (it.hasNext) pq.enqueue((it.next(), it))
+          e
+        }
+      }
+    }
+  }
+}

@@ -63,18 +63,26 @@ object Sessionize {
     SessionOut(uid, new Timestamp(s.start), new Timestamp(s.lastTs),
       s.nEvents, s.sumValue, s.types.size, why)
 
+  /** Hot-key guard: a key's micro-batch slice sorts through
+    * [[ExternalEventSorter]] with at most this many events in task
+    * memory; beyond it, sorted runs spill to executor scratch disk and
+    * stream back through a k-way merge. ~64k events ≈ a few MB. */
+  val MaxBufferedEvents: Int = 64 * 1024
+
   /** Streaming/batch sessionization. In streaming, state times out on
     * event-time (watermark-driven). In batch, timeouts never fire, so
     * batch callers get only gap-closed sessions unless `flushOpen` also
     * emits the still-open session per key at end of input.
     *
     * Scale note: each invocation sorts ONE key's events from ONE
-    * micro-batch (bounded by trigger interval) — fine in streaming. For
-    * whole-history batch sessionization of a skewed corpus prefer
-    * [[sessionsBatch]], whose window sort spills to disk instead of
-    * buffering a hot key's full event list in task memory. */
+    * micro-batch with BOUNDED task memory — a hot key spills sorted runs
+    * to disk ([[ExternalEventSorter]], `maxBuffered`) instead of
+    * materializing its whole slice. For whole-history batch
+    * sessionization of a skewed corpus still prefer [[sessionsBatch]],
+    * which keeps the per-key sort inside WindowExec's spilling sort. */
   def sessions(events: Dataset[Event], gapMs: Long = DefaultGapMs,
-      flushOpen: Boolean = false): Dataset[SessionOut] = {
+      flushOpen: Boolean = false,
+      maxBuffered: Int = MaxBufferedEvents): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -87,7 +95,8 @@ object Sessionize {
             state.remove()
             closed.iterator
           } else {
-            val (closed, next) = step(state.getOption, it.toSeq, gapMs)
+            val (closed, next) = stepOrdered(state.getOption,
+              new ExternalEventSorter(maxBuffered).sorted(it), gapMs)
             var expiredNow: Seq[SessionOut] = Seq.empty
             next match {
               case Some(sess) =>

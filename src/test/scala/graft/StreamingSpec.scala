@@ -154,6 +154,57 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hotSessions.length == 100) // 5000 events / 50-event sessions
   }
 
+  test("ExternalEventSorter: spills past the buffer bound, merge equals full sort") {
+    import graft.streaming.{ExternalEventSorter, Sessionize}
+    val rnd = new scala.util.Random(42)
+    val events = (0 until 20000).map { i =>
+      Sessionize.Event(7L, new java.sql.Timestamp(rnd.nextInt(1000000).toLong),
+        s"t${rnd.nextInt(5)}", i * 0.25)
+    }
+    val sorter = new ExternalEventSorter(512) // force ~39 spilled runs
+    val got = sorter.sorted(events.iterator).toVector
+    assert(sorter.nSpilledRuns > 10, s"expected spills, got ${sorter.nSpilledRuns}")
+    assert(got.size == events.size)
+    val keys = got.map(e => (e.ts.getTime, e.event_type))
+    assert(keys == keys.sorted) // globally ordered despite chunked runs
+    // multiset equality with the input (no event lost or duplicated)
+    assert(got.groupBy(identity).view.mapValues(_.size).toMap ==
+      events.groupBy(identity).view.mapValues(_.size).toMap)
+    // in-memory fast path: no spill, same contract
+    val small = new ExternalEventSorter(1 << 20)
+    assert(small.sorted(events.take(100).iterator).toVector
+      .map(e => (e.ts.getTime, e.event_type)).sliding(2).forall(p => p.size < 2 ||
+        Ordering[(Long, String)].lteq(p(0), p(1))))
+    assert(small.nSpilledRuns == 0)
+  }
+
+  test("sessions hot key: bounded buffer (forced spills) matches unbounded result") {
+    import graft.streaming.Sessionize
+    val s = spark
+    import s.implicits._
+    // one hot user whose slice (10k events) far exceeds the 256-event
+    // buffer — the guard must spill-sort, not materialize the slice
+    val hot = {
+      var t = 0L
+      (0 until 10000).map { i =>
+        if (i > 0) t += (if (i % 100 == 0) 7200000L else 500L)
+        Sessionize.Event(-9L, new java.sql.Timestamp(t), s"t${i % 4}", 1.0)
+      }
+    }
+    val ev = new scala.util.Random(7).shuffle(hot).toDS().repartition(1)
+    val gap = 60 * 60 * 1000L
+    def key(x: Sessionize.SessionOut) =
+      (x.user_id, x.session_start.getTime, x.session_end.getTime,
+        x.n_events, x.n_types, x.closed_by)
+    val bounded = Sessionize.sessions(ev, gap, flushOpen = true, maxBuffered = 256)
+      .collect().map(key).sorted.toSeq
+    val reference = Sessionize.sessions(ev, gap, flushOpen = true)
+      .collect().map(key).sorted.toSeq
+    assert(bounded == reference)
+    assert(bounded.length == 100) // 10000 events / 100-event sessions
+    assert(bounded.map(_._4).sum == 10000L)
+  }
+
   test("windowed event counts with watermark produce bounded-state plan") {
     // batch-mode check of the same transformation (streaming plan tested
     // via the analyzer accepting watermark + window grouping)
