@@ -136,11 +136,22 @@ object Cli {
           System.err.println(s"[graft] wrote ${spark.read.parquet(out).count()} rows to $out")
         }
       case "read" =>
-        val src =
+        val raw =
           if (in.startsWith("jdbc:"))
             graft.sources.JdbcBackend.readTable(spark, in, table)
               .toDF(cols: _*) // JDBC stores may case-fold identifiers
           else spark.read.parquet(in)
+        // declared col:type on the read side is the EXPORT contract,
+        // symmetric with write: cast before rendering, so a store that
+        // surfaces wider types (e.g. DECIMAL for a double column, or a
+        // strings-only staging table) still exports the declared types
+        // with their typed CSV quoting
+        val src = declared match {
+          case Some(schema) => raw.select(schema.fields.map(f =>
+            org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+              .as(f.name)).toIndexedSeq: _*)
+          case None => raw
+        }
         CopyRead.run(spark, src, cols, cols.head, cfg, out)
         System.err.println(s"[graft] exported $out")
       case v => sys.error(s"unknown verb: $v (want write|read)")

@@ -26,6 +26,7 @@ object Profile {
       graft.SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       println(f"$name run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      spark.catalog.clearCache() // runs stay independent (SharedPlans re-persists)
     }
     spark.stop()
   }

@@ -34,7 +34,15 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
 
   private val Stride = 10000000L
-  private val Alpha = "abcdefghij"
+  // FULL lowercase alphabet: a partial rotation (first 10 letters only)
+  // left words composed of k-z letters identical across copies, so
+  // word-hash-based signatures (simhash) stayed correlated and every
+  // cross-copy clone pair fell within the hamming threshold — the pair
+  // OUTPUT grew quadratically with copies (measured 10× pairs for 3×
+  // data) and made a complete, linear-shaped operator read superlinear.
+  // Rotating all 26 letters decorrelates cross-copy words entirely while
+  // keeping within-copy equality exact (it is still a bijection).
+  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
 
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -146,6 +146,14 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       "--in", url, "--out", csvOut), spark)
     val out = spark.read.textFile(csvOut).collect().sorted
     assert(out.toSeq == lines)
+    // read verb with DECLARED types (symmetric with write): casts apply
+    // before rendering, so the typed export contract holds even when the
+    // source surfaces different types — same bytes out here
+    val csvOutTyped = s"$base/out_typed"
+    Cli.run(Array("read", "cli_rt",
+      "id:long,name:string,score:double,flag:bool,ts:timestamp",
+      "--in", url, "--out", csvOutTyped), spark)
+    assert(spark.read.textFile(csvOutTyped).collect().sorted.toSeq == lines)
   }
 
   test("approx_count_distinct stays within the configured 2% rsd envelope") {
