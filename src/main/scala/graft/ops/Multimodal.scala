@@ -245,8 +245,19 @@ object Multimodal {
   /** Decodable media table: REAL PNG payloads for image rows, REAL WAV
     * payloads for audio rows, GFV1 container payloads for video rows
     * (encoded per partition in executors — deterministic content, see
-    * [[JdkCodec]]). Same schema as [[mediaTable]]. */
+    * [[JdkCodec]]). Same schema as [[mediaTable]].
+    *
+    * Persisted once per (session, dir) via [[SharedPlans]]: three gate
+    * queries (q61/q64/q65) scan this table, and in production it is a
+    * STORED source you read, not something re-synthesized per query —
+    * paying the encode once is the honest shape as well as the fast
+    * one. */
   def realMediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    SharedPlans.cached(s, s"realMedia|$d")(realMediaPlan(s, d).toDF()).as[MediaRow]
+  }
+
+  private def realMediaPlan(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("lang"))
