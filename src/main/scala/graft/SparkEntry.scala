@@ -32,7 +32,7 @@ object SparkEntry {
     "q12_customers_no_orders" -> Relational.customersWithoutOrders,
     "q13_cube_events" -> Relational.cubeEvents,
     "q14_approx_distinct" -> Relational.approxDistinctUsers,
-    "q77_cms_frequency" -> Relational.cmsUserFrequency,
+    "q77_cms_frequency" -> Relational.cmsFrequencyPortable,
     "q15_pivot_events" -> Relational.pivotEvents,
     "q16_intersect_customers" -> Relational.intersectCustomers,
     "q17_scalar_functions" -> Relational.scalarFunctions,
@@ -144,6 +144,9 @@ object SparkEntry {
     "q13_cube_events" -> Relational.cubeEventsSql,
     // q14: HLL sketches are not engine-portable → rows-only (error bound
     // asserted in ScalaTest against the exact count in the same row)
+    // q77: the PORTABLE tabular CMS (md5 row hashes) — DuckDB rebuilds
+    // the sketch and the min-over-rows estimates verbatim
+    "q77_cms_frequency" -> Relational.cmsFrequencyPortableSql,
     "q15_pivot_events" -> Relational.pivotEventsSql,
     "q16_intersect_customers" -> Relational.intersectCustomersSql,
     "q17_scalar_functions" -> Relational.scalarFunctionsSql,

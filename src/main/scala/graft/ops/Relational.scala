@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, MapType, StringType}
 
@@ -669,5 +669,67 @@ object Relational {
     probes.map(u => (u, exact.getOrElse(u, 0L), cms.estimateCount(u)))
       .toDF("user_id", "exact_n", "est_n")
       .orderBy(col("user_id"))
+  }
+
+  /** q77 — Count-Min frequency, PORTABLE and fully distributed: the
+    * sketch is a TABLE of (row, bucket, count) built by one hash
+    * aggregation (map-side partial merge — the same merge a binary CMS
+    * buffer does, in relational form; ≤ depth×width = 10k rows at ANY
+    * corpus size), with md5-derived row hashes DuckDB recomputes
+    * verbatim. Estimates = min over rows of the probe's bucket count —
+    * the CMS estimate identity, so the result is ORACLE-CHECKED exactly
+    * (unlike Spark's binary `count_min_sketch`, whose xxhash layout is
+    * engine-internal; that path stays spec-covered in
+    * [[cmsUserFrequency]]). est ≥ exact by construction; the ε·N bound
+    * is spec-asserted. Nothing beyond the 5-row result leaves the
+    * executors. */
+  val CmsDepth = 5
+  val CmsWidth = 2048
+  private val CmsProbes = Seq(1L, 2L, 3L, 4L, 5L)
+
+  private def cmsBucket(j: Int, c: Column): Column =
+    conv(substring(md5(concat(lit(j.toString), lit("|"), c.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % CmsWidth
+
+  def cmsFrequencyPortable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select(col("user_id"))
+    val sketch = ev
+      .select(posexplode(array((0 until CmsDepth).map(j =>
+        cmsBucket(j, col("user_id"))): _*)).as(Seq("j", "bucket")))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("n"))
+    val probeRows = CmsProbes.toDF("user_id")
+    val ph = probeRows.select(col("user_id"),
+      posexplode(array((0 until CmsDepth).map(j =>
+        cmsBucket(j, col("user_id"))): _*)).as(Seq("j", "bucket")))
+    val est = broadcast(ph).join(sketch, Seq("j", "bucket"), "left")
+      .na.fill(0L, Seq("n"))
+      .groupBy(col("user_id")).agg(min(col("n")).as("est_n"))
+    val exact = ev.where(col("user_id").isin(CmsProbes: _*))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+    probeRows.join(exact, Seq("user_id"), "left").na.fill(0L, Seq("exact_n"))
+      .join(est, Seq("user_id"))
+      .select(col("user_id"), col("exact_n"), col("est_n"))
+      .orderBy(col("user_id"))
+  }
+
+  val cmsFrequencyPortableSql: String = {
+    def h(keyExpr: String) =
+      s"CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || CAST($keyExpr AS VARCHAR)), 1, 15) AS BIGINT) % 2048"
+    s"""WITH probes AS (SELECT unnest([1, 2, 3, 4, 5]) AS user_id),
+       | rws AS (SELECT unnest([0, 1, 2, 3, 4]) AS j),
+       | eh AS (SELECT j, ${h("user_id")} AS bucket
+       |        FROM events CROSS JOIN rws),
+       | sketch AS (SELECT j, bucket, count(*) AS n FROM eh GROUP BY 1, 2),
+       | ph AS (SELECT user_id, j, ${h("user_id")} AS bucket
+       |        FROM probes CROSS JOIN rws),
+       | est AS (SELECT user_id, CAST(min(coalesce(n, 0)) AS BIGINT) AS est_n
+       |         FROM ph LEFT JOIN sketch USING (j, bucket) GROUP BY 1),
+       | ex AS (SELECT user_id, count(*) AS exact_n FROM events
+       |        WHERE user_id IN (1, 2, 3, 4, 5) GROUP BY 1)
+       |SELECT CAST(p.user_id AS BIGINT) AS user_id,
+       |  CAST(coalesce(ex.exact_n, 0) AS BIGINT) AS exact_n, est.est_n
+       |FROM probes p LEFT JOIN ex USING (user_id) JOIN est USING (user_id)
+       |ORDER BY user_id""".stripMargin
   }
 }

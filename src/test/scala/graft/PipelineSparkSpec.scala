@@ -179,6 +179,20 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("portable CMS: est >= exact, within the eps*N envelope, min-over-rows identity") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.cmsFrequencyPortable(spark, sf).collect()
+    assert(rows.length == 5)
+    val n = Tables.events(spark, sf).count()
+    rows.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("exact_n"), r.getAs[Long]("est_n"))
+      assert(est >= exact, s"CMS must never underestimate: $r")
+      // depth-5/width-2048 classic bound: overshoot ~ N/width per row,
+      // min over rows far tighter; 4x slack keeps the spec non-flaky
+      assert(est <= exact + 4 * n / 2048 + 1, s"est too loose: $r (n=$n)")
+    }
+  }
+
   test("batch progress listener counts written rows") {
     val rep = new graft.pipeline.BatchProgressListener(
       CopyConfig(reportFrequencyMs = 100), _ => ())
