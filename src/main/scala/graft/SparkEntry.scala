@@ -33,6 +33,7 @@ object SparkEntry {
     "q13_cube_events" -> Relational.cubeEvents,
     "q14_approx_distinct" -> Relational.approxDistinctUsers,
     "q77_cms_frequency" -> Relational.cmsFrequencyPortable,
+    "q78_hll_portable" -> Relational.hllPortable,
     "q15_pivot_events" -> Relational.pivotEvents,
     "q16_intersect_customers" -> Relational.intersectCustomers,
     "q17_scalar_functions" -> Relational.scalarFunctions,
@@ -147,6 +148,9 @@ object SparkEntry {
     // q77: the PORTABLE tabular CMS (md5 row hashes) — DuckDB rebuilds
     // the sketch and the min-over-rows estimates verbatim
     "q77_cms_frequency" -> Relational.cmsFrequencyPortableSql,
+    // q78: portable HLL — integer register sums, literal-identical
+    // estimate expressions; DuckDB rebuilds registers and estimate
+    "q78_hll_portable" -> Relational.hllPortableSql,
     "q15_pivot_events" -> Relational.pivotEventsSql,
     "q16_intersect_customers" -> Relational.intersectCustomersSql,
     "q17_scalar_functions" -> Relational.scalarFunctionsSql,

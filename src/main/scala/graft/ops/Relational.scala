@@ -713,6 +713,75 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** q78 — PORTABLE HyperLogLog distinct-count, oracle-checked (the
+    * engine-native HLL++ face stays q14/rows-only — its sparse/bias
+    * internals are not portable). Classic FM-85/HLL with every
+    * engine-sensitive step made exact:
+    *
+    *  - registers from a 60-bit md5 hash (bucket = h mod m, rho = leading
+    *    zeros of the remaining 50 bits + 1) — integer ops both engines;
+    *  - the register sum Σ 2^-M_j is scaled by 2^51 and summed as
+    *    INTEGERS (shiftleft) — no float accumulation order anywhere;
+    *  - the estimate divides literal-for-literal identical expressions,
+    *    so both engines execute the same IEEE operations in the same
+    *    order; the small-range correction (m·ln(m/V)) rounds at 2 dp,
+    *    far above any libm ulp drift.
+    *
+    * Scale shape: one hash-agg to m=1024 registers per group (map-side
+    * partial max), one tiny agg over registers — the same plan a native
+    * sketch aggregate produces, in relational form. */
+  def hllPortable(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
+    val est = ev
+      .selectExpr("event_type",
+        "CAST(conv(substring(md5(concat('hll|', CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) AS h")
+      .selectExpr("event_type", "h % 1024 AS bucket", "h div 1024 AS w")
+      .selectExpr("event_type", "bucket",
+        "CASE WHEN w = 0 THEN 51 ELSE 51 - length(conv(w, 10, 2)) END AS rho")
+      .groupBy(col("event_type"), col("bucket")).agg(max(col("rho")).as("M"))
+      .groupBy(col("event_type")).agg(
+        expr("sum(shiftleft(CAST(1 AS BIGINT), CAST(51 - M AS INT)))").as("s_present"),
+        count(lit(1)).as("present"))
+      .selectExpr("event_type",
+        "s_present + (1024 - present) * shiftleft(CAST(1 AS BIGINT), 51) AS S",
+        "CAST(1024 - present AS DOUBLE) AS V")
+      .selectExpr("event_type",
+        "(0.7213 / (1.0 + 1.079/1024.0)) * power(2.0, 71.0) / CAST(S AS DOUBLE) AS raw", "V")
+      .selectExpr("event_type",
+        "round(CASE WHEN raw <= 2560.0 AND V > 0 THEN 1024.0 * ln(1024.0 / V) ELSE raw END, 2) AS approx_users")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("approx_users"), col("exact_users"))
+      .orderBy(col("event_type"))
+  }
+
+  val hllPortableSql: String =
+    """WITH hashed AS (SELECT event_type,
+      |   CAST('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      | FROM events),
+      | b AS (SELECT event_type, h % 1024 AS bucket, h // 1024 AS w FROM hashed),
+      | r AS (SELECT event_type, bucket,
+      |   CASE WHEN w = 0 THEN 51 ELSE 51 - length(to_base(w, 2)) END AS rho FROM b),
+      | regs AS (SELECT event_type, bucket, max(rho) AS M FROM r GROUP BY 1, 2),
+      | agg AS (SELECT event_type,
+      |   CAST(sum(1::BIGINT << CAST(51 - M AS INT)) AS BIGINT) AS s_present,
+      |   count(*) AS present FROM regs GROUP BY 1),
+      | sv AS (SELECT event_type,
+      |   s_present + (1024 - present) * (1::BIGINT << 51) AS S,
+      |   CAST(1024 - present AS DOUBLE) AS V FROM agg),
+      | rawt AS (SELECT event_type,
+      |   (0.7213 / (1.0 + 1.079/1024.0)) * power(2.0, 71.0) / CAST(S AS DOUBLE) AS raw, V
+      |   FROM sv),
+      | est AS (SELECT event_type,
+      |   round(CASE WHEN raw <= 2560.0 AND V > 0 THEN 1024.0 * ln(1024.0 / V) ELSE raw END, 2) AS approx_users
+      |   FROM rawt),
+      | ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+      |        FROM events GROUP BY 1)
+      |SELECT event_type, approx_users, CAST(exact_users AS BIGINT) AS exact_users
+      |FROM est JOIN ex USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   val cmsFrequencyPortableSql: String = {
     def h(keyExpr: String) =
       s"CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || CAST($keyExpr AS VARCHAR)), 1, 15) AS BIGINT) % 2048"

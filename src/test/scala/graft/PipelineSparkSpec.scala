@@ -193,6 +193,18 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("portable HLL: estimate within 6% of exact per event_type") {
+    val rows = Relational.hllPortable(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Double]("approx_users")
+      val exact = r.getAs[Long]("exact_users").toDouble
+      // m=1024 → standard error 1.04/sqrt(m) ≈ 3.3%; allow ~2 sigma
+      assert(math.abs(approx - exact) / exact <= 0.065,
+        s"approx=$approx exact=$exact drift too large")
+    }
+  }
+
   test("batch progress listener counts written rows") {
     val rep = new graft.pipeline.BatchProgressListener(
       CopyConfig(reportFrequencyMs = 100), _ => ())
