@@ -218,9 +218,15 @@ object TextAnalysis {
     * signal anyway). Deterministic → rows-only + ScalaTest. */
   def winnowPairs(s: SparkSession, d: String, maxDf: Int = 100,
       portable: Boolean = false): DataFrame = {
-    val fpAll = winnowFingerprints(s, d, portable = portable)
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
-      .distinct()
+    // persisted once per (session, dir, hash): the postings table feeds
+    // FIVE subtrees below (df filter, both self-join sides, both
+    // per-doc counts) and each would otherwise recompute the whole
+    // scan → sort → 3-window fingerprint pipeline (verified in the
+    // pre-fix PLANS.md dump — five copies of the window stack)
+    val fpAll = SharedPlans.cached(s, s"winnowPostings|$d|$portable")(
+      winnowFingerprints(s, d, portable = portable)
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
+        .distinct())
     val rare = fpAll.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select(col("fp"))
     val fp = fpAll.join(rare, "fp")
