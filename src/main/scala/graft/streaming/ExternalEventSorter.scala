@@ -22,7 +22,10 @@ import graft.streaming.Sessionize.Event
   *
   * Run files live in `java.io.tmpdir` (Spark points this at executor
   * scratch space on a cluster) and are deleted as soon as each run is
-  * exhausted, with `deleteOnExit` as the abnormal-termination backstop.
+  * exhausted. The failure backstop is a task-completion listener (not
+  * `deleteOnExit`, whose JVM-global registry grows unboundedly in a
+  * long-lived streaming executor): if the task dies mid-merge, Spark
+  * fires the listener and the remaining runs are removed immediately.
   */
 final class ExternalEventSorter(maxInMem: Int) {
   require(maxInMem > 0, "maxInMem must be positive")
@@ -38,7 +41,10 @@ final class ExternalEventSorter(maxInMem: Int) {
   private def spill(buf: scala.collection.mutable.ArrayBuffer[Event]): Unit = {
     val sorted = buf.sorted(ord)
     val path = Files.createTempFile("graft-sess-run", ".bin")
-    path.toFile.deleteOnExit()
+    // failure cleanup: deleteIfExists is idempotent with the happy-path
+    // delete at run exhaustion, and the listener itself is O(1) per task
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => Files.deleteIfExists(path)))
     val out = new DataOutputStream(new BufferedOutputStream(
       Files.newOutputStream(path), 1 << 16))
     try sorted.foreach { e =>
