@@ -34,6 +34,8 @@ object SparkEntry {
     "q14_approx_distinct" -> Relational.approxDistinctUsers,
     "q77_cms_frequency" -> Relational.cmsFrequencyPortable,
     "q78_hll_portable" -> Relational.hllPortable,
+    "q79_salted_join" -> SkewJoin.saltedRevenue,
+    "q80_hotkey_split_join" -> SkewJoin.hotKeySplitSpend,
     "q15_pivot_events" -> Relational.pivotEvents,
     "q16_intersect_customers" -> Relational.intersectCustomers,
     "q17_scalar_functions" -> Relational.scalarFunctions,
@@ -151,6 +153,10 @@ object SparkEntry {
     // q78: portable HLL — integer register sums, literal-identical
     // estimate expressions; DuckDB rebuilds registers and estimate
     "q78_hll_portable" -> Relational.hllPortableSql,
+    // q79/q80: skew machinery (salted join, hot-key split) — oracle is
+    // the PLAIN join, proving row-for-row equivalence on real data
+    "q79_salted_join" -> SkewJoin.saltedRevenueSql,
+    "q80_hotkey_split_join" -> SkewJoin.hotKeySplitSpendSql,
     "q15_pivot_events" -> Relational.pivotEventsSql,
     "q16_intersect_customers" -> Relational.intersectCustomersSql,
     "q17_scalar_functions" -> Relational.scalarFunctionsSql,

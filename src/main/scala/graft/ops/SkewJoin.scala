@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Salted equi-join for skewed keys (SURVEY.md scale checklist: "skewed
@@ -43,4 +44,48 @@ object SkewJoin {
     val tail = heavy.where(!isHot).join(light.where(!isHot), key)
     hot.unionByName(tail)
   }
+
+  /** q79 — the salted join driven end-to-end as a gate query, ORACLE =
+    * the plain join (salting is row-for-row equivalent by construction,
+    * and the DuckDB oracle proves it on real data, not just the spec's
+    * synthetic frame): lineitem (heavy) ⋈ orders (light, too big to
+    * broadcast at scale) on the order key, 16 salt buckets, revenue per
+    * order priority. */
+  def saltedRevenue(s: SparkSession, d: String): DataFrame = {
+    val heavy = Tables.lineitem(s, d).select(col("l_orderkey"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val light = Tables.orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    saltedJoin(heavy, light, "l_orderkey", 16)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("rev")), 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val saltedRevenueSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q80 — the hot-key split join as a gate query, ORACLE = the plain
+    * join: orders (heavy) ⋈ customer on custkey with a declared hot-key
+    * list (broadcast slice + shuffled tail, unioned), order value per
+    * market segment. */
+  def hotKeySplitSpend(s: SparkSession, d: String): DataFrame = {
+    val heavy = Tables.orders(s, d)
+      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+    val light = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    hotKeySplitJoin(heavy, light, "c_custkey", Seq(1L, 2L, 3L))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_spend"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val hotKeySplitSpendSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS total_spend
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 }
