@@ -104,7 +104,21 @@ object Bench {
     // make that visible instead of overstating flaky queries
     val perQueryN = names.map(n => "\"" + n + "\":" + samples(n).size).mkString("{", ",", "}")
     val failedPasses = names.map(n => passes - samples(n).size).sum
-    println(f"""{"metric":"total","value":${tot(_._2)}%.3f,"unit":"sec","queries":${obj(_._2)},"total_min":${tot(_._3)}%.3f,"queries_min":${obj(_._3)},"total_mean":${tot(_._4)}%.3f,"queries_mean":${obj(_._4)},"n_samples":$passes,"queries_n":$perQueryN,"failed_passes":$failedPasses,"stat":"median","forced_eval":"noop_sink","sf":"$sfDir"}""")
+    // Full stats (median/min/mean per query, sample counts) go to a file:
+    // the driver's log-tail capture keeps only the LAST ~2000 chars of
+    // stdout, so the stdout line itself must stay compact (rounds 1-4
+    // printed one ~4 KB line and the tail cut off its head — the driver
+    // recorded "parsed": null every round). Stdout gets ONE short line:
+    // per-query MEDIANS under the short "qNN" ids (unique prefixes of the
+    // full names used by Verify/CORRECTNESS), everything else in the file.
+    val detail = f"""{"metric":"total","value":${tot(_._2)}%.3f,"unit":"sec","queries":${obj(_._2)},"total_min":${tot(_._3)}%.3f,"queries_min":${obj(_._3)},"total_mean":${tot(_._4)}%.3f,"queries_mean":${obj(_._4)},"n_samples":$passes,"queries_n":$perQueryN,"failed_passes":$failedPasses,"stat":"median","forced_eval":"noop_sink","sf":"$sfDir"}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/root/repo/bench_detail.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    val shortMedians = stats
+      .map(t => "\"" + t._1.takeWhile(_ != '_') + "\":" + f"${t._2}%.2f")
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":${tot(_._2)}%.3f,"unit":"sec","queries":$shortMedians,"n_samples":$passes,"failed_passes":$failedPasses,"stat":"median","forced_eval":"noop_sink","detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -147,9 +147,30 @@ object Cli {
         // strings-only staging table) still exports the declared types
         // with their typed CSV quoting
         val src = declared match {
-          case Some(schema) => raw.select(schema.fields.map(f =>
-            org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
-              .as(f.name)).toIndexedSeq: _*)
+          case Some(schema) =>
+            // cast() silently yields NULL for unconvertible cells, which
+            // would export a malformed source cell as the NULL literal
+            // with no error — asymmetric with the write side's errs
+            // channel. Count cells the cast nulled (non-null in, null
+            // out) and hold them to the same parse-error budget.
+            import org.apache.spark.sql.functions.{col, sum, when}
+            val nulled = raw.select(schema.fields.map(f =>
+              sum(when(col(f.name).isNotNull &&
+                col(f.name).cast(f.dataType).isNull, 1L).otherwise(0L))
+                .as(f.name)).toIndexedSeq: _*).first()
+            val perCol = schema.fields.indices.map(i =>
+              schema.fields(i).name -> (if (nulled.isNullAt(i)) 0L else nulled.getLong(i)))
+            val bad = perCol.filter(_._2 > 0)
+            if (bad.nonEmpty) {
+              bad.foreach { case (c, n) =>
+                System.err.println(s"[graft] read cast: $n cell(s) of $c unconvertible to declared type (exported as NULL)")
+              }
+              val total = bad.map(_._2).sum
+              if (cfg.maxParseErrors >= 0 && total > cfg.maxParseErrors)
+                sys.error(s"read cast-error budget exceeded: $total > ${cfg.maxParseErrors}")
+            }
+            raw.select(schema.fields.map(f =>
+              col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
           case None => raw
         }
         CopyRead.run(spark, src, cols, cols.head, cfg, out)

@@ -129,6 +129,23 @@ object SparkEntry {
     })
   )
 
+  /** Gate entries whose oracle SQL bakes in a literal that an auto-sized
+    * parameter can outgrow: q41/q44's `vec_id % 2` subsample stride and
+    * q42's 4-bit band width are what [[graft.ops.Similarity]] selects at
+    * every driver-checked SF, but at a larger corpus the auto-sizing
+    * departs and the literal SQL no longer describes the query. Verify
+    * omits these keys from oracle_sql.json in that case, so the driver
+    * records an honest rows-only check instead of a hash mismatch that
+    * looks like a correctness bug (r4 advice). */
+  def oracleDowngrades(spark: SparkSession, sfDir: String): Set[String] = {
+    val n = Similarity.corpusCount(spark, sfDir)
+    val strideDeparts = Similarity.modSampleForCorpus(n) != 2
+    val bitsDepart = Similarity.bitsForCorpus(n) != Similarity.BITS_PER_BAND
+    (if (strideDeparts) Set("q41_cosine_pairs", "q44_cosine_dedup")
+     else Set.empty[String]) ++
+      (if (bitsDepart) Set("q42_ann_lsh_pairs") else Set.empty[String])
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(

@@ -40,7 +40,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Auto-sized queries whose oracle literal no longer matches at this
+    // corpus size are dumped WITHOUT their oracle (→ rows-only check)
+    // instead of producing a hash mismatch that reads as a correctness
+    // bug. At every driver SF the set is empty.
+    val downgrades =
+      try SparkEntry.oracleDowngrades(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] downgrade probe failed: ${e.getMessage}")
+        Set.empty[String]
+      }
+    downgrades.foreach(k => System.err.println(
+      s"[verify] $k: auto-sized parameter departs from oracle literal at this corpus — dumped rows-only"))
+    val json = SparkEntry.oracleSql.view.filterKeys(!downgrades.contains(_)).toMap
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -399,8 +399,12 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** Oracle for [[simhashPairs]]: the banding is COMPLETE for Hamming ≤ 5
-    * (pigeonhole over 6 chunks, spec-asserted), so the result set equals
+  /** Oracle for [[simhashPairs]]: the multi-index banding is COMPLETE for
+    * Hamming ≤ maxHamming — with c = maxHamming + 2 chunks, at most
+    * maxHamming chunks can contain a differing bit, so ≥ 2 chunks agree
+    * exactly (pigeonhole), i.e. the pair meets on at least one of the
+    * C(c,2) chunk-PAIR join keys (spec-asserted). The result set therefore
+    * equals
     * the brute-force all-pairs filter — which IS expressible in DuckDB
     * (the oracle corpus is one signature row per doc, so n² stays tiny at
     * verify SF; the engine-side plan remains the banded equi-join).

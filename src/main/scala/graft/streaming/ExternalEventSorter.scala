@@ -57,10 +57,18 @@ final class ExternalEventSorter(maxInMem: Int) {
   private def readRun(path: Path): Iterator[Event] = new Iterator[Event] {
     private val in = new DataInputStream(new BufferedInputStream(
       Files.newInputStream(path), 1 << 16))
+    // If the merge iterator is abandoned mid-stream (exception upstream,
+    // task kill), the spill-time listener deletes the file but the open
+    // stream would leak its fd until GC — a real cost in a long-lived
+    // streaming executor. Register close (idempotent) on task completion.
+    private var closed = false
+    private def closeNow(): Unit = if (!closed) { closed = true; in.close() }
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => closeNow()))
     private var nextEvent: Event = advance()
     private def advance(): Event =
       try Event(in.readLong(), new Timestamp(in.readLong()), in.readUTF(), in.readDouble())
-      catch { case _: EOFException => in.close(); Files.deleteIfExists(path); null }
+      catch { case _: EOFException => closeNow(); Files.deleteIfExists(path); null }
     def hasNext: Boolean = nextEvent != null
     def next(): Event = { val e = nextEvent; nextEvent = advance(); e }
   }
