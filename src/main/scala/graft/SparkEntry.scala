@@ -58,6 +58,18 @@ object SparkEntry {
     // is oracle-checkable in DuckDB (engine-internal callers keep xxhash64)
     "q26_winnow_pairs" -> ((s: SparkSession, d: String) =>
       TextAnalysis.winnowPairs(s, d, portable = true)),
+    "q27_tfidf_topk" -> ((s: SparkSession, d: String) => TextAnalysis.tfIdfTopK(s, d)),
+    "q28_bm25_rank" -> ((s: SparkSession, d: String) => TextAnalysis.bm25(s, d)),
+    // temporal joins: as-of (union-window carry-forward, one shuffle) and
+    // range (bucketed equi-join) — oracle is a DIFFERENT algorithm
+    // (candidate join + rank / plain theta-join)
+    "q45_asof_join" -> Temporal.purchaseAttribution _,
+    "q46_range_join" -> Temporal.signupViewWindows _,
+    // deterministic hash-membership sample: output is the sampled ROWS,
+    // oracle replays membership row-for-row
+    "q47_stratified_sample" -> Sampling.eventSample _,
+    // int8 quantize → integer-dot retrieval; rank has NO float in it
+    "q48_quantized_topk" -> ((s: SparkSession, d: String) => Similarity.quantizedTopK(s, d)),
     "q30_dedup_exact" -> Dedup.exactDedup,
     "q31_dedup_first_per_key" -> Dedup.firstEventPerKey,
     "q32_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.jaccardPairs(s, d)),
@@ -193,6 +205,12 @@ object SparkEntry {
     "q24_quality_filter" -> TextAnalysis.qualityFilterSql,
     "q25_word_topk" -> TextAnalysis.wordTopKSql,
     "q26_winnow_pairs" -> TextAnalysis.winnowPairsSql,
+    "q27_tfidf_topk" -> TextAnalysis.tfIdfTopKSql,
+    "q28_bm25_rank" -> TextAnalysis.bm25Sql,
+    "q45_asof_join" -> Temporal.purchaseAttributionSql,
+    "q46_range_join" -> Temporal.signupViewWindowsSql,
+    "q47_stratified_sample" -> Sampling.eventSampleSql,
+    "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q30_dedup_exact" -> Dedup.exactDedupSql,
     "q31_dedup_first_per_key" -> Dedup.firstEventPerKeySql,
     "q32_jaccard_pairs" -> Dedup.jaccardPairsSql,

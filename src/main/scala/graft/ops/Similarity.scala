@@ -366,4 +366,63 @@ object Similarity {
       .where(col("rank") <= 10)
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** Int8 symmetric quantization of the embedding column: per-vector
+    * scale 127/max|x|, q_i = floor(x_i·127/max|x| + 0.5). `floor(+0.5)`,
+    * NOT `round()`: Spark rounds HALF_UP and DuckDB HALF_EVEN, so an
+    * exact .5 would diverge — floor is identical everywhere, and the
+    * asymmetry at negative .5 is the same on both engines. The all-zero
+    * vector quantizes to zeros (no 0/0). Values stay exact small
+    * integers, carried as array<double> so the codegen'd [[VectorExprs]]
+    * dot kernel applies. */
+  def quantizeInt8(e: DataFrame): DataFrame =
+    e.withColumn("_ma",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .withColumn("q8", transform(col("embedding"), x =>
+        when(col("_ma") > 0,
+          floor(x.cast("double") * lit(127.0) / col("_ma") + lit(0.5)).cast("double"))
+          .otherwise(lit(0.0))))
+      .drop("_ma")
+
+  /** Quantized retrieval (q48): top-k by INTEGER dot product of int8
+    * vectors — the memory-bandwidth-saving scale trick (4 bytes→1 per
+    * component on the wire at 100 TB; here the win is demonstrating the
+    * quantize→retrieve pipeline is engine-portable). The dot of two int8
+    * vectors is an exact integer (≤ 64·127² < 2^53, exact in double, and
+    * order-independent — every partial sum is exactly representable), so
+    * the rank is fully deterministic: no FP rounding in the ORDER BY at
+    * all, stronger than the rounded-cosine pattern. */
+  def quantizedTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val qe = quantizeInt8(Tables.embeddings(s, d)).select(col("vec_id"), col("q8"))
+    val probes = qe.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q8").as("qv"))
+    val sims = qe.join(broadcast(probes), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        vecDot(col("qv"), col("q8")).cast("long").as("dot"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val quantizedTopKSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | dots AS (
+      |  SELECT p.vec_id AS qid, c.vec_id AS cid,
+      |    CAST(list_dot_product(p.q, c.q) AS BIGINT) AS dot
+      |  FROM q8 p JOIN q8 c ON p.vec_id < 5 AND c.vec_id <> p.vec_id),
+      | ranked AS (
+      |  SELECT qid, cid, dot,
+      |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid ASC) AS rank
+      |  FROM dots)
+      |SELECT qid, cid, dot, rank FROM ranked WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
 }

@@ -301,4 +301,120 @@ object TextAnalysis {
       |FROM (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word
       |      FROM documents)
       |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin
+
+  /** Per-document TF-IDF top-k terms (q27): tf·ln(N/df), ranked by the
+    * ROUNDED score with a word tiebreak (FP noise below the rounding
+    * precision cannot reorder the oracle compare — house pattern from
+    * [[Similarity.cosineTopK]]).
+    *
+    * Scale: terms is one explode + (doc, word) hash-agg; df one
+    * word-keyed agg over it (map-side partial); N broadcast as a 1-row
+    * frame. The rank window partitions by doc_id — no global sort. */
+  def tfIdfTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val terms = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = terms.join(dfreq, "word").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("word").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val tfIdfTopKSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, word, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word
+      |    FROM documents)
+      |  GROUP BY doc_id, word),
+      | dfreq AS (SELECT word, count(*) AS df FROM terms GROUP BY word),
+      | n AS (SELECT count(*) AS n_docs FROM documents),
+      | scored AS (
+      |  SELECT t.doc_id, t.word, t.tf, f.df,
+      |    round(t.tf * ln(n.n_docs::DOUBLE / f.df), 4) AS tfidf
+      |  FROM terms t JOIN dfreq f USING (word) CROSS JOIN n),
+      | ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY tfidf DESC, word ASC) AS rank
+      |  FROM scored)
+      |SELECT doc_id, word, tf, df, tfidf, rank FROM ranked WHERE rank <= 5
+      |ORDER BY doc_id, rank""".stripMargin
+
+  /** Query terms for the BM25 gate face — mid-to-high-df words of the
+    * synthetic vocabulary; the ORDER is the per-doc summation order (see
+    * below). */
+  val bm25Terms: Seq[String] = Seq("data", "hash", "scan")
+
+  /** BM25 document scoring for a fixed term set (q28): Robertson idf
+    * ln(1 + (N−df+0.5)/(df+0.5)), k1 = 1.2, b = 0.75, dl = word count.
+    * Top-20 via orderBy+limit — TakeOrderedAndProject, distributed, no
+    * single-partition window.
+    *
+    * Determinism note: the per-doc score sums one double per query term,
+    * and floating addition is order-dependent — a `sum()` would add in
+    * engine-specific order. The per-term weights are therefore pivoted to
+    * columns and added in the FIXED [[bm25Terms]] order on both sides, so
+    * the doubles are bit-identical before rounding. */
+  def bm25(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dl = docs.select(col("doc_id"), size(words(col("text"))).as("dl"))
+    val terms = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .where(col("word").isin(bm25Terms: _*))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val weighted = terms.join(dfreq, "word").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("wt",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    // fixed-order summation: one max(case) column per term, added in order
+    val aggs = bm25Terms.map(t =>
+      max(when(col("word") === t, col("wt"))).as(s"w_$t"))
+    val perDoc = weighted.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val score = bm25Terms.map(t => coalesce(col(s"w_$t"), lit(0.0)))
+      .reduceLeft(_ + _)
+    perDoc.select(col("doc_id"), round(score, 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  val bm25Sql: String =
+    """WITH dl AS (
+      |  SELECT doc_id, len(regexp_extract_all(text, '[a-z0-9]+')) AS dl
+      |  FROM documents),
+      | terms AS (
+      |  SELECT doc_id, word, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word
+      |    FROM documents)
+      |  WHERE word IN ('data', 'hash', 'scan')
+      |  GROUP BY doc_id, word),
+      | dfreq AS (SELECT word, count(*) AS df FROM terms GROUP BY word),
+      | stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      | weighted AS (
+      |  SELECT t.doc_id, t.word,
+      |    ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+      |      * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) AS wt
+      |  FROM terms t JOIN dfreq f USING (word) JOIN dl d USING (doc_id)
+      |  CROSS JOIN stats s),
+      | perdoc AS (
+      |  SELECT doc_id,
+      |    max(CASE WHEN word = 'data' THEN wt END) AS w_data,
+      |    max(CASE WHEN word = 'hash' THEN wt END) AS w_hash,
+      |    max(CASE WHEN word = 'scan' THEN wt END) AS w_scan
+      |  FROM weighted GROUP BY doc_id)
+      |SELECT doc_id,
+      |  round(coalesce(w_data, 0.0) + coalesce(w_hash, 0.0) + coalesce(w_scan, 0.0), 4) AS bm25
+      |FROM perdoc
+      |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin
 }

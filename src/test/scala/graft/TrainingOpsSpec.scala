@@ -1,0 +1,174 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.{Sampling, Similarity, Temporal, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-5 training-pipeline operators: temporal joins
+  * (as-of, bucketed range), deterministic stratified sampling, int8
+  * quantization, TF-IDF / BM25. The gate faces are oracle-checked against
+  * DuckDB (q27/q28/q45-q48); these specs cover the semantics the oracle
+  * can't see — tie rules, window boundaries, partition-layout
+  * independence, quantization error bounds. */
+class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("graft-training-ops-test")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  test("asOfJoin: at-or-before, exact-ts tie counts, max right id wins, no-match is null") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, ts(10000), "p_at10"),  // right rows at exactly 10000 qualify
+      (1L, ts(4000), "p_at4"),    // before every right row → null
+      (2L, ts(100000), "p_k2")    // key with no right rows → null
+    ).toDF("user_id", "ts", "pname")
+    val right = Seq(
+      (1L, ts(5000), 1L),
+      (1L, ts(10000), 2L),
+      (1L, ts(10000), 3L)         // tie on ts: larger id must win
+    ).toDF("user_id", "ts", "rid")
+    val got = Temporal.asOfJoin(left, right, "user_id", "ts", "rid")
+      .select(col("pname"), col("matched_rid"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+      .toMap
+    assert(got("p_at10") == 3L)
+    assert(got("p_at4") == null)
+    assert(got("p_k2") == null)
+  }
+
+  test("rangeJoin: [t0, t0+w) boundaries exact, bucket-crossing rows found") {
+    val s = spark
+    import s.implicits._
+    // anchor at 1999ms with a 1000ms window → interval [1999, 2999),
+    // spanning buckets 1 and 2 at bucketMs=1000
+    val left = Seq((7L, ts(1999), "a")).toDF("user_id", "ts", "aid")
+    val right = Seq(
+      (7L, ts(1998), 1.0),  // before t0 → out
+      (7L, ts(1999), 2.0),  // == t0 → in
+      (7L, ts(2998), 3.0),  // last ms of window, NEXT bucket → in
+      (7L, ts(2999), 4.0),  // == t1 → out
+      (8L, ts(2000), 5.0)   // wrong key → out
+    ).toDF("user_id", "ts", "value")
+    val got = Temporal.rangeJoin(left, right, "user_id", "ts",
+        windowMs = 1000L, bucketMs = 1000L)
+      .select(col("value")).collect().map(_.getDouble(0)).sorted
+    assert(got.toSeq == Seq(2.0, 3.0))
+    intercept[IllegalArgumentException] {
+      Temporal.rangeJoin(left, right, "user_id", "ts", 2000L, 1000L)
+    }
+  }
+
+  test("stratifiedSample: membership independent of partition layout; rates honored") {
+    val ev = Tables.events(spark, sf)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Sampling.stratifiedSample(df, col("event_id").cast("string"),
+          col("event_type"), Sampling.gateRates)
+        .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val a = ids(ev)
+    val b = ids(ev.repartition(7)) // layout must not change membership
+    assert(a == b && a.nonEmpty)
+    // rate 100 stratum: every purchase kept
+    val nPurch = ev.where(col("event_type") === "purchase").count()
+    val kept = Sampling.stratifiedSample(ev, col("event_id").cast("string"),
+      col("event_type"), Sampling.gateRates)
+    assert(kept.where(col("event_type") === "purchase").count() == nPurch)
+    // a stratum missing from the rates map drops entirely
+    val noError = Sampling.stratifiedSample(ev, col("event_id").cast("string"),
+      col("event_type"), Sampling.gateRates - "error")
+    assert(noError.where(col("event_type") === "error").count() == 0)
+    // 10% stratum lands near 10% (hash uniformity, wide tolerance)
+    val nView = ev.where(col("event_type") === "view").count().toDouble
+    val nViewKept = kept.where(col("event_type") === "view").count().toDouble
+    assert(nViewKept / nView > 0.03 && nViewKept / nView < 0.25)
+  }
+
+  test("quantizeInt8: |q| <= 127, max component hits ±127, dequant error within half-step") {
+    val q = Similarity.quantizeInt8(Tables.embeddings(spark, sf))
+      .select(col("vec_id"), col("embedding"), col("q8"))
+      .collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val x = r.getSeq[Float](1).map(_.toDouble)
+      val qv = r.getSeq[Double](2)
+      val ma = x.map(math.abs).max
+      assert(qv.forall(v => math.abs(v) <= 127.0))
+      if (ma > 0) {
+        assert(qv.map(math.abs).max == 127.0) // scale is tight
+        val step = ma / 127.0
+        x.zip(qv).foreach { case (xi, qi) =>
+          // q = floor(x/step + .5) → |q*step - x| <= step/2 (+1 ulp slack)
+          assert(math.abs(qi * step - xi) <= step / 2 + 1e-9,
+            s"vec ${r.getLong(0)}: $xi vs ${qi * step}")
+        }
+      } else assert(qv.forall(_ == 0.0))
+    }
+  }
+
+  test("zero vector quantizes to zeros (no 0/0)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df).select(col("q8")).head.getSeq[Double](0)
+    assert(q == Seq(0.0, 0.0, 0.0))
+  }
+
+  test("tfIdfTopK: per-doc ranks ordered by score, df consistent with corpus") {
+    val out = TextAnalysis.tfIdfTopK(spark, sf).collect()
+    assert(out.nonEmpty)
+    val nDocs = Tables.documents(spark, sf).count()
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(5))
+      assert(byRank.map(_.getInt(5)).toSeq == (1 to byRank.length))
+      // scores non-increasing with rank
+      val scores = byRank.map(_.getDouble(4))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    assert(out.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= nDocs))
+  }
+
+  test("bm25: every ranked doc contains a query term; scores descend") {
+    val out = TextAnalysis.bm25(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val scores = out.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val rankedIds = out.map(_.getLong(0)).toSet
+    val withTerm = Tables.documents(spark, sf)
+      .where(TextAnalysis.bm25Terms.map(t => col("text").rlike(s"\\b$t\\b"))
+        .reduce(_ || _))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(rankedIds.subsetOf(withTerm))
+  }
+
+  test("quantizedTopK: recall vs exact cosine top-k is high on real data") {
+    // int8 quantization of 64-dim unit-ish vectors perturbs cosine by
+    // <~1%; the top-5 sets should overlap heavily. Deterministic data →
+    // deterministic assertion.
+    val quant = Similarity.quantizedTopK(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = Similarity.cosineTopK(spark, sf).collect()
+      .filter(_.getInt(3) <= 5)
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val overlaps = quant.keys.map { qid =>
+      val o = quant(qid).intersect(exact.getOrElse(qid, Set.empty)).size
+      o
+    }.toSeq
+    assert(overlaps.sum >= overlaps.size * 3, s"overlaps=$overlaps") // ≥3/5 avg
+  }
+}
