@@ -576,20 +576,31 @@ object Relational {
     * keyed equi-joins, the Spark-native form of correlated EXISTS at
     * scale. */
   def soleLateSupplier(s: SparkSession, d: String): DataFrame = {
+    // TPC-H Q21 shape, re-planned for scale: the textbook EXISTS/NOT
+    // EXISTS formulation (which the ORACLE below still runs) needs two
+    // DISTINCTs plus a semi- and an anti-self-join — four shuffles of the
+    // fact table. The per-order truth it tests collapses into ONE
+    // aggregation: an order contributes iff it has exactly one distinct
+    // late supplier and more than one distinct supplier overall, and the
+    // contributing supplier is that single late one (max over a 1-element
+    // set). One orderkey shuffle (map-side partial) + one tiny supplier
+    // agg — the plan that survives a 100× fact table.
     val l = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-    val late = l.where(col("l_shipdate") > date_add(col("o_orderdate"), 90))
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val present = l.select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val hasOther = late.as("a").join(present.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_suppkey") =!= col("b.l_suppkey"), "left_semi")
-    val sole = hasOther.as("a").join(late.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_suppkey") =!= col("b.l_suppkey"), "left_anti")
-    sole.groupBy(col("l_suppkey").as("s_suppkey"))
+    // two stacked hash-aggs, NOT countDistinct×2 (multiple distinct
+    // aggregates plan an Expand that triples the fact rows): first dedup
+    // (order, supplier) with a was-ever-late flag, then count per order
+    val perPair = l.groupBy(col("l_orderkey"), col("l_suppkey")).agg(
+      max(when(col("l_shipdate") > date_add(col("o_orderdate"), 90), 1)
+        .otherwise(0)).as("late"))
+    val perOrder = perPair.groupBy(col("l_orderkey")).agg(
+      count(lit(1)).as("n_supp"),
+      sum(col("late")).as("n_late"),
+      max(when(col("late") === 1, col("l_suppkey"))).as("late_supp"))
+    perOrder.where(col("n_late") === 1 && col("n_supp") > 1)
+      .groupBy(col("late_supp").as("s_suppkey"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_suppkey").asc)
       .limit(20)
