@@ -77,9 +77,15 @@ object SparkEntry {
     // exact keep-list (oracle); LSH-sourced scale variant spec-compared
     "q37_jaccard_dedup" -> ((s: SparkSession, d: String) => Dedup.nearDedup(s, d)),
     // portable=true: md5 signatures + value-keyed buckets → the whole LSH
-    // pipeline is hash-checked in DuckDB (engine callers keep xxhash64)
-    "q34_minhash_lsh_pairs" -> ((s: SparkSession, d: String) =>
-      Dedup.minhashLshPairs(s, d, portable = true)),
+    // pipeline is hash-checked in DuckDB (engine callers keep xxhash64);
+    // shared: the pair table also feeds q38's clustering
+    "q34_minhash_lsh_pairs" -> Dedup.minhashLshPairsShared _,
+    // transitive duplicate CLUSTERS over the LSH pairs (min-label
+    // propagation to fixpoint); oracle = recursive-CTE closure
+    "q38_dup_clusters" -> Dedup.dupClusters _,
+    // group-aware split + distributed-prefix-sum sequence packing
+    "q39_group_split" -> Sampling.docSplit _,
+    "q49_sequence_pack" -> ((s: SparkSession, d: String) => Sampling.sequencePack(s, d)),
     "q35_simhash" -> Dedup.simhash,
     "q36_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q40_cosine_topk" -> Similarity.cosineTopK,
@@ -216,6 +222,9 @@ object SparkEntry {
     "q32_jaccard_pairs" -> Dedup.jaccardPairsSql,
     "q33_minhash_signatures" -> Dedup.minhashSignaturesSql,
     "q34_minhash_lsh_pairs" -> Dedup.minhashLshPairsSql,
+    "q38_dup_clusters" -> Dedup.dupClustersSql,
+    "q39_group_split" -> Sampling.docSplitSql,
+    "q49_sequence_pack" -> Sampling.sequencePackSql,
     "q37_jaccard_dedup" -> Dedup.nearDedupSql,
     "q35_simhash" -> Dedup.simhashSql,
     // q36: banding is complete for Hamming<=5 (pigeonhole, spec-asserted),

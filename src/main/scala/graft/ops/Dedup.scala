@@ -432,4 +432,86 @@ object Dedup {
        | sums AS (SELECT doc_id, $sumCols FROM terms GROUP BY doc_id)
        |SELECT doc_id, $orExpr AS simhash FROM sums ORDER BY doc_id""".stripMargin
   }
+
+  /** [[minhashLshPairs]] (portable variant) behind [[SharedPlans]]: the
+    * pair table feeds q34 AND the cluster query q38 — one LSH pipeline
+    * per (session, dir), the honest materialize-once pipeline shape. */
+  def minhashLshPairsShared(s: SparkSession, d: String): DataFrame =
+    SharedPlans.cached(s, s"minhashLshPairsPortable|$d")(
+      minhashLshPairs(s, d, portable = true))
+
+  /** Connected components over an undirected edge list by min-label
+    * propagation: every node starts labeled with its own id; each round
+    * every node takes the min label among itself and its neighbors;
+    * fixpoint = the min node id of the component — a unique,
+    * engine-independent answer (which is what makes it oracle-checkable;
+    * a greedy keep-list is policy, a component id is math).
+    *
+    * Scale: this is the standard iterative-join CC (GraphFrames does the
+    * same under AQE) — each round is one equi-join + one min-agg on the
+    * label table, which holds only nodes INVOLVED IN PAIRS (for dedup
+    * clustering, orders of magnitude smaller than the corpus). Rounds =
+    * component diameter, tiny for near-dup clusters (pairs/triangles/
+    * short chains). `localCheckpoint` per round truncates the growing
+    * lineage so round N's plan doesn't replay rounds 1..N-1. Driver
+    * convergence check is one count on the label table — bounded, not a
+    * collect of data. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint(true) // edges reused every round — compute once
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("comp")).as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
+          (col("nbr") < col("comp")).as("chg"))
+        .localCheckpoint(true)
+      changed = next.where(col("chg")).count()
+      labels = next.select(col("id"), col("comp"))
+      iter += 1
+    }
+    labels
+  }
+
+  /** Gate face (q38): duplicate CLUSTERS from the MinHash-LSH near-dup
+    * pairs — the transitive view the pairwise queries can't give (doc A
+    * near B, B near C ⇒ one cluster {A,B,C} even if A-C never met in a
+    * bucket). Output: every clustered doc with its component id (min
+    * doc_id) and cluster size. */
+  def dupClusters(s: SparkSession, d: String): DataFrame = {
+    val comp = connectedComponents(
+      minhashLshPairsShared(s, d).select(col("d1"), col("d2")))
+    val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp").as("cluster"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for [[dupClusters]]: transitive closure by recursive CTE over
+    * the SAME pair set (the full portable LSH pipeline inlined), then
+    * min-reachable-id per node — a different algorithm arriving at the
+    * same unique fixpoint. */
+  def dupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS ($minhashLshPairsSql),
+       | edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM pairs
+       |  UNION
+       |  SELECT d2, d1 FROM pairs),
+       | reach(a, b) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+       | comp AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+       | sizes AS (SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY cluster)
+       |SELECT c.doc_id, c.cluster, s.cluster_size
+       |FROM comp c JOIN sizes s USING (cluster)
+       |ORDER BY c.doc_id""".stripMargin
 }

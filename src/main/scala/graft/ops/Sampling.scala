@@ -60,4 +60,87 @@ object Sampling {
       |                    WHEN 'click' THEN 20 WHEN 'view' THEN 10
       |                    WHEN 'error' THEN 5 ELSE 0 END
       |ORDER BY event_id""".stripMargin
+
+  /** GROUP-AWARE train/val/test split: the split is a hash of the GROUP
+    * key (here `source`), not the row — every row of a group lands in the
+    * same split. This is the leakage-prevention contract ML eval depends
+    * on: near-duplicate documents overwhelmingly share a source/domain,
+    * and row-hash splitting puts one twin in train and the other in test.
+    * Same determinism story as [[stratifiedSample]]: pure row function,
+    * no shuffle, layout-independent, engine-replayable. */
+  def groupSplit(df: DataFrame, group: Column,
+                 trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val h = hashBucket(group, 100)
+    df.withColumn("split",
+      when(h < trainPct, "train")
+        .when(h < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Gate face (q39). */
+  def docSplit(s: SparkSession, d: String): DataFrame =
+    groupSplit(Tables.documents(s, d), col("source"))
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy(col("doc_id"))
+
+  val docSplitSql: String =
+    """SELECT doc_id, source,
+      |  CASE WHEN CAST('0x' || substr(md5(source), 1, 15) AS BIGINT) % 100 < 80
+      |       THEN 'train'
+      |       WHEN CAST('0x' || substr(md5(source), 1, 15) AS BIGINT) % 100 < 90
+      |       THEN 'val' ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Sequence packing (q49): concatenate the corpus in doc_id order and
+    * chunk at a fixed token budget — each document gets its global start
+    * offset, its context-window bin, and its offset within the bin (the
+    * LLM-pretraining "pack documents into fixed-length sequences" step;
+    * budget-straddling docs are split at the boundary, which is exactly
+    * what concat-and-chunk training does).
+    *
+    * Scale: the naive formulation is ONE GLOBAL running-sum window —
+    * a single-partition sort at 100 TB. This is the classic distributed
+    * prefix-sum instead: (1) per-range partial token sums (hash-agg over
+    * doc_id div B), (2) a running offset over the RANGE SUMMARIES — a
+    * window over n/B tiny rows, (3) within-range running sums partitioned
+    * by range, shifted by the range offset. The only ordered pass is over
+    * summaries 1000× smaller than the data; recurse the same trick if
+    * even that is too big. The ORACLE runs the naive global window —
+    * different algorithm, same numbers. */
+  def sequencePack(s: SparkSession, d: String,
+                   budgetTokens: Long = 512L, rangeDocs: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      size(TextAnalysis.words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("rng", expr(s"doc_id div ${rangeDocs}L"))
+    val rangeSums = toks.groupBy(col("rng")).agg(sum(col("n_tokens")).as("rtok"))
+    val wRanges = Window.orderBy(col("rng"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rangeOffs = rangeSums
+      .withColumn("roff", coalesce(sum(col("rtok")).over(wRanges), lit(0L)))
+      .select(col("rng"), col("roff"))
+    val wInRange = Window.partitionBy(col("rng")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(broadcast(rangeOffs), "rng")
+      .withColumn("start_tok",
+        col("roff") + coalesce(sum(col("n_tokens")).over(wInRange), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        expr(s"start_tok div ${budgetTokens}L").as("bin"),
+        (col("start_tok") % budgetTokens).as("bin_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sequencePackSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      | c AS (
+      |  SELECT doc_id, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      |  FROM t)
+      |SELECT doc_id, n_tokens, start_tok,
+      |  start_tok // 512 AS bin, start_tok % 512 AS bin_tok
+      |FROM c ORDER BY doc_id""".stripMargin
 }

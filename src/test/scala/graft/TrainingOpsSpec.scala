@@ -156,6 +156,60 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rankedIds.subsetOf(withTerm))
   }
 
+  test("connectedComponents: chains converge to min id across multiple rounds") {
+    val s = spark
+    import s.implicits._
+    // descending chain 5-4-3-2-1 needs several propagation rounds; plus a
+    // separate pair and a triangle
+    val edges = Seq(
+      (5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), // chain → comp 1
+      (10L, 11L),                             // pair → comp 10
+      (20L, 21L), (21L, 22L), (20L, 22L)      // triangle → comp 20
+    ).toDF("d1", "d2")
+    val got = graft.ops.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(got(_) == 1L))
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(got(_) == 20L))
+  }
+
+  test("groupSplit: every group lands entirely in one split") {
+    val out = graft.ops.Sampling.docSplit(spark, sf)
+    val perSource = out.groupBy(col("source"))
+      .agg(countDistinct(col("split")).as("n_splits")).collect()
+    assert(perSource.nonEmpty)
+    assert(perSource.forall(_.getLong(1) == 1L), "a source leaked across splits")
+    // all three labels are legal values
+    val labels = out.select(col("split")).distinct().collect().map(_.getString(0)).toSet
+    assert(labels.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("sequencePack: offsets contiguous in doc order, equal to the naive global window") {
+    val out = graft.ops.Sampling.sequencePack(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(out.nonEmpty)
+    // contiguity: next start = prev start + prev tokens (concat-and-chunk)
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(2) == a.getLong(2) + a.getLong(1),
+          s"gap between doc ${a.getLong(0)} and ${b.getLong(0)}")
+      case _ =>
+    }
+    out.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) / 512 && r.getLong(4) == r.getLong(2) % 512)
+    }
+    // cross-check the distributed prefix-sum against a plain global window
+    import org.apache.spark.sql.expressions.Window
+    val naive = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.ops.TextAnalysis.words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_tok", coalesce(
+        sum(col("n_tokens")).over(Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out.foreach(r => assert(r.getLong(2) == naive(r.getLong(0))))
+  }
+
   test("quantizedTopK: recall vs exact cosine top-k is high on real data") {
     // int8 quantization of 64-dim unit-ish vectors perturbs cosine by
     // <~1%; the top-5 sets should overlap heavily. Deterministic data →
