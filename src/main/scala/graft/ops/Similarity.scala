@@ -217,6 +217,21 @@ object Similarity {
     math.max(BITS_PER_BAND,
       math.ceil(math.log(math.max(1.0, n.toDouble / TargetOccupancy)) / math.log(2.0)).toInt)
 
+  /** Candidate-generation occupancy cap: buckets larger than this are
+    * excluded from the band self-join. Sign-hyperplane buckets are NOT
+    * uniform — dense regions of the embedding space pile into few
+    * buckets (measured max occupancy 182 → 256 → 549 for n = 2k → 20k →
+    * 200k while the MEAN stayed ~100), and candidate volume is quadratic
+    * in bucket size, so an unchecked hot bucket is the LSH analog of a
+    * skewed join key. Pairs in a pruned bucket can still meet in any of
+    * the other bands (the multi-band redundancy that makes the prune
+    * recall-cheap); the bound becomes Σ min(occ, cap)² ≤ cap · rows —
+    * linear in n, adversarial-distribution-proof. 4× the target
+    * occupancy: far above anything the driver-checked SFs produce
+    * (max 182 at bpb = 4), so the literal oracle SQL — which does NOT
+    * model the cap — stays exact there. */
+  val MaxBucketOcc = 4 * TargetOccupancy
+
   /** Deterministic pseudo-random hyperplanes (±1 components from a
     * splitmix-style hash) — "training" reproducible with no driver
     * state; materialized as literal arrays so each projection is one
@@ -232,6 +247,9 @@ object Similarity {
   private def signBit(vec: Column, p: Int): Column =
     when(vecDot(vec, typedLit(plane(p))) > 0, 1L).otherwise(0L)
 
+  /** Diagnostic access for [[graft.tools.AnnDiag]]. */
+  private[graft] def signBitPublic(vec: Column, p: Int): Column = signBit(vec, p)
+
   /** ANN via random-hyperplane LSH: sign bits per vector in
     * [[SIGN_BANDS]] bands; vectors sharing any band bucket become
     * candidates (equi-join on (band, bits)); candidates dedup to id
@@ -241,7 +259,8 @@ object Similarity {
     * to pin it) so bucket occupancy stays constant as data grows.
     * Approximate by design (banding trades recall for candidates) →
     * rows-only; exactness oracle is q41. */
-  def annLshPairs(s: SparkSession, d: String, bitsPerBand: Int = 0): DataFrame = {
+  def annLshPairs(s: SparkSession, d: String, bitsPerBand: Int = 0,
+                  maxBucketOcc: Int = MaxBucketOcc): DataFrame = {
     val e = withNorm(s, d)
     // "training" the signature size: metadata-cheap count, memoized per
     // (session, dir) so repeat callers (q42, exact=false keep-lists)
@@ -255,20 +274,45 @@ object Similarity {
     val sig = e.select(
       col("vec_id"),
       array((0 until planes).map(p => signBit(col("embedding"), p)): _*).as("bits"))
-    val banded = sig.select(
-      col("vec_id"),
-      posexplode(array((0 until SIGN_BANDS).map { b =>
-        concat_ws(",", (0 until bpb).map(r => col("bits")(b * bpb + r)): _*)
-      }: _*)).as(Seq("band", "bucket")))
+    // The banded-signature table feeds THREE consumers (occupancy counts
+    // + both sides of the self-join), and the signature projection is the
+    // expensive part (SIGN_BANDS·bpb codegen'd dots per vector) — persist
+    // it once per (session, dir, config) instead of recomputing per
+    // consumer. Tiny: (id, band, bucket-string) × bands rows per vector.
+    val banded0 = SharedPlans.cached(s, s"annBanded|$d|$bpb") {
+      sig.select(
+        col("vec_id"),
+        posexplode(array((0 until SIGN_BANDS).map { b =>
+          concat_ws(",", (0 until bpb).map(r => col("bits")(b * bpb + r)): _*)
+        }: _*)).as(Seq("band", "bucket")))
+    }
+    // hot-bucket prune (see [[MaxBucketOcc]]): the keep-list is tiny
+    // (#buckets rows) → broadcast semi-join, no extra shuffle of the data
+    val smallBuckets = banded0.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("occ")).where(col("occ") <= maxBucketOcc)
+      .select(col("band"), col("bucket"))
+    val banded = banded0.join(broadcast(smallBuckets), Seq("band", "bucket"), "left_semi")
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
       .distinct()
+    // Verify joins: the candidate table is the BIG side (occupancy × n
+    // rows) — without a hint Catalyst sort-merge-joins and shuffles it
+    // twice (the embedding table at ~260 B/vector crosses the 10 MB
+    // auto-broadcast line long before it stops FITTING in an executor).
+    // Broadcast the embeddings while they plausibly fit (~0.5 GB at 2M
+    // vectors); past that, the shuffled join is genuinely the right plan.
+    val n = corpusCount(s, d)
+    def side(idCol: String, v: String, nm: String) = {
+      val proj = e.select(col("vec_id").as(idCol),
+        col("embedding").as(v), col("nrm").as(nm))
+      if (n <= 2000000L) broadcast(proj) else proj
+    }
     cand
-      .join(e.select(col("vec_id").as("id1"), col("embedding").as("v1"), col("nrm").as("n1")), "id1")
-      .join(e.select(col("vec_id").as("id2"), col("embedding").as("v2"), col("nrm").as("n2")), "id2")
+      .join(side("id1", "v1", "n1"), "id1")
+      .join(side("id2", "v2", "n2"), "id2")
       .select(col("id1"), col("id2"),
         round(vecDot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4).as("cos"))
       .where(col("cos") >= 0.45)

@@ -81,15 +81,33 @@ object ScaleUp {
     replicate("orders", Seq("o_orderkey", "o_custkey"), 16)()
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), 32)()
     replicate("events", Seq("event_id", "user_id"), 16)()
+    // Pure rotations repeat after 26 copies — copies 26 apart would share
+    // the bijection, re-correlating cross-copy words (the exact synthesis
+    // artifact round 4 fixed for ≤ 30 copies). An AFFINE permutation
+    // i → (a·i + b) mod 26 with a coprime to 26 gives 12×26 = 312 distinct
+    // bijections; a = 1 for the first 26 copies keeps the old rotation
+    // family (sf1/sf3 probes unchanged).
+    val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     replicate("documents", Seq("doc_id"), 8) { (df, c) =>
-      val rot = Alpha.drop(c % Alpha.length) + Alpha.take(c % Alpha.length)
-      df.withColumn("text", translate(col("text"), Alpha, rot))
+      val a = coprimes((c / 26) % coprimes.length)
+      val b = c % 26
+      val mapped = (0 until 26).map(i => Alpha((a * i + b) % 26)).mkString
+      df.withColumn("text", translate(col("text"), Alpha, mapped))
     }
+    // Rotation repeats after 64 copies (and slice(…, 64-c) goes negative
+    // past it); compose rotation c%64 with a sign flip on odd c/64 —
+    // within-copy cosines are exactly preserved ((-a)·(-b) = a·b) while
+    // copies 64 apart become anti-correlated instead of identical clones.
     replicate("embeddings", Seq("vec_id"), 4) { (df, c) =>
-      if (c == 0) df
-      else df.withColumn("embedding",
-        concat(expr(s"slice(embedding, ${c + 1}, ${64 - c})"),
-          expr(s"slice(embedding, 1, $c)")))
+      val r = c % 64
+      val rotated =
+        if (r == 0) df
+        else df.withColumn("embedding",
+          concat(expr(s"slice(embedding, ${r + 1}, ${64 - r})"),
+            expr(s"slice(embedding, 1, $r)")))
+      if ((c / 64) % 2 == 0) rotated
+      else rotated.withColumn("embedding",
+        expr("transform(embedding, x -> -x)"))
     }
     spark.stop()
   }

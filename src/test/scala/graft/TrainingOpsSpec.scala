@@ -156,6 +156,20 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rankedIds.subsetOf(withTerm))
   }
 
+  test("annLshPairs hot-bucket cap: inactive at test SF; a forcing cap yields a verified subset") {
+    val normal = Similarity.annLshPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // default cap (500) is far above any bucket at this SF → identical to uncapped
+    val uncapped = Similarity.annLshPairs(spark, sf, maxBucketOcc = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(normal == uncapped)
+    // a cap below typical occupancy prunes buckets but everything that
+    // survives is still a true (cos-verified) pair — a subset, never junk
+    val forced = Similarity.annLshPairs(spark, sf, maxBucketOcc = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(forced.subsetOf(normal))
+  }
+
   test("connectedComponents: chains converge to min id across multiple rounds") {
     val s = spark
     import s.implicits._
