@@ -114,6 +114,11 @@ object SparkEntry {
     // oracle's closed-form recomputation from doc_id.
     "q64_image_decode" -> Multimodal.imageDecode,
     "q65_audio_decode" -> Multimodal.audioDecode,
+    // pixel-level resize + container frame sampling — the remaining two
+    // steps of the decode/feature-extract/resize/frame-sample pipeline
+    // at the REAL-decoder level (q61 covers them at metadata level)
+    "q66_image_resize" -> Multimodal.imageResize _,
+    "q67_frame_sample" -> Multimodal.videoFrameSample _,
     // the whole-history batch face of sessionization (window SQL — spills
     // on hot keys instead of buffering; see Sessionize.sessionsBatch).
     // Fully SQL-expressible → hash-checked, closing the family's oracle
@@ -251,6 +256,8 @@ object SparkEntry {
     "q61_media_decode_summary" -> Multimodal.decodeSummarySql,
     "q64_image_decode" -> Multimodal.imageDecodeSql,
     "q65_audio_decode" -> Multimodal.audioDecodeSql,
+    "q66_image_resize" -> Multimodal.imageResizeSql,
+    "q67_frame_sample" -> Multimodal.videoFrameSampleSql,
     "q63_sessionize_batch" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_ms(ts) AS tms, event_type, value FROM events),

@@ -125,6 +125,26 @@ object Multimodal {
       ImageStats(w, h, raster.getNumBands, sum)
     }
 
+    /** Nearest-neighbor 2× downsample through the REAL decoder: decoded
+      * raster sampled at even coordinates — out(x,y) = in(2x, 2y), dims
+      * ceil(w/2) × ceil(h/2). Pixel-level resize, not the metadata-only
+      * [[FakeCodec.resize]]: a wrong decoder or a shifted sampling grid
+      * changes the sum. */
+    def decodeResize2(bytes: Array[Byte]): ImageStats = {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image")
+      val raster = img.getRaster
+      val (w2, h2) = ((img.getWidth + 1) / 2, (img.getHeight + 1) / 2)
+      var sum = 0L
+      var y = 0
+      while (y < h2) {
+        var x = 0
+        while (x < w2) { sum += raster.getSample(2 * x, 2 * y, 0); x += 1 }
+        y += 1
+      }
+      ImageStats(w2, h2, raster.getNumBands, sum)
+    }
+
     // ---- audio: 16-bit mono PCM WAV, sample = f(doc_id, i) ----
     val SampleRate = 8000
     def audioFrames(docId: Long): Int = (docId % 300 + 100).toInt
@@ -204,6 +224,28 @@ object Multimodal {
       require(in.readInt() == VideoMagic, "payload is not a GFV1 video container")
       Decoded(0L, "video", in.readInt(), in.readInt(), 3, in.readLong(),
         bytes.length.toLong)
+    }
+
+    final case class FrameSampleStats(nFrames: Int, nSampled: Int, sumSampled: Long)
+
+    /** Frame sampling through the REAL container parse: skip the 20-byte
+      * GFV1 header, take every `stride`-th frame byte, sum the sampled
+      * (unsigned) values. The sampled positions and values are
+      * closed-form in doc_id, so the result is oracle-recomputable while
+      * the engine must actually parse the container to find the frame
+      * section. */
+    def sampleVideoFrames(bytes: Array[Byte], stride: Int): FrameSampleStats = {
+      val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+      require(in.readInt() == VideoMagic, "payload is not a GFV1 video container")
+      in.readInt(); in.readInt(); in.readLong() // width, height, duration
+      val n = bytes.length - 20
+      var (i, k, sum) = (0, 0, 0L)
+      while (i < n) {
+        val b = in.readByte() & 0xff
+        if (i % stride == 0) { k += 1; sum += b }
+        i += 1
+      }
+      FrameSampleStats(n, k, sum)
     }
 
     /** Kind dispatch for the batched decode seam. Video parses the
@@ -359,6 +401,67 @@ object Multimodal {
       |FROM d JOIN xs ON xs.x < d.doc_id % 13 + 4
       |       JOIN ys ON ys.y < d.doc_id % 11 + 4
       |GROUP BY 1, 2, 3, 4
+      |ORDER BY doc_id""".stripMargin
+
+  /** q66 — REAL pixel-level resize, oracle-checked: PNG bytes through
+    * `javax.imageio`, nearest-neighbor 2× downsample on the decoded
+    * raster (out(x,y) = in(2x,2y)), output dims + downsampled pixel sum.
+    * DuckDB recomputes the sampled grid from doc_id — exact BIGINTs. */
+  def imageResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    realMediaTable(s, d)
+      .filter(col("kind") === "image").as[MediaRow]
+      .mapPartitions { it =>
+        it.map { r =>
+          val st = JdkCodec.decodeResize2(r.payload)
+          (r.media_id, st.width, st.height, st.sumPx)
+        }
+      }
+      .toDF("doc_id", "width", "height", "sum_px")
+      .orderBy(col("doc_id"))
+  }
+
+  val imageResizeSql: String =
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+      | xs AS (SELECT unnest(generate_series(0, 8)) AS x),
+      | ys AS (SELECT unnest(generate_series(0, 7)) AS y)
+      |SELECT d.doc_id,
+      |  CAST((d.doc_id % 13 + 4 + 1) // 2 AS INT) AS width,
+      |  CAST((d.doc_id % 11 + 4 + 1) // 2 AS INT) AS height,
+      |  CAST(sum((d.doc_id*31 + (2*xs.x)*7 + (2*ys.y)*13) % 256) AS BIGINT) AS sum_px
+      |FROM d JOIN xs ON xs.x < (d.doc_id % 13 + 4 + 1) // 2
+      |       JOIN ys ON ys.y < (d.doc_id % 11 + 4 + 1) // 2
+      |GROUP BY 1, 2, 3
+      |ORDER BY doc_id""".stripMargin
+
+  /** q67 — frame sampling through the REAL GFV1 container parse: every
+    * 4th frame byte of the video payload, count + unsigned sum; DuckDB
+    * recomputes both from doc_id while the engine must parse the binary
+    * header to locate the frame section. */
+  def videoFrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    realMediaTable(s, d)
+      .filter(col("kind") === "video").as[MediaRow]
+      .mapPartitions { it =>
+        it.map { r =>
+          val st = JdkCodec.sampleVideoFrames(r.payload, stride = 4)
+          (r.media_id, st.nFrames, st.nSampled, st.sumSampled)
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_sampled", "sum_sampled")
+      .orderBy(col("doc_id"))
+  }
+
+  val videoFrameSampleSql: String =
+    """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+      | fs AS (SELECT unnest(generate_series(0, 109)) AS i)
+      |SELECT d.doc_id,
+      |  CAST(d.doc_id % 100 + 10 AS INT) AS n_frames,
+      |  CAST(sum(CASE WHEN fs.i % 4 = 0 THEN 1 ELSE 0 END) AS INT) AS n_sampled,
+      |  CAST(sum(CASE WHEN fs.i % 4 = 0
+      |           THEN (d.doc_id*17 + fs.i*29) % 256 ELSE 0 END) AS BIGINT) AS sum_sampled
+      |FROM d JOIN fs ON fs.i < d.doc_id % 100 + 10
+      |GROUP BY 1, 2
       |ORDER BY doc_id""".stripMargin
 
   /** q65 — REAL audio decode, oracle-checked: every audio row's WAV

@@ -51,6 +51,33 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decodeResize2: dims halve (ceil), sampled sum matches brute force on real PNGs") {
+    for (docId <- Seq(0L, 3L, 9L, 123L)) {
+      val png = Multimodal.JdkCodec.encodePng(docId)
+      val full = Multimodal.JdkCodec.decodeImage(png)
+      val half = Multimodal.JdkCodec.decodeResize2(png)
+      assert(half.width == (full.width + 1) / 2 && half.height == (full.height + 1) / 2)
+      // brute-force the same grid from the closed-form pixel function
+      val expect = (for {
+        y <- 0 until half.height; x <- 0 until half.width
+      } yield Multimodal.JdkCodec.pixel(docId, 2 * x, 2 * y).toLong).sum
+      assert(half.sumPx == expect)
+      assert(half.sumPx <= full.sumPx)
+    }
+  }
+
+  test("sampleVideoFrames: stride math matches brute force over the container bytes") {
+    for (docId <- Seq(2L, 5L, 98L, 101L)) {
+      val vid = Multimodal.JdkCodec.encodeVideo(docId)
+      val st = Multimodal.JdkCodec.sampleVideoFrames(vid, stride = 4)
+      val n = (docId % 100 + 10).toInt
+      assert(st.nFrames == n)
+      val sampled = (0 until n).filter(_ % 4 == 0)
+      assert(st.nSampled == sampled.size)
+      assert(st.sumSampled == sampled.map(i => (docId * 17 + i * 29) % 256).sum)
+    }
+  }
+
   test("frame sampling: k offsets within duration, image → single frame") {
     val img = Decoded(1, "image", 100, 100, 3, 0, 10)
     assert(FakeCodec.sampleFrames(img, 4) == Seq(0L))
