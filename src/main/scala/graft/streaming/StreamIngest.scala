@@ -72,6 +72,29 @@ object StreamIngest {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream INTERVAL join — the streaming face of
+    * [[graft.ops.Temporal.rangeJoin]] (q46's batch semantics): each left
+    * ("trigger") event joins right events of the same key whose
+    * event-time falls in `[left.ts, left.ts + window)`. Both sides carry
+    * watermarks and the join condition bounds right.ts relative to
+    * left.ts on BOTH ends, which is exactly what lets Spark evict join
+    * state: a buffered left row is droppable once the right watermark
+    * passes `left.ts + window`, a right row once the left watermark
+    * passes `right.ts`. Without the two-sided time bound the state grows
+    * forever — the unusable-at-scale shape this operator exists to
+    * avoid. Columns: left must carry (key, ts), right (key, rts) plus
+    * payloads; inner join. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+      window_ : String = "24 hours", watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right.withWatermark("rts", watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        col("rts") >= col("ts") &&
+        col("rts") < col("ts") + expr(s"INTERVAL $window_"))
+      .drop(r(key))
+  }
+
   /** Session windows (gap-based) per user — state-bounded by watermark. */
   def sessionizedEvents(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events

@@ -123,6 +123,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.sorted == Seq(1L, 2L, 3L), s"got $out")
   }
 
+  test("stream-stream interval join matches batch rangeJoin semantics; stateful symmetric join planned") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // NOT epoch-based: the initial watermark is 0, and rows AT the
+    // watermark are late — a ts(0)=epoch row would be state-cleaned
+    // before it can match (observed: cleanup predicate `ts <= 0`).
+    // Real event times sit far above epoch; base the fixture there too.
+    def ts(min: Int) = new java.sql.Timestamp((1000000 + min) * 60000L)
+    val memL = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val memR = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val signups = memL.toDF().toDF("user_id", "ts", "event_id")
+    val views = memR.toDF().toDF("user_id", "rts", "value")
+    val joined = StreamIngest.intervalJoinStream(signups, views, "user_id",
+      window_ = "30 minutes", watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      // signup u1 at t0; views: in-window (t0, t0+29), out (t0+30, before),
+      // wrong user. Split across micro-batches to exercise buffering.
+      memL.addData((1L, ts(0), 100L))
+      memR.addData((1L, ts(0), 1.0), (1L, ts(29), 2.0))
+      q.processAllAvailable()
+      memR.addData((1L, ts(30), 4.0), (2L, ts(5), 8.0))
+      memL.addData((2L, ts(40), 200L))
+      memR.addData((2L, ts(41), 16.0))
+      q.processAllAvailable()
+      // the join must be the stateful symmetric hash join (evictable
+      // state), not a static join
+      val planDump = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(planDump)) { q.explain() }
+      assert(planDump.toString.contains("StreamingSymmetricHashJoin"))
+    } finally q.stop()
+    val got = s.sql("SELECT event_id, value FROM ij_out").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((100L, 1.0), (100L, 2.0), (200L, 16.0)), s"got $got")
+    // same rows through the BATCH operator agree (modulo the bucketing path)
+    val bl = Seq((1L, ts(0), 100L), (2L, ts(40), 200L)).toDF("user_id", "ts", "event_id")
+    val br = Seq((1L, ts(0), 1.0), (1L, ts(29), 2.0), (1L, ts(30), 4.0),
+      (2L, ts(5), 8.0), (2L, ts(41), 16.0)).toDF("user_id", "ts", "value")
+    val batch = graft.ops.Temporal.rangeJoin(bl, br, "user_id", "ts",
+        windowMs = 30 * 60000L, bucketMs = 30 * 60000L)
+      .select(col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(batch == got)
+  }
+
   test("sessionsBatch (window SQL) matches the stateful path, incl. a hot key") {
     import graft.streaming.Sessionize
     val s = spark
