@@ -70,6 +70,8 @@ object SparkEntry {
     "q47_stratified_sample" -> Sampling.eventSample _,
     // int8 quantize → integer-dot retrieval; rank has NO float in it
     "q48_quantized_topk" -> ((s: SparkSession, d: String) => Similarity.quantizedTopK(s, d)),
+    // per-label quantized centroids — exact-integer vector aggregation
+    "q68_label_centroids" -> Similarity.labelCentroids _,
     "q30_dedup_exact" -> Dedup.exactDedup,
     "q31_dedup_first_per_key" -> Dedup.firstEventPerKey,
     "q32_jaccard_pairs" -> ((s: SparkSession, d: String) => Dedup.jaccardPairs(s, d)),
@@ -222,6 +224,7 @@ object SparkEntry {
     "q46_range_join" -> Temporal.signupViewWindowsSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
+    "q68_label_centroids" -> Similarity.labelCentroidsSql,
     "q30_dedup_exact" -> Dedup.exactDedupSql,
     "q31_dedup_first_per_key" -> Dedup.firstEventPerKeySql,
     "q32_jaccard_pairs" -> Dedup.jaccardPairsSql,

@@ -449,6 +449,44 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Per-label centroids of the int8-QUANTIZED embeddings (q68) — class
+    * centroids / mean-pooling, the supervision-side vector aggregate.
+    * Quantizing first makes the whole aggregation exact-integer: sums of
+    * int8 values are order-independent in double (every partial is
+    * exactly representable), so the per-(label, dim) sums — and the
+    * means derived from one identical division — are bit-identical in
+    * any engine at any parallelism. The float version of this query is
+    * why q43's centroids are rows-only; the quantized version closes
+    * that gap for the supervised face.
+    *
+    * Scale: posexplode fans out n×64 rows, but partial aggregation
+    * collapses each partition to (labels × 64) rows before the shuffle —
+    * the map-side-combine shape that survives any n. */
+  def labelCentroids(s: SparkSession, d: String): DataFrame =
+    quantizeInt8(Tables.embeddings(s, d))
+      .select(col("label"), posexplode(col("q8")).as(Seq("dim", "q")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).cast("long").as("sum_q"))
+      .withColumn("mean_q", round(col("sum_q") / col("n"), 4))
+      .orderBy(col("label"), col("dim"))
+
+  val labelCentroidsSql: String =
+    """WITH q8 AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM (SELECT vec_id, label, embedding,
+      |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |        FROM embeddings)),
+      | ex AS (
+      |  SELECT label, generate_subscripts(q, 1) - 1 AS dim, unnest(q) AS qv
+      |  FROM q8)
+      |SELECT label, CAST(dim AS INT) AS dim, count(*) AS n,
+      |  CAST(sum(qv) AS BIGINT) AS sum_q,
+      |  round(sum(qv) / count(*), 4) AS mean_q
+      |FROM ex GROUP BY label, dim
+      |ORDER BY label, dim""".stripMargin
+
   val quantizedTopKSql: String =
     """WITH base AS (
       |  SELECT vec_id, embedding,

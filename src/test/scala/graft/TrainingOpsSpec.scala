@@ -224,6 +224,22 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.foreach(r => assert(r.getLong(2) == naive(r.getLong(0))))
   }
 
+  test("labelCentroids: exact-integer sums are partition-layout independent; bounds hold") {
+    val a = graft.ops.Similarity.labelCentroids(spark, sf).collect()
+    assert(a.length == 640) // 10 labels × 64 dims
+    // same aggregation over a different layout → bit-identical sums
+    val shuffled = graft.ops.Similarity
+      .quantizeInt8(Tables.embeddings(spark, sf).repartition(13))
+      .select(col("label"), posexplode(col("q8")).as(Seq("dim", "q")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("q")).cast("long").as("sum_q"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    a.foreach { r =>
+      assert(shuffled((r.getInt(0), r.getInt(1))) == r.getLong(3))
+      assert(math.abs(r.getDouble(4)) <= 127.0)
+    }
+  }
+
   test("quantizedTopK: recall vs exact cosine top-k is high on real data") {
     // int8 quantization of 64-dim unit-ish vectors perturbs cosine by
     // <~1%; the top-5 sets should overlap heavily. Deterministic data →
