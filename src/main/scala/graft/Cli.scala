@@ -146,34 +146,46 @@ object Cli {
         // surfaces wider types (e.g. DECIMAL for a double column, or a
         // strings-only staging table) still exports the declared types
         // with their typed CSV quoting
-        val src = declared match {
+        // cast() silently yields NULL for unconvertible cells, which
+        // would export a malformed source cell as the NULL literal with
+        // no error — asymmetric with the write side's errs channel. The
+        // nulled-cell counts ride the export scan itself as observed
+        // metrics (one pass, zero extra I/O — a separate counting job
+        // would scan and cast the whole source twice), and the budget is
+        // enforced after the action, exactly like the write side's
+        // post-sink errs.check().
+        val (src, castObs) = declared match {
           case Some(schema) =>
-            // cast() silently yields NULL for unconvertible cells, which
-            // would export a malformed source cell as the NULL literal
-            // with no error — asymmetric with the write side's errs
-            // channel. Count cells the cast nulled (non-null in, null
-            // out) and hold them to the same parse-error budget.
             import org.apache.spark.sql.functions.{col, sum, when}
-            val nulled = raw.select(schema.fields.map(f =>
-              sum(when(col(f.name).isNotNull &&
-                col(f.name).cast(f.dataType).isNull, 1L).otherwise(0L))
-                .as(f.name)).toIndexedSeq: _*).first()
-            val perCol = schema.fields.indices.map(i =>
-              schema.fields(i).name -> (if (nulled.isNullAt(i)) 0L else nulled.getLong(i)))
-            val bad = perCol.filter(_._2 > 0)
-            if (bad.nonEmpty) {
-              bad.foreach { case (c, n) =>
-                System.err.println(s"[graft] read cast: $n cell(s) of $c unconvertible to declared type (exported as NULL)")
-              }
-              val total = bad.map(_._2).sum
-              if (cfg.maxParseErrors >= 0 && total > cfg.maxParseErrors)
-                sys.error(s"read cast-error budget exceeded: $total > ${cfg.maxParseErrors}")
-            }
-            raw.select(schema.fields.map(f =>
-              col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-          case None => raw
+            // try_cast, NOT cast: under ANSI mode (the Spark 4 default) a
+            // plain cast THROWS mid-export on the first malformed cell —
+            // an opaque job failure instead of the accounted NULL-export
+            // contract. try_cast pins NULL-on-malformed semantics in
+            // every session mode, and the counts below surface them.
+            def tryCast(f: org.apache.spark.sql.types.StructField) =
+              col(f.name).try_cast(f.dataType)
+            val metrics = schema.fields.map(f =>
+              sum(when(col(f.name).isNotNull && tryCast(f).isNull, 1L)
+                .otherwise(0L)).as(f.name)).toIndexedSeq
+            val obs = new org.apache.spark.sql.Observation("graft_read_cast")
+            val observed = raw.observe(obs, metrics.head, metrics.tail: _*)
+              .select(schema.fields.map(f => tryCast(f).as(f.name)).toIndexedSeq: _*)
+            (observed, Some((obs, schema)))
+          case None => (raw, None)
         }
         CopyRead.run(spark, src, cols, cols.head, cfg, out)
+        castObs.foreach { case (obs, schema) =>
+          val metrics = obs.get
+          val bad = schema.fields.map(f =>
+            f.name -> metrics.get(f.name).map(_.asInstanceOf[Long]).getOrElse(0L))
+            .filter(_._2 > 0)
+          bad.foreach { case (c, n) =>
+            System.err.println(s"[graft] read cast: $n cell(s) of $c unconvertible to declared type (exported as NULL)")
+          }
+          val total = bad.map(_._2).sum
+          if (cfg.maxParseErrors >= 0 && total > cfg.maxParseErrors)
+            sys.error(s"read cast-error budget exceeded: $total > ${cfg.maxParseErrors}")
+        }
         System.err.println(s"[graft] exported $out")
       case v => sys.error(s"unknown verb: $v (want write|read)")
     }

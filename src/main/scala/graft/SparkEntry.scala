@@ -165,10 +165,16 @@ object SparkEntry {
   def oracleDowngrades(spark: SparkSession, sfDir: String): Set[String] = {
     val n = Similarity.corpusCount(spark, sfDir)
     val strideDeparts = Similarity.modSampleForCorpus(n) != 2
+    // q42's literal SQL departs if EITHER the band width auto-sizes past
+    // the floor OR the hot-bucket prune (which the SQL doesn't model)
+    // would fire — i.e. some bucket at the floor width exceeds the cap
     val bitsDepart = Similarity.bitsForCorpus(n) != Similarity.BITS_PER_BAND
+    val capFires = !bitsDepart &&
+      Similarity.maxBandOccupancy(spark, sfDir, Similarity.BITS_PER_BAND) >
+        Similarity.MaxBucketOcc
     (if (strideDeparts) Set("q41_cosine_pairs", "q44_cosine_dedup")
      else Set.empty[String]) ++
-      (if (bitsDepart) Set("q42_ann_lsh_pairs") else Set.empty[String])
+      (if (bitsDepart || capFires) Set("q42_ann_lsh_pairs") else Set.empty[String])
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

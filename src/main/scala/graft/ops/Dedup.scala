@@ -25,6 +25,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   import TextAnalysis.words
 
   /** 3-word shingles per doc, built inside the row: words array →
@@ -478,6 +480,10 @@ object Dedup {
       labels = next.select(col("id"), col("comp"))
       iter += 1
     }
+    if (changed > 0)
+      log.warn(s"connectedComponents exited at maxIters=$maxIters with $changed " +
+        "labels still changing — component ids are NOT converged (graph diameter " +
+        "exceeds the iteration bound); raise maxIters for long chains")
     labels
   }
 

@@ -250,6 +250,35 @@ object Similarity {
   /** Diagnostic access for [[graft.tools.AnnDiag]]. */
   private[graft] def signBitPublic(vec: Column, p: Int): Column = signBit(vec, p)
 
+  /** The (vec_id, band, bucket) table [[annLshPairs]] joins on — ONE
+    * definition shared with [[graft.tools.AnnDiag]] and the
+    * [[maxBandOccupancy]] oracle-downgrade probe, so diagnostics always
+    * measure the pipeline the engine actually runs. Persisted per
+    * (session, dir, width): it feeds three consumers (occupancy counts +
+    * both sides of the self-join) and the signature projection is the
+    * expensive part (SIGN_BANDS·bpb codegen'd dots per vector). */
+  private[graft] def bandedSignatures(s: SparkSession, d: String, bpb: Int): DataFrame =
+    SharedPlans.cached(s, s"annBanded|$d|$bpb") {
+      val planes = SIGN_BANDS * bpb
+      val sig = Tables.embeddings(s, d).select(
+        col("vec_id"),
+        array((0 until planes).map(p => signBit(col("embedding"), p)): _*).as("bits"))
+      sig.select(
+        col("vec_id"),
+        posexplode(array((0 until SIGN_BANDS).map { b =>
+          concat_ws(",", (0 until bpb).map(r => col("bits")(b * bpb + r)): _*)
+        }: _*)).as(Seq("band", "bucket")))
+    }
+
+  /** Largest band-bucket occupancy at the given band width — the
+    * [[MaxBucketOcc]] prune fires above it, which the literal q42 oracle
+    * SQL does not model; Verify uses this to downgrade q42 to rows-only
+    * on corpora skewed enough to trip the cap even at the floor width. */
+  def maxBandOccupancy(s: SparkSession, d: String, bpb: Int): Long =
+    bandedSignatures(s, d, bpb)
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("occ"))
+      .agg(max(col("occ"))).head().getLong(0)
+
   /** ANN via random-hyperplane LSH: sign bits per vector in
     * [[SIGN_BANDS]] bands; vectors sharing any band bucket become
     * candidates (equi-join on (band, bits)); candidates dedup to id
@@ -270,22 +299,7 @@ object Similarity {
     if (bitsPerBand <= 0 && bpb != BITS_PER_BAND)
       log.warn(s"annLshPairs band width auto-sized to $bpb bits for $d — departs from " +
         s"the $BITS_PER_BAND-bit oracle literal; q42 is not hash-checkable at this corpus size")
-    val planes = SIGN_BANDS * bpb
-    val sig = e.select(
-      col("vec_id"),
-      array((0 until planes).map(p => signBit(col("embedding"), p)): _*).as("bits"))
-    // The banded-signature table feeds THREE consumers (occupancy counts
-    // + both sides of the self-join), and the signature projection is the
-    // expensive part (SIGN_BANDS·bpb codegen'd dots per vector) — persist
-    // it once per (session, dir, config) instead of recomputing per
-    // consumer. Tiny: (id, band, bucket-string) × bands rows per vector.
-    val banded0 = SharedPlans.cached(s, s"annBanded|$d|$bpb") {
-      sig.select(
-        col("vec_id"),
-        posexplode(array((0 until SIGN_BANDS).map { b =>
-          concat_ws(",", (0 until bpb).map(r => col("bits")(b * bpb + r)): _*)
-        }: _*)).as(Seq("band", "bucket")))
-    }
+    val banded0 = bandedSignatures(s, d, bpb)
     // hot-bucket prune (see [[MaxBucketOcc]]): the keep-list is tiny
     // (#buckets rows) → broadcast semi-join, no extra shuffle of the data
     val smallBuckets = banded0.groupBy(col("band"), col("bucket"))
@@ -467,7 +481,12 @@ object Similarity {
       .select(col("label"), posexplode(col("q8")).as(Seq("dim", "q")))
       .groupBy(col("label"), col("dim"))
       .agg(count(lit(1)).as("n"), sum(col("q")).cast("long").as("sum_q"))
-      .withColumn("mean_q", round(col("sum_q") / col("n"), 4))
+      // NO round(): sum_q/n is a ratio of small exact integers, which CAN
+      // land exactly on a 4-decimal .5 boundary (1/32 = 0.03125), where
+      // Spark's HALF_UP and DuckDB's HALF_EVEN disagree. The raw IEEE
+      // division of identical integer operands is bit-identical across
+      // engines — rounding would only ADD divergence risk here.
+      .withColumn("mean_q", col("sum_q") / col("n"))
       .orderBy(col("label"), col("dim"))
 
   val labelCentroidsSql: String =
@@ -483,7 +502,7 @@ object Similarity {
       |  FROM q8)
       |SELECT label, CAST(dim AS INT) AS dim, count(*) AS n,
       |  CAST(sum(qv) AS BIGINT) AS sum_q,
-      |  round(sum(qv) / count(*), 4) AS mean_q
+      |  CAST(sum(qv) AS BIGINT) / count(*) AS mean_q
       |FROM ex GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
 

@@ -41,29 +41,36 @@ object Temporal {
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, rightIdCol: String): DataFrame = {
     val payload = right.columns.filter(c => c != keyCol && c != tsCol).toSeq
+    // payload carried as ONE struct, not per-column: independent
+    // last(_, ignoreNulls) carries would tear rows when a payload column
+    // holds a genuine NULL (an older row's value would substitute in that
+    // column only — a combination existing on no right row). The struct
+    // is non-null for every right row, so the carry is atomic and NULL
+    // fields survive inside it.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(right.schema.fieldIndex(c))))
     val l = left.select(
-      Seq(col(keyCol), col(tsCol), lit(1).as("_tag")) ++
-        left.columns.filterNot(Set(keyCol, tsCol)).map(col) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+      Seq(col(keyCol), col(tsCol), lit(1).as("_tag"),
+        lit(null).cast(payloadType).as("_r")) ++
+        left.columns.filterNot(Set(keyCol, tsCol)).map(col): _*)
     val r = right.select(
-      Seq(col(keyCol), col(tsCol), lit(0).as("_tag")) ++
+      Seq(col(keyCol), col(tsCol), lit(0).as("_tag"),
+        struct(payload.map(col): _*).as("_r")) ++
         left.columns.filterNot(Set(keyCol, tsCol))
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(c => col(c).as(s"_r_$c")): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     // right rows (tag 0) sort before left rows at the same ts → an exact
     // ts tie counts as "at or before"; among right ties the largest id
-    // sorts last and wins the carry-forward. Right-id nulls on left rows
+    // sorts last and wins the carry-forward. Null structs on left rows
     // never decide an ordering (tag already separates the sides).
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("_tag"), col(s"_r_$rightIdCol"))
+      .orderBy(col(tsCol), col("_tag"), col("_r").getField(rightIdCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"_m_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = l.unionByName(r)
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
     carried.where(col("_tag") === 1)
       .select(Seq(col(keyCol), col(tsCol)) ++
         left.columns.filterNot(Set(keyCol, tsCol)).map(col) ++
-        payload.map(c => col(s"_m_$c").as(s"matched_$c")): _*)
+        payload.map(c => col("_m").getField(c).as(s"matched_$c")): _*)
   }
 
   /** Gate face (q45): attribute each purchase event to the user's most

@@ -16,15 +16,8 @@ object AnnDiag {
     args.foreach { d =>
       val n = graft.ops.Similarity.corpusCount(spark, d)
       val bpb = graft.ops.Similarity.bitsForCorpus(n)
-      val planes = graft.ops.Similarity.SIGN_BANDS * bpb
-      val e = graft.Tables.embeddings(spark, d)
-      val sig = e.select(col("vec_id"),
-        array((0 until planes).map(p =>
-          graft.ops.Similarity.signBitPublic(col("embedding"), p)): _*).as("bits"))
-      val banded = sig.select(col("vec_id"),
-        posexplode(array((0 until graft.ops.Similarity.SIGN_BANDS).map { b =>
-          concat_ws(",", (0 until bpb).map(r => col("bits")(b * bpb + r)): _*)
-        }: _*)).as(Seq("band", "bucket")))
+      // the SAME banded table the engine joins on — measured, not a copy
+      val banded = graft.ops.Similarity.bandedSignatures(spark, d, bpb)
       val occ = banded.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("occ"))
       val stats = occ.agg(
         count(lit(1)).as("n_buckets"),

@@ -156,6 +156,27 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.textFile(csvOutTyped).collect().sorted.toSeq == lines)
   }
 
+  test("read verb cast accounting: nulled cells counted in the export pass, budget enforced") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-readcast").toString
+    Seq(("1", "10"), ("2", "oops"), ("3", "30"))
+      .toDF("id", "v").write.parquet(s"$base/src")
+    // budget 0, one unconvertible cell → the export must fail loudly
+    val err = intercept[RuntimeException] {
+      Cli.run(Array("read", "t", "id:long,v:long",
+        "--in", s"$base/src", "--out", s"$base/out1",
+        "--max-parse-errors", "0"), spark)
+    }
+    assert(err.getMessage.contains("cast-error budget exceeded"))
+    // unlimited budget → exports, the bad cell as the NULL literal
+    Cli.run(Array("read", "t", "id:long,v:long",
+      "--in", s"$base/src", "--out", s"$base/out2"), spark)
+    val out = spark.read.textFile(s"$base/out2").collect().sorted.toSeq
+    assert(out.exists(_.contains("NULL")), s"expected a NULL literal in $out")
+    assert(out.size == 3)
+  }
+
   test("approx_count_distinct stays within the configured 2% rsd envelope") {
     val rows = Relational.approxDistinctUsers(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -53,6 +53,22 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("p_k2") == null)
   }
 
+  test("asOfJoin: payload carried atomically — a NULL field never tears across right rows") {
+    val s = spark
+    import s.implicits._
+    // newest right row has coupon=NULL; the match must return THAT row's
+    // (price=20, coupon=NULL), not price=20 with the older row's coupon
+    val left = Seq((1L, ts(10000), "p")).toDF("user_id", "ts", "pname")
+    val right = Seq(
+      (1L, ts(5000), 1L, Some(10.0), Some("A")),
+      (1L, ts(9000), 2L, Some(20.0), None: Option[String])
+    ).toDF("user_id", "ts", "rid", "price", "coupon")
+    val row = Temporal.asOfJoin(left, right, "user_id", "ts", "rid")
+      .select(col("matched_rid"), col("matched_price"), col("matched_coupon"))
+      .head()
+    assert(row.getLong(0) == 2L && row.getDouble(1) == 20.0 && row.isNullAt(2))
+  }
+
   test("rangeJoin: [t0, t0+w) boundaries exact, bucket-crossing rows found") {
     val s = spark
     import s.implicits._
