@@ -85,6 +85,9 @@ object SparkEntry {
     // transitive duplicate CLUSTERS over the LSH pairs (min-label
     // propagation to fixpoint); oracle = recursive-CTE closure
     "q38_dup_clusters" -> Dedup.dupClusters _,
+    // benchmark decontamination: broadcast the (tiny) eval-set shingles,
+    // stream the training corpus once
+    "q69_decontaminate" -> Dedup.decontaminate _,
     // group-aware split + distributed-prefix-sum sequence packing
     "q39_group_split" -> Sampling.docSplit _,
     "q49_sequence_pack" -> ((s: SparkSession, d: String) => Sampling.sequencePack(s, d)),
@@ -237,6 +240,7 @@ object SparkEntry {
     "q33_minhash_signatures" -> Dedup.minhashSignaturesSql,
     "q34_minhash_lsh_pairs" -> Dedup.minhashLshPairsSql,
     "q38_dup_clusters" -> Dedup.dupClustersSql,
+    "q69_decontaminate" -> Dedup.decontaminateSql,
     "q39_group_split" -> Sampling.docSplitSql,
     "q49_sequence_pack" -> Sampling.sequencePackSql,
     "q37_jaccard_dedup" -> Dedup.nearDedupSql,

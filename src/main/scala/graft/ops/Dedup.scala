@@ -435,6 +435,39 @@ object Dedup {
        |SELECT doc_id, $orExpr AS simhash FROM sums ORDER BY doc_id""".stripMargin
   }
 
+  /** Benchmark decontamination (q69): flag training documents sharing
+    * any word 3-gram with a held-out benchmark set — the standard
+    * pre-training hygiene step (eval answers leaking into training data
+    * inflate scores). The gate face designates `doc_id % 50 == 0` as the
+    * benchmark; a real pipeline passes its eval suites.
+    *
+    * Scale: the benchmark side is the EVAL SET — tiny by construction —
+    * so its shingles broadcast and the training corpus streams once
+    * through a broadcast-hash join; no shuffle of training data. The
+    * per-doc countDistinct pair plans an Expand, but only over MATCHED
+    * rows (contamination hits), not the corpus. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(Tables.documents(s, d)) // distinct (doc_id, shingle)
+    val bench = sh.where(col("doc_id") % 50 === 0)
+      .select(col("shingle"), col("doc_id").as("bench_doc"))
+    val train = sh.where(col("doc_id") % 50 =!= 0)
+    train.join(broadcast(bench), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_shared_grams"),
+        countDistinct(col("bench_doc")).as("n_bench_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  def decontaminateSql: String =
+    s"""WITH sh AS ($shinglesSql),
+       | bench AS (SELECT shingle, doc_id AS bench_doc FROM sh WHERE doc_id % 50 = 0),
+       | train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0)
+       |SELECT t.doc_id,
+       |  count(DISTINCT t.shingle) AS n_shared_grams,
+       |  count(DISTINCT b.bench_doc) AS n_bench_docs
+       |FROM train t JOIN bench b USING (shingle)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   /** [[minhashLshPairs]] (portable variant) behind [[SharedPlans]]: the
     * pair table feeds q34 AND the cluster query q38 — one LSH pipeline
     * per (session, dir), the honest materialize-once pipeline shape. */

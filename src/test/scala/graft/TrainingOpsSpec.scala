@@ -203,6 +203,24 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Seq(20L, 21L, 22L).forall(got(_) == 20L))
   }
 
+  test("decontaminate: matches a brute-force trigram-overlap check; benchmark docs never flagged") {
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Set[String] =
+      "[a-z0-9]+".r.findAllIn(t).toVector.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val benchGrams = texts.filter(_._1 % 50 == 0).values.flatMap(grams).toSet
+    val expected = texts.filter(_._1 % 50 != 0)
+      .map { case (id, t) => id -> grams(t).intersect(benchGrams).size }
+      .filter(_._2 > 0)
+    val got = graft.ops.Dedup.decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, n) => assert(got(id) == n, s"doc $id") }
+    assert(got.keys.forall(_ % 50 != 0))
+  }
+
   test("groupSplit: every group lands entirely in one split") {
     val out = graft.ops.Sampling.docSplit(spark, sf)
     val perSource = out.groupBy(col("source"))
