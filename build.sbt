@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures the tail of `sbt "runMain graft.Bench"` and parses
+// the final stdout line as JSON. sbt's default logger prefixes forked
+// output with "[info] " and appends a "[success] Total time..." line —
+// both break that parse (BENCH_r01..r05 all record "parsed": null).
+// StdoutOutput passes the forked JVM's stdout/stderr through verbatim;
+// showSuccess drops the trailing [success] line, so the bench's JSON
+// line is the last thing on stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -112,13 +112,19 @@ object Bench {
     // per-query MEDIANS under the short "qNN" ids (unique prefixes of the
     // full names used by Verify/CORRECTNESS), everything else in the file.
     val detail = f"""{"metric":"total","value":${tot(_._2)}%.3f,"unit":"sec","queries":${obj(_._2)},"total_min":${tot(_._3)}%.3f,"queries_min":${obj(_._3)},"total_mean":${tot(_._4)}%.3f,"queries_mean":${obj(_._4)},"n_samples":$passes,"queries_n":$perQueryN,"failed_passes":$failedPasses,"stat":"median","forced_eval":"noop_sink","sf":"$sfDir"}"""
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/root/repo/bench_detail.json")
+    // cwd-relative default (r5 advice): works from any checkout location;
+    // override with SPARK_GRAFT_BENCH_DETAIL
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     val shortMedians = stats
       .map(t => "\"" + t._1.takeWhile(_ != '_') + "\":" + f"${t._2}%.2f")
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":${tot(_._2)}%.3f,"unit":"sec","queries":$shortMedians,"n_samples":$passes,"failed_passes":$failedPasses,"stat":"median","forced_eval":"noop_sink","detail":"bench_detail.json","sf":"$sfDir"}""")
+    // stop Spark BEFORE the contract line so no executor/shutdown logging
+    // can print after it — the driver parses the LAST stdout line as JSON
     spark.stop()
+    System.out.flush(); System.err.flush()
+    println(f"""{"metric":"total","value":${tot(_._2)}%.3f,"unit":"sec","queries":$shortMedians,"n_samples":$passes,"failed_passes":$failedPasses,"stat":"median","forced_eval":"noop_sink","detail":"bench_detail.json","sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

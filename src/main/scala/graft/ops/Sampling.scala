@@ -100,13 +100,15 @@ object Sampling {
     *
     * Scale: the naive formulation is ONE GLOBAL running-sum window —
     * a single-partition sort at 100 TB. This is the classic distributed
-    * prefix-sum instead: (1) per-range partial token sums (hash-agg over
-    * doc_id div B), (2) a running offset over the RANGE SUMMARIES — a
-    * window over n/B tiny rows, (3) within-range running sums partitioned
-    * by range, shifted by the range offset. The only ordered pass is over
-    * summaries 1000× smaller than the data; recurse the same trick if
-    * even that is too big. The ORACLE runs the naive global window —
-    * different algorithm, same numbers. */
+    * prefix-sum instead, TWO levels deep: (1) per-range partial token
+    * sums (hash-agg over doc_id div B), (2) per-SUPER-range sums (rng
+    * div B), (3) a running offset over the super-range summaries — the
+    * ONLY unpartitioned ordered pass, over n/B² rows (at B=1000 that is
+    * 10⁵ summaries for 10¹¹ docs — trivially one task), (4) within-super
+    * running sums over range summaries PARTITIONED by super-range (≤B
+    * rows per partition), (5) within-range running sums partitioned by
+    * range, shifted by the composed offset. The ORACLE runs the naive
+    * global window — different algorithm, same numbers. */
   def sequencePack(s: SparkSession, d: String,
                    budgetTokens: Long = 512L, rangeDocs: Long = 1000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -114,10 +116,22 @@ object Sampling {
       size(TextAnalysis.words(col("text"))).cast("long").as("n_tokens"))
       .withColumn("rng", expr(s"doc_id div ${rangeDocs}L"))
     val rangeSums = toks.groupBy(col("rng")).agg(sum(col("n_tokens")).as("rtok"))
-    val wRanges = Window.orderBy(col("rng"))
+      .withColumn("srng", expr(s"rng div ${rangeDocs}L"))
+    // level 2: super-range totals; the one global ordered window runs
+    // over n/B² rows, never more
+    val superSums = rangeSums.groupBy(col("srng")).agg(sum(col("rtok")).as("stok"))
+    val wSupers = Window.orderBy(col("srng"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val rangeOffs = rangeSums
-      .withColumn("roff", coalesce(sum(col("rtok")).over(wRanges), lit(0L)))
+    val superOffs = superSums
+      .withColumn("soff", coalesce(sum(col("stok")).over(wSupers), lit(0L)))
+      .select(col("srng"), col("soff"))
+    // level 1: within each super-range (≤B range summaries), running sum
+    // partitioned by srng — no single-partition pass
+    val wInSuper = Window.partitionBy(col("srng")).orderBy(col("rng"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rangeOffs = rangeSums.join(broadcast(superOffs), "srng")
+      .withColumn("roff",
+        col("soff") + coalesce(sum(col("rtok")).over(wInSuper), lit(0L)))
       .select(col("rng"), col("roff"))
     val wInRange = Window.partitionBy(col("rng")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -137,8 +151,9 @@ object Sampling {
       |  FROM documents),
       | c AS (
       |  SELECT doc_id, n_tokens,
-      |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS start_tok
       |  FROM t)
       |SELECT doc_id, n_tokens, start_tok,
       |  start_tok // 512 AS bin, start_tok % 512 AS bin_tok

@@ -256,6 +256,16 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     out.foreach(r => assert(r.getLong(2) == naive(r.getLong(0))))
+    // force BOTH summary levels to matter: rangeDocs=4 puts docs in many
+    // ranges AND many super-ranges (srng = doc_id div 16), so the
+    // level-2 offsets compose with level-1 and within-range sums — the
+    // two-level prefix-sum must still equal the naive global window
+    val twoLevel = graft.ops.Sampling.sequencePack(spark, sf, rangeDocs = 4L)
+      .collect()
+    assert(twoLevel.map(_.getLong(0) / 16).distinct.length > 4,
+      "corpus too small to exercise multiple super-ranges")
+    twoLevel.foreach(r => assert(r.getLong(2) == naive(r.getLong(0)),
+      s"doc ${r.getLong(0)}: two-level offset ${r.getLong(2)} != naive"))
   }
 
   test("labelCentroids: exact-integer sums are partition-layout independent; bounds hold") {
