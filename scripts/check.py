@@ -65,6 +65,17 @@ def main():
         try:
             exp = con.execute(oracle[name])
             ecols = [d[0] for d in exp.description]; erows = exp.fetchall()
+            # TYPE AUDIT (the q49 class): DuckDB's sum(BIGINT) silently
+            # returns HUGEINT, which the driver's pyarrow-side hash renders
+            # differently from the engine's BIGINT even when values are
+            # identical. Any oracle column surfacing as HUGEINT/DECIMAL is
+            # a latent hash mismatch — fail it here, value-match or not.
+            rel = con.sql(oracle[name])
+            drifty = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                      if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()]
+            if drifty:
+                print(f"  {name}: ORACLE TYPE DRIFT {drifty} — wrap in CAST(... AS BIGINT/DOUBLE)")
+                fail += 1; continue
         except Exception as e:
             print(f"  {name}: ORACLE SQL ERROR: {e}"); fail += 1; continue
         if sorted(gcols) != sorted(ecols):

@@ -104,12 +104,17 @@ object SparkEntry {
     // exact keep-list on the q41 subset (oracle-checked); the 100 TB pair
     // source is annLshPairs (exact=false), spec-compared
     "q44_cosine_dedup" -> Similarity.cosineDedupAuto _,
-    "q43_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+    // gate runs the exact-integer quantized IVF (hash-checkable: integer
+    // routing has no float ties); the float/Lloyd variant is spec-compared
+    "q43_ivf_topk" -> ((s: SparkSession, d: String) => Similarity.ivfTopKQuantized(s, d)),
     "q50_infer_cascade" -> Pipelines.inferCascade,
     "q51_csv_roundtrip" -> Pipelines.csvRoundtrip,
     "q52_tagged_inference" -> Pipelines.taggedInference,
     "q53_dsv2_source_agg" -> Pipelines.dsv2SourceAgg,
     "q54_stream_ingest" -> Pipelines.streamIngestSummary,
+    // stream-stream interval join as a real streaming query; single-file
+    // source → one micro-batch → provably complete vs the batch oracle
+    "q57_stream_interval_join" -> Pipelines.streamIntervalJoin _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -231,6 +236,9 @@ object SparkEntry {
     "q28_bm25_rank" -> TextAnalysis.bm25Sql,
     "q45_asof_join" -> Temporal.purchaseAttributionSql,
     "q46_range_join" -> Temporal.signupViewWindowsSql,
+    // q57: the streaming interval join computes exactly q46's semantics;
+    // one-micro-batch completeness argument at Pipelines.streamIntervalJoin
+    "q57_stream_interval_join" -> Temporal.signupViewWindowsSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,
@@ -255,8 +263,10 @@ object SparkEntry {
     // pipeline (sign bits, banding, exact verify) replays in DuckDB
     "q42_ann_lsh_pairs" -> Similarity.annLshPairsSql,
     "q44_cosine_dedup" -> Similarity.cosineDedupSql,
-    // q43: IVF cell routing (Lloyd-refined centroids) → rows-only;
-    // its exactness oracle is q40.
+    // q43: the quantized-IVF face — routing and ranking are exact integer
+    // dots, so the full cell-routed pipeline replays in DuckDB (the float
+    // Lloyd variant stays spec-only; its exactness oracle is q40)
+    "q43_ivf_topk" -> Similarity.ivfTopKQuantizedSql,
     "q50_infer_cascade" -> Pipelines.inferCascadeSql,
     // q51/q52: file round-trip and quoted-bit semantics live outside SQL →
     // rows-only here, asserted exactly in ScalaTest.

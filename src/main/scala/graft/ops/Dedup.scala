@@ -490,8 +490,16 @@ object Dedup {
     * short chains). `localCheckpoint` per round truncates the growing
     * lineage so round N's plan doesn't replay rounds 1..N-1. Driver
     * convergence check is one count on the label table — bounded, not a
-    * collect of data. */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    * collect of data.
+    *
+    * `maxIters` is a SAFETY bound, not an accuracy dial: hitting it means
+    * the graph's diameter exceeds it and the labels are NOT the fixpoint,
+    * so this fails fast (r5 advice — a log.warn here shipped wrong
+    * component ids downstream) rather than return unconverged ids. 64
+    * rounds covers any plausible near-dup cluster; a corpus that trips it
+    * wants the O(log n) large-star/small-star variant, not a bigger
+    * bound. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 64): DataFrame = {
     val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
       .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
       .localCheckpoint(true) // edges reused every round — compute once
@@ -514,9 +522,9 @@ object Dedup {
       iter += 1
     }
     if (changed > 0)
-      log.warn(s"connectedComponents exited at maxIters=$maxIters with $changed " +
-        "labels still changing — component ids are NOT converged (graph diameter " +
-        "exceeds the iteration bound); raise maxIters for long chains")
+      sys.error(s"connectedComponents did not converge within maxIters=$maxIters " +
+        s"($changed labels still changing) — component ids would be wrong; " +
+        "raise maxIters or switch to large-star/small-star for huge-diameter graphs")
     labels
   }
 

@@ -220,6 +220,46 @@ object Pipelines {
       .toDF("n_source", "n_streamed", "sum_streamed", "sum_source")
   }
 
+  /** Gate face (q57) for [[graft.streaming.StreamIngest.intervalJoinStream]]
+    * — the stream-stream interval join run as a REAL streaming query
+    * (two file-source streams over events, symmetric-hash stateful join,
+    * checkpointed parquet sink), then aggregated in batch to q46's exact
+    * shape. Oracle = [[graft.ops.Temporal.signupViewWindowsSql]] — a hash
+    * check, not rows-only, because completeness holds by construction:
+    * events.parquet is a single file, so AvailableNow processes the whole
+    * corpus in ONE micro-batch; the watermark is still at its initial 0
+    * during that batch, so no state is evicted before every (signup,view)
+    * pair has met. Late-data eviction — the thing the watermark exists
+    * for at 100 TB — is exercised separately in StreamingSpec. */
+  def streamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    // same nanos→micros handling as Tables.events, on a streaming scan
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    // the file stream source wants a DIRECTORY; point it at the sf dir
+    // and glob-filter down to the single events file
+    def src(): DataFrame = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val signups = src().where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = src().where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("rts"), col("value"))
+    val base = s"target/tmp/sij_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = graft.streaming.StreamIngest
+      .intervalJoinStream(signups, views, "user_id") // [ts, ts+24h), q46's window
+      .select(col("event_id"), col("value"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    s.read.parquet(s"$base/out")
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_views"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Second-backend round-trip through the pluggable seam: supplier →
     * prepared-INSERT batches into embedded Derby ([[graft.sources.JdbcBackend]]
     * — the role Cassandra plays for the reference) → `spark.read.jdbc`

@@ -232,6 +232,13 @@ object Similarity {
     * model the cap — stays exact there. */
   val MaxBucketOcc = 4 * TargetOccupancy
 
+  /** Broadcast sizing for the ANN verify join: ~260 B per 64-float vector
+    * row (id + array header + 64×4 B + norm), capped by estimated bytes —
+    * 512 MB default ≈ the 2M-vector line the old row-count gate drew, but
+    * honest about WHAT it bounds (driver/executor memory, not rows). */
+  val BroadcastBytesPerVector = 260L
+  val DefaultBroadcastMaxBytes: Long = 512L * 1024 * 1024
+
   /** Deterministic pseudo-random hyperplanes (±1 components from a
     * splitmix-style hash) — "training" reproducible with no driver
     * state; materialized as literal arrays so each projection is one
@@ -316,13 +323,18 @@ object Similarity {
     // rows) — without a hint Catalyst sort-merge-joins and shuffles it
     // twice (the embedding table at ~260 B/vector crosses the 10 MB
     // auto-broadcast line long before it stops FITTING in an executor).
-    // Broadcast the embeddings while they plausibly fit (~0.5 GB at 2M
-    // vectors); past that, the shuffled join is genuinely the right plan.
+    // Broadcast the embeddings while the ESTIMATED BYTES fit (r5 advice:
+    // a row-count gate passes corpora whose byte size would OOM a
+    // default-sized driver); past the cap the shuffled join is genuinely
+    // the right plan. Cap configurable via graft.ann.broadcastMaxBytes.
     val n = corpusCount(s, d)
+    val estBytes = n * BroadcastBytesPerVector
+    val maxBytes = s.conf.getOption("graft.ann.broadcastMaxBytes")
+      .map(_.toLong).getOrElse(DefaultBroadcastMaxBytes)
     def side(idCol: String, v: String, nm: String) = {
       val proj = e.select(col("vec_id").as(idCol),
         col("embedding").as(v), col("nrm").as(nm))
-      if (n <= 2000000L) broadcast(proj) else proj
+      if (estBytes <= maxBytes) broadcast(proj) else proj
     }
     cand
       .join(side("id1", "v1", "n1"), "id1")
@@ -424,6 +436,78 @@ object Similarity {
       .where(col("rank") <= 10)
       .orderBy(col("qid"), col("rank"))
   }
+
+  /** IVF on the int8-QUANTIZED corpus (q43's gate face) — same list
+    * structure as [[ivfTopK]] but every comparison is an exact integer:
+    * centroids are the quantized seed vectors (every 100th, no Lloyd
+    * step), cell routing is argmax over integer centroid dots, and the
+    * in-cell ranking is the q48 integer-dot rank. Integer dots of int8
+    * vectors are ≤ 64·127² — exactly representable, order-independent —
+    * so routing has NO float ties and the whole pipeline replays
+    * verbatim in DuckDB (this is what flipped q43 from rows-only to
+    * hash-checked; the float/Lloyd variant stays as the spec-compared
+    * engine path).
+    *
+    * Scale: identical join shapes to [[ivfTopK]] — tiny centroid table
+    * broadcast into the assignment, probes broadcast into one cell's
+    * worth of candidates; at a fixed cell count the assignment cost is
+    * linear in n. */
+  def ivfTopKQuantized(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val qe = quantizeInt8(Tables.embeddings(s, d)).select(col("vec_id"), col("q8"))
+    val cent = qe.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("cent_id").asc)
+    val assigned = qe.join(broadcast(cent))
+      .select(col("vec_id"), col("q8"), col("cent_id"),
+        vecDot(col("q8"), col("cq")).cast("long").as("cdot"))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("q8"), col("cent_id"))
+    val probes = assigned.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q8").as("qv"), col("cent_id").as("qcell"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid").asc)
+    assigned.join(broadcast(probes),
+        col("cent_id") === col("qcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        vecDot(col("qv"), col("q8")).cast("long").as("dot"))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val ivfTopKQuantizedSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | cent AS (SELECT vec_id AS cent_id, q AS cq FROM q8 WHERE vec_id % 100 = 0),
+      | assigned AS (
+      |  SELECT vec_id, q, cent_id FROM (
+      |    SELECT v.vec_id, v.q, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY CAST(list_dot_product(v.q, c.cq) AS BIGINT) DESC,
+      |                 c.cent_id ASC) AS rn
+      |    FROM q8 v CROSS JOIN cent c) WHERE rn = 1),
+      | probes AS (
+      |  SELECT vec_id AS qid, q AS qv, cent_id AS qcell
+      |  FROM assigned WHERE vec_id < 5),
+      | dots AS (
+      |  SELECT p.qid, a.vec_id AS cid,
+      |    CAST(list_dot_product(p.qv, a.q) AS BIGINT) AS dot
+      |  FROM assigned a JOIN probes p
+      |    ON a.cent_id = p.qcell AND a.vec_id <> p.qid),
+      | ranked AS (
+      |  SELECT qid, cid, dot,
+      |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid ASC) AS rank
+      |  FROM dots)
+      |SELECT qid, cid, dot, rank FROM ranked WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin
 
   /** Int8 symmetric quantization of the embedding column: per-vector
     * scale 127/max|x|, q_i = floor(x_i·127/max|x| + 0.5). `floor(+0.5)`,

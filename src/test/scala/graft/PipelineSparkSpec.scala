@@ -354,6 +354,22 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("quantized ivf topk: integer dots, ranked per probe, in-cell results only") {
+    val rows = Similarity.ivfTopKQuantized(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.head.getAs[Int]("rank") == 1 && sorted.length <= 10)
+      // dots are non-increasing with rank (exact integer ordering)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("dot") >= b.getAs[Long]("dot"), s"probe $qid")
+        case _ =>
+      }
+      assert(!sorted.exists(_.getAs[Long]("cid") == qid), "probe returned itself")
+    }
+  }
+
   test("ANN LSH pairs: exact precision vs the FULL all-pairs baseline") {
     // the gate's q41 is a deterministic subsample; the spec drives the
     // full O(n²) baseline at small SF — every LSH-surfaced pair must

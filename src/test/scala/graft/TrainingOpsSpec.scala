@@ -201,6 +201,12 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Seq(1L, 2L, 3L, 4L, 5L).forall(got(_) == 1L))
     assert(got(10L) == 10L && got(11L) == 10L)
     assert(Seq(20L, 21L, 22L).forall(got(_) == 20L))
+    // a maxIters smaller than the diameter must FAIL FAST, never return
+    // unconverged (wrong) component ids
+    val e = intercept[RuntimeException] {
+      graft.ops.Dedup.connectedComponents(edges, maxIters = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("decontaminate: matches a brute-force trigram-overlap check; benchmark docs never flagged") {
