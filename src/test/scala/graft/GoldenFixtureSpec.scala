@@ -66,8 +66,9 @@ class GoldenFixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("edge inputs: empty file, header-only, single column, blank lines") {
-    val dir = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target/tmp"), "edge").toString
+    val parent = java.nio.file.Paths.get("/root/repo/target/tmp")
+    java.nio.file.Files.createDirectories(parent) // suite order-independent
+    val dir = java.nio.file.Files.createTempDirectory(parent, "edge").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/empty.csv"), "")
     val (t1, e1) = CopyWrite.read(spark, s"$dir/empty.csv", Seq("a"), CopyConfig())
     assert(t1.count() == 0); e1.check()
