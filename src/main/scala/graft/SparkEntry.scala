@@ -115,6 +115,18 @@ object SparkEntry {
     // stream-stream interval join as a real streaming query; single-file
     // source → one micro-batch → provably complete vs the batch oracle
     "q57_stream_interval_join" -> Pipelines.streamIntervalJoin _,
+    // watermarked windowed agg in APPEND mode: the oracle asserts the
+    // watermark contract itself (emitted set == closed windows)
+    "q58_stream_windows" -> Pipelines.streamWindows _,
+    // streaming dedup (bounded state); output = deduped key set
+    "q59_stream_dedup" -> Pipelines.streamDedup _,
+    // curation suite: chunking, PII scrub, repetition stats, mixture
+    // allocation, z-order layout
+    "q81_doc_chunks" -> Curation.docChunksGate _,
+    "q82_pii_scrub" -> Curation.piiScrubGate _,
+    "q83_repetition_stats" -> Curation.repetitionGate _,
+    "q84_mixture_alloc" -> Curation.mixtureGate _,
+    "q85_zorder_layout" -> Curation.zorderGate _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -239,6 +251,14 @@ object SparkEntry {
     // q57: the streaming interval join computes exactly q46's semantics;
     // one-micro-batch completeness argument at Pipelines.streamIntervalJoin
     "q57_stream_interval_join" -> Temporal.signupViewWindowsSql,
+    // q58: the oracle IS the watermark contract — closed windows only
+    "q58_stream_windows" -> Pipelines.streamWindowsSql,
+    "q59_stream_dedup" -> Pipelines.streamDedupSql,
+    "q81_doc_chunks" -> Curation.docChunksSql,
+    "q82_pii_scrub" -> Curation.piiScrubSql,
+    "q83_repetition_stats" -> Curation.repetitionSql,
+    "q84_mixture_alloc" -> Curation.mixtureSql,
+    "q85_zorder_layout" -> Curation.zorderSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

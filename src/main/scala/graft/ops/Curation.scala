@@ -1,0 +1,314 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the remaining prep steps a training-data
+  * pipeline runs between dedup/quality-filtering and the trainer: context
+  * chunking, PII scrubbing, repetition (Gopher-style) stats, corpus
+  * mixture allocation, and multi-dimensional data layout.
+  *
+  * Design rules shared by every operator here:
+  *  - NARROW where possible: chunking, scrubbing, and repetition stats
+  *    are pure per-row expressions (higher-order array functions +
+  *    regexp), so they run inside whole-stage codegen with zero shuffle —
+  *    at 100 TB the cost is the scan.
+  *  - EXACT-INTEGER outputs wherever a ratio would be compared: the q68
+  *    lesson ("an exact-integer ratio lands ON .5 boundaries where engine
+  *    rounding modes split") generalizes — repetition stats emit
+  *    numerator/denominator pairs and the keep-flag is decided by integer
+  *    cross-multiplication; mixture allocation uses integer-floored
+  *    sqrt weights and largest-remainder rounding, so both engines agree
+  *    bit-for-bit with no float in any compared column.
+  */
+object Curation {
+
+  // ---------------------------------------------------------------------
+  // q81: document chunking with overlap
+  // ---------------------------------------------------------------------
+
+  /** Split each document's token sequence into fixed-size overlapping
+    * chunks — the context-window prep step (RAG indexing, long-doc
+    * training). Chunk k covers tokens [k*stride, k*stride + size), the
+    * last chunk may be short, consecutive chunks overlap by size-stride
+    * tokens. Emits the chunk's md5 so the oracle verifies CONTENT, not
+    * just offsets.
+    *
+    * Scale: `explode(sequence(...))` is a narrow generator — ~n/stride
+    * output rows per doc, no shuffle, no state; the orderBy is
+    * presentation-only (gate determinism) and would be dropped in a
+    * pipeline context. */
+  def docChunks(df: DataFrame, text: Column,
+                chunkTokens: Int = 128, strideTokens: Int = 96): DataFrame = {
+    val S = strideTokens.toLong
+    val C = chunkTokens.toLong
+    df.withColumn("toks", TextAnalysis.words(text))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .where(col("n") > 0)
+      // integer ceil(n/S): float ceil drifts at large n, div doesn't
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), expr(s"(n + ${S - 1}L) div ${S}L") - 1L)))
+      .withColumn("start_tok", col("chunk_id") * S)
+      .withColumn("n_tok", least(lit(C), col("n") - col("start_tok")))
+      .withColumn("chunk_md5",
+        md5(array_join(slice(col("toks"), (col("start_tok") + 1).cast("int"),
+          col("n_tok").cast("int")), " ")))
+  }
+
+  /** Gate face (q81) on `documents`. */
+  def docChunksGate(s: SparkSession, d: String): DataFrame =
+    docChunks(Tables.documents(s, d), col("text"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("n_tok"), col("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val docChunksSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks,
+      |         CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n
+      |  FROM documents),
+      | ch AS (
+      |  SELECT doc_id, n, toks,
+      |    unnest(range(0, (n + 95) // 96)) AS chunk_id
+      |  FROM t WHERE n > 0)
+      |SELECT doc_id, chunk_id, chunk_id * 96 AS start_tok,
+      |  least(128, n - chunk_id * 96) AS n_tok,
+      |  md5(array_to_string(
+      |    toks[chunk_id*96 + 1 : chunk_id*96 + least(128, n - chunk_id*96)],
+      |    ' ')) AS chunk_md5
+      |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q82: PII scrubbing
+  // ---------------------------------------------------------------------
+
+  private val EmailPat = "[a-z0-9]+@[a-z0-9.]+[a-z0-9]"
+  private val Ipv4Pat = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+  /** Count-and-redact PII patterns (emails, then IPv4) in a text column.
+    * Returns (n_email, n_ip, cleaned). Counts are taken BEFORE redaction;
+    * redaction order (emails first) is part of the contract — an IPv4
+    * inside a redacted email never double-counts. Pure regexp built-ins:
+    * codegen'd, narrow, zero shuffle. */
+  def piiScrub(text: Column): (Column, Column, Column) = {
+    val nEmail = regexp_count(text, lit(EmailPat)).cast("long")
+    val nIp = regexp_count(text, lit(Ipv4Pat)).cast("long")
+    val clean = regexp_replace(
+      regexp_replace(text, EmailPat, "<email>"), Ipv4Pat, "<ip>")
+    (nEmail, nIp, clean)
+  }
+
+  /** Gate face (q82). The synthetic corpus is PII-free by construction,
+    * so the gate INJECTS deterministic PII derived from doc_id (same
+    * closed-form on both engines — the Multimodal fake-payload pattern,
+    * cf. Multimodal.scala's doc_id-derived codecs) and then proves the
+    * scrubber finds and removes exactly it. The operator itself
+    * ([[piiScrub]]) is generic. */
+  def piiScrubGate(s: SparkSession, d: String): DataFrame = {
+    val injected = concat(
+      col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example or admin@corp.example ip 10."),
+      (col("doc_id") % 200).cast("string"), lit("."),
+      (col("doc_id") % 250).cast("string"), lit("."),
+      (col("doc_id") % 100).cast("string"))
+    val (nEmail, nIp, clean) = piiScrub(injected)
+    Tables.documents(s, d)
+      .select(col("doc_id"), nEmail.as("n_email"), nIp.as("n_ip"),
+        length(clean).cast("long").as("clean_len"), md5(clean).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiScrubSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |      || '@mail.example or admin@corp.example ip 10.'
+      |      || CAST(doc_id % 200 AS VARCHAR) || '.'
+      |      || CAST(doc_id % 250 AS VARCHAR) || '.'
+      |      || CAST(doc_id % 100 AS VARCHAR) AS s
+      |  FROM documents),
+      | c AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(s, '[a-z0-9]+@[a-z0-9.]+[a-z0-9]')) AS BIGINT) AS n_email,
+      |    CAST(len(regexp_extract_all(s, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS BIGINT) AS n_ip,
+      |    regexp_replace(
+      |      regexp_replace(s, '[a-z0-9]+@[a-z0-9.]+[a-z0-9]', '<email>', 'g'),
+      |      '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<ip>', 'g') AS clean
+      |  FROM t)
+      |SELECT doc_id, n_email, n_ip,
+      |  CAST(len(clean) AS BIGINT) AS clean_len, md5(clean) AS clean_md5
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q83: repetition stats (Gopher-style quality rules)
+  // ---------------------------------------------------------------------
+
+  /** Per-document repetition statistics — the Gopher repetition rules
+    * ("fraction of most-common token", "fraction of duplicate n-grams")
+    * that catch boilerplate and degenerate generations. All counts are
+    * EXACT INTEGERS; the keep decision is integer cross-multiplication
+    * (top_tok_cnt/n_tok <= 1/5 AND dup_bigram_cnt/n_bigram <= 1/2), so
+    * no float ever reaches a compared column.
+    *
+    * Scale: computed with array higher-order functions — narrow, zero
+    * shuffle, codegen'd. top_tok_cnt is O(distinct·n) per doc; for web-doc
+    * token counts (10²-10⁴) that is microseconds and beats the
+    * explode+groupBy alternative, which shuffles the whole exploded corpus
+    * twice. (Past ~10⁵ tokens/doc, flip to explode+groupBy per doc-chunk.) */
+  def repetitionStats(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("w", TextAnalysis.words(text))
+      .where(size(col("w")) > 0)
+      .withColumn("n_tok", size(col("w")).cast("long"))
+      .withColumn("top_tok_cnt", expr(
+        "CAST(array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x)))) AS BIGINT)"))
+      // adjacent-token bigrams via indexed transform (0-based lambda index)
+      .withColumn("bg", expr(
+        "transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', element_at(w, i + 2)))"))
+      .withColumn("n_bigram", size(col("bg")).cast("long"))
+      .withColumn("dup_bigram_cnt",
+        (size(col("bg")) - size(array_distinct(col("bg")))).cast("long"))
+      .withColumn("keep",
+        col("top_tok_cnt") * 5 <= col("n_tok") &&
+          col("dup_bigram_cnt") * 2 <= col("n_bigram"))
+
+  /** Gate face (q83). */
+  def repetitionGate(s: SparkSession, d: String): DataFrame =
+    repetitionStats(Tables.documents(s, d), col("text"))
+      .select(col("doc_id"), col("n_tok"), col("top_tok_cnt"),
+        col("n_bigram"), col("dup_bigram_cnt"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  val repetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS w
+      |  FROM documents),
+      | s AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+      |    CAST(list_max(list_transform(list_distinct(w),
+      |      x -> len(list_filter(w, y -> y = x)))) AS BIGINT) AS top_tok_cnt,
+      |    list_transform(w[1:len(w)-1], (x, i) -> x || ' ' || w[i+1]) AS bg
+      |  FROM t WHERE len(w) > 0)
+      |SELECT doc_id, n_tok, top_tok_cnt,
+      |  CAST(len(bg) AS BIGINT) AS n_bigram,
+      |  CAST(len(bg) - len(list_distinct(bg)) AS BIGINT) AS dup_bigram_cnt,
+      |  (top_tok_cnt * 5 <= n_tok) AND
+      |    (CAST(len(bg) - len(list_distinct(bg)) AS BIGINT) * 2
+      |      <= CAST(len(bg) AS BIGINT)) AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q84: corpus mixture allocation
+  // ---------------------------------------------------------------------
+
+  /** Allocate a fixed sampling budget across corpus cells with sublinear
+    * (α<1) weighting — the "don't let the biggest source drown the
+    * mixture" step of corpus mixing. Real pipelines use n^α with α≈0.7;
+    * the gate face uses w = floor(sqrt(n)) (α=0.5 with IEEE-exact sqrt,
+    * floored to an INTEGER) plus largest-remainder rounding, so the whole
+    * allocation is exact integer arithmetic and replays bit-for-bit in
+    * any engine — no pow() last-ulp drift can reach a compared column.
+    *
+    * Scale: one hash-agg over the corpus, then all window functions run
+    * on the per-cell AGGREGATE (|sources|×|langs| rows — thousands at
+    * most, by construction corpus-size-independent), so the unpartitioned
+    * windows here are bounded the way q49's summary level is. */
+  def mixtureAllocation(df: DataFrame, cells: Seq[Column],
+                        budget: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy() // per-cell aggregate: bounded rows
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val counts = df.groupBy(cells: _*).agg(count(lit(1)).cast("long").as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs"))).cast("long"))
+      .withColumn("tot", sum(col("w")).over(all))
+    val ranked = counts
+      .withColumn("base", expr(s"(${budget}L * w) div tot"))
+      .withColumn("rem", (lit(budget) * col("w")) % col("tot"))
+      .withColumn("leftover", lit(budget) - sum(col("base")).over(all))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy().orderBy(col("rem").desc +: cells.map(_.asc): _*)))
+    ranked.withColumn("alloc",
+      col("base") + when(col("rn") <= col("leftover"), 1L).otherwise(0L))
+  }
+
+  /** Gate face (q84): mixture over documents (source, lang) cells. */
+  def mixtureGate(s: SparkSession, d: String): DataFrame =
+    mixtureAllocation(Tables.documents(s, d), Seq(col("source"), col("lang")))
+      .select(col("source"), col("lang"), col("n_docs"), col("w"), col("alloc"))
+      .orderBy(col("source"), col("lang"))
+
+  val mixtureSql: String =
+    """WITH n AS (
+      |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY 1, 2),
+      | w AS (
+      |  SELECT source, lang, n_docs,
+      |    CAST(floor(sqrt(n_docs)) AS BIGINT) AS w FROM n),
+      | b AS (SELECT *, CAST(sum(w) OVER () AS BIGINT) AS tot FROM w),
+      | a AS (
+      |  SELECT source, lang, n_docs, w,
+      |    (100000 * w) // tot AS base, (100000 * w) % tot AS rem,
+      |    CAST(100000 - sum((100000 * w) // tot) OVER () AS BIGINT) AS leftover
+      |  FROM b)
+      |SELECT source, lang, n_docs, w,
+      |  base + CASE WHEN CAST(row_number() OVER
+      |      (ORDER BY rem DESC, source ASC, lang ASC) AS BIGINT) <= leftover
+      |    THEN 1 ELSE 0 END AS alloc
+      |FROM a ORDER BY source, lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q85: Z-order (Morton) data layout
+  // ---------------------------------------------------------------------
+
+  /** Morton (Z-order) interleave of two 10-bit dimensions — the
+    * multi-dimensional data-layout key. Writing a table range-partitioned
+    * and sorted by zkey clusters rows that are close in BOTH dimensions
+    * into the same files, so min/max file statistics prune scans for
+    * predicates on EITHER dimension (the classic Delta/Iceberg OPTIMIZE
+    * ZORDER trick, done with plain Spark: repartitionByRange(zkey) +
+    * sortWithinPartitions).
+    *
+    * The bit-interleave is a fixed 20-term integer expression — codegen'd,
+    * narrow, replayable verbatim in any engine with shift/and/or. */
+  private def mortonExpr(dialect: String): String = {
+    val terms = (0 until 10).flatMap { i =>
+      dialect match {
+        case "spark" => Seq(
+          s"shiftleft(shiftright(ux, $i) & 1, ${2 * i})",
+          s"shiftleft(shiftright(vx, $i) & 1, ${2 * i + 1})")
+        case _ => Seq(
+          s"(((ux >> $i) & 1) << ${2 * i})",
+          s"(((vx >> $i) & 1) << ${2 * i + 1})")
+      }
+    }
+    terms.mkString(" | ")
+  }
+
+  /** Gate face (q85): z-key events on (user bucket, value bucket), then
+    * summarize per layout bucket (zkey >> 14, ≤64 buckets): row count and
+    * the min/max of each dimension — exactly the file-statistics ranges a
+    * scan would prune on. The per-bucket min/max spans being narrow in
+    * BOTH dims (asserted in spec) is the locality property that makes the
+    * layout worth writing. */
+  def zorderGate(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("ux", col("user_id") % 1024)
+      .withColumn("vx", abs(floor(col("value") * 10).cast("long")) % 1024)
+      .withColumn("zkey", expr(mortonExpr("spark")))
+      .groupBy(expr("zkey div 16384").as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ux")).as("min_ux"), max(col("ux")).as("max_ux"),
+        min(col("vx")).as("min_vx"), max(col("vx")).as("max_vx"))
+      .orderBy(col("zbucket"))
+
+  val zorderSql: String =
+    s"""WITH t AS (
+       |  SELECT event_id, user_id % 1024 AS ux,
+       |    abs(CAST(floor(value * 10) AS BIGINT)) % 1024 AS vx
+       |  FROM events),
+       | z AS (SELECT event_id, ux, vx, ${mortonExpr("duck")} AS zkey FROM t)
+       |SELECT zkey // 16384 AS zbucket, CAST(count(*) AS BIGINT) AS n,
+       |  min(ux) AS min_ux, max(ux) AS max_ux,
+       |  min(vx) AS min_vx, max(vx) AS max_vx
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+}

@@ -260,6 +260,77 @@ object Pipelines {
       .orderBy(col("event_id"))
   }
 
+  /** Streaming parquet source over the single events file (q57's trick). */
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Gate face (q58) for [[graft.streaming.StreamIngest.windowedEventCounts]]
+    * — watermarked tumbling-window aggregation run as a REAL streaming
+    * query in APPEND mode, checkpointed parquet sink. This one tests the
+    * watermark CONTRACT itself, not just plumbing: append mode emits a
+    * window exactly when the watermark passes its end, so after the data
+    * batch (watermark 0, nothing emitted) AvailableNow's no-data batch
+    * advances the watermark to max(ts) and flushes every CLOSED window —
+    * the one window still open at end-of-stream stays in state, unemitted.
+    * The oracle recomputes precisely that semantic in batch: all windows
+    * with window_end <= max event time. Hash check, no completeness
+    * hand-waving — the inequality IS the assertion. */
+  def streamWindows(s: SparkSession, d: String): DataFrame = {
+    val ev = eventStream(s, d).select(col("ts"), col("event_type"), col("value"))
+    val base = s"/root/repo/target/tmp/swin_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = graft.streaming.StreamIngest
+      .windowedEventCounts(ev, watermark = "0 seconds", window_ = "10 minutes")
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    s.read.parquet(s"$base/out")
+      .select(unix_timestamp(col("window_start")).as("window_start"),
+        col("event_type"), col("n_events"),
+        round(col("sum_value"), 4).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val streamWindowsSql: String =
+    """WITH m AS (SELECT max(epoch_ms(ts)) AS wm FROM events)
+      |SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600 AS window_start,
+      |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events, m
+      |WHERE ((CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600 + 600) * 1000 <= wm
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Gate face (q59) for [[graft.streaming.StreamIngest.dedupStream]] —
+    * dropDuplicatesWithinWatermark as a real streaming query. The output
+    * is the DEDUPED KEY SET (not first-arrival payloads: which duplicate
+    * survives is arrival-order-dependent, the key set is not), so the
+    * oracle is batch DISTINCT. Single-file source → one micro-batch →
+    * nothing evicted mid-corpus (q57's completeness argument); watermark
+    * EVICTION is spec-tested in StreamingSpec with multi-batch input. */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val ev = eventStream(s, d).select(col("ts"), col("user_id"), col("event_type"))
+    val base = s"/root/repo/target/tmp/sdd_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = graft.streaming.StreamIngest
+      .dedupStream(ev, Seq("user_id", "event_type"), watermark = "10 minutes")
+      .select(col("user_id"), col("event_type"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    s.read.parquet(s"$base/out")
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val streamDedupSql: String =
+    """SELECT DISTINCT user_id, event_type
+      |FROM events ORDER BY user_id, event_type""".stripMargin
+
   /** Second-backend round-trip through the pluggable seam: supplier →
     * prepared-INSERT batches into embedded Derby ([[graft.sources.JdbcBackend]]
     * — the role Cassandra plays for the reference) → `spark.read.jdbc`

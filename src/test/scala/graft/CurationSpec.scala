@@ -1,0 +1,197 @@
+package graft
+
+import graft.ops.Curation
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the curation suite (q81-q85): chunk coverage/overlap
+  * invariants, PII edge cases, repetition arithmetic, largest-remainder
+  * allocation, and the Morton bijection + locality property. The gate
+  * faces are DuckDB-hash-checked; these cover the semantics and edges the
+  * oracle data never exercises. */
+class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("graft-curation-test")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("docChunks: coverage, overlap, short-tail, and single-short-doc invariants") {
+    val s = spark
+    import s.implicits._
+    // 300 tokens → chunks at 0,96,192,288: lens 128,128,108,12
+    val doc300 = (0 until 300).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc300), (2L, "one two"), (3L, "")).toDF("doc_id", "text")
+    val got = Curation.docChunks(df, col("text"))
+      .select("doc_id", "chunk_id", "start_tok", "n_tok")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 3 (no tokens) emits nothing
+    assert(!got.exists(_._1 == 3L))
+    // doc 2: one chunk, the whole doc
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 2L)))
+    val d1 = got.filter(_._1 == 1L).toSeq
+    assert(d1 == Seq((1L, 0L, 0L, 128L), (1L, 1L, 96L, 128L),
+      (1L, 2L, 192L, 108L), (1L, 3L, 288L, 12L)))
+    // invariants: starts stride by 96; consecutive chunks overlap by 32
+    // (or the tail, if shorter); union covers [0, 300) with no gap
+    d1.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 == a._3 + 96)
+      assert(a._3 + a._4 >= b._3) // no gap
+    }
+    assert(d1.map(c => c._3 + c._4).max == 300L)
+  }
+
+  test("docChunks: chunk_md5 is the md5 of the actual token slice") {
+    val s = spark
+    import s.implicits._
+    val toks = (0 until 130).map(i => s"t$i")
+    val df = Seq((7L, toks.mkString(" "))).toDF("doc_id", "text")
+    val got = Curation.docChunks(df, col("text"))
+      .select("chunk_id", "chunk_md5").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(got(0L) == md5hex(toks.take(128).mkString(" ")))
+    assert(got(1L) == md5hex(toks.slice(96, 130).mkString(" ")))
+  }
+
+  test("piiScrub: counts before redaction, email-then-ip order, boundary forms") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a@b.c and x9@sub.dom.tld plus 1.2.3.4 then 10.200.250.99", 2L, 2L),
+      ("no pii here at all", 0L, 0L),
+      ("ip 192.168.0.1 only", 0L, 1L),
+      ("mail only joe@example.org", 1L, 0L)
+    ).toDF("text", "e", "i")
+    val (ne, ni, clean) = Curation.piiScrub(col("text"))
+    val got = df.select(col("text"), ne.as("ne"), ni.as("ni"), clean.as("c"),
+      col("e"), col("i")).collect()
+    got.foreach { r =>
+      assert(r.getLong(1) == r.getLong(4), s"email count for '${r.getString(0)}'")
+      assert(r.getLong(2) == r.getLong(5), s"ip count for '${r.getString(0)}'")
+      // nothing matching either pattern survives in the clean text
+      assert(!r.getString(3).matches(".*[a-z0-9]+@[a-z0-9.]+[a-z0-9].*"))
+      assert(!r.getString(3).matches(".*[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+.*"))
+    }
+    val c0 = got.find(_.getString(0).startsWith("a@b.c")).get.getString(3)
+    assert(c0 == "<email> and <email> plus <ip> then <ip>")
+  }
+
+  test("repetitionStats: exact counts and integer-cross-multiplied keep flag") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // 10 tokens, 'a' x5 → top 5*5=25 > 10 → fail top-token rule;
+      // bigrams: 'a a' x4 + 5 distinct → 9 total, dup = 4-1 = 3
+      (1L, "a a a a a b c d e f"),
+      // 10 distinct tokens, no repeated bigram → keep
+      (2L, "q w e r t y u i o p"),
+      // 'a b' bigram repeated: tokens a,b,a,b,a,b → bigrams ab,ba,ab,ba,ab
+      // → 5 bigrams, dup = 5 - 2 = 3; 3*2=6 > 5 → fail dup-bigram rule
+      (3L, "a b a b a b"),
+      (4L, "solo")  // 1 token, 0 bigrams: 0*2 <= 0 → bigram rule passes
+    ).toDF("doc_id", "text")
+    val got = Curation.repetitionStats(df, col("text"))
+      .select("doc_id", "n_tok", "top_tok_cnt", "n_bigram", "dup_bigram_cnt", "keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(got(1L) == ((10L, 5L, 9L, 3L, false)))
+    assert(got(2L) == ((10L, 1L, 9L, 0L, true)))
+    assert(got(3L) == ((6L, 3L, 5L, 3L, false)))
+    assert(got(4L) == ((1L, 1L, 0L, 0L, false))) // top 1*5=5 > 1 → top rule fails
+  }
+
+  test("mixtureAllocation: budget exactly exhausted, largest remainder fires, sublinear") {
+    val s = spark
+    import s.implicits._
+    // skewed cells: 10000, 100, 9, 1 docs → sqrt weights 100, 10, 3, 1
+    val rows = Seq.tabulate(10000)(i => ("big", i)) ++
+      Seq.tabulate(100)(i => ("mid", i)) ++
+      Seq.tabulate(9)(i => ("small", i)) ++ Seq(("tiny", 0))
+    val df = rows.toDF("source", "i")
+    val got = Curation.mixtureAllocation(df, Seq(col("source")), budget = 1000L)
+      .select("source", "n_docs", "w", "alloc").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val total = got.values.map(_._3).sum
+    assert(total == 1000L, s"allocs must exhaust the budget, got $total")
+    // tot=114: big base = 1000*100/114 = 877, mid 87, small 26, tiny 8
+    // → base sum 998, two largest remainders get +1
+    assert(got("big")._2 == 100L && got("tiny")._2 == 1L)
+    assert(got.values.map(_._3).forall(_ > 0))
+    // sublinear: big has 10000x tiny's docs but <200x its allocation
+    assert(got("big")._3 < got("tiny")._3 * 200)
+    // verify against an independent largest-remainder computation
+    val ws = got.view.mapValues(_._2).toMap
+    val tot = ws.values.sum
+    val base = ws.view.mapValues(w => 1000L * w / tot).toMap
+    val left = 1000L - base.values.sum
+    val order = ws.keys.toSeq.sortBy(k => (-(1000L * ws(k) % tot), k))
+    val expect = base.map { case (k, b) =>
+      k -> (b + (if (order.indexOf(k) < left) 1L else 0L)) }
+    got.foreach { case (k, (_, _, a)) => assert(a == expect(k), s"cell $k") }
+  }
+
+  test("zorder: morton key is a bijection and buckets are range-local in both dims") {
+    val s = spark
+    import s.implicits._
+    // drive the gate's expression over a controlled grid via a fake
+    // events frame: every (ux, vx) in a 32x32 grid
+    val grid = for (u <- 0 until 32; v <- 0 until 32) yield (u.toLong, v.toLong)
+    val df = grid.toDF("ux", "vx")
+      .withColumn("zkey", expr(
+        (0 until 10).flatMap(i => Seq(
+          s"shiftleft(shiftright(ux, $i) & 1, ${2 * i})",
+          s"shiftleft(shiftright(vx, $i) & 1, ${2 * i + 1})")).mkString(" | ")))
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // bijection on the grid: 1024 distinct keys, decode recovers (ux, vx)
+    assert(rows.map(_._3).distinct.length == 1024)
+    def unmorton(z: Long): (Long, Long) = {
+      var (u, v) = (0L, 0L)
+      for (i <- 0 until 10) {
+        u |= ((z >> (2 * i)) & 1) << i
+        v |= ((z >> (2 * i + 1)) & 1) << i
+      }
+      (u, v)
+    }
+    rows.foreach { case (u, v, z) => assert(unmorton(z) == ((u, v))) }
+    // locality: group by zkey div 64 (64 cells per bucket on the grid) —
+    // a bucket is a contiguous Z range covering an 8x8 tile, so it must
+    // span at most 8 in BOTH dims. That bounded two-dimensional span is
+    // what makes min/max file stats prunable on either dimension.
+    val buckets = rows.groupBy(_._3 / 64)
+    buckets.values.foreach { cell =>
+      val us = cell.map(_._1); val vs = cell.map(_._2)
+      assert(us.max - us.min <= 7 && vs.max - vs.min <= 7)
+    }
+  }
+
+  test("gate faces at sf0.001: non-empty, deterministic across partition layouts") {
+    val d = "/root/testdata/sf0.001"
+    val qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      Seq("chunks" -> Curation.docChunksGate _, "pii" -> Curation.piiScrubGate _,
+        "rep" -> Curation.repetitionGate _, "mix" -> Curation.mixtureGate _,
+        "zorder" -> Curation.zorderGate _)
+    qs.foreach { case (name, fn) =>
+      val a = fn(spark, d).collect()
+      assert(a.nonEmpty, name)
+      // layout independence: same result under a different shuffle width
+      spark.conf.set("spark.sql.shuffle.partitions", 7)
+      try {
+        val b = fn(spark, d).collect()
+        assert(a.toSeq == b.toSeq, s"$name must be layout-independent")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", 4)
+    }
+  }
+}
