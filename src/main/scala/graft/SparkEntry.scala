@@ -127,6 +127,12 @@ object SparkEntry {
     "q83_repetition_stats" -> Curation.repetitionGate _,
     "q84_mixture_alloc" -> Curation.mixtureGate _,
     "q85_zorder_layout" -> Curation.zorderGate _,
+    // two-phase exact-k per-stratum sample (bucket-prefix prune, no
+    // full-stratum shuffle); oracle replays the same two phases
+    "q86_reservoir_sample" -> Sampling.reservoirGate _,
+    // portable fixed-bin histogram quantiles — integer bin bounds only
+    "q87_length_histogram" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.lengthHistogram(s, d)),
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -259,6 +265,8 @@ object SparkEntry {
     "q83_repetition_stats" -> Curation.repetitionSql,
     "q84_mixture_alloc" -> Curation.mixtureSql,
     "q85_zorder_layout" -> Curation.zorderSql,
+    "q86_reservoir_sample" -> Sampling.reservoirSql,
+    "q87_length_histogram" -> TextAnalysis.lengthHistogramSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -144,6 +144,76 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic EXACT-k per-stratum sample ("reservoir" semantics,
+    * engine-replayable): keep the k rows with the smallest md5-derived
+    * hash per stratum. The naive formulation is a rank window over the
+    * whole stratum — a full shuffle of every row plus a per-stratum sort,
+    * and a single task per hot stratum at 100 TB. This is the TWO-PHASE
+    * version: (1) count rows per (stratum, top-10-bit hash bucket) — a
+    * tiny map-side-combined aggregate (≤1024 rows per stratum); (2) a
+    * cumulative window over that BOUNDED aggregate finds the smallest
+    * bucket prefix guaranteed to hold the k smallest hashes (buckets are
+    * the hash's TOP bits, so bucket order IS hash order); (3) only rows
+    * in that prefix — expected ~k + one bucket's worth — survive to the
+    * exact rank. The full corpus is scanned twice but never shuffled;
+    * the only per-stratum sort ranks ~k survivors.
+    *
+    * If a stratum has < k rows the threshold never materializes (left
+    * join null) and every row survives to the rank — exact-k degrades to
+    * take-all, same as the naive definition. */
+  def reservoirSample(df: DataFrame, stratum: Column, key: Column,
+                      tie: Column, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hv = conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+    val base = df.withColumn("hv", hv)
+      .withColumn("bkt", expr("hv div 1125899906842624")) // 2^50: top 10 bits
+      .withColumn("stratum", stratum)
+    val counts = base.groupBy(col("stratum"), col("bkt")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("stratum")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cut = counts.withColumn("cc", sum(col("c")).over(wCum))
+      .where(col("cc") >= k)
+      .groupBy(col("stratum")).agg(min(col("bkt")).as("cut"))
+    val surv = base.join(broadcast(cut), Seq("stratum"), "left")
+      .where(col("cut").isNull || col("bkt") <= col("cut"))
+    val wRank = Window.partitionBy(col("stratum")).orderBy(col("hv"), tie)
+    surv.withColumn("rk", row_number().over(wRank)).where(col("rk") <= k)
+  }
+
+  /** Gate face (q86): exactly 10 docs per source, hash-deterministic.
+    * The ORACLE replays the same two-phase plan in SQL — and the spec
+    * asserts two-phase == naive rank, which is the correctness theorem
+    * (the bucket prefix provably contains the k smallest hashes). */
+  def reservoirGate(s: SparkSession, d: String): DataFrame =
+    reservoirSample(Tables.documents(s, d), col("source"),
+      col("doc_id").cast("string"), tie = col("doc_id"), k = 10)
+      .select(col("source"), col("doc_id"), col("hv"))
+      .orderBy(col("source"), col("doc_id"))
+
+  val reservoirSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, source,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+      |  FROM documents),
+      | b AS (SELECT *, hv >> 50 AS bkt FROM h),
+      | bc AS (SELECT source, bkt, count(*) AS c FROM b GROUP BY 1, 2),
+      | cum AS (
+      |  SELECT source, bkt,
+      |    sum(c) OVER (PARTITION BY source ORDER BY bkt
+      |                 ROWS UNBOUNDED PRECEDING) AS cc
+      |  FROM bc),
+      | thr AS (SELECT source, min(bkt) AS cut FROM cum WHERE cc >= 10 GROUP BY 1),
+      | surv AS (
+      |  SELECT b.doc_id, b.source, b.hv
+      |  FROM b LEFT JOIN thr USING (source)
+      |  WHERE thr.cut IS NULL OR b.bkt <= thr.cut),
+      | ranked AS (
+      |  SELECT doc_id, source, hv,
+      |    row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+      |  FROM surv)
+      |SELECT source, doc_id, hv FROM ranked WHERE rk <= 10
+      |ORDER BY source, doc_id""".stripMargin
+
   val sequencePackSql: String =
     """WITH t AS (
       |  SELECT doc_id,

@@ -417,4 +417,61 @@ object TextAnalysis {
       |  round(coalesce(w_data, 0.0) + coalesce(w_hash, 0.0) + coalesce(w_scan, 0.0), 4) AS bm25
       |FROM perdoc
       |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  /** Portable fixed-bin histogram quantiles (q87): per-source token-length
+    * distribution as a 32-bin histogram (bin width 16, last bin open),
+    * with P50/P90/P99 read off the cumulative counts — the engine-portable
+    * answer to "what's the length distribution of each corpus slice".
+    *
+    * Exact-percentile (`percentile_disc`) shuffles and sorts every row per
+    * group; a t-digest is compact but engine-specific — its merge order
+    * changes the estimate, so no oracle could check it. Fixed bins are the
+    * scale-correct middle ground: ONE map-side-combined hash-agg over the
+    * corpus (≤32·|sources| output rows), cumulative windows only on that
+    * bounded aggregate, and every output an exact INTEGER (bin lower
+    * bound, in tokens) any engine reproduces bit-for-bit. Resolution is
+    * the bin width; q73's percentile_disc covers the exact-quantile need
+    * at group scales where the sort is affordable. */
+  def lengthHistogram(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = Tables.documents(s, d)
+      .select(col("source"),
+        // `div` not `/`: Column./ on longs is DOUBLE division
+        least(expr("size(regexp_extract_all(text, '[a-z0-9]+', 0)) div 16")
+          .cast("long"), lit(31L)).as("bin"))
+      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    binned
+      .withColumn("cc", sum(col("c")).over(wCum))
+      .withColumn("n_docs", sum(col("c")).over(wAll))
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        (min(when(col("cc") * 2 >= col("n_docs"), col("bin"))) * 16).as("p50_tok"),
+        (min(when(col("cc") * 10 >= col("n_docs") * 9, col("bin"))) * 16).as("p90_tok"),
+        (min(when(col("cc") * 100 >= col("n_docs") * 99, col("bin"))) * 16).as("p99_tok"))
+      .orderBy(col("source"))
+  }
+
+  val lengthHistogramSql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n
+      |  FROM documents),
+      | binned AS (
+      |  SELECT source, least(n // 16, 31) AS bin, count(*) AS c
+      |  FROM t GROUP BY 1, 2),
+      | cum AS (
+      |  SELECT source, bin, c,
+      |    sum(c) OVER (PARTITION BY source ORDER BY bin
+      |                 ROWS UNBOUNDED PRECEDING) AS cc,
+      |    sum(c) OVER (PARTITION BY source) AS n_docs
+      |  FROM binned)
+      |SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(min(CASE WHEN cc * 2 >= n_docs THEN bin END) * 16 AS BIGINT) AS p50_tok,
+      |  CAST(min(CASE WHEN cc * 10 >= n_docs * 9 THEN bin END) * 16 AS BIGINT) AS p90_tok,
+      |  CAST(min(CASE WHEN cc * 100 >= n_docs * 99 THEN bin END) * 16 AS BIGINT) AS p99_tok
+      |FROM cum GROUP BY source ORDER BY source""".stripMargin
 }
