@@ -55,8 +55,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // wipe our scratch area (file-round-trip queries write here; keep
-    // repeated rounds from accumulating)
-    scala.reflect.io.Path("/root/repo/target/tmp").deleteRecursively()
+    // repeated rounds from accumulating) — cwd-relative like every other
+    // scratch path, so the bench is portable off this box
+    scala.reflect.io.Path("target/tmp").deleteRecursively()
     // untimed warm-up: JIT, codegen cache, parquet footers
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }

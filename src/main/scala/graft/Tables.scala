@@ -31,16 +31,35 @@ object Tables {
     * microsecond TimestampType column — lossless for this data and keeps
     * every downstream op on a native timestamp. */
   def events(s: SparkSession, d: String): DataFrame = {
-    // session-wide legacy flag (no per-read option exists for it). Set
-    // once, idempotently: repeated set() on every call is a write to
-    // shared session state — harmless here but racy as a library pattern
-    // if another thread snapshots conf mid-call.
+    ensureNanosAsLong(s)
+    normalizeEventTs(s.read.parquet(s"$d/events.parquet"))
+  }
+
+  /** Streaming scan over the same events table with the same ts handling
+    * as [[events]] — the single shared seam, so batch and streaming faces
+    * can't drift. The file stream source wants a DIRECTORY; point it at
+    * the sf dir and glob-filter down to the events file. */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    ensureNanosAsLong(s)
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    normalizeEventTs(
+      s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d))
+  }
+
+  // session-wide legacy flag (no per-read option exists for it). Set
+  // once, idempotently: repeated set() on every call is a write to
+  // shared session state — harmless here but racy as a library pattern
+  // if another thread snapshots conf mid-call.
+  private def ensureNanosAsLong(s: SparkSession): Unit =
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$d/events.parquet")
+
+  // integer division: `/` on longs is double division, and doubles lose
+  // sub-µs exactness at epoch-nano magnitudes (ulp ≈ 256ns)
+  private def normalizeEventTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    // integer division: `/` on longs is double division, and doubles lose
-    // sub-µs exactness at epoch-nano magnitudes (ulp ≈ 256ns)
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -19,7 +19,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // wipe our scratch area (file-round-trip queries write here)
-    scala.reflect.io.Path("/root/repo/target/tmp").deleteRecursively()
+    scala.reflect.io.Path("target/tmp").deleteRecursively()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

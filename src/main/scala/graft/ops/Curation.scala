@@ -83,7 +83,10 @@ object Curation {
   // q82: PII scrubbing
   // ---------------------------------------------------------------------
 
-  private val EmailPat = "[a-z0-9]+@[a-z0-9.]+[a-z0-9]"
+  // case-insensitive classes: real text mixes case in the local part and
+  // domain; the oracle SQL replays the identical pattern so the gate stays
+  // equivalent-by-construction
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[A-Za-z0-9]"
   private val Ipv4Pat = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
 
   /** Count-and-redact PII patterns (emails, then IPv4) in a text column.
@@ -130,10 +133,10 @@ object Curation {
       |  FROM documents),
       | c AS (
       |  SELECT doc_id,
-      |    CAST(len(regexp_extract_all(s, '[a-z0-9]+@[a-z0-9.]+[a-z0-9]')) AS BIGINT) AS n_email,
+      |    CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[A-Za-z0-9]')) AS BIGINT) AS n_email,
       |    CAST(len(regexp_extract_all(s, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS BIGINT) AS n_ip,
       |    regexp_replace(
-      |      regexp_replace(s, '[a-z0-9]+@[a-z0-9.]+[a-z0-9]', '<email>', 'g'),
+      |      regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[A-Za-z0-9]', '<email>', 'g'),
       |      '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<ip>', 'g') AS clean
       |  FROM t)
       |SELECT doc_id, n_email, n_ip,

@@ -15,6 +15,18 @@ object Pipelines {
 
   private val cfg = CopyConfig()
 
+  /** Per-query scratch dir, cwd-relative (`target/tmp`, same convention as
+    * Bench) so the library is portable off this box. Fixed name, CLEARED ON
+    * ENTRY: repeated correctness/bench runs can't accumulate sink/state
+    * data, and a stale streaming checkpoint can't mark the input
+    * already-processed. Safe because each gate query materializes its
+    * result before the next run of the same query re-enters. */
+  private def freshTmp(name: String): String = {
+    val dir = new java.io.File(s"target/tmp/$name")
+    scala.reflect.io.Path(dir).deleteRecursively()
+    dir.getPath
+  }
+
   /** The 7-rule cascade (SURVEY.md §1.3) applied to strings constructed
     * deterministically from orders — every rule exercised, oracle-checked
     * against an identical CASE cascade in DuckDB. Timestamps surface as
@@ -128,7 +140,7 @@ object Pipelines {
     * Returns a single summary row; n_mismatch must be 0 (asserted in
     * ScalaTest; the driver's rows>0 check sees 1 row). */
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val tmp = s"/root/repo/target/tmp/roundtrip_${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = freshTmp("roundtrip_q51")
     val src = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
         col("l_returnflag"), col("l_shipdate").cast(TimestampType).as("l_shipdate"),
@@ -176,7 +188,7 @@ object Pipelines {
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
     // `div`: long division to match the oracle's `//` (plain `/` is double)
     val bound = src.agg(expr("max(o_orderkey) div 2").as("bound"))
-    val tmp = s"/root/repo/target/tmp/dsv2agg_${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = freshTmp("dsv2agg_q53")
     CopyRead.run(s, src.repartition(8), src.columns.toSeq, "o_orderkey", cfg, tmp)
     val schema = StructType(Seq(
       StructField("o_orderkey", LongType), StructField("o_orderpriority", StringType),
@@ -201,7 +213,7 @@ object Pipelines {
     * checkpointed parquet sink → summary vs source. Proves the streaming
     * pipeline computes exactly what the batch verb computes. */
   def streamIngestSummary(s: SparkSession, d: String): DataFrame = {
-    val base = s"/root/repo/target/tmp/stream_q_${java.util.UUID.randomUUID().toString.take(8)}"
+    val base = freshTmp("stream_q54")
     val src = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
     CopyRead.run(s, src.repartition(8), src.columns.toSeq, "o_orderkey", cfg, s"$base/csv")
@@ -232,21 +244,14 @@ object Pipelines {
     * pair has met. Late-data eviction — the thing the watermark exists
     * for at 100 TB — is exercised separately in StreamingSpec. */
   def streamIntervalJoin(s: SparkSession, d: String): DataFrame = {
-    // same nanos→micros handling as Tables.events, on a streaming scan
-    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-    // the file stream source wants a DIRECTORY; point it at the sf dir
-    // and glob-filter down to the single events file
-    def src(): DataFrame = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // shared seam with the batch face: Tables.eventsStream carries the
+    // same nanos→micros ts handling as Tables.events
+    def src(): DataFrame = Tables.eventsStream(s, d)
     val signups = src().where(col("event_type") === "signup")
       .select(col("user_id"), col("ts"), col("event_id"))
     val views = src().where(col("event_type") === "view")
       .select(col("user_id"), col("ts").as("rts"), col("value"))
-    val base = s"target/tmp/sij_${java.util.UUID.randomUUID().toString.take(8)}"
+    val base = freshTmp("sij_q57")
     val q = graft.streaming.StreamIngest
       .intervalJoinStream(signups, views, "user_id") // [ts, ts+24h), q46's window
       .select(col("event_id"), col("value"))
@@ -260,16 +265,11 @@ object Pipelines {
       .orderBy(col("event_id"))
   }
 
-  /** Streaming parquet source over the single events file (q57's trick). */
-  private def eventStream(s: SparkSession, d: String): DataFrame = {
-    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-    s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** Streaming parquet source over the single events file (q57's trick);
+    * delegates to [[graft.Tables.eventsStream]] so ts normalization has
+    * exactly one definition shared with the batch loader. */
+  private def eventStream(s: SparkSession, d: String): DataFrame =
+    Tables.eventsStream(s, d)
 
   /** Gate face (q58) for [[graft.streaming.StreamIngest.windowedEventCounts]]
     * — watermarked tumbling-window aggregation run as a REAL streaming
@@ -284,7 +284,7 @@ object Pipelines {
     * hand-waving — the inequality IS the assertion. */
   def streamWindows(s: SparkSession, d: String): DataFrame = {
     val ev = eventStream(s, d).select(col("ts"), col("event_type"), col("value"))
-    val base = s"/root/repo/target/tmp/swin_${java.util.UUID.randomUUID().toString.take(8)}"
+    val base = freshTmp("swin_q58")
     val q = graft.streaming.StreamIngest
       .windowedEventCounts(ev, watermark = "0 seconds", window_ = "10 minutes")
       .writeStream.format("parquet")
@@ -315,7 +315,7 @@ object Pipelines {
     * EVICTION is spec-tested in StreamingSpec with multi-batch input. */
   def streamDedup(s: SparkSession, d: String): DataFrame = {
     val ev = eventStream(s, d).select(col("ts"), col("user_id"), col("event_type"))
-    val base = s"/root/repo/target/tmp/sdd_${java.util.UUID.randomUUID().toString.take(8)}"
+    val base = freshTmp("sdd_q59")
     val q = graft.streaming.StreamIngest
       .dedupStream(ev, Seq("user_id", "event_type"), watermark = "10 minutes")
       .select(col("user_id"), col("event_type"))
@@ -338,7 +338,11 @@ object Pipelines {
     * parquet table, so typed fidelity through DDL + INSERT + JDBC scan
     * must be value-exact. */
   def jdbcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val db = s"/root/repo/target/tmp/derby_${java.util.UUID.randomUUID().toString.take(8)}"
+    // UUID dir, NOT freshTmp: embedded Derby keeps each booted database
+    // open for the JVM's lifetime, so clearing a fixed dir on re-entry
+    // would yank files out from under a live engine. Bench/Verify clear
+    // target/tmp wholesale at startup, before any database boots.
+    val db = s"target/tmp/derby_${java.util.UUID.randomUUID().toString.take(8)}"
     val u = graft.sources.JdbcBackend.derbyUrl(db)
     val src = Tables.supplier(s, d)
       .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))

@@ -181,9 +181,11 @@ object Sampling {
   }
 
   /** Gate face (q86): exactly 10 docs per source, hash-deterministic.
-    * The ORACLE replays the same two-phase plan in SQL — and the spec
-    * asserts two-phase == naive rank, which is the correctness theorem
-    * (the bucket prefix provably contains the k smallest hashes). */
+    * The ORACLE is the NAIVE rank formulation (plain per-stratum
+    * row_number over (hv, tie)) — deliberately a different algorithm, so
+    * the gate itself checks the two-phase correctness theorem (the bucket
+    * prefix provably contains the k smallest hashes); TrainingOpsSpec
+    * asserts the same equivalence in-engine on skewed strata. */
   def reservoirGate(s: SparkSession, d: String): DataFrame =
     reservoirSample(Tables.documents(s, d), col("source"),
       col("doc_id").cast("string"), tie = col("doc_id"), k = 10)
@@ -195,22 +197,10 @@ object Sampling {
       |  SELECT doc_id, source,
       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
       |  FROM documents),
-      | b AS (SELECT *, hv >> 50 AS bkt FROM h),
-      | bc AS (SELECT source, bkt, count(*) AS c FROM b GROUP BY 1, 2),
-      | cum AS (
-      |  SELECT source, bkt,
-      |    sum(c) OVER (PARTITION BY source ORDER BY bkt
-      |                 ROWS UNBOUNDED PRECEDING) AS cc
-      |  FROM bc),
-      | thr AS (SELECT source, min(bkt) AS cut FROM cum WHERE cc >= 10 GROUP BY 1),
-      | surv AS (
-      |  SELECT b.doc_id, b.source, b.hv
-      |  FROM b LEFT JOIN thr USING (source)
-      |  WHERE thr.cut IS NULL OR b.bkt <= thr.cut),
       | ranked AS (
       |  SELECT doc_id, source, hv,
       |    row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
-      |  FROM surv)
+      |  FROM h)
       |SELECT source, doc_id, hv FROM ranked WHERE rk <= 10
       |ORDER BY source, doc_id""".stripMargin
 

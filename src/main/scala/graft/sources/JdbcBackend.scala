@@ -32,10 +32,13 @@ object JdbcBackend {
 
   /** Embedded-Derby URL for a database directory (created on demand). */
   def derbyUrl(dbDir: String): String = {
-    // keep derby.log out of the CWD (once per JVM, before engine boot)
-    if (System.getProperty("derby.stream.error.file") == null)
+    // keep derby.log out of the CWD root (once per JVM, before engine
+    // boot); Derby creates the file but not its parent dirs
+    if (System.getProperty("derby.stream.error.file") == null) {
+      new java.io.File("target/tmp").mkdirs()
       System.setProperty("derby.stream.error.file",
-        "/root/repo/target/tmp/derby.log")
+        "target/tmp/derby.log")
+    }
     s"jdbc:derby:$dbDir;create=true"
   }
 

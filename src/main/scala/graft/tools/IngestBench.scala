@@ -21,7 +21,7 @@ object IngestBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val cfg = CopyConfig() // reference defaults incl. numProcesses=8
-    val base = s"/root/repo/target/tmp/ingestbench_${System.nanoTime()}"
+    val base = s"target/tmp/ingestbench_${System.nanoTime()}"
 
     // materialize the CSV input (not timed - the reference reads stdin)
     val src = Tables.lineitem(spark, sfDir).select(

@@ -46,7 +46,7 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val out = if (args.length > 1) args(1) else "/root/repo/target/sf1"
+    val out = if (args.length > 1) args(1) else "target/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
 
     val spark = SparkSession.builder().master("local[32]")

@@ -274,6 +274,35 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"doc ${r.getLong(0)}: two-level offset ${r.getLong(2)} != naive"))
   }
 
+  test("reservoirSample: two-phase bucket-prefix == naive per-stratum rank (skewed strata, <k stratum)") {
+    val s = spark
+    import s.implicits._
+    // skewed strata: one hot stratum, one mid-size, one with < k rows
+    val rows = (1 to 5000).map(i => ("big", i.toLong)) ++
+      (1 to 37).map(i => ("mid", 100000L + i)) ++
+      (1 to 3).map(i => ("tiny", 200000L + i))
+    val df = rows.toDF("src", "id").repartition(7)
+    val got = Sampling.reservoirSample(
+        df, col("src"), col("id").cast("string"), tie = col("id"), k = 10)
+      .select(col("stratum"), col("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // naive definition (the correctness theorem's other side): the k rows
+    // with the smallest md5-derived hash per stratum, ranked by a plain
+    // per-stratum window with the same (hv, tie) order
+    import org.apache.spark.sql.expressions.Window
+    val hv = conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long")
+    val naive = df.withColumn("hv", hv)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("hv"), col("id"))))
+      .where(col("rk") <= 10)
+      .select(col("src"), col("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == naive, "two-phase bucket-prefix diverged from naive rank")
+    assert(got.count(_._1 == "big") == 10)
+    assert(got.count(_._1 == "mid") == 10)
+    assert(got.count(_._1 == "tiny") == 3, "<k stratum must degrade to take-all")
+  }
+
   test("labelCentroids: exact-integer sums are partition-layout independent; bounds hold") {
     val a = graft.ops.Similarity.labelCentroids(spark, sf).collect()
     assert(a.length == 640) // 10 labels × 64 dims
