@@ -6,6 +6,13 @@ rows are sorted by all columns, values hashed with light float rounding —
 approximating the driver's compare so mismatches surface before round end.
 
 Usage: python3 scripts/check.py [sfDir] [--skip-verify]
+       python3 scripts/check.py --bench-diff [old.json new.json]
+
+--bench-diff compares per-query medians between two driver bench files
+(default: the two highest BENCH_r*.json rounds) and flags regressions
+> 25% that are also > 0.2s absolute (so sub-second queries don't trip
+on scheduler noise). Queries only in one file are listed as added or
+removed; the shared-query totals quantify pass-level drift.
 """
 import sys, os, json, subprocess, glob, math
 
@@ -43,7 +50,63 @@ def table_hash(rows, cols):
     data = sorted(tuple(canon(r[i]) for i in order) for r in rows)
     return data
 
+def load_bench_queries(path):
+    """Per-query medians from a driver BENCH_r*.json (preferring its
+    `parsed` block) or a raw Bench stdout/detail json."""
+    d = json.load(open(path))
+    if isinstance(d, dict) and "parsed" in d:
+        d = d["parsed"]
+    if not d or "queries" not in d:
+        return None
+    # BENCH stdout uses short "qNN" ids, bench_detail full query names —
+    # normalize to the short prefix so any pair of files is comparable
+    return {k.split("_")[0]: float(v) for k, v in d["queries"].items()}
+
+def bench_diff(argv):
+    explicit = [a for a in argv if not a.startswith("--")]
+    if len(explicit) == 2:
+        old_path, new_path = explicit
+    else:
+        rounds = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+        if len(rounds) < 2:
+            print("bench-diff: need two BENCH_r*.json files"); return 0
+        old_path, new_path = rounds[-2], rounds[-1]
+    old = load_bench_queries(old_path)
+    new = load_bench_queries(new_path)
+    if new is None:
+        print(f"bench-diff: {new_path} has no parsed queries"); return 1
+    if old is None:
+        print(f"bench-diff: {old_path} has no parsed queries (pre-r6 rounds "
+              "printed an over-long stdout line) — nothing to diff against")
+        return 0
+    shared = sorted(set(old) & set(new))
+    added = sorted(set(new) - set(old)); removed = sorted(set(old) - set(new))
+    flagged = []
+    for q in shared:
+        delta = new[q] - old[q]
+        if old[q] > 0 and delta / old[q] > 0.25 and delta > 0.2:
+            flagged.append((q, old[q], new[q], delta / old[q]))
+    tot_old = sum(old[q] for q in shared); tot_new = sum(new[q] for q in shared)
+    print(f"bench-diff: {os.path.basename(old_path)} -> {os.path.basename(new_path)}")
+    if shared and tot_old > 0:
+        print(f"  shared {len(shared)} queries: {tot_old:.1f}s -> {tot_new:.1f}s "
+              f"({(tot_new - tot_old) / tot_old * 100:+.1f}%)")
+    else:
+        print("  no shared queries")
+    if added:   print(f"  added   ({len(added)}): {', '.join(added)} "
+                      f"= {sum(new[q] for q in added):.1f}s")
+    if removed: print(f"  removed ({len(removed)}): {', '.join(removed)}")
+    if flagged:
+        print(f"  REGRESSIONS (> 25% and > 0.2s):")
+        for q, o, n, pct in sorted(flagged, key=lambda t: -t[3]):
+            print(f"    {q}: {o:.2f}s -> {n:.2f}s (+{pct * 100:.0f}%)")
+    else:
+        print("  no per-query regressions above threshold")
+    return 1 if flagged else 0
+
 def main():
+    if "--bench-diff" in sys.argv:
+        sys.exit(bench_diff(sys.argv[2:]))
     if "--skip-verify" not in sys.argv:
         run_verify()
     import duckdb

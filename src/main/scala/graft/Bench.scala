@@ -54,15 +54,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // wipe our scratch area (file-round-trip queries write here; keep
-    // repeated rounds from accumulating) — cwd-relative like every other
-    // scratch path, so the bench is portable off this box
-    scala.reflect.io.Path("target/tmp").deleteRecursively()
+    // Clear only the UUID-named Derby dirs (the one scratch class that
+    // still accumulates — booted databases can't reuse a fixed dir).
+    // Gate queries clear their own fixed dirs on entry, and a wholesale
+    // target/tmp wipe here would destroy the q51 CSV artifact that the
+    // driver's DuckDB oracle reads AFTER Verify — bench must not race it.
+    Option(new java.io.File("target/tmp").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("derby_"))
+      .foreach(f => scala.reflect.io.Path(f).deleteRecursively())
     // untimed warm-up: JIT, codegen cache, parquet footers
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // diagnostic knob (r6 verdict: isolate streaming queries to measure
+    // their pass-level interference): comma-separated short ids to skip,
+    // e.g. SPARK_GRAFT_BENCH_EXCLUDE=q57,q58,q59
+    val exclude = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXCLUDE", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => exclude.contains(n.takeWhile(_ != '_')))
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     for (_ <- 1 to passes) {

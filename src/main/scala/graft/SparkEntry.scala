@@ -296,8 +296,13 @@ object SparkEntry {
     // Lloyd variant stays spec-only; its exactness oracle is q40)
     "q43_ivf_topk" -> Similarity.ivfTopKQuantizedSql,
     "q50_infer_cascade" -> Pipelines.inferCascadeSql,
-    // q51/q52: file round-trip and quoted-bit semantics live outside SQL →
-    // rows-only here, asserted exactly in ScalaTest.
+    // q51: the oracle reads the CSV ARTIFACT the engine wrote (path
+    // substituted by Verify at dump time) and recomputes the content
+    // digest the engine derives from the parquet source — artifact ≡
+    // source is the check. q52: truth-table oracle (expected tags are
+    // fixed by the construction; the quoted bit itself isn't SQL-visible).
+    "q51_csv_roundtrip" -> Pipelines.csvRoundtripSql,
+    "q52_tagged_inference" -> Pipelines.taggedInferenceSql,
     "q53_dsv2_source_agg" -> Pipelines.dsv2SourceAggSql,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtripSql,
     "q56_double_cascade" -> Pipelines.doubleCascadeSql,

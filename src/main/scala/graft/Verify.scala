@@ -53,7 +53,14 @@ object Verify {
     downgrades.foreach(k => System.err.println(
       s"[verify] $k: auto-sized parameter departs from oracle literal at this corpus — dumped rows-only"))
     val json = SparkEntry.oracleSql.view.filterKeys(!downgrades.contains(_)).toMap
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        // q51's oracle reads the CSV artifact the engine just wrote;
+        // resolve its location to an absolute path HERE (same JVM + cwd
+        // as the query run) so the driver's DuckDB finds it from any cwd
+        val resolved = v.replace("__Q51_ARTIFACT__",
+          graft.ops.Pipelines.q51ArtifactDirAbs(sfDir))
+        s"${q(k)}: ${q(resolved)}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -83,11 +83,18 @@ object Curation {
   // q82: PII scrubbing
   // ---------------------------------------------------------------------
 
-  // case-insensitive classes: real text mixes case in the local part and
-  // domain; the oracle SQL replays the identical pattern so the gate stays
-  // equivalent-by-construction
-  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[A-Za-z0-9]"
-  private val Ipv4Pat = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+  // Case-insensitive classes: real text mixes case in the local part and
+  // domain. The local-part and digit runs use POSSESSIVE quantifiers
+  // (`++`): Java's backtracking regex otherwise retries every shorter
+  // prefix of each alphanumeric run when the following literal fails —
+  // O(k²) per run over the whole corpus. Possessive is safe here because
+  // the char after the class (`@` / `.`) is never IN the class, so greedy
+  // and possessive accept the same language. The DuckDB oracle replays
+  // the same pattern WITHOUT `++` (RE2 is automaton-based: no
+  // backtracking to cut, and no possessive syntax) — same language, so
+  // the gate stays equivalent-by-construction.
+  private val EmailPat = "[A-Za-z0-9._%+-]++@[A-Za-z0-9.-]+[A-Za-z0-9]"
+  private val Ipv4Pat = "[0-9]++\\.[0-9]++\\.[0-9]++\\.[0-9]+"
 
   /** Count-and-redact PII patterns (emails, then IPv4) in a text column.
     * Returns (n_email, n_ip, cleaned). Counts are taken BEFORE redaction;

@@ -135,12 +135,35 @@ object Pipelines {
       |  CASE WHEN tag = 'double' THEN CAST(s AS DOUBLE) END AS d_val
       |FROM tagged ORDER BY o_orderkey""".stripMargin
 
+  /** q51's artifact dir name, keyed by sf dir: a Bench run at another SF
+    * between Verify and the driver's DuckDB pass writes a DIFFERENT dir,
+    * so it cannot clobber the artifact the oracle is about to read. */
+  def q51ArtifactName(d: String): String =
+    s"roundtrip_q51_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+
+  /** Absolute artifact glob base for [[csvRoundtripSql]]'s placeholder —
+    * resolved by Verify at dump time (same JVM + cwd as the query run). */
+  def q51ArtifactDirAbs(d: String): String =
+    new java.io.File(s"target/tmp/${q51ArtifactName(d)}").getAbsolutePath
+
   /** Full write→read round-trip through real files: lineitem → typed CSV
     * (CopyRead rendering) → CopyWrite parse + schema'd inference → compare.
-    * Returns a single summary row; n_mismatch must be 0 (asserted in
-    * ScalaTest; the driver's rows>0 check sees 1 row). */
+    *
+    * ORACLE-CHECKED since r7 (was rows-only): the engine emits SOURCE-side
+    * ground truth — count, key sum, and an md5-based content digest
+    * computed straight off the parquet source — while the DuckDB oracle
+    * recomputes key sum and digest by PARSING THE CSV ARTIFACT this query
+    * wrote (`read_csv` over the same files; Verify substitutes the
+    * absolute path at dump time). The two sides agree iff the written CSV
+    * faithfully encodes the source — a corrupted render, quote, null, or
+    * timestamp surfaces as a hash mismatch, because the oracle consumes
+    * the artifact and the engine consumes the source. Ordering contract:
+    * the oracle must run AFTER Verify (the driver's order; the artifact
+    * is on shared disk). The internal write→read comparison (xxhash
+    * signature over the read-back path) still runs and THROWS on
+    * mismatch, so the engine's own parse path stays asserted too. */
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val tmp = freshTmp("roundtrip_q51")
+    val tmp = freshTmp(q51ArtifactName(d))
     val src = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
         col("l_returnflag"), col("l_shipdate").cast(TimestampType).as("l_shipdate"),
@@ -166,10 +189,46 @@ object Pipelines {
     val (nSrc, srcSig) = signature(src)
     val (nBack, backSig) = signature(typed)
     errs.check()
-    val nMismatch = if (nSrc == nBack && srcSig.compareTo(backSig) == 0) 0L else 1L
+    require(nSrc == nBack && srcSig.compareTo(backSig) == 0,
+      s"csv round-trip mismatch: src=($nSrc, $srcSig) back=($nBack, $backSig)")
+    // cross-engine content digest over the SOURCE (the oracle computes the
+    // same digest from the CSV artifact): 40-bit md5 prefix per row keeps
+    // the modded sum far from long overflow at any probe SF
+    val rowStr = concat_ws("|",
+      col("l_orderkey").cast(StringType), col("l_linenumber").cast(StringType),
+      col("l_returnflag"), unix_timestamp(col("l_shipdate")).cast(StringType),
+      col("l_quantity").cast(LongType).cast(StringType))
+    val hv = conv(substring(md5(rowStr), 1, 10), 16, 10).cast(LongType) % 1000000007L
+    val gt = src.agg(sum(col("l_orderkey")).as("key_sum"), sum(hv).as("digest")).head
     import s.implicits._
-    Seq((nSrc, nBack, nMismatch)).toDF("n_source", "n_roundtrip", "n_mismatch")
+    Seq((nSrc, nBack, gt.getLong(0), gt.getLong(1)))
+      .toDF("n_source", "n_roundtrip", "key_sum", "digest")
   }
+
+  /** Oracle for q51 — see [[csvRoundtrip]]. `__Q51_ARTIFACT__` is replaced
+    * by Verify with [[q51ArtifactDirAbs]] at oracle-dump time. */
+  val csvRoundtripSql: String =
+    """WITH back AS (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag,
+      |    CAST(floor(epoch(try_strptime(l_shipdate, '%Y-%m-%d %H:%M:%S%z'))) AS BIGINT) AS ship_epoch,
+      |    CAST(l_quantity AS BIGINT) AS qty
+      |  FROM read_csv('__Q51_ARTIFACT__/part-*', header=false, delim=',',
+      |    quote='"', escape='"', nullstr='NULL',
+      |    columns={'l_orderkey':'BIGINT','l_linenumber':'BIGINT',
+      |             'l_returnflag':'VARCHAR','l_shipdate':'VARCHAR',
+      |             'l_quantity':'DOUBLE'})),
+      | dig AS (
+      |  SELECT count(*) AS n_roundtrip,
+      |    CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+      |    CAST(sum(CAST('0x' || substr(md5(concat_ws('|',
+      |        CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+      |        l_returnflag, CAST(ship_epoch AS VARCHAR),
+      |        CAST(qty AS VARCHAR))), 1, 10) AS BIGINT) % 1000000007)
+      |      AS BIGINT) AS digest
+      |  FROM back)
+      |SELECT (SELECT count(*) FROM lineitem) AS n_source,
+      |  n_roundtrip, key_sum, digest
+      |FROM dig""".stripMargin
 
   /** End-to-end through the DSv2 source: orders → typed CSV files →
     * `format("graft-quotecsv")` with declared schema → range filter →
@@ -363,8 +422,17 @@ object Pipelines {
 
   /** Quote-dominance path (rule 1) through the real parser: CSV lines with
     * quoted and unquoted variants of the same payloads, via inferTagged.
-    * Deterministic tag histogram per column position. Not SQL-expressible
-    * (the quoted bit exists only in CSV) → rows-only + ScalaTest. */
+    * Deterministic tag histogram per column position.
+    *
+    * ORACLE-CHECKED since r7 (was rows-only): the quoted bit exists only
+    * in CSV, so DuckDB can't replay the parse — but the EXPECTED tags are
+    * fully determined by the construction (unquoted digits → long; quoted
+    * digits → string by quote dominance; "<price>.<cents>" → string in
+    * strict mode; "true" → bool; "NULL" → null), so the oracle is that
+    * truth table as constants plus the row count. Any mis-tag on any row
+    * adds a histogram row or shifts the count → hash mismatch. The full
+    * per-rule truth table is TypeInferenceSpec's job; this face pins the
+    * end-to-end parse→infer pipeline to it. */
   def taggedInference(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val lines = Tables.orders(s, d)
@@ -389,4 +457,11 @@ object Pipelines {
     errs.check()
     res
   }
+
+  /** Oracle for q52 — see [[taggedInference]]: the construction's truth
+    * table as constants, one histogram row covering every order. */
+  val taggedInferenceSql: String =
+    """SELECT 'long' AS k_tag, 'string' AS kq_tag, 'string' AS price_tag,
+      |  'bool' AS flag_tag, 'null' AS null_tag, count(*) AS n
+      |FROM orders""".stripMargin
 }
