@@ -37,15 +37,21 @@ object Tables {
 
   /** Streaming scan over the same events table with the same ts handling
     * as [[events]] — the single shared seam, so batch and streaming faces
-    * can't drift. The file stream source wants a DIRECTORY; point it at
-    * the sf dir and glob-filter down to the events file. */
+    * can't drift. Handles both physical layouts: the harness testdata
+    * ships events.parquet as a single FILE (stream the parent dir,
+    * glob-filtered down to that file), while Spark-written corpora (the
+    * ScaleUp probe data) have it as a DIRECTORY of part files (stream the
+    * directory itself). */
   def eventsStream(s: SparkSession, d: String): DataFrame = {
     ensureNanosAsLong(s)
     val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-    normalizeEventTs(
-      s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d))
+    val reader = s.readStream.schema(rawSchema)
+    val stream =
+      if (new java.io.File(s"$d/events.parquet").isDirectory)
+        reader.parquet(s"$d/events.parquet")
+      else
+        reader.option("pathGlobFilter", "events.parquet").parquet(d)
+    normalizeEventTs(stream)
   }
 
   // session-wide legacy flag (no per-read option exists for it). Set
