@@ -304,6 +304,9 @@ object SparkEntry {
     "q51_csv_roundtrip" -> Pipelines.csvRoundtripSql,
     "q52_tagged_inference" -> Pipelines.taggedInferenceSql,
     "q53_dsv2_source_agg" -> Pipelines.dsv2SourceAggSql,
+    // q54: contract oracle (stream ≡ batch), both sides from orders —
+    // the engine reports each side as measured; see streamIngestSummary.
+    "q54_stream_ingest" -> Pipelines.streamIngestSummarySql,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtripSql,
     "q56_double_cascade" -> Pipelines.doubleCascadeSql,
     "q60_media_meta" -> Multimodal.mediaMetaSql,
@@ -332,6 +335,35 @@ object SparkEntry {
         |SELECT user_id, start_ms, end_ms, n_events, sum_value, n_types,
         |  CASE WHEN sess = max(sess) OVER (PARTITION BY user_id)
         |       THEN 'flush' ELSE 'gap' END AS closed_by
-        |FROM agg ORDER BY user_id, start_ms""".stripMargin
+        |FROM agg ORDER BY user_id, start_ms""".stripMargin,
+    // q62 (ORACLE-CHECKED since r7, was rows-only): the engine aggregates
+    // sessions produced by the flatMapGroupsWithState STATE MACHINE; the
+    // oracle derives the same sessions with q63's window SQL (a different
+    // algorithm) and aggregates identically — stateful ≡ batch is the
+    // contract, per closed_by class. Integer columns exact; total_value
+    // sums unrounded per-event doubles on both sides before one final
+    // 4dp round.
+    "q62_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ms(ts) AS tms, event_type, value FROM events),
+        | flagged AS (
+        |  SELECT *, CASE WHEN tms - lag(tms) OVER w <= 3600000 THEN 0 ELSE 1 END AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_type)),
+        | numbered AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY tms, event_type
+        |                                ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM flagged),
+        | agg AS (
+        |  SELECT user_id, sess, count(*) AS n_events, sum(value) AS sval
+        |  FROM numbered GROUP BY 1, 2),
+        | cls AS (
+        |  SELECT user_id, sess, n_events, sval,
+        |    CASE WHEN sess = max(sess) OVER (PARTITION BY user_id)
+        |         THEN 'flush' ELSE 'gap' END AS closed_by
+        |  FROM agg)
+        |SELECT closed_by, count(*) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS total_events,
+        |  round(sum(sval), 4) AS total_value
+        |FROM cls GROUP BY closed_by ORDER BY closed_by""".stripMargin
   )
 }

@@ -270,7 +270,17 @@ object Pipelines {
   /** Streaming face end-to-end inside one query: orders → CSV files →
     * readStream (AvailableNow) through the same parse/inference path →
     * checkpointed parquet sink → summary vs source. Proves the streaming
-    * pipeline computes exactly what the batch verb computes. */
+    * pipeline computes exactly what the batch verb computes.
+    *
+    * ORACLE-CHECKED since r7 (was rows-only): the oracle states the
+    * CONTRACT — the streamed side must equal the batch side — by
+    * computing BOTH column pairs from the orders table; the engine
+    * reports each side as measured (source scan vs parquet sink written
+    * by the streaming query). Any dropped, duplicated, or corrupted row
+    * in the stream path diverges n_streamed/cents_streamed from the
+    * oracle's expectation → hash mismatch. Sums are exact integer CENTS
+    * (o_totalprice has 2dp by construction) so the compare is immune to
+    * float summation order on either engine. */
   def streamIngestSummary(s: SparkSession, d: String): DataFrame = {
     val base = freshTmp("stream_q54")
     val src = Tables.orders(s, d)
@@ -284,12 +294,25 @@ object Pipelines {
       s"$base/out", s"$base/ckpt")
     q.awaitTermination(120000)
     val out = s.read.parquet(s"$base/out")
+    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    def side(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(cents)).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val (nSrc, cSrc) = side(src)
+    val (nOut, cOut) = side(out)
     import s.implicits._
-    Seq((src.count(), out.count(),
-      out.agg(round(sum(col("o_totalprice")), 2)).head.getDouble(0),
-      src.agg(round(sum(col("o_totalprice")), 2)).head.getDouble(0)))
-      .toDF("n_source", "n_streamed", "sum_streamed", "sum_source")
+    Seq((nSrc, nOut, cSrc, cOut))
+      .toDF("n_source", "n_streamed", "cents_source", "cents_streamed")
   }
+
+  /** Oracle for q54 — see [[streamIngestSummary]]: the stream≡batch
+    * contract, both sides computed from the source table. */
+  val streamIngestSummarySql: String =
+    """SELECT count(*) AS n_source, count(*) AS n_streamed,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_source,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_streamed
+      |FROM orders""".stripMargin
 
   /** Gate face (q57) for [[graft.streaming.StreamIngest.intervalJoinStream]]
     * — the stream-stream interval join run as a REAL streaming query
