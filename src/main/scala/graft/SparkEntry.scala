@@ -128,11 +128,15 @@ object SparkEntry {
     "q84_mixture_alloc" -> Curation.mixtureGate _,
     "q85_zorder_layout" -> Curation.zorderGate _,
     // two-phase exact-k per-stratum sample (bucket-prefix prune, no
-    // full-stratum shuffle); oracle replays the same two phases
+    // full-stratum shuffle); oracle runs the NAIVE per-stratum rank, a
+    // different algorithm, so the gate checks the prune theorem itself
     "q86_reservoir_sample" -> Sampling.reservoirGate _,
     // portable fixed-bin histogram quantiles — integer bin bounds only
     "q87_length_histogram" -> ((s: SparkSession, d: String) =>
       TextAnalysis.lengthHistogram(s, d)),
+    // chunk-level dedup: winner per content hash via min-struct hash-agg
+    // (no per-key sort); oracle runs the naive rank-window formulation
+    "q88_chunk_dedup" -> Curation.chunkDedupGate _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -267,6 +271,7 @@ object SparkEntry {
     "q85_zorder_layout" -> Curation.zorderSql,
     "q86_reservoir_sample" -> Sampling.reservoirSql,
     "q87_length_histogram" -> TextAnalysis.lengthHistogramSql,
+    "q88_chunk_dedup" -> Curation.chunkDedupSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -80,6 +80,73 @@ object Curation {
       |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q88: chunk-level (sub-document) deduplication
+  // ---------------------------------------------------------------------
+
+  /** Deduplicate at CHUNK granularity across the corpus — the curation
+    * step document-level dedup misses: boilerplate paragraphs (headers,
+    * license blocks, navigation) repeat across otherwise-distinct
+    * documents, and near-dup documents share exact chunks even when the
+    * whole text differs. Keep-first rule: a chunk's content survives in
+    * the lexicographically smallest (doc_id, chunk_id) that carries it.
+    *
+    * Scale: the winner per content hash is a `min(struct(doc_id,
+    * chunk_id))` HASH-AGGREGATE — map-side combinable, no per-key sort —
+    * where the naive rank-window formulation would shuffle AND sort
+    * every chunk occurrence per hash (the oracle deliberately runs that
+    * naive window, so the two plans check each other). One shuffle for
+    * the agg, one for the join back, both on the ~uniform chunk_md5 key;
+    * output is a per-document summary, chunk payloads never leave their
+    * partitions. */
+  def chunkDedup(df: DataFrame, text: Column): DataFrame = {
+    val ch = docChunks(df, text)
+    val winners = ch.groupBy(col("chunk_md5"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("w"))
+      .select(col("chunk_md5"), col("w.doc_id").as("w_doc"),
+        col("w.chunk_id").as("w_chunk"))
+    ch.join(winners, "chunk_md5")
+      .withColumn("kept",
+        (col("doc_id") === col("w_doc") && col("chunk_id") === col("w_chunk"))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("kept")).as("n_kept"),
+        sum(when(col("kept") === 1L, col("n_tok")).otherwise(0L)).as("kept_tok"))
+  }
+
+  /** Gate face (q88) on `documents`: per-doc chunk/kept/token counts —
+    * all exact integers. */
+  def chunkDedupGate(s: SparkSession, d: String): DataFrame =
+    chunkDedup(Tables.documents(s, d), col("text"))
+      .orderBy(col("doc_id"))
+
+  val chunkDedupSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks,
+      |         CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n
+      |  FROM documents),
+      | ch AS (
+      |  SELECT doc_id, n, toks,
+      |    unnest(range(0, (n + 95) // 96)) AS chunk_id
+      |  FROM t WHERE n > 0),
+      | cells AS (
+      |  SELECT doc_id, chunk_id,
+      |    least(128, n - chunk_id * 96) AS n_tok,
+      |    md5(array_to_string(
+      |      toks[chunk_id*96 + 1 : chunk_id*96 + least(128, n - chunk_id*96)],
+      |      ' ')) AS chunk_md5
+      |  FROM ch),
+      | ranked AS (
+      |  SELECT doc_id, chunk_id, n_tok,
+      |    row_number() OVER (PARTITION BY chunk_md5
+      |                       ORDER BY doc_id, chunk_id) AS rk
+      |  FROM cells)
+      |SELECT doc_id, count(*) AS n_chunks,
+      |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN rk = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tok
+      |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q82: PII scrubbing
   // ---------------------------------------------------------------------
 

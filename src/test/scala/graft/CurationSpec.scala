@@ -66,6 +66,37 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L) == md5hex(toks.slice(96, 130).mkString(" ")))
   }
 
+  test("chunkDedup: shared chunks survive only in the smallest (doc, chunk); counts exact") {
+    val s = spark
+    import s.implicits._
+    // 96 tokens per stride; build docs from repeated 96-token blocks so
+    // chunk boundaries align with block boundaries. Block A appears in
+    // docs 1, 2, and 5 (twice in doc 5 at different positions is
+    // impossible with aligned strides and distinct blocks, so repeat A
+    // as consecutive strides instead).
+    def block(tag: String): String = (0 until 96).map(i => s"$tag$i").mkString(" ")
+    val a = block("a"); val b = block("b"); val c = block("c")
+    val df = Seq(
+      (1L, s"$a $b"),       // chunks: [a+b(32)], [b] — chunk0 covers a + 32 of b
+      (2L, s"$a $b"),       // exact dup of doc 1: every chunk loses to doc 1
+      (5L, s"$c $a $b")     // chunk0=[c+32a], chunk1=[a+32b] (dup of doc1 chunk0!), chunk2=[b]
+    ).toDF("doc_id", "text")
+    val got = Curation.chunkDedup(df, col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc1: 2 chunks (192 toks → chunks at 0,96: lens 128, 96), all kept
+    assert(got(1L) == ((2L, 2L, 128L + 96L)))
+    // doc2 identical text: same chunk hashes, doc 1 wins every one
+    assert(got(2L) == ((2L, 0L, 0L)))
+    // doc5: 288 toks → chunks at 0,96,192 (lens 128,128,96); chunk1 ==
+    // doc1's chunk0 (a + first 32 of b) and chunk2 == doc1's chunk1 (b) →
+    // both lose to doc1 (smaller doc_id); only chunk0 (c + 32 of a) kept
+    assert(got(5L) == ((3L, 1L, 128L)))
+    // global invariant: total kept == number of distinct chunk contents
+    val chunks = Curation.docChunks(df, col("text"))
+    val distinctHashes = chunks.select("chunk_md5").distinct().count()
+    assert(got.values.map(_._2).sum == distinctHashes)
+  }
+
   test("piiScrub: counts before redaction, email-then-ip order, boundary forms") {
     val s = spark
     import s.implicits._
