@@ -137,6 +137,9 @@ object SparkEntry {
     // chunk-level dedup: winner per content hash via min-struct hash-agg
     // (no per-key sort); oracle runs the naive rank-window formulation
     "q88_chunk_dedup" -> Curation.chunkDedupGate _,
+    // cross-doc bigram novelty: postings-shaped (one df hash-agg + one
+    // join back), exact-integer counts
+    "q89_ngram_novelty" -> Curation.ngramNoveltyGate _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -272,6 +275,7 @@ object SparkEntry {
     "q86_reservoir_sample" -> Sampling.reservoirSql,
     "q87_length_histogram" -> TextAnalysis.lengthHistogramSql,
     "q88_chunk_dedup" -> Curation.chunkDedupSql,
+    "q89_ngram_novelty" -> Curation.ngramNoveltySql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -147,6 +147,64 @@ object Curation {
       |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q89: cross-document n-gram novelty
+  // ---------------------------------------------------------------------
+
+  /** Per-document novelty score — the fraction of a document's DISTINCT
+    * bigrams that appear in no other document (document frequency 1).
+    * The cross-corpus complement of q83's within-document repetition
+    * rules: boilerplate-heavy docs (headers, licenses, templated text)
+    * score low because their n-grams recur corpus-wide. Outputs are
+    * EXACT INTEGERS (distinct-bigram count, novel-bigram count); any
+    * ratio/threshold is left to the caller as integer cross-multiply,
+    * the q83 convention.
+    *
+    * Scale: per-doc DISTINCT bigrams first (array HOF, narrow — within-doc
+    * duplicates never reach the shuffle), then ONE hash-agg on the bigram
+    * key for document frequency (map-side combined) and one join back on
+    * the same key. No self-join: candidate volume is the postings size,
+    * linear in corpus tokens — the q32 postings shape without its
+    * quadratic pair step. */
+  def ngramNovelty(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val toks = df.select(idCol.as("doc_id"), TextAnalysis.words(text).as("toks"))
+    val bigrams = toks.select(col("doc_id"),
+      array_distinct(zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("bgs"))
+      .where(size(col("bgs")) > 0)
+      .select(col("doc_id"), explode(col("bgs")).as("bg"))
+    val dfreq = bigrams.groupBy(col("bg"))
+      .agg(count(lit(1)).as("df")) // rows are (doc, bg)-distinct → count = doc freq
+    bigrams.join(dfreq, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+  }
+
+  /** Gate face (q89) on `documents`. */
+  def ngramNoveltyGate(s: SparkSession, d: String): DataFrame =
+    ngramNovelty(Tables.documents(s, d), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
+  val ngramNoveltySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+      |  FROM documents),
+      | idx AS (
+      |  SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+      |  FROM t WHERE len(toks) >= 2),
+      | bg AS (
+      |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+      |  FROM idx),
+      | dfreq AS (
+      |  SELECT bg, count(*) AS df FROM bg GROUP BY bg)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      |FROM bg JOIN dfreq USING (bg)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q82: PII scrubbing
   // ---------------------------------------------------------------------
 

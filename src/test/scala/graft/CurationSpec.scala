@@ -97,6 +97,25 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.map(_._2).sum == distinctHashes)
   }
 
+  test("ngramNovelty: distinct bigrams, cross-doc df, within-doc dups collapse") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b c a b"),   // bigrams: ab, bc, ca, ab → distinct {ab, bc, ca}
+      (2L, "a b x"),       // {ab, bx} — shares ab with doc 1
+      (3L, "solo"),        // no bigrams → absent from output
+      (4L, "p q")          // {pq} — unique
+    ).toDF("doc_id", "text")
+    val got = Curation.ngramNovelty(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc1: 3 distinct bigrams; 'a b' has df=2 (docs 1,2 — the within-doc
+    // repeat does NOT make df=1 into df>1 spuriously); bc, ca novel
+    assert(got(1L) == ((3L, 2L)))
+    assert(got(2L) == ((2L, 1L)))  // ab shared, bx novel
+    assert(!got.contains(3L))
+    assert(got(4L) == ((1L, 1L)))
+  }
+
   test("piiScrub: counts before redaction, email-then-ip order, boundary forms") {
     val s = spark
     import s.implicits._
