@@ -91,13 +91,15 @@ object Curation {
     * the lexicographically smallest (doc_id, chunk_id) that carries it.
     *
     * Scale: the winner per content hash is a `min(struct(doc_id,
-    * chunk_id))` HASH-AGGREGATE — map-side combinable, no per-key sort —
-    * where the naive rank-window formulation would shuffle AND sort
-    * every chunk occurrence per hash (the oracle deliberately runs that
-    * naive window, so the two plans check each other). One shuffle for
-    * the agg, one for the join back, both on the ~uniform chunk_md5 key;
-    * output is a per-document summary, chunk payloads never leave their
-    * partitions. */
+    * chunk_id))` AGGREGATE with a map-side partial step (struct buffers
+    * force SortAggregate, but the partial combine still collapses each
+    * partition to one row per hash BEFORE the exchange) — where the
+    * naive rank-window formulation has no partial step at all and
+    * shuffles every chunk occurrence, then sorts each hash group (the
+    * oracle deliberately runs that naive window, so the two plans check
+    * each other). One shuffle for the agg, one for the join back, both
+    * on the ~uniform chunk_md5 key; output is a per-document summary,
+    * chunk payloads never leave their partitions. */
   def chunkDedup(df: DataFrame, text: Column): DataFrame = {
     val ch = docChunks(df, text)
     val winners = ch.groupBy(col("chunk_md5"))
