@@ -140,6 +140,9 @@ object SparkEntry {
     // cross-doc bigram novelty: postings-shaped (one df hash-agg + one
     // join back), exact-integer counts
     "q89_ngram_novelty" -> Curation.ngramNoveltyGate _,
+    // portable Bloom semi-join: constant-size bitset broadcast, narrow
+    // codegen'd probe, md5 positions replayed exactly by the oracle
+    "q90_bloom_join" -> Bloom.bloomJoinGate _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -205,9 +208,19 @@ object SparkEntry {
     val capFires = !bitsDepart &&
       Similarity.maxBandOccupancy(spark, sfDir, Similarity.BITS_PER_BAND) >
         Similarity.MaxBucketOcc
+    // q90's oracle models the floor bitset (m = 2^20); when the build-side
+    // key count auto-sizes m past it, the literal SQL no longer describes
+    // the filter — downgrade to rows-only, same pattern as q41/q42
+    val bloomDeparts = {
+      import org.apache.spark.sql.functions.col
+      val nKeys = Tables.customer(spark, sfDir)
+        .where(col("c_mktsegment") === "BUILDING").count()
+      Bloom.sizeBits(nKeys) != Bloom.DefaultBits
+    }
     (if (strideDeparts) Set("q41_cosine_pairs", "q44_cosine_dedup")
      else Set.empty[String]) ++
-      (if (bitsDepart || capFires) Set("q42_ann_lsh_pairs") else Set.empty[String])
+      (if (bitsDepart || capFires) Set("q42_ann_lsh_pairs") else Set.empty[String]) ++
+      (if (bloomDeparts) Set("q90_bloom_join") else Set.empty[String])
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -276,6 +289,7 @@ object SparkEntry {
     "q87_length_histogram" -> TextAnalysis.lengthHistogramSql,
     "q88_chunk_dedup" -> Curation.chunkDedupSql,
     "q89_ngram_novelty" -> Curation.ngramNoveltySql,
+    "q90_bloom_join" -> Bloom.bloomJoinSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

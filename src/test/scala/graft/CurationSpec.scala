@@ -116,6 +116,31 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(4L) == ((1L, 1L)))
   }
 
+  test("bloom semi-join: no false negatives, candidates bounded, bits portable") {
+    val s = spark
+    import s.implicits._
+    val small = (1L to 200L).filter(_ % 3 == 0).toDF("k")
+    val big = (1L to 2000L).toDF("k")
+    val surv = graft.ops.Bloom.bloomSemiJoin(big, col("k"), small, col("k"))
+      .collect().map(_.getLong(0)).toSet
+    val truth = (1L to 200L).filter(_ % 3 == 0).toSet
+    // NO false negatives: every true member survives
+    assert(truth.subsetOf(surv), s"missing: ${truth -- surv}")
+    // false positives bounded: with 66 keys * 4 hashes in 2^20 bits the
+    // fill factor is ~2.5e-4; P(all 4 bits set for a non-member) ~ 4e-15,
+    // so over 1934 non-members expect exactly zero (deterministic data →
+    // deterministic assertion; a handful would still pass the <1% bound)
+    assert(surv.size - truth.size <= 19, s"fp=${surv.size - truth.size}")
+    // bitset portability: popcount equals the distinct-position count the
+    // oracle computes (the cross-engine contract for n_bits_set)
+    val bits = graft.ops.Bloom.buildBits(small, col("k"))
+    val pop = bits.map(java.lang.Long.bitCount).sum
+    val distinctPos = small
+      .select(explode(graft.ops.Bloom.positions(col("k").cast("string"), 4, 1L << 20)).as("p"))
+      .distinct().count()
+    assert(pop.toLong == distinctPos)
+  }
+
   test("piiScrub: counts before redaction, email-then-ip order, boundary forms") {
     val s = spark
     import s.implicits._
