@@ -143,6 +143,9 @@ object SparkEntry {
     // portable Bloom semi-join: constant-size bitset broadcast, narrow
     // codegen'd probe, md5 positions replayed exactly by the oracle
     "q90_bloom_join" -> Bloom.bloomJoinGate _,
+    // stream-static enrichment join (4th streaming join class; stateless,
+    // broadcast dim, no state store)
+    "q91_stream_enrich" -> Pipelines.streamEnrich,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -290,6 +293,7 @@ object SparkEntry {
     "q88_chunk_dedup" -> Curation.chunkDedupSql,
     "q89_ngram_novelty" -> Curation.ngramNoveltySql,
     "q90_bloom_join" -> Bloom.bloomJoinSql,
+    "q91_stream_enrich" -> Pipelines.streamEnrichSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

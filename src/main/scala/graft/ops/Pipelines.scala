@@ -413,6 +413,38 @@ object Pipelines {
     """SELECT DISTINCT user_id, event_type
       |FROM events ORDER BY user_id, event_type""".stripMargin
 
+  /** Gate face (q91) for [[graft.streaming.StreamIngest.enrichStream]] —
+    * the stream-STATIC enrichment join, the fourth streaming join class
+    * in the gate (stream-stream q57, windowed agg q58, dedup q59). Each
+    * micro-batch of the events stream broadcast-joins the customer
+    * dimension (stateless: no watermark, no state store), lands in a
+    * checkpointed parquet sink, and is aggregated in batch to a shape
+    * DuckDB recomputes as a plain batch join — completeness by the q57
+    * single-micro-batch argument. */
+  def streamEnrich(s: SparkSession, d: String): DataFrame = {
+    val ev = eventStream(s, d)
+      .select(col("user_id"), col("event_type"), col("value"))
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val base = freshTmp("enr_q91")
+    val q = graft.streaming.StreamIngest.enrichStream(ev, dim, "user_id")
+      .select(col("segment"), col("event_type"), col("value"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    s.read.parquet(s"$base/out")
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("segment"), col("event_type"))
+  }
+
+  val streamEnrichSql: String =
+    """SELECT c.c_mktsegment AS segment, e.event_type,
+      |  count(*) AS n_events, round(sum(e.value), 4) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Second-backend round-trip through the pluggable seam: supplier →
     * prepared-INSERT batches into embedded Derby ([[graft.sources.JdbcBackend]]
     * — the role Cassandra plays for the reference) → `spark.read.jdbc`

@@ -72,6 +72,16 @@ object StreamIngest {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-STATIC enrichment join — the fourth streaming join class
+    * (alongside the stream-stream interval join, windowed agg, and
+    * dedup): each micro-batch joins against a BATCH-side dimension,
+    * re-planned per trigger so dim updates between triggers are picked
+    * up. Stateless — nothing buffers, no watermark needed for the join
+    * itself — and with a broadcastable dim the stream side never
+    * shuffles: the 100 TB/day enrichment shape. */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), key)
+
   /** Stream-stream INTERVAL join — the streaming face of
     * [[graft.ops.Temporal.rangeJoin]] (q46's batch semantics): each left
     * ("trigger") event joins right events of the same key whose

@@ -253,6 +253,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bounded.map(_._4).sum == 10000L)
   }
 
+  test("stream-static enrichment join: stateless, matches the batch join exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.eventsStream(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value"))
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val q = StreamIngest.enrichStream(ev, dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // stateless: an enrichment join must not create a state store
+    assert(q.lastProgress == null ||
+      q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L))
+    val got = spark.table("enrich_out")
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val want = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty && got == want)
+    spark.catalog.dropTempView("enrich_out")
+  }
+
   test("windowed event counts with watermark produce bounded-state plan") {
     // batch-mode check of the same transformation (streaming plan tested
     // via the analyzer accepting watermark + window grouping)
