@@ -180,17 +180,6 @@ object Pipelines {
     // sum of per-row 64-bit hashes (collision odds ~2^-64; the gate only
     // needs equal-or-not, ScalaTest asserts 0). decimal(38) accumulator —
     // a long sum of 64-bit hashes would overflow-throw under ANSI mode.
-    def signature(df: org.apache.spark.sql.DataFrame): (Long, java.math.BigDecimal) = {
-      val cols = df.columns.map(col)
-      val r = df.agg(count(lit(1)),
-        sum(xxhash64(cols.toIndexedSeq: _*).cast(DecimalType(38, 0)))).head
-      (r.getLong(0), r.getDecimal(1))
-    }
-    val (nSrc, srcSig) = signature(src)
-    val (nBack, backSig) = signature(typed)
-    errs.check()
-    require(nSrc == nBack && srcSig.compareTo(backSig) == 0,
-      s"csv round-trip mismatch: src=($nSrc, $srcSig) back=($nBack, $backSig)")
     // cross-engine content digest over the SOURCE (the oracle computes the
     // same digest from the CSV artifact): 40-bit md5 prefix per row keeps
     // the modded sum far from long overflow at any probe SF
@@ -199,9 +188,27 @@ object Pipelines {
       col("l_returnflag"), unix_timestamp(col("l_shipdate")).cast(StringType),
       col("l_quantity").cast(LongType).cast(StringType))
     val hv = conv(substring(md5(rowStr), 1, 10), 16, 10).cast(LongType) % 1000000007L
-    val gt = src.agg(sum(col("l_orderkey")).as("key_sum"), sum(hv).as("digest")).head
+    // ONE action per side: count + xxhash signature (+ key_sum and the
+    // oracle digest fused into the source pass — each side is scanned
+    // exactly once). decimal(38) accumulator for the signature — a long
+    // sum of 64-bit hashes would overflow-throw under ANSI mode.
+    def signature(df: org.apache.spark.sql.DataFrame, withDigest: Boolean) = {
+      val cols = df.columns.map(col)
+      val sig = sum(xxhash64(cols.toIndexedSeq: _*).cast(DecimalType(38, 0)))
+      val aggs =
+        if (withDigest) Seq(sig, sum(col("l_orderkey")), sum(hv))
+        else Seq(sig)
+      df.agg(count(lit(1)), aggs: _*).head
+    }
+    val srcRow = signature(src, withDigest = true)
+    val backRow = signature(typed, withDigest = false)
+    errs.check()
+    val (nSrc, srcSig) = (srcRow.getLong(0), srcRow.getDecimal(1))
+    val (nBack, backSig) = (backRow.getLong(0), backRow.getDecimal(1))
+    require(nSrc == nBack && srcSig.compareTo(backSig) == 0,
+      s"csv round-trip mismatch: src=($nSrc, $srcSig) back=($nBack, $backSig)")
     import s.implicits._
-    Seq((nSrc, nBack, gt.getLong(0), gt.getLong(1)))
+    Seq((nSrc, nBack, srcRow.getLong(2), srcRow.getLong(3)))
       .toDF("n_source", "n_roundtrip", "key_sum", "digest")
   }
 
