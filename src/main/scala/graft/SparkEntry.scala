@@ -146,6 +146,9 @@ object SparkEntry {
     // stream-static enrichment join (4th streaming join class; stateless,
     // broadcast dim, no state store)
     "q91_stream_enrich" -> Pipelines.streamEnrich,
+    // ±1 random projection over int8-quantized embeddings: all-integer,
+    // narrow, sign matrix derived from md5 parity on both engines
+    "q92_random_projection" -> Similarity.randomProjectionGate _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -294,6 +297,7 @@ object SparkEntry {
     "q89_ngram_novelty" -> Curation.ngramNoveltySql,
     "q90_bloom_join" -> Bloom.bloomJoinSql,
     "q91_stream_enrich" -> Pipelines.streamEnrichSql,
+    "q92_random_projection" -> Similarity.randomProjectionSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

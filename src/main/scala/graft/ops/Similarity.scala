@@ -590,6 +590,70 @@ object Similarity {
       |FROM ex GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
 
+  /** Deterministic ±1 sign matrix for random projection, derived from
+    * md5 parity of "i_j" (input dim i, output dim j) — computable
+    * identically on the driver (here) and in any SQL engine with md5
+    * (`CAST('0x' || substr(md5(i||'_'||j), 1, 2) AS INT) % 2`), so the
+    * projection is engine-portable with NO shipped matrix artifact. */
+  def signMatrix(inDims: Int, outDims: Int): Array[Array[Int]] =
+    Array.tabulate(outDims, inDims) { (j, i) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}_${j}".getBytes("UTF-8"))
+      if (((h(0) & 0xFF) % 2) == 0) 1 else -1
+    }
+
+  /** ±1 random projection of int8-quantized embeddings 64 → `outDims`
+    * dims — the cheap JL-style reduction in front of ANN/clustering at
+    * 100 TB (4× fewer components to shuffle/compare, cosine structure
+    * approximately preserved). Quantizing FIRST makes every arithmetic
+    * step exact: products ≤ 127, sums ≤ 64·127 < 2^13 — all integers,
+    * bit-identical on any engine, no FP-order hazard. Narrow: each
+    * output dim is an aggregate-HOF dot with a sign-vector LITERAL —
+    * zero shuffle, no matrix join. */
+  def randomProjection(e: DataFrame, outDims: Int = 16): DataFrame = {
+    val q = quantizeInt8(e)
+    val signs = signMatrix(64, outDims)
+    val outs = (0 until outDims).map { j =>
+      val sLit = typedLit(signs(j).toSeq.map(_.toDouble))
+      aggregate(zip_with(col("q8"), sLit, (a, b) => a * b),
+        lit(0.0d), (acc, x) => acc + x)
+        .cast("long").as(s"p$j")
+    }
+    q.select(col("vec_id") +: outs: _*)
+  }
+
+  /** Gate face (q92): every vector's 16 projected integer components. */
+  def randomProjectionGate(s: SparkSession, d: String): DataFrame =
+    randomProjection(Tables.embeddings(s, d)).orderBy(col("vec_id"))
+
+  val randomProjectionSql: String = {
+    val pivots = (0 until 16).map(j =>
+      s"  CAST(max(CASE WHEN j = $j THEN p END) AS BIGINT) AS p$j").mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+       |  FROM embeddings),
+       | q8 AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CASE WHEN ma > 0
+       |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+       |  FROM base),
+       | dims AS (SELECT unnest(range(0, 64)) AS i),
+       | outs AS (SELECT unnest(range(0, 16)) AS j),
+       | signs AS (
+       |  SELECT i, j,
+       |    CASE WHEN CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 2) AS INT) % 2 = 0
+       |         THEN 1.0 ELSE -1.0 END AS s
+       |  FROM dims, outs),
+       | comps AS (
+       |  SELECT q8.vec_id, signs.j,
+       |    CAST(sum(q8.q[signs.i + 1] * signs.s) AS BIGINT) AS p
+       |  FROM q8, signs GROUP BY 1, 2)
+       |SELECT vec_id,
+       |$pivots
+       |FROM comps GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   val quantizedTopKSql: String =
     """WITH base AS (
       |  SELECT vec_id, embedding,

@@ -303,6 +303,41 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count(_._1 == "tiny") == 3, "<k stratum must degrade to take-all")
   }
 
+  test("randomProjection: integer outputs, layout-independent, neighbors roughly preserved") {
+    val out = Similarity.randomProjection(Tables.embeddings(spark, sf)).collect()
+    assert(out.nonEmpty && out.head.length == 17) // vec_id + 16 components
+    // components bounded by 64*127 (sum of 64 int8 magnitudes)
+    out.foreach(r => (1 to 16).foreach(j => assert(math.abs(r.getLong(j)) <= 64L * 127)))
+    // exact integers → identical under a different partition layout
+    val shuffled = Similarity.randomProjection(
+      Tables.embeddings(spark, sf).repartition(13)).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toVector).toMap
+    out.foreach(r => assert(shuffled(r.getLong(0)) == (1 to 16).map(r.getLong).toVector))
+    // JL sanity on real data — preservation IN EXPECTATION, the property
+    // the projection actually guarantees (a 16-dim sketch of 500
+    // near-uniform vectors won't reproduce exact top-5 rank): for each
+    // probe, the mean PROJECTED dot over its exact-top-5 neighbors must
+    // beat the mean projected dot over the whole corpus. Deterministic
+    // data → deterministic assertion.
+    val proj = out.map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toArray).toMap
+    val q8 = Similarity.quantizeInt8(Tables.embeddings(spark, sf))
+      .select(col("vec_id"), col("q8")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    var wins = 0
+    (0L until 5L).foreach { probe =>
+      val exactTop = q8.collect { case (id, v) if id != probe =>
+        id -> q8(probe).zip(v).map { case (a, b) => a * b }.sum.toLong }
+        .toSeq.sortBy(t => (-t._2, t._1)).take(5).map(_._1)
+      def pdot(id: Long): Double =
+        proj(probe).zip(proj(id)).map { case (a, b) => a * b }.sum.toDouble
+      val mTop = exactTop.map(pdot).sum / exactTop.size
+      val others = proj.keys.filter(_ != probe).toSeq
+      val mAll = others.map(pdot).sum / others.size
+      if (mTop > mAll) wins += 1
+    }
+    assert(wins >= 4, s"projection preserved neighborhoods for only $wins/5 probes")
+  }
+
   test("labelCentroids: exact-integer sums are partition-layout independent; bounds hold") {
     val a = graft.ops.Similarity.labelCentroids(spark, sf).collect()
     assert(a.length == 640) // 10 labels × 64 dims
