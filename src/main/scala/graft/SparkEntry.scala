@@ -149,6 +149,10 @@ object SparkEntry {
     // ±1 random projection over int8-quantized embeddings: all-integer,
     // narrow, sign matrix derived from md5 parity on both engines
     "q92_random_projection" -> Similarity.randomProjectionGate _,
+    // bloom-accelerated anti-join (incremental dedup): definitely-new
+    // rows skip the shuffle; exact anti-join corrects false positives —
+    // oracle equality with the plain anti-join proves it
+    "q93_bloom_anti_join" -> Bloom.bloomAntiJoinGate _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -298,6 +302,7 @@ object SparkEntry {
     "q90_bloom_join" -> Bloom.bloomJoinSql,
     "q91_stream_enrich" -> Pipelines.streamEnrichSql,
     "q92_random_projection" -> Similarity.randomProjectionSql,
+    "q93_bloom_anti_join" -> Bloom.bloomAntiJoinSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -94,6 +94,54 @@ object Bloom {
     big.where(mightContain(buildBits(small, smallKey, k, mm), bigKey, k, mm))
   }
 
+  /** Bloom-ACCELERATED anti-join — incremental dedup against a historical
+    * corpus, the pattern behind "drop documents we already ingested"
+    * without shuffling today's whole batch: rows whose keys the filter
+    * has NEVER seen are definitely new (no false negatives) and bypass
+    * the join entirely; only the maybe-duplicate remainder (true dups +
+    * the ~0.2% false positives) reaches the exact LEFT ANTI join, which
+    * removes the false positives. Result is EXACTLY the plain anti-join
+    * — the bloom changes the cost, not the answer: the shuffle carries
+    * fill-factor-bounded candidates instead of the full big side, at the
+    * price of a second (cheap, pushdown-friendly) scan. */
+  def bloomAntiJoin(big: DataFrame, bigKey: Column, small: DataFrame,
+      smallKey: Column, k: Int = DefaultHashes, m: Long = 0L): DataFrame = {
+    val mm = if (m > 0) m else sizeBits(small.count())
+    val bits = buildBits(small, smallKey, k, mm)
+    val definitelyNew = big.where(!mightContain(bits, bigKey, k, mm))
+    val maybeDup = big.where(mightContain(bits, bigKey, k, mm))
+    val keyName = "__bloom_key"
+    val survivors = maybeDup.join(
+      small.select(smallKey.as(keyName)).distinct(),
+      bigKey === col(keyName), "left_anti")
+    definitelyNew.union(survivors)
+  }
+
+  /** Gate face (q93): orders from customers OUTSIDE the BUILDING segment
+    * via [[bloomAntiJoin]]; the oracle is the plain batch anti-join —
+    * result equality IS the false-positive-correction proof. */
+  def bloomAntiJoinGate(s: SparkSession, d: String): DataFrame = {
+    val customers = Tables.customer(s, d)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val m = sizeBits(customers.count())
+    bloomAntiJoin(Tables.orders(s, d), col("o_custkey"),
+        customers, col("c_custkey"), DefaultHashes, m)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val bloomAntiJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders o
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM customer c
+      |  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Gate face (q90): filter orders by a Bloom of BUILDING-segment
     * customers; emit exact counts — probe size, bits set, bloom
     * survivors, true matches, false positives. The oracle replays the

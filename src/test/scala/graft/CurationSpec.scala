@@ -141,6 +141,24 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pop.toLong == distinctPos)
   }
 
+  test("bloomAntiJoin: equals plain anti-join even with a saturated filter (forced FPs)") {
+    val s = spark
+    import s.implicits._
+    val small = (1L to 500L).filter(_ % 5 == 0).toDF("k")   // 100 keys
+    val big = (1L to 3000L).toDF("k")
+    // m = DefaultBits floor → honest config first
+    val got = graft.ops.Bloom.bloomAntiJoin(big, col("k"), small, col("k"))
+      .collect().map(_.getLong(0)).sorted
+    val want = (1L to 3000L).filterNot(x => x <= 500 && x % 5 == 0).sorted
+    assert(got.toSeq == want)
+    // now FORCE false positives with a tiny pinned m (256 bits for 100
+    // keys ≈ saturated): the exact anti-join stage must still correct
+    // every FP — result identical
+    val gotSat = graft.ops.Bloom.bloomAntiJoin(big, col("k"), small, col("k"), m = 256L)
+      .collect().map(_.getLong(0)).sorted
+    assert(gotSat.toSeq == want, "saturated filter changed the anti-join result")
+  }
+
   test("piiScrub: counts before redaction, email-then-ip order, boundary forms") {
     val s = spark
     import s.implicits._
