@@ -249,8 +249,15 @@ object SparkEntry {
     "q11_order_priority" -> Relational.orderPriorityCheckSql,
     "q12_customers_no_orders" -> Relational.customersWithoutOrdersSql,
     "q13_cube_events" -> Relational.cubeEventsSql,
-    // q14: HLL sketches are not engine-portable → rows-only (error bound
-    // asserted in ScalaTest against the exact count in the same row)
+    // q14 (ORACLE-CHECKED since r7, was rows-only): native HLL++
+    // registers aren't engine-portable, but the face now emits the exact
+    // count (DuckDB recomputes) plus the integer-cross-multiplied
+    // within-5% contract flag (oracle asserts TRUE) — a broken estimator
+    // flips the flag and reds the hash
+    "q14_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q77: the PORTABLE tabular CMS (md5 row hashes) — DuckDB rebuilds
     // the sketch and the min-over-rows estimates verbatim
     "q77_cms_frequency" -> Relational.cmsFrequencyPortableSql,

@@ -180,7 +180,14 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("approx_count_distinct stays within the configured 2% rsd envelope") {
-    val rows = Relational.approxDistinctUsers(spark, sf).collect()
+    // raw estimate magnitude (the gate face q14 emits only the exact
+    // count + the within-5% contract flag, oracle-asserted TRUE)
+    import org.apache.spark.sql.functions._
+    val rows = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val approx = r.getAs[Long]("approx_users").toDouble
@@ -188,6 +195,9 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(approx - exact) / exact <= 0.10,
         s"approx=$approx exact=$exact drift too large")
     }
+    // and the gate face's flag is true on this corpus
+    val face = Relational.approxDistinctUsers(spark, sf).collect()
+    assert(face.nonEmpty && face.forall(_.getAs[Boolean]("within_5pct")))
   }
 
   test("count-min sketch: est >= exact and within the epsilon*N bound") {
