@@ -153,6 +153,10 @@ object SparkEntry {
     // rows skip the shuffle; exact anti-join corrects false positives —
     // oracle equality with the plain anti-join proves it
     "q93_bloom_anti_join" -> Bloom.bloomAntiJoinGate _,
+    // integer-exact k-means (2 unrolled Lloyd iterations): rounded
+    // integer means, argmin by exact integer distance — DuckDB replays
+    // the full iteration
+    "q94_kmeans" -> ((s: SparkSession, d: String) => Similarity.kmeansInt(s, d)),
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -310,6 +314,7 @@ object SparkEntry {
     "q91_stream_enrich" -> Pipelines.streamEnrichSql,
     "q92_random_projection" -> Similarity.randomProjectionSql,
     "q93_bloom_anti_join" -> Bloom.bloomAntiJoinSql,
+    "q94_kmeans" -> Similarity.kmeansIntSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

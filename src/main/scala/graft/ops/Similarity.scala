@@ -654,6 +654,123 @@ object Similarity {
        |FROM comps GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
+  /** Integer-exact k-means (Lloyd) over int8-quantized embeddings —
+    * unsupervised clustering with EVERY step cross-engine deterministic:
+    * seeds are the first k vectors' q8; assignment is argmin of exact
+    * integer squared distance (≤ 64·254² < 2²³, exact in double;
+    * first-min index breaks ties); the centroid update is the
+    * floor(sum/count + 0.5) ROUNDED INTEGER MEAN (same convention as
+    * quantizeInt8) so centroids stay small exact integers; an empty
+    * cluster keeps its previous centroid. No float ever reaches a
+    * compared value, so DuckDB replays the full iteration unrolled.
+    *
+    * Scale: per iteration, ONE narrow assignment pass (centroids ride as
+    * a k×64 literal — no join) + one map-side-combined (cluster, dim)
+    * sum whose output is BOUNDED at k·64 rows; only that reaches the
+    * driver. Iterations are a fixed small constant, the standard
+    * training-data clustering budget. */
+  def kmeansInt(s: SparkSession, d: String, k: Int = 8, iters: Int = 2): DataFrame = {
+    val qe = quantizeInt8(Tables.embeddings(s, d)).select(col("vec_id"), col("q8"))
+    var cents: Array[Array[Long]] = qe.where(col("vec_id") < k).orderBy(col("vec_id"))
+      .collect().map(_.getSeq[Double](1).map(_.toLong).toArray)
+
+    def clusterOf(cs: Array[Array[Long]]): Column = {
+      val dists = array(cs.map { c =>
+        aggregate(zip_with(col("q8"), typedLit(c.toSeq),
+          (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x)
+      }.toIndexedSeq: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+
+    for (_ <- 1 to iters) {
+      // 64 per-dim sums as flat agg columns — map-side combined, k rows
+      // out, NO 64× posexplode row multiplication through the shuffle
+      val dimSums = (0 until 64).map(i =>
+        sum(element_at(col("q8"), i + 1).cast("long")).as(s"s$i"))
+      val sums = qe.withColumn("cluster", clusterOf(cents))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("c"), dimSums: _*)
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        val cl = r.getInt(0); val c = r.getLong(1)
+        var i = 0
+        while (i < 64) {
+          next(cl)(i) = math.floor(r.getLong(2 + i).toDouble / c + 0.5).toLong
+          i += 1
+        }
+      }
+      cents = next
+    }
+    // final assignment with the converged centroids; per-cluster count +
+    // a portable centroid signature
+    val centMd5 = cents.map(c => c.mkString(" "))
+    val md5Lit = typedLit(centMd5.toSeq)
+    qe.withColumn("cluster", clusterOf(cents))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+      .withColumn("centroid_md5", md5(element_at(md5Lit, col("cluster") + 1)))
+      .orderBy(col("cluster"))
+  }
+
+  val kmeansIntSql: String = {
+    // one Lloyd iteration as SQL: assign by integer squared distance
+    // (first-min tie-break via ORDER BY dist, cluster), then the rounded
+    // integer mean per (cluster, dim), empty clusters keeping the
+    // previous centroid via the LEFT JOIN coalesce
+    def iter(prev: String, out: String): String =
+      s""" a$out AS (
+         |  SELECT q8.vec_id, q8.q, c.cluster,
+         |    row_number() OVER (PARTITION BY q8.vec_id
+         |      ORDER BY list_sum(list_transform(range(1, 65),
+         |        i -> (q8.q[i] - c.cent[i]) * (q8.q[i] - c.cent[i]))) ASC,
+         |        c.cluster ASC) AS rk
+         |  FROM q8, $prev c),
+         | s$out AS (
+         |  SELECT cluster, u.i AS dim,
+         |    sum(q[u.i]) AS sv, count(*) AS c
+         |  FROM (SELECT * FROM a$out WHERE rk = 1),
+         |       (SELECT unnest(range(1, 65)) AS i) u
+         |  GROUP BY 1, 2),
+         | $out AS (
+         |  SELECT pd.cluster,
+         |    list(CASE WHEN s.sv IS NULL THEN pd.prev_c
+         |              ELSE CAST(floor(s.sv * 1.0 / s.c + 0.5) AS BIGINT) END
+         |         ORDER BY pd.i) AS cent
+         |  FROM (SELECT p.cluster, d.i, p.cent[d.i] AS prev_c
+         |        FROM $prev p CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d) pd
+         |  LEFT JOIN s$out s ON s.cluster = pd.cluster AND s.dim = pd.i
+         |  GROUP BY pd.cluster)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+       |  FROM embeddings),
+       | q8 AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CASE WHEN ma > 0
+       |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+       |  FROM base),
+       | c0 AS (
+       |  SELECT CAST(vec_id AS INT) AS cluster,
+       |    list_transform(q, x -> CAST(x AS BIGINT)) AS cent
+       |  FROM q8 WHERE vec_id < 8),
+       |${iter("c0", "c1")},
+       |${iter("c1", "c2")},
+       | afin AS (
+       |  SELECT q8.vec_id, c.cluster,
+       |    row_number() OVER (PARTITION BY q8.vec_id
+       |      ORDER BY list_sum(list_transform(range(1, 65),
+       |        i -> (q8.q[i] - c.cent[i]) * (q8.q[i] - c.cent[i]))) ASC,
+       |        c.cluster ASC) AS rk
+       |  FROM q8, c2 c)
+       |SELECT f.cluster, count(*) AS n_members,
+       |  md5(array_to_string(list_transform(c.cent, x -> CAST(x AS VARCHAR)),
+       |      ' ')) AS centroid_md5
+       |FROM (SELECT * FROM afin WHERE rk = 1) f
+       |JOIN c2 c ON c.cluster = f.cluster
+       |GROUP BY f.cluster, c.cent ORDER BY f.cluster""".stripMargin
+  }
+
   val quantizedTopKSql: String =
     """WITH base AS (
       |  SELECT vec_id, embedding,

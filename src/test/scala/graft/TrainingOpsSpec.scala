@@ -338,6 +338,22 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wins >= 4, s"projection preserved neighborhoods for only $wins/5 probes")
   }
 
+  test("kmeansInt: partitions the corpus, deterministic across runs, integer centroids") {
+    val a = Similarity.kmeansInt(spark, sf).collect()
+    assert(a.length == 8)
+    val total = Tables.embeddings(spark, sf).count()
+    assert(a.map(_.getLong(1)).sum == total, "assignment must partition the corpus")
+    assert(a.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 8))
+    // every arithmetic step is integer-exact → bit-identical reruns
+    val b = Similarity.kmeansInt(spark, sf).collect()
+    assert(a.map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSeq ==
+      b.map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSeq)
+    // more than one cluster actually receives members (the seeds are
+    // distinct real vectors, so a degenerate all-in-one split would mean
+    // the distance argmin is broken)
+    assert(a.count(_.getLong(1) > 0) > 1)
+  }
+
   test("labelCentroids: exact-integer sums are partition-layout independent; bounds hold") {
     val a = graft.ops.Similarity.labelCentroids(spark, sf).collect()
     assert(a.length == 640) // 10 labels × 64 dims
