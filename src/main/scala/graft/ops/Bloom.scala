@@ -24,16 +24,38 @@ object Bloom {
   val DefaultBits: Long = 1L << 20 // 128 KiB bitset
   val DefaultHashes: Int = 4
 
+  /** Above this m the bitset no longer rides as a plan literal: a 2^24-bit
+    * set is a 256Ki-element long array — past that, plan serialization
+    * and the codegen constant pool pay per-task costs for what should be
+    * per-JVM state, so [[mightContain]] switches to a broadcast-variable
+    * probe ([[graft.functions.BloomExprs.BloomProbe]]). Semantics are
+    * identical in both regimes; only the literal regime is DuckDB-
+    * replayable, which is fine — the gate face pins m inside it. */
+  val MaxLiteralBits: Long = 1L << 24
+
+  /** Hard ceiling on m: 2^36 bits = 8 GiB of words, and m/64 must stay an
+    * int array index ([[buildBits]]'s word array, the probe's element
+    * lookup — ADVICE r7: the unguarded int cast overflowed past 2^37).
+    * At the 16-bits/key design fill this covers a ~4.3B-key build side;
+    * the PRACTICAL ceiling is broadcast memory (m/8 bytes ≈ 1 GiB at
+    * 2^33). Beyond either, a Bloom pre-filter is the wrong tool — the
+    * build side is no longer meaningfully smaller than the probe side,
+    * so shuffle the exact semi-join directly. */
+  val MaxBits: Long = 1L << 36
+
   /** Auto-size the bitset to the build-side key count: ~16 bits/key
     * (fill ≈ 22% at k=4 → false-positive rate ≈ 0.2%), rounded up to a
-    * power of two, floored at [[DefaultBits]]. A FIXED m saturates as
-    * the key set grows — measured in round 7: at 10× the keys that fit,
-    * fill hits 68% and the false-positive rate 21%, and the filter stops
-    * filtering. 16 bits/key is 2 BYTES of broadcast per key — still
-    * ~1000× smaller than broadcasting the keys themselves. */
+    * power of two, floored at [[DefaultBits]], CAPPED at [[MaxBits]]
+    * (past the cap the fill factor grows past the design point and the
+    * filter degrades gracefully — by then use an exact semi-join). A
+    * FIXED m saturates as the key set grows — measured in round 7: at
+    * 10× the keys that fit, fill hits 68% and the false-positive rate
+    * 21%, and the filter stops filtering. 16 bits/key is 2 BYTES of
+    * broadcast per key — still ~1000× smaller than broadcasting the
+    * keys themselves. */
   def sizeBits(nKeys: Long): Long = {
     var m = DefaultBits
-    while (m < 16L * nKeys) m <<= 1
+    while (m < 16L * nKeys && m < MaxBits) m <<= 1
     m
   }
 
@@ -50,6 +72,9 @@ object Bloom {
     * input size; only that constant-size word table reaches the driver. */
   def buildBits(small: DataFrame, key: Column,
       k: Int = DefaultHashes, m: Long = DefaultBits): Array[Long] = {
+    require(m > 0 && m <= MaxBits,
+      s"bloom m=$m outside (0, 2^36]: m/64 must stay an int array index " +
+        s"and the word array m/8 bytes of memory — see Bloom.MaxBits")
     val words = small
       .select(explode(positions(key.cast("string"), k, m)).as("pos"))
       .distinct()
@@ -67,21 +92,39 @@ object Bloom {
   private val WordMasks: Column = typedLit((0 until 64).map(1L << _))
 
   /** Membership predicate against a built bitset: all k positions set.
-    * The bitset rides along as ONE array literal (a single `Literal`
-    * node, not 16k children), and the check is `forall` over the
-    * positions array so the k md5s are computed EXACTLY ONCE per row —
-    * spelling the conjuncts out with k separate `element_at(ps, i)`
-    * references duplicates the positions subtree into every conjunct
-    * (k² md5s/row after optimization; measured 40% of q90's sf10 wall
-    * before the rewrite). No join, no shuffle, no state on the big side. */
+    * The check is `forall` over the positions array so the k md5s are
+    * computed EXACTLY ONCE per row — spelling the conjuncts out with k
+    * separate `element_at(ps, i)` references duplicates the positions
+    * subtree into every conjunct (k² md5s/row after optimization;
+    * measured 40% of q90's sf10 wall before the rewrite). No join, no
+    * shuffle, no state on the big side.
+    *
+    * Two size regimes, identical semantics (incl. NULL-key → NULL):
+    *  - m ≤ [[MaxLiteralBits]]: the bitset rides as ONE array literal (a
+    *    single `Literal` node, not 16k children) — portable, the oracle
+    *    replays it in SQL.
+    *  - m > [[MaxLiteralBits]]: the bitset ships as a BROADCAST VARIABLE
+    *    probed by a codegen'd expression
+    *    ([[graft.functions.BloomExprs.BloomProbe]]) — per-JVM fetch, no
+    *    plan-size / constant-pool growth at any m up to [[MaxBits]]. */
   def mightContain(bits: Array[Long], key: Column,
       k: Int = DefaultHashes, m: Long = DefaultBits): Column = {
-    val bitsLit = typedLit(bits.toSeq)
-    forall(positions(key.cast("string"), k, m), pos =>
-      // pos < 2^26 at any sane m so the double division is exact;
-      // int cast truncates = floor for positives
-      element_at(bitsLit, (pos / 64).cast("int") + 1)
-        .bitwiseAND(element_at(WordMasks, (pos % 64).cast("int") + 1)) =!= 0L)
+    require(m > 0 && m <= MaxBits,
+      s"bloom m=$m outside (0, 2^36] — see Bloom.MaxBits")
+    val ps = positions(key.cast("string"), k, m)
+    if (m <= MaxLiteralBits) {
+      val bitsLit = typedLit(bits.toSeq)
+      forall(ps, pos =>
+        // pos < 2^24 in this regime so the double division is exact;
+        // int cast truncates = floor for positives
+        element_at(bitsLit, (pos / 64).cast("int") + 1)
+          .bitwiseAND(element_at(WordMasks, (pos % 64).cast("int") + 1)) =!= 0L)
+    } else {
+      val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.BloomExprs.BloomProbe(
+          org.apache.spark.sql.GraftBridge.expression(ps), sc.broadcast(bits)))
+    }
   }
 
   /** Bloom semi-join: big rows whose key might be in small's key set.
@@ -101,15 +144,21 @@ object Bloom {
     * the join entirely; only the maybe-duplicate remainder (true dups +
     * the ~0.2% false positives) reaches the exact LEFT ANTI join, which
     * removes the false positives. Result is EXACTLY the plain anti-join
-    * — the bloom changes the cost, not the answer: the shuffle carries
-    * fill-factor-bounded candidates instead of the full big side, at the
-    * price of a second (cheap, pushdown-friendly) scan. */
+    * INCLUDING for NULL keys — the bloom changes the cost, not the
+    * answer: the shuffle carries fill-factor-bounded candidates instead
+    * of the full big side, at the price of a second (cheap,
+    * pushdown-friendly) scan. NULL-key big rows route to the exact
+    * branch (the probe is NULL for a NULL key, which would satisfy
+    * NEITHER filter and silently drop the row — ADVICE r7); there the
+    * anti-join keeps them, as a plain anti-join does (a NULL key equals
+    * nothing, so the join condition is never met). */
   def bloomAntiJoin(big: DataFrame, bigKey: Column, small: DataFrame,
       smallKey: Column, k: Int = DefaultHashes, m: Long = 0L): DataFrame = {
     val mm = if (m > 0) m else sizeBits(small.count())
     val bits = buildBits(small, smallKey, k, mm)
-    val definitelyNew = big.where(!mightContain(bits, bigKey, k, mm))
-    val maybeDup = big.where(mightContain(bits, bigKey, k, mm))
+    val probe = mightContain(bits, bigKey, k, mm)
+    val definitelyNew = big.where(bigKey.isNotNull && !probe)
+    val maybeDup = big.where(bigKey.isNull || probe)
     val keyName = "__bloom_key"
     val survivors = maybeDup.join(
       small.select(smallKey.as(keyName)).distinct(),

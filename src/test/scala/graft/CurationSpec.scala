@@ -159,6 +159,61 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotSat.toSeq == want, "saturated filter changed the anti-join result")
   }
 
+  test("bloomAntiJoin: NULL big-side keys survive exactly like plain left-anti") {
+    val s = spark
+    import s.implicits._
+    val small = Seq(2L, 4L, 6L).toDF("k")
+    val big = Seq(Some(1L), Some(2L), None, Some(3L), Some(4L), None, Some(9L))
+      .toDF("k")
+    val got = graft.ops.Bloom.bloomAntiJoin(big, col("k"), small, col("k"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val want = big.join(small.withColumnRenamed("k", "sk"),
+        big("k") === col("sk"), "left_anti")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    // plain anti-join KEEPS NULL-key rows (condition never satisfied);
+    // the bloom variant must too (r7: NULL probe dropped them from both
+    // branches). Multiset compare, order-insensitive.
+    assert(got.sortBy(_.toString).toSeq == want.sortBy(_.toString).toSeq)
+    assert(got.count(_.isEmpty) == 2, "both NULL-key rows must survive")
+  }
+
+  test("bloom broadcast regime (m > MaxLiteralBits): same semantics, no plan literal") {
+    val s = spark
+    import s.implicits._
+    val m = graft.ops.Bloom.MaxLiteralBits * 2 // 2^25: forces BloomProbe path
+    val small = (1L to 300L).filter(_ % 3 == 0).toDF("k")
+    val big = (1L to 2000L).toDF("k")
+    val semi = graft.ops.Bloom.bloomSemiJoin(big, col("k"), small, col("k"), m = m)
+    // the bitset must NOT ride as a literal: 2^25 bits = 512Ki longs would
+    // be megabytes of plan text; the broadcast-probe plan stays tiny
+    assert(semi.queryExecution.executedPlan.toString.length < 100000,
+      "broadcast-regime plan embeds the bitset")
+    val surv = semi.collect().map(_.getLong(0)).toSet
+    val truth = (1L to 300L).filter(_ % 3 == 0).toSet
+    assert(truth.subsetOf(surv), s"false negatives: ${truth -- surv}")
+    assert(surv.size - truth.size <= 19, s"fp=${surv.size - truth.size}")
+    // anti-join equality holds in the broadcast regime too, incl. NULLs
+    val bigN = (Seq[Option[Long]](None) ++ (1L to 2000L).map(Some(_))).toDF("k")
+    val got = graft.ops.Bloom.bloomAntiJoin(bigN, col("k"), small, col("k"), m = m)
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).sorted
+    val want = (Seq(-1L) ++ (1L to 2000L).filterNot(x => x <= 300 && x % 3 == 0)).sorted
+    assert(got.toSeq == want)
+  }
+
+  test("bloom size guards: sizeBits caps at MaxBits, oversized m rejected") {
+    val s = spark
+    import s.implicits._
+    // auto-size would want 2^40 bits for 2^36 keys — capped at MaxBits
+    assert(graft.ops.Bloom.sizeBits(1L << 36) == graft.ops.Bloom.MaxBits)
+    val small = Seq(1L).toDF("k")
+    intercept[IllegalArgumentException] {
+      graft.ops.Bloom.buildBits(small, col("k"), m = graft.ops.Bloom.MaxBits * 2)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Bloom.mightContain(Array(0L), col("k"), m = graft.ops.Bloom.MaxBits * 2)
+    }
+  }
+
   test("piiScrub: counts before redaction, email-then-ip order, boundary forms") {
     val s = spark
     import s.implicits._
