@@ -664,30 +664,70 @@ object Similarity {
     * cluster keeps its previous centroid. No float ever reaches a
     * compared value, so DuckDB replays the full iteration unrolled.
     *
-    * Scale: per iteration, ONE narrow assignment pass (centroids ride as
-    * a k×64 literal — no join) + one map-side-combined (cluster, dim)
-    * sum whose output is BOUNDED at k·64 rows; only that reaches the
-    * driver. Iterations are a fixed small constant, the standard
-    * training-data clustering budget. */
-  def kmeansInt(s: SparkSession, d: String, k: Int = 8, iters: Int = 2): DataFrame = {
-    val qe = quantizeInt8(Tables.embeddings(s, d)).select(col("vec_id"), col("q8"))
-    var cents: Array[Array[Long]] = qe.where(col("vec_id") < k).orderBy(col("vec_id"))
-      .collect().map(_.getSeq[Double](1).map(_.toLong).toArray)
+    * Scale: per iteration, ONE narrow assignment pass + one map-side-
+    * combined (cluster, dim) sum whose output is BOUNDED at k·64 rows;
+    * only that reaches the driver. Iterations are a fixed small
+    * constant, the standard training-data clustering budget.
+    *
+    * Assignment has two regimes, identical semantics (r7 verdict watch
+    * item — at k=4096 a k-wide argmin expression is a codegen bomb):
+    *  - k ≤ [[KmeansMaxExprK]]: centroids ride as a k×64 LITERAL inside
+    *    an argmin expression — zero shuffle, zero extra rows.
+    *  - k > [[KmeansMaxExprK]]: centroids become a k-row BROADCAST-
+    *    joined table; each vector meets each centroid (×k intermediate,
+    *    no shuffle for the join itself) and `min(struct(dist, cluster))`
+    *    per vec_id picks the argmin — constant codegen surface at any
+    *    k, one hash-agg whose map side collapses the ×k fan-out. */
+  val KmeansMaxExprK: Int = 64
 
-    def clusterOf(cs: Array[Array[Long]]): Column = {
+  /** One assignment pass: `qe` = (vec_id, q8) → + `cluster`. First-min
+    * tie-break in BOTH regimes: `array_position` returns the first index
+    * with the min distance; `min(struct(dist, cluster))` orders by dist
+    * then cluster — same smallest-cluster winner (distances are exact
+    * integers in double, so equality is exact, not FP-fuzzy). */
+  private[graft] def kmeansAssign(qe: DataFrame, cs: Array[Array[Long]],
+      viaJoin: Boolean): DataFrame =
+    if (!viaJoin) {
       val dists = array(cs.map { c =>
         aggregate(zip_with(col("q8"), typedLit(c.toSeq),
           (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x)
       }.toIndexedSeq: _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
+      qe.withColumn("cluster",
+        (array_position(dists, array_min(dists)) - 1).cast("int"))
+    } else {
+      val s = qe.sparkSession
+      import s.implicits._
+      val centDf = cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toSeq.toDF("__cl", "__cent")
+      qe.join(broadcast(centDf))
+        .withColumn("__dist",
+          aggregate(zip_with(col("q8"), col("__cent"),
+            (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("__dist"), col("__cl"))).as("__best"),
+          first(col("q8")).as("q8"))
+        .select(col("vec_id"), col("q8"),
+          col("__best.__cl").cast("int").as("cluster"))
     }
+
+  def kmeansInt(s: SparkSession, d: String, k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansIntOn(quantizeInt8(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("q8")), k, iters)
+
+  /** Core Lloyd loop over an already-quantized (vec_id, q8) frame; seeds
+    * are the first k vec_ids. See [[kmeansInt]]. */
+  def kmeansIntOn(qe: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents: Array[Array[Long]] = qe.where(col("vec_id") < k).orderBy(col("vec_id"))
+      .collect().map(_.getSeq[Double](1).map(_.toLong).toArray)
+    require(cents.length == k, s"need $k seed vectors (vec_id < $k), got ${cents.length}")
+    val viaJoin = k > KmeansMaxExprK
 
     for (_ <- 1 to iters) {
       // 64 per-dim sums as flat agg columns — map-side combined, k rows
       // out, NO 64× posexplode row multiplication through the shuffle
       val dimSums = (0 until 64).map(i =>
         sum(element_at(col("q8"), i + 1).cast("long")).as(s"s$i"))
-      val sums = qe.withColumn("cluster", clusterOf(cents))
+      val sums = kmeansAssign(qe, cents, viaJoin)
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("c"), dimSums: _*)
         .collect()
@@ -706,7 +746,7 @@ object Similarity {
     // a portable centroid signature
     val centMd5 = cents.map(c => c.mkString(" "))
     val md5Lit = typedLit(centMd5.toSeq)
-    qe.withColumn("cluster", clusterOf(cents))
+    kmeansAssign(qe, cents, viaJoin)
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"))
       .withColumn("centroid_md5", md5(element_at(md5Lit, col("cluster") + 1)))

@@ -354,6 +354,43 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.count(_.getLong(1) > 0) > 1)
   }
 
+  test("kmeansAssign: broadcast-join regime (k>64) matches the expression regime exactly") {
+    val s = spark
+    import s.implicits._
+    // synthetic already-quantized corpus: 300 vectors, 64 integer dims,
+    // deterministic md5-derived components in [-127, 127] — includes
+    // exact-tie opportunities so the first-min tie-break is exercised
+    def comp(v: Long, i: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${v}_$i".getBytes("UTF-8"))
+      (((h(0) & 0xFF) << 8 | (h(1) & 0xFF)) % 255 - 127).toDouble
+    }
+    val qe = (0L until 300L).map(v => (v, (0 until 64).map(comp(v, _))))
+      .toDF("vec_id", "q8")
+    val seeds = (k: Int) => qe.where(col("vec_id") < k).orderBy(col("vec_id"))
+      .collect().map(_.getSeq[Double](1).map(_.toLong).toArray)
+    for (k <- Seq(8, 128)) {
+      val cs = seeds(k)
+      val viaExpr = Similarity.kmeansAssign(qe, cs, viaJoin = false)
+        .select(col("vec_id"), col("cluster"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val viaJoin = Similarity.kmeansAssign(qe, cs, viaJoin = true)
+        .select(col("vec_id"), col("cluster"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(viaExpr.size == 300 && viaJoin == viaExpr,
+        s"k=$k: join-regime assignment diverged from expression regime")
+    }
+    // full Lloyd loop through the join regime (k=128 > KmeansMaxExprK):
+    // partitions the corpus, deterministic, same invariants as k=8
+    assert(128 > Similarity.KmeansMaxExprK)
+    val a = Similarity.kmeansIntOn(qe, k = 128, iters = 2).collect()
+    assert(a.map(_.getLong(1)).sum == 300L, "assignment must partition the corpus")
+    assert(a.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 128))
+    val b = Similarity.kmeansIntOn(qe, k = 128, iters = 2).collect()
+    assert(a.map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSeq ==
+      b.map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSeq)
+  }
+
   test("labelCentroids: exact-integer sums are partition-layout independent; bounds hold") {
     val a = graft.ops.Similarity.labelCentroids(spark, sf).collect()
     assert(a.length == 640) // 10 labels × 64 dims
