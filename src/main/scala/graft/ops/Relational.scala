@@ -652,11 +652,14 @@ object Relational {
   /** Native HLL++ distinct estimate per event type. ORACLE-CHECKED since
     * r7 (was the last rows-only query): the estimate itself is
     * engine-internal (register layout differs per engine), but its
-    * CONTRACT — within 5% of exact (2.5× the requested 2% rsd) — is
-    * cross-engine checkable: the face emits exact_users (DuckDB
-    * recomputes it) and the integer-cross-multiplied within_5pct flag
-    * (the oracle asserts TRUE). A broken HLL++ flips the flag → hash
-    * mismatch. The estimate magnitude itself stays spec-asserted; the
+    * CONTRACT is cross-engine checkable: the face emits exact_users
+    * (DuckDB recomputes it) and the integer-cross-multiplied within_10pct
+    * flag (the oracle asserts TRUE). A broken HLL++ flips the flag →
+    * hash mismatch. The 10% bound is the library's spec envelope
+    * (PipelineSparkSpec asserts ≤0.10 for the 2%-rsd config — rsd is a
+    * standard deviation, not a max, so ~5× headroom is the honest gate;
+    * ADVICE r7: the earlier 5% gate could red a CORRECT estimator on a
+    * new corpus). The estimate magnitude itself stays spec-asserted; the
     * portable-register twin q78 hash-checks full sketch arithmetic. */
   def approxDistinctUsers(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -665,8 +668,8 @@ object Relational {
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
       .select(col("event_type"), col("exact_users"),
-        (abs(col("approx_users") - col("exact_users")) * 20 <= col("exact_users"))
-          .as("within_5pct"))
+        (abs(col("approx_users") - col("exact_users")) * 10 <= col("exact_users"))
+          .as("within_10pct"))
       .orderBy(col("event_type"))
 
   /** Count-Min sketch frequency estimation: the third sketch family
