@@ -62,6 +62,15 @@ def load_bench_queries(path):
     # normalize to the short prefix so any pair of files is comparable
     return {k.split("_")[0]: float(v) for k, v in d["queries"].items()}
 
+def load_bench_loads(path):
+    """The per-pass 1-min load averages Bench records since r8 (window-
+    quality telemetry); None for older files."""
+    d = json.load(open(path))
+    if isinstance(d, dict) and "parsed" in d:
+        d = d["parsed"]
+    la = (d or {}).get("load_avg")
+    return [float(x) for x in la] if la else None
+
 def bench_diff(argv):
     explicit = [a for a in argv if not a.startswith("--")]
     if len(explicit) == 2:
@@ -88,6 +97,18 @@ def bench_diff(argv):
             flagged.append((q, old[q], new[q], delta / old[q]))
     tot_old = sum(old[q] for q in shared); tot_new = sum(new[q] for q in shared)
     print(f"bench-diff: {os.path.basename(old_path)} -> {os.path.basename(new_path)}")
+    # window quality (r7 verdict item 6): the r7 A/B showed the load
+    # window moves medians 15-20%; surface both windows so a flagged
+    # delta can be read against them instead of hand-normalizing
+    lo, ln = load_bench_loads(old_path), load_bench_loads(new_path)
+    def _fmt(l): return "n/a (pre-r8 file)" if l is None else \
+        f"load_avg med {sorted(l)[len(l)//2]:.1f} (min {min(l):.1f}, max {max(l):.1f})"
+    print(f"  window: old {_fmt(lo)}; new {_fmt(ln)}")
+    if lo and ln:
+        mo, mn = sorted(lo)[len(lo)//2], sorted(ln)[len(ln)//2]
+        if mo > 0 and abs(mn - mo) / max(mo, 1.0) > 0.3:
+            print(f"  WINDOW MISMATCH: loads differ >30% — treat per-query"
+                  f" deltas as window-confounded; prefer min-of-passes")
     if shared and tot_old > 0:
         print(f"  shared {len(shared)} queries: {tot_old:.1f}s -> {tot_new:.1f}s "
               f"({(tot_new - tot_old) / tot_old * 100:+.1f}%)")

@@ -29,6 +29,13 @@ import org.apache.spark.sql.SparkSession
   *    still flatter, mean is poisoned by one outlier); all three are
   *    reported.
   *
+  * Log note: `WindowExec: No Partition Defined` warnings in the bench
+  * tail are EXPECTED and cosmetic — they come from the audited
+  * bounded-aggregate passes (windows over k-row/constant-size frames:
+  * mixture budgets, reservoir prefix sums), where a global window over a
+  * bounded input is the intended plan, not a scale hazard (r6/r7 plan
+  * audits). No per-row window runs unpartitioned on an unbounded input.
+  *
   * Cache policy: `clearCache()` at the END of each pass, not after each
   * query. Queries that share a persisted subtree (q32→q37, q41→q44
   * derive their keep-lists from the pair queries via
@@ -41,6 +48,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // q51's md5 source digest exists solely for the DuckDB oracle replay
+    // (Verify's dump path); the r8 interleaved A/B (probe_ab_r8.txt)
+    // priced it at 0.52 s median — skip it in timing passes, as the r7
+    // verdict prescribed. Verify/check.py leave the default ON.
+    System.setProperty("graft.q51.digest", "off")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -75,7 +87,15 @@ object Bench {
       .filterNot(n => exclude.contains(n.takeWhile(_ != '_')))
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    // window-quality telemetry (r7 verdict item 6): the r7 A/B proved
+    // medians measure the LOAD WINDOW as much as the code (noisy
+    // neighbors move them 15-20%); recording the 1-min system load at
+    // each pass start lets check.py --bench-diff annotate whether a
+    // delta ran in a comparable window instead of hand-normalizing
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadAvgs = scala.collection.mutable.ListBuffer.empty[Double]
     for (_ <- 1 to passes) {
+      loadAvgs += osBean.getSystemLoadAverage
       names.foreach { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
@@ -122,7 +142,8 @@ object Bench {
     // recorded "parsed": null every round). Stdout gets ONE short line:
     // per-query MEDIANS under the short "qNN" ids (unique prefixes of the
     // full names used by Verify/CORRECTNESS), everything else in the file.
-    val detail = f"""{"metric":"total","value":${tot(_._2)}%.3f,"unit":"sec","queries":${obj(_._2)},"total_min":${tot(_._3)}%.3f,"queries_min":${obj(_._3)},"total_mean":${tot(_._4)}%.3f,"queries_mean":${obj(_._4)},"n_samples":$passes,"queries_n":$perQueryN,"failed_passes":$failedPasses,"stat":"median","forced_eval":"noop_sink","sf":"$sfDir"}"""
+    val loadJson = loadAvgs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    val detail = f"""{"metric":"total","value":${tot(_._2)}%.3f,"unit":"sec","queries":${obj(_._2)},"total_min":${tot(_._3)}%.3f,"queries_min":${obj(_._3)},"total_mean":${tot(_._4)}%.3f,"queries_mean":${obj(_._4)},"n_samples":$passes,"queries_n":$perQueryN,"failed_passes":$failedPasses,"stat":"median","forced_eval":"noop_sink","load_avg":$loadJson,"sf":"$sfDir"}"""
     // cwd-relative default (r5 advice): works from any checkout location;
     // override with SPARK_GRAFT_BENCH_DETAIL
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
@@ -135,7 +156,7 @@ object Bench {
     // can print after it — the driver parses the LAST stdout line as JSON
     spark.stop()
     System.out.flush(); System.err.flush()
-    println(f"""{"metric":"total","value":${tot(_._2)}%.3f,"unit":"sec","queries":$shortMedians,"n_samples":$passes,"failed_passes":$failedPasses,"stat":"median","forced_eval":"noop_sink","detail":"bench_detail.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":${tot(_._2)}%.3f,"unit":"sec","queries":$shortMedians,"n_samples":$passes,"failed_passes":$failedPasses,"stat":"median","forced_eval":"noop_sink","load_avg":$loadJson,"detail":"bench_detail.json","sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -52,13 +52,30 @@ object Verify {
       }
     downgrades.foreach(k => System.err.println(
       s"[verify] $k: auto-sized parameter departs from oracle literal at this corpus — dumped rows-only"))
+    // q51's oracle reads the CSV artifact the engine just wrote under
+    // target/tmp — but ANY later re-run of q51 at this SF (a Bench pass,
+    // a probe tool, a manual Verify) deletes and rewrites that dir, and
+    // the driver's DuckDB pass reads it from a separate process AFTER
+    // this JVM exits (r7 ADVICE: the coupling spanned three entry points
+    // held together by comments). Decouple at dump time: copy the part
+    // files into a VERIFY-OWNED snapshot and point the substituted
+    // oracle path there — later q51 re-runs can no longer clobber what
+    // the oracle reads. A SIBLING of outDir, not inside it: the driver
+    // treats every outDir subdirectory as a query's parquet result.
+    val q51Dst = new java.io.File(s"${outDir.stripSuffix("/")}_q51_artifact").getAbsoluteFile
+    try {
+      val src = new java.io.File(graft.ops.Pipelines.q51ArtifactDirAbs(sfDir))
+      scala.reflect.io.Path(q51Dst).deleteRecursively()
+      q51Dst.mkdirs()
+      Option(src.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("part-"))
+        .foreach(f => Files.copy(f.toPath, Paths.get(q51Dst.getPath, f.getName)))
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] q51 artifact snapshot failed: ${e.getMessage}")
+    }
     val json = SparkEntry.oracleSql.view.filterKeys(!downgrades.contains(_)).toMap
       .map { case (k, v) =>
-        // q51's oracle reads the CSV artifact the engine just wrote;
-        // resolve its location to an absolute path HERE (same JVM + cwd
-        // as the query run) so the driver's DuckDB finds it from any cwd
-        val resolved = v.replace("__Q51_ARTIFACT__",
-          graft.ops.Pipelines.q51ArtifactDirAbs(sfDir))
+        val resolved = v.replace("__Q51_ARTIFACT__", q51Dst.getPath)
         s"${q(k)}: ${q(resolved)}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -157,12 +157,28 @@ object Pipelines {
     * absolute path at dump time). The two sides agree iff the written CSV
     * faithfully encodes the source — a corrupted render, quote, null, or
     * timestamp surfaces as a hash mismatch, because the oracle consumes
-    * the artifact and the engine consumes the source. Ordering contract:
-    * the oracle must run AFTER Verify (the driver's order; the artifact
-    * is on shared disk). The internal write→read comparison (xxhash
-    * signature over the read-back path) still runs and THROWS on
-    * mismatch, so the engine's own parse path stays asserted too. */
-  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    * the artifact and the engine consumes the source. Since r8 the
+    * oracle no longer races later q51 re-runs: Verify SNAPSHOTS the part
+    * files into its own outDir at dump time and substitutes that path,
+    * so Bench/probe re-runs rewriting target/tmp can't clobber what
+    * DuckDB reads. The internal write→read comparison (xxhash signature
+    * over the read-back path) still runs and THROWS on mismatch, so the
+    * engine's own parse path stays asserted too. */
+  /** Default ON so every ad-hoc/Verify run emits the full oracle face;
+    * Bench opts out with `-Dgraft.q51.digest=off` (r8 interleaved A/B,
+    * `probe_ab_r8.txt`: the fused digest costs 0.52 s median / 0.57 s
+    * min at sf0.1 — real cost, only needed when DuckDB will replay it). */
+  def q51DigestEnabled: Boolean = !sys.props.get("graft.q51.digest").contains("off")
+
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame =
+    csvRoundtripImpl(s, d, withDigest = q51DigestEnabled)
+
+  /** [[csvRoundtrip]] with the oracle-digest aggregates switchable — the
+    * r8 A/B knob that priced the fused md5 digest (key_sum + 40-bit md5
+    * row digest on the source scan). `withDigest=false` emits zeros for
+    * those two columns and measures the bare round-trip. */
+  private[graft] def csvRoundtripImpl(s: SparkSession, d: String,
+      withDigest: Boolean): DataFrame = {
     val tmp = freshTmp(q51ArtifactName(d))
     val src = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
@@ -200,15 +216,17 @@ object Pipelines {
         else Seq(sig)
       df.agg(count(lit(1)), aggs: _*).head
     }
-    val srcRow = signature(src, withDigest = true)
+    val srcRow = signature(src, withDigest)
     val backRow = signature(typed, withDigest = false)
     errs.check()
     val (nSrc, srcSig) = (srcRow.getLong(0), srcRow.getDecimal(1))
     val (nBack, backSig) = (backRow.getLong(0), backRow.getDecimal(1))
     require(nSrc == nBack && srcSig.compareTo(backSig) == 0,
       s"csv round-trip mismatch: src=($nSrc, $srcSig) back=($nBack, $backSig)")
+    val (keySum, digest) =
+      if (withDigest) (srcRow.getLong(2), srcRow.getLong(3)) else (0L, 0L)
     import s.implicits._
-    Seq((nSrc, nBack, srcRow.getLong(2), srcRow.getLong(3)))
+    Seq((nSrc, nBack, keySum, digest))
       .toDF("n_source", "n_roundtrip", "key_sum", "digest")
   }
 
@@ -288,7 +306,15 @@ object Pipelines {
     * oracle's expectation → hash mismatch. Sums are exact integer CENTS
     * (o_totalprice has 2dp by construction) so the compare is immune to
     * float summation order on either engine. */
-  def streamIngestSummary(s: SparkSession, d: String): DataFrame = {
+  def streamIngestSummary(s: SparkSession, d: String): DataFrame =
+    streamIngestSummaryImpl(s, d, measureSource = true)
+
+  /** [[streamIngestSummary]] with the source-side aggregation switchable
+    * — the r8 A/B knob that priced the oracle flip's second measured
+    * side. `measureSource=false` emits zeros for n_source/cents_source
+    * and measures only the stream path + sink aggregation. */
+  private[graft] def streamIngestSummaryImpl(s: SparkSession, d: String,
+      measureSource: Boolean): DataFrame = {
     val base = freshTmp("stream_q54")
     val src = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
@@ -306,7 +332,7 @@ object Pipelines {
       val r = df.agg(count(lit(1)), sum(cents)).head
       (r.getLong(0), r.getLong(1))
     }
-    val (nSrc, cSrc) = side(src)
+    val (nSrc, cSrc) = if (measureSource) side(src) else (0L, 0L)
     val (nOut, cOut) = side(out)
     import s.implicits._
     Seq((nSrc, nOut, cSrc, cOut))
