@@ -167,15 +167,22 @@ object Curation {
     * the same key. No self-join: candidate volume is the postings size,
     * linear in corpus tokens — the q32 postings shape without its
     * quadratic pair step. */
-  def ngramNovelty(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+  /** The (doc, bigram)-distinct postings table [[ngramNovelty]] is built
+    * on — exposed for the growth-decomposition probe (GrowthDiag), which
+    * attributes q89's wall-clock to postings volume. */
+  private[graft] def bigramPostings(df: DataFrame, idCol: Column, text: Column): DataFrame = {
     val toks = df.select(idCol.as("doc_id"), TextAnalysis.words(text).as("toks"))
-    val bigrams = toks.select(col("doc_id"),
+    toks.select(col("doc_id"),
       array_distinct(zip_with(
         slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
         slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
         (a, b) => concat(a, lit(" "), b))).as("bgs"))
       .where(size(col("bgs")) > 0)
       .select(col("doc_id"), explode(col("bgs")).as("bg"))
+  }
+
+  def ngramNovelty(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val bigrams = bigramPostings(df, idCol, text)
     val dfreq = bigrams.groupBy(col("bg"))
       .agg(count(lit(1)).as("df")) // rows are (doc, bg)-distinct → count = doc freq
     bigrams.join(dfreq, "bg")
