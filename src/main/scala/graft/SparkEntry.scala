@@ -157,6 +157,8 @@ object SparkEntry {
     // integer means, argmin by exact integer distance — DuckDB replays
     // the full iteration
     "q94_kmeans" -> ((s: SparkSession, d: String) => Similarity.kmeansInt(s, d)),
+    "q95_approx_quantiles" -> Relational.approxQuantiles _,
+    "q96_pps_sample" -> Sampling.ppsSampleGate _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -316,6 +318,8 @@ object SparkEntry {
     "q92_random_projection" -> Similarity.randomProjectionSql,
     "q93_bloom_anti_join" -> Bloom.bloomAntiJoinSql,
     "q94_kmeans" -> Similarity.kmeansIntSql,
+    "q95_approx_quantiles" -> Relational.approxQuantilesSql,
+    "q96_pps_sample" -> Sampling.ppsSampleSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -827,4 +827,46 @@ object Relational {
        |FROM probes p LEFT JOIN ex USING (user_id) JOIN est USING (user_id)
        |ORDER BY user_id""".stripMargin
   }
+
+  /** Approximate quantiles with a RANK-ERROR contract (q95) — the fourth
+    * sketch family (HLL = distinct, CMS = frequency, MinHash =
+    * similarity, KLL/GK = quantiles): `percentile_approx` over
+    * l_extendedprice at accuracy 1000, the distribution-statistics
+    * primitive a 100 TB length/size audit runs instead of an exact
+    * sort. The sketch value itself is engine-internal (q14's situation),
+    * but its guarantee — returned value's RANK within n/accuracy of the
+    * target rank — is exactly checkable: one follow-up scan counts rows
+    * ≤ the approx value (an exact integer rank), and the face emits the
+    * integer-cross-multiplied within-tolerance flags at 2× the
+    * documented bound (the q14 honest-envelope convention; the spec
+    * asserts the tight 1× bound on this corpus). The oracle recomputes n
+    * and asserts the flags TRUE — a broken sketch moves the rank outside
+    * the envelope and reds the hash.
+    *
+    * Scale: the sketch is ONE map-side-merged aggregate (bounded buffer
+    * per partition), the rank check one narrow scan — no sort, no
+    * shuffle beyond the two scalar aggs. */
+  def approxQuantiles(s: SparkSession, d: String): DataFrame = {
+    val acc = 1000
+    val price = col("l_extendedprice")
+    val li = Tables.lineitem(s, d).select(price)
+    val qs = li.agg(percentile_approx(price, array(lit(0.5), lit(0.95)), lit(acc)))
+      .head.getSeq[Double](0)
+    val (av50, av95) = (qs(0), qs(1))
+    val r = li.agg(count(lit(1)),
+      sum(when(price <= av50, 1L).otherwise(0L)),
+      sum(when(price <= av95, 1L).otherwise(0L))).head
+    val (n, r50, r95) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // |rank − p·n| ≤ 2n/acc, cross-multiplied to integers:
+    // p=0.50: |2·r·acc − n·acc| ≤ 4n ; p=0.95: |100·r·acc − 95·n·acc| ≤ 200n
+    import s.implicits._
+    Seq((n,
+      math.abs(2L * r50 * acc - n.toLong * acc) <= 4L * n,
+      math.abs(100L * r95 * acc - 95L * n * acc) <= 200L * n))
+      .toDF("n_rows", "p50_ok", "p95_ok")
+  }
+
+  val approxQuantilesSql: String =
+    """SELECT count(*) AS n_rows, TRUE AS p50_ok, TRUE AS p95_ok
+      |FROM lineitem""".stripMargin
 }

@@ -218,4 +218,57 @@ object Sampling {
       |SELECT doc_id, n_tokens, start_tok,
       |  start_tok // 512 AS bin, start_tok % 512 AS bin_tok
       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Weighted probability-proportional-to-size (PPS) Bernoulli sample —
+    * the curation counterpart to uniform downsampling: include row i
+    * with probability min(1, k·wᵢ/W), so heavier documents/orders are
+    * proportionally likelier to survive and the expected sample size is
+    * k. The classic streaming formulation draws uᵢ ~ U(0,1) and keeps
+    * uᵢ < k·wᵢ/W; here uᵢ is the row key's 40-bit md5 prefix, making
+    * membership a PURE FUNCTION OF THE ROW (the [[stratifiedSample]]
+    * contract: identical across runs, partitionings, engines). The test
+    * `uᵢ·W < k·wᵢ·2⁴⁰` runs in decimal so every product is EXACT —
+    * tight operand precisions (13 + 18 digits) keep the 38-digit result
+    * lossless; no double ever decides membership, so DuckDB replays it
+    * bit-for-bit with HUGEINT arithmetic. The min(1,·) cap is implicit:
+    * uᵢ < 2⁴⁰ ⇒ rows with k·wᵢ ≥ W always pass.
+    *
+    * Scale: ONE map-side-combined scalar aggregate (W) broadcast back,
+    * then a narrow filter — no shuffle, no state, no driver data path;
+    * at 100 TB the cost is the scan. */
+  def ppsSample(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tot = df.agg(sum(weight.cast("long")).cast(DecimalType(18, 0)).as("__W"))
+    val u = conv(substring(md5(key), 1, 10), 16, 10).cast("long")
+      .cast(DecimalType(13, 0)) // < 2^40: 13 digits
+    df.join(broadcast(tot))
+      .where(u * col("__W") <
+        lit(k) * weight.cast("long").cast(DecimalType(18, 0)) * lit(1099511627776L))
+      .drop("__W")
+  }
+
+  /** Gate face (q96): PPS sample of `orders` weighted by exact integer
+    * CENTS of o_totalprice (2dp by construction), expected size 1000.
+    * Output is the sampled ROWS — the oracle replays membership
+    * row-for-row, proving weighted sampling is deterministic and
+    * engine-independent. */
+  def ppsSampleGate(s: SparkSession, d: String): DataFrame =
+    ppsSample(Tables.orders(s, d)
+        .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)")),
+      key = col("o_orderkey").cast("string"), weight = col("cents"), k = 1000)
+      .select(col("o_orderkey"), col("cents"))
+      .orderBy(col("o_orderkey"))
+
+  val ppsSampleSql: String =
+    """WITH w AS (
+      |  SELECT o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 10) AS BIGINT) AS u
+      |  FROM orders),
+      | tot AS (SELECT CAST(sum(cents) AS HUGEINT) AS W FROM w)
+      |SELECT o_orderkey, cents
+      |FROM w, tot
+      |WHERE CAST(u AS HUGEINT) * W
+      |      < 1000 * CAST(cents AS HUGEINT) * CAST(1099511627776 AS HUGEINT)
+      |ORDER BY o_orderkey""".stripMargin
 }

@@ -200,6 +200,24 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(face.nonEmpty && face.forall(_.getAs[Boolean]("within_10pct")))
   }
 
+  test("approxQuantiles: rank error within the TIGHT 1/accuracy bound; gate flags true") {
+    import org.apache.spark.sql.functions._
+    val acc = 1000
+    val price = col("l_extendedprice")
+    val li = Tables.lineitem(spark, sf).select(price)
+    val n = li.count()
+    val qs = li.agg(percentile_approx(price, array(lit(0.5), lit(0.95)), lit(acc)))
+      .head.getSeq[Double](0)
+    for ((p, av) <- Seq(0.5 -> qs(0), 0.95 -> qs(1))) {
+      val rank = li.where(price <= av).count()
+      // the documented GK guarantee (the gate face allows 2x headroom)
+      assert(math.abs(rank - p * n) <= n.toDouble / acc + 1,
+        s"p=$p rank=$rank target=${p * n} n=$n")
+    }
+    val face = Relational.approxQuantiles(spark, sf).collect()
+    assert(face.length == 1 && face.head.getBoolean(1) && face.head.getBoolean(2))
+  }
+
   test("count-min sketch: est >= exact and within the epsilon*N bound") {
     import org.apache.spark.sql.functions._
     val rows = Relational.cmsUserFrequency(spark, sf).collect()

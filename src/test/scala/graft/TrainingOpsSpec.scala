@@ -115,6 +115,33 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nViewKept / nView > 0.03 && nViewKept / nView < 0.25)
   }
 
+  test("ppsSample: layout-independent, expected size honored, weight-proportional, cap rows always kept") {
+    val s = spark
+    import s.implicits._
+    val orders = Tables.orders(spark, sf)
+      .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Sampling.ppsSample(df, col("o_orderkey").cast("string"), col("cents"), 1000)
+        .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted.toSeq
+    val a = ids(orders)
+    val b = ids(orders.repartition(7)) // membership is a pure row function
+    assert(a == b && a.nonEmpty)
+    // Bernoulli PPS: E[|sample|] = k (minus capping slack); sd ≈ √k.
+    // ±6σ window — deterministic data, so this is a fixed assertion
+    assert(math.abs(a.size - 1000) < 200, s"sample size ${a.size} far from k=1000")
+    // weight-proportionality: mean weight of sampled rows must exceed the
+    // corpus mean (heavier rows are likelier by construction)
+    val meanAll = orders.agg(avg(col("cents"))).head.getDouble(0)
+    val meanSamp = orders.where(col("o_orderkey").isInCollection(a.take(2000)))
+      .agg(avg(col("cents"))).head.getDouble(0)
+    assert(meanSamp > meanAll, f"sampled mean $meanSamp%.0f <= corpus mean $meanAll%.0f")
+    // min(1,·) cap: a row with k·w >= W is ALWAYS included
+    val tiny = Seq((1L, 1L), (2L, 1L), (3L, 1000000L)).toDF("id", "w")
+    val got = Sampling.ppsSample(tiny, col("id").cast("string"), col("w"), 2)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got.contains(3L), "dominant-weight row must always be sampled")
+  }
+
   test("quantizeInt8: |q| <= 127, max component hits ±127, dequant error within half-step") {
     val q = Similarity.quantizeInt8(Tables.embeddings(spark, sf))
       .select(col("vec_id"), col("embedding"), col("q8"))
