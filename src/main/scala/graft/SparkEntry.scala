@@ -159,6 +159,14 @@ object SparkEntry {
     "q94_kmeans" -> ((s: SparkSession, d: String) => Similarity.kmeansInt(s, d)),
     "q95_approx_quantiles" -> Relational.approxQuantiles _,
     "q96_pps_sample" -> Sampling.ppsSampleGate _,
+    // per-source cap via bounded TypedImperativeAggregate: state <= cap
+    // per key, map-side combined — the skew-immune form of the
+    // row_number window the oracle replays
+    "q97_source_cap" -> Curation.sourceCapGate _,
+    // integer-exact PageRank (3 unrolled iterations) on the bipartite
+    // customer↔supplier graph: one shuffle join + one hash-agg per
+    // iteration, adjacency cached once
+    "q98_pagerank" -> Graph.pageRankGate _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -320,6 +328,8 @@ object SparkEntry {
     "q94_kmeans" -> Similarity.kmeansIntSql,
     "q95_approx_quantiles" -> Relational.approxQuantilesSql,
     "q96_pps_sample" -> Sampling.ppsSampleSql,
+    "q97_source_cap" -> Curation.sourceCapSql,
+    "q98_pagerank" -> Graph.pageRankSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -455,4 +455,43 @@ object Curation {
        |  min(ux) AS min_ux, max(ux) AS max_ux,
        |  min(vx) AS min_vx, max(vx) AS max_vx
        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q97: per-source document cap (bounded top-k aggregate)
+  // ---------------------------------------------------------------------
+
+  /** Cap each source/domain at `cap` documents, chosen by an md5-hash
+    * ranking (an unbiased per-key subsample — the Common Crawl-style
+    * "no domain may dominate the mixture" curation rule).
+    *
+    * Scale: the naive plan (`row_number() OVER (PARTITION BY source
+    * ORDER BY rank) <= cap`) shuffles and SORTS every row of every
+    * domain; one hot domain with 1B pages is a straggler at 100 TB. This
+    * plan runs [[graft.functions.TopKAgg]] — a bounded
+    * TypedImperativeAggregate whose state is <= cap entries per group
+    * with map-side partial aggregation — so the hot domain forwards at
+    * most tasks*cap entries through the shuffle and the sort disappears
+    * entirely. The md5 rank makes the kept set deterministic and
+    * engine-replayable (the oracle's window query proves the bounded
+    * aggregate ≡ the full sort, row for row). */
+  def sourceCap(df: DataFrame, key: Column, id: Column, cap: Int): DataFrame =
+    df.groupBy(key)
+      .agg(graft.functions.TopKAgg.topKByRank(
+        md5(id.cast("string")), id.cast("long"), cap).as("kept"))
+      .select(key, explode(col("kept")).as("doc_id"))
+
+  /** Gate face (q97): documents capped at 10 per source (25/source at
+    * sf0.01, so every source truncates — the cap is exercised, not
+    * vacuous). */
+  def sourceCapGate(s: SparkSession, d: String): DataFrame =
+    sourceCap(Tables.documents(s, d), col("source"), col("doc_id"), cap = 10)
+      .orderBy(col("source"), col("doc_id"))
+
+  val sourceCapSql: String =
+    """SELECT source, doc_id FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin
 }

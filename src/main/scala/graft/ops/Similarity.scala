@@ -608,15 +608,18 @@ object Similarity {
     * approximately preserved). Quantizing FIRST makes every arithmetic
     * step exact: products ≤ 127, sums ≤ 64·127 < 2^13 — all integers,
     * bit-identical on any engine, no FP-order hazard. Narrow: each
-    * output dim is an aggregate-HOF dot with a sign-vector LITERAL —
-    * zero shuffle, no matrix join. */
+    * output dim is a codegen'd [[graft.functions.VectorExprs.DotProduct]]
+    * against a sign-vector LITERAL — zero shuffle, no matrix join, and
+    * no per-row lambda dispatch/allocation (the r8 sf30 probe measured
+    * the aggregate-HOF formulation's per-vector cost RISING with heap
+    * pressure at the third decade; the primitive-loop kernel is the
+    * allocation-free form — semantics identical, index-ordered sums). */
   def randomProjection(e: DataFrame, outDims: Int = 16): DataFrame = {
     val q = quantizeInt8(e)
     val signs = signMatrix(64, outDims)
     val outs = (0 until outDims).map { j =>
       val sLit = typedLit(signs(j).toSeq.map(_.toDouble))
-      aggregate(zip_with(col("q8"), sLit, (a, b) => a * b),
-        lit(0.0d), (acc, x) => acc + x)
+      graft.functions.VectorExprs.vecDot(col("q8"), sLit)
         .cast("long").as(s"p$j")
     }
     q.select(col("vec_id") +: outs: _*)

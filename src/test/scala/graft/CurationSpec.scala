@@ -342,4 +342,38 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       } finally spark.conf.set("spark.sql.shuffle.partitions", 4)
     }
   }
+
+  test("sourceCap: bounded aggregate ≡ full window sort, under-cap groups kept whole") {
+    val s = spark
+    import s.implicits._
+    // skewed groups: a hot key (40 rows), a mid key (7), an under-cap key (2)
+    val rows = (1L to 40L).map(i => ("hot", i)) ++
+      (41L to 47L).map(i => ("mid", i)) ++ Seq(("cold", 48L), ("cold", 49L))
+    // 9 partitions forces map-side partials + real merges of bounded buffers
+    val df = rows.toDF("source", "doc_id").repartition(9)
+
+    val got = Curation.sourceCap(df, col("source"), col("doc_id"), cap = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(identity).toSeq
+
+    val want = df.select(col("source"), col("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).as("rn"))
+      .where(col("rn") <= 5).select("source", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(identity).toSeq
+
+    assert(got == want)
+    assert(got.count(_._1 == "hot") == 5)   // truncated at cap
+    assert(got.count(_._1 == "cold") == 2)  // under-cap group intact
+  }
+
+  test("sourceCap: layout-independent (bounded merges commute)") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 500L).map(i => (s"k${i % 3}", i)).toDF("source", "doc_id")
+    def run(parts: Int): Seq[(String, Long)] =
+      Curation.sourceCap(df.repartition(parts), col("source"), col("doc_id"), cap = 8)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(run(1) == run(13))
+  }
 }
