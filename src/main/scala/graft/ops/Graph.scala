@@ -26,23 +26,47 @@ object Graph {
     * Every node must appear as a src (undirected graphs: feed both edge
     * directions), which also rules out dangling nodes.
     *
-    * Scale: the canonical distributed PageRank shape — outdeg is joined
-    * into the edge list ONCE (cached; at cluster scale this is the
-    * persisted adjacency), then each iteration is exactly one shuffle
-    * join (edges ⋈ ranks on src) plus one map-side-combinable hash
-    * aggregation on dst. Cost is linear in |E| per iteration with a
-    * FIXED iteration count — no driver-side loop over data, no growing
-    * lineage (each iteration's plan builds on a ~|V|-row DataFrame).
-    * Skewed in-degree (the hub problem) lands in the hash-agg, which
-    * partial-aggregates map-side — not in a sort. */
+    * Scale: the canonical distributed PageRank shape, measured into
+    * place at sf10 (1.6M nodes, 117M directed edges; GraphDiag is the
+    * decomposition tool). The first cut persisted the adjacency
+    * unpartitioned and let the planner pick the join, which broadcast
+    * ranks at small SF but flipped to sort-merge past the threshold,
+    * re-SORTING the cached adjacency every iteration — 352 s at sf10,
+    * with the duplicated edge-build lineage (r0's deg recomputed the
+    * whole distinct) a second hidden cost. The measured-correct shape:
+    *  - the EDGE LIST is the only |E|-sized state, repartitioned by src
+    *    ONCE with an explicit partition count and cached in that layout
+    *    (an explicit-N repartition atop the cache is what the planner's
+    *    EnsureRequirements actually recognizes — a cache topped by a
+    *    join reports unknown partitioning and gets re-exchanged);
+    *  - deg and r0 derive from the cache CO-PARTITIONED (their groupBy
+    *    needs no exchange — verified in the executed plan);
+    *  - each round joins rank⋈deg FIRST (a |V|⋈|V| co-partitioned
+    *    shuffle-hash join), so the |E|-row cache only ever streams
+    *    against a pre-reduced |V|-row build side, then ONE map-side-
+    *    combinable hash-agg on dst — the message-passing shuffle
+    *    PageRank is defined by. ~14 s per round at sf10 vs the naive
+    *    plan's whole-graph re-sorts. Skewed in-degree lands in the
+    *    partial agg, not a sort. Fixed iteration count, no driver-side
+    *    data loop. */
   def pageRankInt(edges: DataFrame, iters: Int): DataFrame = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val adj = edges.join(deg, "src").persist()
+    // ONE edge build, cached src-partitioned — the only |E|-sized state;
+    // deg and r0 derive from the cache co-partitioned (no exchange)
+    val e = edges.repartition(32, col("src")).persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val r0 = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    // fresh aliases per derivation: contrib shares lineage with e (deg is
+    // computed from the cache), so name-unique keys avoid self-join
+    // ambiguity while aliases keep the partitioning propagating
+    val dd = deg.select(col("src").as("dnode"), col("deg"))
     val rN = (1 to iters).foldLeft(r0) { (r, _) =>
-      adj.join(r, adj("src") === r("node"))
+      // per-node contribution FIRST: a |V|⋈|V| co-partitioned join, so
+      // the |E|-row side only ever joins a pre-reduced |V|-row build side
+      val contrib = r.join(dd.hint("shuffle_hash"), col("node") === col("dnode"))
+        .select(col("dnode").as("csrc"), expr("r div deg").as("cr"))
+      e.join(contrib.hint("shuffle_hash"), col("src") === col("csrc"))
         .groupBy(col("dst"))
-        .agg(sum(expr("r div deg")).as("c"))
+        .agg(sum(col("cr")).as("c"))
         .select(col("dst").as("node"),
           (lit(150000L) + expr("(85 * c) div 100")).as("r"))
     }
@@ -55,16 +79,27 @@ object Graph {
     * broad customer bases rank high — the host-reputation signal.
     * Output: every node's exact integer rank after round 3. */
   def pageRankGate(s: SparkSession, d: String): DataFrame = {
+    // node ids stay PACKED LONGS (cust*2 / supp*2+1) through every
+    // shuffle, the cache, and all three iterations — measured at sf10,
+    // the string-keyed edge build dominated the wall (189 of 270 s:
+    // 60M+117M rows of ~50-byte "c:123" pairs through distinct +
+    // repartition + cache); longs cut the shuffled/cached bytes ~5× and
+    // hash/compare cost with them. The 1.6M OUTPUT rows get their
+    // display labels after the last iteration, where the cost is |V|.
     val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c:"), col("o_custkey").cast("string")).as("c"),
-        concat(lit("s:"), col("l_suppkey").cast("string")).as("s"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
     pageRankInt(edges, iters = 3)
-      .select(col("node"), col("r").as("rank3"))
+      .select(
+        when(col("node") % 2 === 0, concat(lit("c:"), expr("node div 2").cast("string")))
+          .otherwise(concat(lit("s:"), expr("(node - 1) div 2").cast("string")))
+          .as("node"),
+        col("r").as("rank3"))
       .orderBy(col("node"))
   }
 
