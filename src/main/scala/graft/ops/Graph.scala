@@ -31,7 +31,7 @@ object Graph {
     * decomposition tool). The first cut persisted the adjacency
     * unpartitioned and let the planner pick the join, which broadcast
     * ranks at small SF but flipped to sort-merge past the threshold,
-    * re-SORTING the cached adjacency every iteration — 352 s at sf10,
+    * re-SORTING the cached adjacency every iteration — 352 s at sf10 (116 s final),
     * with the duplicated edge-build lineage (r0's deg recomputed the
     * whole distinct) a second hidden cost. The measured-correct shape:
     *  - the EDGE LIST is the only |E|-sized state, repartitioned by src
@@ -45,7 +45,7 @@ object Graph {
     *    shuffle-hash join), so the |E|-row cache only ever streams
     *    against a pre-reduced |V|-row build side, then ONE map-side-
     *    combinable hash-agg on dst — the message-passing shuffle
-    *    PageRank is defined by. ~14 s per round at sf10 vs the naive
+    *    PageRank is defined by. ~10-15 s per round at sf10 vs the naive
     *    plan's whole-graph re-sorts. Skewed in-degree lands in the
     *    partial agg, not a sort. Fixed iteration count, no driver-side
     *    data loop. */
@@ -53,7 +53,10 @@ object Graph {
     // ONE edge build, cached src-partitioned — the only |E|-sized state;
     // deg and r0 derive from the cache co-partitioned (no exchange)
     val e = edges.repartition(32, col("src")).persist()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // deg is referenced 4× in the unrolled DAG (r0 + one dd per round);
+    // caching the |V|-row table keeps the fused plan from re-aggregating
+    // the |E|-row cache each time
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
     val r0 = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     // fresh aliases per derivation: contrib shares lineage with e (deg is
     // computed from the cache), so name-unique keys avoid self-join
