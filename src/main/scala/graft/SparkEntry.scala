@@ -163,6 +163,18 @@ object SparkEntry {
     // per key, map-side combined — the skew-immune form of the
     // row_number window the oracle replays
     "q97_source_cap" -> Curation.sourceCapGate _,
+    // table-reconciliation digest: order-independent per-bucket xor of
+    // md5 row digests — the copy-verification step the reference lacks;
+    // one narrow scan, 64-row map-side-combined agg at any SF
+    "q99_table_digest" -> Reconcile.tableDigestGate _,
+    // anti-entropy repair path: bucket-pruned two-sided key diff; the
+    // oracle computes the diff DIRECTLY, so equality proves the pruned
+    // protocol finds exactly the true diff (q93 convention)
+    "q100_diff_keys" -> Reconcile.diffKeysGate _,
+    // KMV bottom-k distinct sketch (5th sketch family): deterministic
+    // md5 minima, so the oracle replays sketch AND estimate bit-for-bit
+    // — plus union/intersection composition, no distinct shuffle
+    "q101_kmv_distinct" -> Relational.kmvDistinct _,
     // integer-exact PageRank (3 unrolled iterations) on the bipartite
     // customer↔supplier graph: one shuffle join + one hash-agg per
     // iteration, adjacency cached once
@@ -329,6 +341,9 @@ object SparkEntry {
     "q95_approx_quantiles" -> Relational.approxQuantilesSql,
     "q96_pps_sample" -> Sampling.ppsSampleSql,
     "q97_source_cap" -> Curation.sourceCapSql,
+    "q99_table_digest" -> Reconcile.tableDigestSql,
+    "q100_diff_keys" -> Reconcile.diffKeysSql,
+    "q101_kmv_distinct" -> Relational.kmvDistinctSql,
     "q98_pagerank" -> Graph.pageRankSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,

@@ -808,6 +808,99 @@ object Relational {
       |FROM est JOIN ex USING (event_type)
       |ORDER BY event_type""".stripMargin
 
+  /** q101 — KMV (bottom-k) distinct sketch, the 5th sketch family and
+    * the only one whose ESTIMATE is hash-exact oracle-checkable: the k
+    * minima of a deterministic hash are a pure function of the key set,
+    * so DuckDB replays sketch AND estimate bit-for-bit (`ORDER BY h
+    * LIMIT k` + the same HUGEINT integral division) — where HLL++ (q14)
+    * could only be gated on its accuracy contract. Unlike HLL, KMV
+    * sketches also COMPOSE under set algebra: the union sketch is the
+    * bottom-k of the merged minima, and inclusion-exclusion over three
+    * estimates gives the overlap — "how many distinct keys, and how many
+    * do two tables share" with NO distinct shuffle anywhere: per table
+    * one narrow scan into a [[graft.functions.KmvAgg]] bounded buffer
+    * (≤ k longs per partial, map-side combined; shuffle = tasks×k longs
+    * at ANY data volume).
+    *
+    * Face: 1995 buyers vs 1996 buyers (year-sliced o_custkey sets — the
+    * retention/churn composition; chosen over whole-table key sets,
+    * which saturate to identical 1500-customer sets in this corpus and
+    * gate vacuously), their union and (by inclusion-exclusion, signed)
+    * their intersection — est next to exact, so the oracle-checked rows
+    * double as an accuracy demonstration (k=256 → ~6% rsd). The exact
+    * sides are the demonstration, not the operator: production emits
+    * sketches only. */
+  private val KmvK = 256
+  private def kmvHash(c: Column): Column =
+    conv(substring(md5(concat(lit("kmv|"), c.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  def kmvDistinct(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.KmvAgg.kmvSketch
+    // est from the sorted minima array: exact when the set never filled
+    // the buffer, else (k-1)·2^60 div h_k — integral, replayed by DuckDB
+    // as HUGEINT //; 255·2^60 needs 68 bits, hence DECIMAL(38,0)
+    val est = when(size(col("arr")) < KmvK, size(col("arr")).cast("long"))
+      .otherwise(expr(
+        s"CAST((CAST(${KmvK - 1} AS DECIMAL(38,0)) * CAST(1152921504606846976 AS DECIMAL(38,0))) div element_at(arr, $KmvK) AS BIGINT)"))
+    def sketchOf(metric: String, keys: DataFrame): DataFrame =
+      keys.select(kmvHash(col("k")).as("h"), col("k"))
+        .agg(kmvSketch(col("h"), KmvK).as("arr"),
+          countDistinct(col("k")).as("exact"))
+        .select(lit(metric).as("metric"), est.as("est_distinct"),
+          col("exact").as("exact_distinct"))
+        .cache() // 1 row; reused by the inclusion-exclusion row
+    val orders = Tables.orders(s, d)
+    val aKeys = orders.where(col("o_orderdate") < lit("1996-01-01"))
+      .select(col("o_custkey").as("k"))
+    val bKeys = orders.where(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .select(col("o_custkey").as("k"))
+    val a = sketchOf("buyers_1995", aKeys)
+    val b = sketchOf("buyers_1996", bKeys)
+    val u = sketchOf("union", aKeys.unionAll(bKeys))
+    val inter = a.select(col("est_distinct").as("ea"), col("exact_distinct").as("xa"))
+      .crossJoin(b.select(col("est_distinct").as("eb"), col("exact_distinct").as("xb")))
+      .crossJoin(u.select(col("est_distinct").as("eu"), col("exact_distinct").as("xu")))
+      .select(lit("intersection").as("metric"),
+        (col("ea") + col("eb") - col("eu")).as("est_distinct"),
+        (col("xa") + col("xb") - col("xu")).as("exact_distinct"))
+    a.unionAll(b).unionAll(u).unionAll(inter).orderBy(col("metric"))
+  }
+
+  val kmvDistinctSql: String = {
+    def h(e: String) =
+      s"CAST('0x' || substr(md5('kmv|' || CAST($e AS VARCHAR)), 1, 15) AS BIGINT)"
+    s"""WITH ah AS (SELECT DISTINCT ${h("o_custkey")} AS h FROM orders
+       |   WHERE o_orderdate < '1996-01-01'),
+       | bh AS (SELECT DISTINCT ${h("o_custkey")} AS h FROM orders
+       |   WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'),
+       | uh AS (SELECT h FROM ah UNION SELECT h FROM bh),
+       | ac AS (SELECT count(*) AS n, max(h) AS hk FROM (SELECT h FROM ah ORDER BY h LIMIT 256) t),
+       | bc AS (SELECT count(*) AS n, max(h) AS hk FROM (SELECT h FROM bh ORDER BY h LIMIT 256) t),
+       | uc AS (SELECT count(*) AS n, max(h) AS hk FROM (SELECT h FROM uh ORDER BY h LIMIT 256) t),
+       | ae AS (SELECT CASE WHEN n < 256 THEN n ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976) // hk AS BIGINT) END AS est FROM ac),
+       | be AS (SELECT CASE WHEN n < 256 THEN n ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976) // hk AS BIGINT) END AS est FROM bc),
+       | ue AS (SELECT CASE WHEN n < 256 THEN n ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976) // hk AS BIGINT) END AS est FROM uc),
+       | ax AS (SELECT count(DISTINCT o_custkey) AS x FROM orders
+       |   WHERE o_orderdate < '1996-01-01'),
+       | bx AS (SELECT count(DISTINCT o_custkey) AS x FROM orders
+       |   WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'),
+       | ux AS (SELECT count(DISTINCT o_custkey) AS x FROM orders
+       |   WHERE o_orderdate < '1997-01-01')
+       |SELECT * FROM (
+       |  SELECT 'buyers_1995' AS metric, (SELECT est FROM ae) AS est_distinct, (SELECT x FROM ax) AS exact_distinct
+       |  UNION ALL
+       |  SELECT 'buyers_1996', (SELECT est FROM be), (SELECT x FROM bx)
+       |  UNION ALL
+       |  SELECT 'union', (SELECT est FROM ue), (SELECT x FROM ux)
+       |  UNION ALL
+       |  SELECT 'intersection',
+       |    (SELECT est FROM ae) + (SELECT est FROM be) - (SELECT est FROM ue),
+       |    (SELECT x FROM ax) + (SELECT x FROM bx) - (SELECT x FROM ux)
+       |) ORDER BY metric""".stripMargin
+  }
+
   val cmsFrequencyPortableSql: String = {
     def h(keyExpr: String) =
       s"CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || CAST($keyExpr AS VARCHAR)), 1, 15) AS BIGINT) % 2048"

@@ -1,0 +1,105 @@
+package graft
+
+import graft.ops.Reconcile
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the reconciliation digest (q99): the anti-entropy
+  * properties — a corruption is DETECTED and LOCALIZED to its key's
+  * bucket with counts intact, a loss shows in the counts, and identical
+  * content digests identically under any row order or partitioning. */
+class ReconcileSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("graft-reconcile-test")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def digest(rows: Seq[(Long, String)], parts: Int = 4) = {
+    val s = spark
+    import s.implicits._
+    Reconcile.tableDigest(
+        rows.toDF("id", "v").repartition(parts),
+        keyCols = Seq(col("id").cast("string")),
+        cols = Seq(col("id").cast("string"), col("v")), nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+  }
+
+  test("digest: layout- and order-independent (xor partials commute)") {
+    val rows = (1L to 500L).map(i => (i, s"payload-$i"))
+    assert(digest(rows) == digest(rows.reverse, parts = 11))
+    assert(digest(rows) == digest(scala.util.Random.shuffle(rows), parts = 1))
+  }
+
+  test("digest: one mutated value diverges EXACTLY its key's bucket, counts intact") {
+    val base = (1L to 500L).map(i => (i, s"payload-$i"))
+    val corrupted = base.map { case (i, v) => if (i == 250L) (i, "CORRUPT") else (i, v) }
+    val a = digest(base)
+    val b = digest(corrupted)
+    // key-derived buckets: same buckets, same counts — mutation, not loss
+    assert(a.map(t => (t._1, t._2)) == b.map(t => (t._1, t._2)))
+    // content diverges in exactly ONE bucket — the repair unit
+    assert(a.zip(b).count { case (x, y) => x != y } == 1)
+  }
+
+  private def diff(l: Seq[(Long, String)], r: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    Reconcile.diffKeys(
+        l.toDF("id", "v").repartition(3), r.toDF("id", "v").repartition(5),
+        keyCols = Seq("id"),
+        cols = Seq(col("id").cast("string"), col("v")), nBuckets = 16)
+      .collect().map(row => (row.getLong(0), row.getString(1)))
+      .sortBy(_._1).toSeq
+  }
+
+  test("diffKeys: identical tables diff to empty") {
+    val rows = (1L to 400L).map(i => (i, s"v-$i"))
+    assert(diff(rows, rows.reverse) == Seq.empty)
+  }
+
+  test("diffKeys: mutation, deletion, insertion each named with the right status") {
+    val base = (1L to 400L).map(i => (i, s"v-$i"))
+    val other = base
+      .map { case (i, v) => if (i == 42L) (i, "MUT") else (i, v) } // mutated
+      .filterNot(_._1 == 99L) :+                                   // only_left
+      (9999L, "new")                                               // only_right
+    assert(diff(base, other) == Seq(
+      (42L, "mutated"), (99L, "only_left"), (9999L, "only_right")))
+  }
+
+  test("diffKeys: key-compare join is pruned by the diverged-bucket broadcast semi-join") {
+    val s = spark
+    import s.implicits._
+    val base = (1L to 400L).map(i => (i, s"v-$i"))
+    val other = base.map { case (i, v) => if (i == 7L) (i, "X") else (i, v) }
+    val plan = Reconcile.diffKeys(
+        base.toDF("id", "v"), other.toDF("id", "v"),
+        keyCols = Seq("id"),
+        cols = Seq(col("id").cast("string"), col("v")), nBuckets = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), "pruning semi-join missing:\n" + plan)
+    assert(plan.contains("BroadcastHashJoin"), "diverged list not broadcast:\n" + plan)
+  }
+
+  test("digest: a dropped row is visible as its bucket's count-1") {
+    val base = (1L to 500L).map(i => (i, s"payload-$i"))
+    val a = digest(base)
+    val b = digest(base.filterNot(_._1 == 77L))
+    val changed = a.filterNot(b.contains)
+    assert(changed.size == 1)
+    val fixed = b.filterNot(a.contains)
+    // bucket either vanished (was singleton) or lost exactly one row
+    assert(fixed.isEmpty || (changed.head._2 - fixed.head._2 == 1))
+  }
+}
