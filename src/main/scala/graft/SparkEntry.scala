@@ -175,6 +175,10 @@ object SparkEntry {
     // md5 minima, so the oracle replays sketch AND estimate bit-for-bit
     // — plus union/intersection composition, no distinct shuffle
     "q101_kmv_distinct" -> Relational.kmvDistinct _,
+    // CDC merge-upsert: apply a keyed+versioned changelog to a base
+    // snapshot via ONE map-side max_by hash-agg (no window sort); the
+    // oracle runs the row_number window formulation — agg ≡ sort
+    "q102_merge_upsert" -> Reconcile.mergeUpsertGate _,
     // integer-exact PageRank (3 unrolled iterations) on the bipartite
     // customer↔supplier graph: one shuffle join + one hash-agg per
     // iteration, adjacency cached once
@@ -344,6 +348,7 @@ object SparkEntry {
     "q99_table_digest" -> Reconcile.tableDigestSql,
     "q100_diff_keys" -> Reconcile.diffKeysSql,
     "q101_kmv_distinct" -> Relational.kmvDistinctSql,
+    "q102_merge_upsert" -> Reconcile.mergeUpsertSql,
     "q98_pagerank" -> Graph.pageRankSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,

@@ -177,6 +177,109 @@ object Reconcile {
       |WHERE lh.h IS DISTINCT FROM rh.h
       |ORDER BY 1, 2""".stripMargin
 
+  /** CDC merge-upsert (q102) — the APPLY step that completes the family:
+    * q99 detects divergence, q100 names the differing keys, and this
+    * folds a keyed+versioned changelog into a base snapshot (the
+    * incremental form of the reference's whole-table copy — `write.go`
+    * can only ever re-transfer everything). Semantics: the log is rows
+    * of (key…, payload…, version, op ∈ U|D); the new snapshot keeps,
+    * per key, the payload of the HIGHEST version, and drops the key iff
+    * that winning row is a delete. Base rows enter as version-0 upserts,
+    * so insert / update / delete / delete-then-resurrect all reduce to
+    * "latest version wins".
+    *
+    * Shape: ONE map-side-combined aggregate — `max_by(payload struct,
+    * version)` — not the `row_number() OVER (PARTITION BY key ORDER BY
+    * version DESC)` window everyone writes first. The buffer carries a
+    * struct with strings, so Spark plans SortAggregate rather than
+    * HashAggregate — but the partial STILL runs map-side: each task
+    * collapses its versions to one struct per key BEFORE the shuffle.
+    * The window formulation must shuffle every version of every key and
+    * sort after the exchange; here the exchange carries only collapsed
+    * winners, so a hot key with a million log entries ships ~tasks rows
+    * instead of a million — the q97 bounded-agg-beats-window argument
+    * applied to merge semantics (both plans sort the log once; only
+    * this one shrinks it before the wire, and the shuffle is the 100 TB
+    * bottleneck). The q102 oracle IS the window formulation (DuckDB
+    * `row_number()`), so gate equality proves agg ≡ sort row-for-row.
+    * Precondition: (key, version) unique — ties would make the winner
+    * nondeterministic (both engines would pick arbitrarily, and
+    * differently).
+    */
+  def mergeUpsert(log: DataFrame, keyCols: Seq[String], versionCol: String,
+                  opCol: String): DataFrame = {
+    val payload = log.columns.filterNot(keyCols.contains).map(col)
+    log.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(payload: _*), col(versionCol)).as("w"))
+      .select(keyCols.map(col) :+ col("w.*"): _*)
+      .where(col(opCol) === "U")
+      .drop(opCol)
+  }
+
+  /** Gate face (q102): apply a deterministic 5-tier changelog to
+    * `orders` (base = version 0). Tiers give every CDC case distinct
+    * versions so (key, version) stays unique by construction:
+    * v1 updates keys ≡1 (mod 7) to status 'X'; v2 re-updates the ≡1
+    * (mod 21) subset to 'Y' (multi-update last-wins); v3 deletes keys
+    * ≡2 (mod 11) — including some just updated (delete-after-update);
+    * v4 resurrects the ≡2 (mod 55) subset as 'Z' (upsert-after-delete);
+    * v1 also inserts brand-new keys as -o_orderkey for ≡3 (mod 13)
+    * (negation never collides with a real key at any scale-up, the
+    * q100 convention). */
+  def mergeUpsertGate(s: SparkSession, d: String): DataFrame =
+    mergeUpsert(changeLogTiers(Tables.orders(s, d)).reduce(_.unionByName(_)),
+      Seq("o_orderkey"), "version", "op")
+      .orderBy(col("o_orderkey"))
+
+  /** The q102/q103 changelog tiers (base first), kept SEPARATE so the
+    * streaming face (q103) can deliver them across distinct micro-
+    * batches — base, then each mutation wave, arriving as its own file. */
+  def changeLogTiers(orders: DataFrame): Seq[DataFrame] = {
+    val o = orders
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    def tier(df: DataFrame, version: Int, op: String) =
+      df.withColumn("version", lit(version.toLong)).withColumn("op", lit(op))
+    Seq(
+      tier(o, 0, "U"),
+      tier(o.where(col("o_orderkey") % 7 === 1)
+        .withColumn("o_orderstatus", lit("X")), 1, "U"),
+      tier(o.where(col("o_orderkey") % 13 === 3)
+        .withColumn("o_orderkey", -col("o_orderkey")), 1, "U"),
+      tier(o.where(col("o_orderkey") % 21 === 1)
+        .withColumn("o_orderstatus", lit("Y")), 2, "U"),
+      tier(o.where(col("o_orderkey") % 11 === 2), 3, "D"),
+      tier(o.where(col("o_orderkey") % 55 === 2)
+        .withColumn("o_orderstatus", lit("Z")), 4, "U"))
+  }
+
+  val mergeUpsertSql: String =
+    """WITH log AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+      |    0 AS version, 'U' AS op FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, 'X', o_orderpriority, 1, 'U'
+      |  FROM orders WHERE o_orderkey % 7 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, 'Y', o_orderpriority, 2, 'U'
+      |  FROM orders WHERE o_orderkey % 21 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, 3, 'D'
+      |  FROM orders WHERE o_orderkey % 11 = 2
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, 'Z', o_orderpriority, 4, 'U'
+      |  FROM orders WHERE o_orderkey % 55 = 2
+      |  UNION ALL
+      |  SELECT -o_orderkey, o_custkey, o_orderstatus, o_orderpriority, 1, 'U'
+      |  FROM orders WHERE o_orderkey % 13 = 3),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+      |  FROM log)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+      |  CAST(version AS BIGINT) AS version
+      |FROM ranked WHERE rn = 1 AND op = 'U'
+      |ORDER BY o_orderkey""".stripMargin
+
   val tableDigestSql: String =
     """WITH r AS (
       |  SELECT

@@ -102,4 +102,59 @@ class ReconcileSpec extends AnyFunSuite with BeforeAndAfterAll {
     // bucket either vanished (was singleton) or lost exactly one row
     assert(fixed.isEmpty || (changed.head._2 - fixed.head._2 == 1))
   }
+
+  private def mergeLog(rows: Seq[(Long, String, Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "v", "version", "op").repartition(5)
+  }
+
+  test("mergeUpsert: every CDC case — update chain, delete, delete-after-update, resurrect, insert") {
+    val log = mergeLog(Seq(
+      (1L, "base", 0L, "U"),                                        // untouched
+      (2L, "base", 0L, "U"), (2L, "upd", 1L, "U"), (2L, "upd2", 2L, "U"), // last wins
+      (3L, "base", 0L, "U"), (3L, "gone", 1L, "D"),                 // delete
+      (4L, "base", 0L, "U"), (4L, "upd", 1L, "U"), (4L, "x", 2L, "D"), // delete-after-update
+      (5L, "base", 0L, "U"), (5L, "x", 1L, "D"), (5L, "back", 2L, "U"), // resurrect
+      (6L, "new", 1L, "U")))                                        // insert (no base row)
+    val got = ops.Reconcile.mergeUpsert(log, Seq("id"), "version", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, "base", 0L), (2L, "upd2", 2L),
+      (5L, "back", 2L), (6L, "new", 1L)))
+  }
+
+  test("mergeUpsert: plan aggregates map-side before ONE shuffle — no window") {
+    val log = mergeLog((1L to 200L).flatMap(i =>
+      (0L to i % 5).map(v => (i, s"v$v", v, if (v == 3) "D" else "U"))))
+    val plan = ops.Reconcile.mergeUpsert(log, Seq("id"), "version", "op")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    // the partial max_by runs BELOW the agg exchange (map-side collapse:
+    // the exchange carries one winner per key per task, not every version)
+    assert(plan.contains("partial_max_by"), plan)
+    assert(plan.indexOf("partial_max_by") >
+      plan.indexOf("Exchange hashpartitioning"), plan)
+    // exactly one key-hash exchange — the window plan would need the same
+    // exchange but with the FULL log on the wire plus a post-shuffle sort
+    assert(plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1, plan)
+  }
+
+  test("mergeUpsert: hash-agg formulation equals the window formulation row-for-row") {
+    val s = spark
+    import org.apache.spark.sql.expressions.Window
+    // deterministic pseudo-random log: versions unique per key by design
+    val log = mergeLog((1L to 300L).flatMap { i =>
+      val n = (i * 7 % 4) + 1
+      (0L until n).map(v => (i, s"p${i}v$v", v, if ((i + v) % 6 == 0) "D" else "U"))
+    })
+    val agg = ops.Reconcile.mergeUpsert(log, Seq("id"), "version", "op")
+    val win = log
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("version").desc)))
+      .where(col("rn") === 1 && col("op") === "U")
+      .select("id", "v", "version")
+    assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty)
+  }
 }
