@@ -179,6 +179,11 @@ object SparkEntry {
     // snapshot via ONE map-side max_by hash-agg (no window sort); the
     // oracle runs the row_number window formulation — agg ≡ sort
     "q102_merge_upsert" -> Reconcile.mergeUpsertGate _,
+    // streaming CDC apply: the q102 changelog as a multi-batch stream
+    // through flatMapGroupsWithState latest-wins state; contract oracle
+    // (q54 convention) — batch and streamed snapshots both measured,
+    // digests must equal DuckDB's window-formulation expectation
+    "q103_cdc_apply_stream" -> Pipelines.cdcApplyStreamSummary _,
     // integer-exact PageRank (3 unrolled iterations) on the bipartite
     // customer↔supplier graph: one shuffle join + one hash-agg per
     // iteration, adjacency cached once
@@ -349,6 +354,7 @@ object SparkEntry {
     "q100_diff_keys" -> Reconcile.diffKeysSql,
     "q101_kmv_distinct" -> Relational.kmvDistinctSql,
     "q102_merge_upsert" -> Reconcile.mergeUpsertSql,
+    "q103_cdc_apply_stream" -> Pipelines.cdcApplyStreamSql,
     "q98_pagerank" -> Graph.pageRankSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,

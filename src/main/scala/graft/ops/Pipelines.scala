@@ -552,4 +552,108 @@ object Pipelines {
     """SELECT 'long' AS k_tag, 'string' AS kq_tag, 'string' AS price_tag,
       |  'bool' AS flag_tag, 'null' AS null_tag, count(*) AS n
       |FROM orders""".stripMargin
+
+  /** Gate face (q103) for [[graft.streaming.CdcApply]] — streaming CDC
+    * apply, the fifth streaming class in the gate (stream-stream q57,
+    * windowed agg q58, dedup q59, stream-static q91; this one is
+    * arbitrary KEYED STATE fed by a changelog). The q102 changelog's six
+    * tiers land as separate files; `maxFilesPerTrigger=2` forces the
+    * version waves through MULTIPLE micro-batches, so latest-wins must
+    * survive checkpointed state across batches (a v4 resurrect in the
+    * last batch must beat a v3 delete two batches earlier).
+    *
+    * Contract oracle (q54/q62 convention — engine measures BOTH sides):
+    * count + order-independent xor digest (q99's comparator) of the
+    * batch [[Reconcile.mergeUpsert]] snapshot vs the streamed snapshot,
+    * plus the state-proving counter — the per-key applied-row counts
+    * must SUM to the total log row count, which only state carried
+    * across batches can reproduce (a re-initialized state undercounts).
+    * The oracle computes the expected snapshot digest and log count in
+    * DuckDB via the window formulation and asserts both sides equal it:
+    * one dropped/duplicated/mis-merged row anywhere diverges the hash. */
+  def cdcApplyStreamSummary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.CdcApply
+    val base = freshTmp("cdc_q103")
+    val tiers = Reconcile.changeLogTiers(Tables.orders(s, d))
+    tiers.foreach(_.coalesce(1).write.mode("append").parquet(s"$base/log"))
+    val stream = s.readStream
+      .schema(org.apache.spark.sql.Encoders.product[CdcApply.Change].schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(s"$base/log").as[CdcApply.Change]
+    val q = CdcApply.applyStream(stream)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // final per-key row = the max-n_applied winner transition (monotone)
+    val fin = s.read.parquet(s"$base/out")
+      .groupBy(col("o_orderkey"))
+      .agg(max_by(struct(col("version"), col("op"), col("o_custkey"),
+        col("o_orderstatus"), col("o_orderpriority"), col("n_applied")),
+        col("n_applied")).as("w"))
+      .select(col("o_orderkey"), col("w.*"))
+      .cache()
+    val log = tiers.reduce(_.unionByName(_))
+    val batchSnap = Reconcile.mergeUpsert(log, Seq("o_orderkey"), "version", "op")
+    val streamSnap = fin.where(col("op") === "U")
+    def side(df: DataFrame): (Long, Long) = {
+      val d60 = conv(substring(md5(concat_ws("|",
+        col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+        col("o_orderstatus"), col("o_orderpriority"),
+        col("version").cast("string"))), 1, 15), 16, 10).cast("long")
+      val r = df.select(d60.as("dg")).agg(count(lit(1)), expr("bit_xor(dg)")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val (nB, xB) = side(batchSnap)
+    val (nS, xS) = side(streamSnap)
+    val nLog = log.count()
+    val nApplied = fin.agg(sum(col("n_applied"))).head.getLong(0)
+    Seq((nLog, nApplied, nB, nS, xB, xS))
+      .toDF("n_log", "n_applied", "n_batch", "n_stream", "xor_batch", "xor_stream")
+  }
+
+  /** Oracle for q103 — the contract both sides must meet, computed from
+    * scratch in DuckDB: the changelog row count (which the streamed
+    * per-key counters must sum to) and the window-formulation snapshot's
+    * count + xor digest (which BOTH the batch agg and the streamed state
+    * must reproduce). */
+  val cdcApplyStreamSql: String =
+    """WITH log AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+      |    0 AS version, 'U' AS op FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, 'X', o_orderpriority, 1, 'U'
+      |  FROM orders WHERE o_orderkey % 7 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, 'Y', o_orderpriority, 2, 'U'
+      |  FROM orders WHERE o_orderkey % 21 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, 3, 'D'
+      |  FROM orders WHERE o_orderkey % 11 = 2
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, 'Z', o_orderpriority, 4, 'U'
+      |  FROM orders WHERE o_orderkey % 55 = 2
+      |  UNION ALL
+      |  SELECT -o_orderkey, o_custkey, o_orderstatus, o_orderpriority, 1, 'U'
+      |  FROM orders WHERE o_orderkey % 13 = 3),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+      |  FROM log),
+      |snap AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, version
+      |  FROM ranked WHERE rn = 1 AND op = 'U'),
+      |dig AS (
+      |  SELECT count(*) AS n,
+      |    bit_xor(CAST('0x' || substr(md5(concat_ws('|',
+      |      CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+      |      o_orderstatus, o_orderpriority, CAST(version AS VARCHAR))),
+      |      1, 15) AS BIGINT)) AS x
+      |  FROM snap),
+      |nl AS (SELECT count(*) AS n FROM log)
+      |SELECT (SELECT n FROM nl) AS n_log, (SELECT n FROM nl) AS n_applied,
+      |  (SELECT n FROM dig) AS n_batch, (SELECT n FROM dig) AS n_stream,
+      |  (SELECT x FROM dig) AS xor_batch, (SELECT x FROM dig) AS xor_stream""".stripMargin
 }

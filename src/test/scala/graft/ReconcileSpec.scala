@@ -141,6 +141,44 @@ class ReconcileSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count(_ == "Exchange hashpartitioning") == 1, plan)
   }
 
+  import graft.streaming.CdcApply
+  import graft.streaming.CdcApply.{ApplyState, Change}
+
+  test("CdcApply.step: latest-wins across invocations; counter accumulates; out-of-order immune") {
+    def c(v: Long, st: String, op: String) = Change(1L, 10L, st, "P", v, op)
+    // batch 1: v0 base + v2 update → winner v2, 2 applied
+    val s1 = CdcApply.step(None, Iterator(c(0, "base", "U"), c(2, "upd", "U")))
+    assert(s1 == ApplyState(2, "U", 10L, "upd", "P", 2))
+    // batch 2 arrives OUT OF ORDER with a lower version → winner unchanged,
+    // counter still advances (state must survive the batch boundary)
+    val s2 = CdcApply.step(Some(s1), Iterator(c(1, "late", "U")))
+    assert(s2 == ApplyState(2, "U", 10L, "upd", "P", 3))
+    // batch 3: delete at v3 then resurrect at v4 in a LATER batch
+    val s3 = CdcApply.step(Some(s2), Iterator(c(3, "x", "D")))
+    assert(s3.op == "D" && s3.nApplied == 4)
+    val s4 = CdcApply.step(Some(s3), Iterator(c(4, "back", "U")))
+    assert(s4 == ApplyState(4, "U", 10L, "back", "P", 5))
+  }
+
+  test("CdcApply batch-mode applyStream snapshot equals mergeUpsert") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 120L).flatMap { k =>
+      val n = (k % 4) + 1
+      (0L until n).map(v => Change(k, k * 10, s"s$v", "P", v, if ((k + v) % 5 == 0) "D" else "U"))
+    }
+    val winners = CdcApply.applyStream(rows.toDS().repartition(7))
+    val streamSnap = winners.where(col("op") === "U")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "version")
+    val batchSnap = ops.Reconcile.mergeUpsert(
+      rows.toDF().repartition(3), Seq("o_orderkey"), "version", "op")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "version")
+    assert(streamSnap.exceptAll(batchSnap).isEmpty
+      && batchSnap.exceptAll(streamSnap).isEmpty)
+    // every log row was applied exactly once
+    assert(winners.agg(sum("n_applied")).head.getLong(0) == rows.size)
+  }
+
   test("mergeUpsert: hash-agg formulation equals the window formulation row-for-row") {
     val s = spark
     import org.apache.spark.sql.expressions.Window
