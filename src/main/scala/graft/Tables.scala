@@ -62,11 +62,23 @@ object Tables {
     if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  // integer division: `/` on longs is double division, and doubles lose
-  // sub-µs exactness at epoch-nano magnitudes (ulp ≈ 256ns)
+  // Normalize `ts` to a session-TZ TimestampType whatever the physical
+  // layout: TIMESTAMP(NANOS) parquet arrives as a nano LONG (via the
+  // legacy flag above; integer `div`, not `/` — double division loses
+  // sub-µs exactness at epoch-nano magnitudes, ulp ≈ 256ns), plain
+  // TIMESTAMP(MICROS) without tz arrives as TIMESTAMP_NTZ (cast is
+  // value-preserving — every entry point pins session TZ to UTC), and
+  // Spark-written corpora (ScaleUp probes) are already TimestampType.
   private def normalizeEventTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
