@@ -188,6 +188,10 @@ object SparkEntry {
     // customer↔supplier graph: one shuffle join + one hash-agg per
     // iteration, adjacency cached once
     "q98_pagerank" -> Graph.pageRankGate _,
+    // Misra–Gries heavy hitters (6th sketch family): bounded counters,
+    // map-side merged; gated on the MG theorem's order-independent
+    // contract (guaranteed hit / underestimate / N-over-cap bound)
+    "q104_heavy_hitters" -> Relational.mgHeavyHitters _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -356,6 +360,7 @@ object SparkEntry {
     "q102_merge_upsert" -> Reconcile.mergeUpsertSql,
     "q103_cdc_apply_stream" -> Pipelines.cdcApplyStreamSql,
     "q98_pagerank" -> Graph.pageRankSql,
+    "q104_heavy_hitters" -> Relational.mgHeavyHittersSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

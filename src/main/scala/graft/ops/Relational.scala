@@ -962,4 +962,56 @@ object Relational {
   val approxQuantilesSql: String =
     """SELECT count(*) AS n_rows, TRUE AS p50_ok, TRUE AS p95_ok
       |FROM lineitem""".stripMargin
+
+  private val MgCap = 64
+
+  /** q104 — Misra–Gries heavy hitters over the corpus word stream (the
+    * 6th sketch family: frequent items). The sketch's counter values are
+    * order-dependent (see [[graft.functions.MgAgg]]), so the gate is the
+    * q14 contract convention — but backed by a THEOREM, not a
+    * probabilistic envelope: after any update/merge order, every word
+    * with true frequency > N/(cap+1) has a counter, every counter
+    * underestimates, and the underestimate is at most N/(cap+1). The
+    * face emits, for exactly the guaranteed-hit set (true freq
+    * cross-multiplied against N), the exact count plus the three flag
+    * columns; the oracle recomputes the set and N in DuckDB and asserts
+    * the flags TRUE. Any contract violation — a missing heavy hitter, an
+    * overestimate, a bound breach — reds the hash.
+    *
+    * Scale: the sketch state is ≤ cap counters per partition, merged
+    * map-side, so the shuffle carries tasks×cap entries at any corpus
+    * size — the heavy-hitter answer with NO word shuffle. The exact-count
+    * leg (needed only to NAME the guaranteed set for the gate) is the
+    * q25 hash-agg; a production caller wanting just the sketch skips it. */
+  def mgHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.MgAgg.mgSketch
+    val toks = Tables.documents(s, d)
+      .select(explode(TextAnalysis.words(col("text"))).as("word"))
+    val sk = toks
+      .agg(mgSketch(col("word"), MgCap).as("sk"), count(lit(1)).as("n_total"))
+      .cache() // 1 row: the sketch map + the stream size
+    val entries = sk.select(explode(col("sk")).as(Seq("word", "est")))
+    val exact = toks.groupBy(col("word")).agg(count(lit(1)).as("n_true"))
+    exact.crossJoin(broadcast(sk.select(col("n_total"))))
+      .where(col("n_true") * (MgCap + 1) > col("n_total"))
+      .join(entries, Seq("word"), "left")
+      .select(col("word"), col("n_true"), col("n_total"),
+        coalesce(col("est").isNotNull, lit(false)).as("found"),
+        coalesce(col("est") <= col("n_true"), lit(false)).as("le_true"),
+        coalesce(col("est") * (MgCap + 1) + col("n_total") >=
+          col("n_true") * (MgCap + 1), lit(false)).as("ge_lower"))
+      .orderBy(col("n_true").desc, col("word"))
+  }
+
+  val mgHeavyHittersSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word
+       |  FROM documents),
+       | n AS (SELECT count(*) AS n_total FROM toks),
+       | exact AS (SELECT word, count(*) AS n_true FROM toks GROUP BY word)
+       |SELECT word, n_true, n_total,
+       |  TRUE AS found, TRUE AS le_true, TRUE AS ge_lower
+       |FROM exact, n
+       |WHERE n_true * ${MgCap + 1} > n_total
+       |ORDER BY n_true DESC, word""".stripMargin
 }

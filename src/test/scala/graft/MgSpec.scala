@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.MgAgg.mgSketch
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the Misra–Gries frequent-items sketch (q104): the theorem's
+  * three clauses exercised where the gate corpus can't isolate them —
+  * exact passthrough below capacity (the only order-INdependent value
+  * regime), the guaranteed-hit + underestimate + N/(cap+1) bound on an
+  * adversarial Zipf stream across hostile partition layouts, and
+  * serialization round-trip through real shuffles. */
+class MgSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("graft-mg-test")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def sketch(keys: Seq[String], cap: Int, parts: Int = 4): Map[String, Long] = {
+    val s = spark
+    import s.implicits._
+    keys.toDF("k").repartition(parts)
+      .agg(mgSketch(col("k"), cap).as("sk"))
+      .collect().head.getMap[String, Long](0).toMap
+  }
+
+  test("mg: below capacity the sketch IS the exact frequency table, any layout") {
+    val keys = (1 to 50).flatMap(i => Seq.fill(i)(s"w$i"))
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(sketch(keys, cap = 64) == exact)
+    assert(sketch(keys, cap = 64, parts = 13) == exact)
+    assert(sketch(keys, cap = 64, parts = 1) == exact)
+  }
+
+  test("mg: guaranteed hit + underestimate + bound on a Zipf stream, hostile layouts") {
+    // Zipf-ish: word i appears 2000/i times, i in 1..400 — far over any
+    // small capacity, with genuine heavy hitters at the head
+    val keys = (1 to 400).flatMap(i => Seq.fill(2000 / i)(f"w$i%03d"))
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = keys.size.toLong
+    for (cap <- Seq(8, 32); parts <- Seq(1, 4, 13)) {
+      val sk = sketch(scala.util.Random.shuffle(keys), cap, parts)
+      assert(sk.size <= cap, s"cap=$cap parts=$parts size=${sk.size}")
+      val bound = n / (cap + 1)
+      exact.foreach { case (w, f) =>
+        val est = sk.getOrElse(w, 0L)
+        assert(est <= f, s"overestimate: $w est=$est f=$f")
+        assert(est >= f - bound, s"bound breach: $w est=$est f=$f bound=$bound")
+        if (f > bound)
+          assert(sk.contains(w), s"missing heavy hitter $w (f=$f > $bound)")
+      }
+    }
+  }
+
+  test("mg: survives a real shuffle (per-group sketches, grouped agg)") {
+    val s = spark
+    import s.implicits._
+    // two groups with disjoint exact-regime streams: grouped aggregation
+    // must keep buffers separate through serialize/deserialize
+    val rows = (1 to 30).flatMap(i => Seq.fill(i)(("a", s"x$i"))) ++
+      (1 to 30).flatMap(i => Seq.fill(31 - i)(("b", s"y$i")))
+    val got = rows.toDF("g", "k").repartition(7)
+      .groupBy("g").agg(mgSketch(col("k"), 64).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getMap[String, Long](1).toMap).toMap
+    assert(got("a") == (1 to 30).map(i => s"x$i" -> i.toLong).toMap)
+    assert(got("b") == (1 to 30).map(i => s"y$i" -> (31 - i).toLong).toMap)
+  }
+
+  test("mg gate face (q104): flags all true, guaranteed set named, at sf0.001") {
+    val rows = graft.ops.Relational.mgHeavyHitters(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty, "guaranteed-hit set empty at sf0.001 — raise cap")
+    rows.foreach { r =>
+      assert(r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5),
+        s"contract flag false for ${r.getString(0)}")
+    }
+  }
+}
