@@ -192,6 +192,9 @@ object SparkEntry {
     // map-side merged; gated on the MG theorem's order-independent
     // contract (guaranteed hit / underestimate / N-over-cap bound)
     "q104_heavy_hitters" -> Relational.mgHeavyHitters _,
+    // exact substring-span dedup (Lee et al. 2021 as postings, no suffix
+    // array): duplicated w-token windows -> per-doc merged span coverage
+    "q105_dup_spans" -> Dedup.dupSpansGate _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -361,6 +364,7 @@ object SparkEntry {
     "q103_cdc_apply_stream" -> Pipelines.cdcApplyStreamSql,
     "q98_pagerank" -> Graph.pageRankSql,
     "q104_heavy_hitters" -> Relational.mgHeavyHittersSql,
+    "q105_dup_spans" -> Dedup.dupSpansSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -561,4 +561,109 @@ object Dedup {
        |SELECT c.doc_id, c.cluster, s.cluster_size
        |FROM comp c JOIN sizes s USING (cluster)
        |ORDER BY c.doc_id""".stripMargin
+
+  private val SpanW = 8
+
+  /** q105 — exact substring-span dedup (the token-level complement of the
+    * document-level families above; the "exact substring deduplication"
+    * of Lee et al. 2021, re-expressed as relational postings instead of
+    * a suffix array): find every maximal run of tokens whose length-`w`
+    * windows ALL occur at more than one (doc, pos) location corpus-wide,
+    * and report, per document, how many such duplicated spans it has and
+    * how many tokens they cover. A training pipeline drops or trims the
+    * spans; the aggregate face is what the gate hashes.
+    *
+    * Pipeline: posexplode tokens → per-doc `lead` window assembles each
+    * w-token window's md5 (ONE sort per doc partition, the q26 idiom) →
+    * corpus-wide window-hash frequency (hash-agg, map-side partials) →
+    * keep positions whose window occurs >1 time (self-repeats count:
+    * within-doc boilerplate IS duplicated text) → per-doc
+    * gaps-and-islands merge of the overlapping [pos, pos+w-1] intervals
+    * (lag + running sum, bounded per-doc window) → span count + token
+    * coverage, zero-filled across all docs.
+    *
+    * Scale: rows = corpus tokens; the frequency table and join back are
+    * hash-partitioned on the window hash (the q89 postings shape — no
+    * broadcast of anything corpus-sized); islands are per-doc windows
+    * over only the DUPLICATED positions. Linear in tokens at any corpus
+    * size; a suffix-array formulation would be cheaper per byte but
+    * needs a global sort this never does. */
+  def dupSpans(docs: DataFrame, w: Int = SpanW): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val winWords = (0 until w).map(k =>
+      if (k == 0) col("word") else lead(col("word"), k).over(byPos))
+    val wins = docs
+      .select(col("doc_id"), posexplode(TextAnalysis.words(col("text"))).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", winWords: _*)).as("h"),
+        lead(col("word"), w - 1).over(byPos).as("w_last"))
+      .where(col("w_last").isNotNull)
+      .select(col("doc_id"), col("pos"), col("h"))
+    val dupH = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select(col("h"))
+    val marked = wins.join(dupH, "h").select(col("doc_id"), col("pos"))
+    // intervals [pos, pos+w-1] with equal width: merge iff gap <= w
+    val isl = marked
+      .withColumn("prev", lag(col("pos"), 1).over(byPos))
+      .withColumn("cut",
+        when(col("prev").isNull || col("pos") - col("prev") > w, 1L).otherwise(0L))
+      .withColumn("island", sum(col("cut")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = isl.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s0"), (max(col("pos")) + w - 1).as("s1"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("s1") - col("s0") + 1).as("dup_tokens"))
+    docs.select(col("doc_id"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gate face (q105) over the harness corpus. */
+  def dupSpansGate(s: SparkSession, d: String): DataFrame =
+    dupSpans(Tables.documents(s, d))
+
+  val dupSpansSql: String = {
+    val leads = (1 until SpanW).map(k => s"lead(word,$k) OVER w").mkString(" || ' ' || ")
+    s"""WITH wordpos AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word,
+       |    generate_subscripts(regexp_extract_all(text, '[a-z0-9]+'), 1) AS pos
+       |  FROM documents),
+       | wins AS (
+       |  SELECT doc_id, pos, md5(word || ' ' || $leads) AS h,
+       |    lead(word,${SpanW - 1}) OVER w AS w_last
+       |  FROM wordpos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       | wh AS (SELECT doc_id, pos, h FROM wins WHERE w_last IS NOT NULL),
+       | duph AS (SELECT h FROM wh GROUP BY h HAVING count(*) > 1),
+       | marked AS (SELECT doc_id, pos FROM wh JOIN duph USING (h)),
+       | isl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER dw IS NULL
+       |         OR pos - lag(pos) OVER dw > $SpanW THEN 1 ELSE 0 END AS cut
+       |  FROM marked WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+       | num AS (
+       |  SELECT doc_id, pos, sum(cut) OVER (
+       |    PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM isl),
+       | spans AS (
+       |  SELECT doc_id, island, min(pos) AS s0, max(pos) + ${SpanW - 1} AS s1
+       |  FROM num GROUP BY doc_id, island),
+       | per_doc AS (
+       |  SELECT doc_id, count(*) AS n_dup_spans,
+       |    CAST(sum(s1 - s0 + 1) AS BIGINT) AS dup_tokens
+       |  FROM spans GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(len(regexp_extract_all(d.text, '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+       |  coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+       |  coalesce(p.dup_tokens, 0) AS dup_tokens
+       |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

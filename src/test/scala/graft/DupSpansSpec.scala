@@ -1,0 +1,87 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for exact substring-span dedup (q105): hand-built fixtures pin
+  * the span algebra the corpus gate can't isolate — cross-doc shared
+  * runs yield ONE merged span per side, within-doc self-repeats count,
+  * separated duplicated runs stay separate spans, clean docs zero-fill —
+  * plus partition-layout independence of the whole pipeline. */
+class DupSpansSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("graft-dupspans-test")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def run(docs: Seq[(Long, String)], w: Int, parts: Int = 4) = {
+    val s = spark
+    import s.implicits._
+    Dedup.dupSpans(docs.toDF("doc_id", "text").repartition(parts), w)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+  }
+
+  test("shared 10-token run between two docs: one merged span per side") {
+    val run10 = "p q r s t u v w x y"
+    val docs = Seq(
+      1L -> run10,                     // the run IS the doc
+      2L -> s"m1 m2 $run10 m3",        // embedded mid-doc
+      3L -> "z1 z2 z3 z4 z5 z6 z7")    // clean
+    val got = run(docs, w = 4)
+    assert(got(1L) == ((10L, 1L, 10L)))  // n_tokens, n_spans, dup_tokens
+    assert(got(2L) == ((13L, 1L, 10L)))
+    assert(got(3L) == ((7L, 0L, 0L)))
+  }
+
+  test("within-doc self-repeat: boilerplate counts as duplicated text") {
+    // windows at pos 0 and 4 are both "a b c d"; gap 4 <= w merges the
+    // two intervals into one whole-doc span
+    val got = run(Seq(1L -> "a b c d a b c d"), w = 4)
+    assert(got(1L) == ((8L, 1L, 8L)))
+  }
+
+  test("two duplicated runs separated by a wide unique gap: two spans") {
+    val r1 = "a b c d"; val r2 = "e f g h"
+    val docs = Seq(
+      1L -> s"$r1 u1 u2 u3 u4 u5 u6 u7 u8 u9 $r2",
+      2L -> s"$r1 v1 v2 v3 v4 v5 v6 v7 v8 v9 $r2")
+    val got = run(docs, w = 4)
+    // per side: 17 tokens, spans [0,3] and [13,16], 8 dup tokens
+    assert(got(1L) == ((17L, 2L, 8L)))
+    assert(got(2L) == ((17L, 2L, 8L)))
+  }
+
+  test("partition-layout independence") {
+    val docs = (1L to 40L).map { i =>
+      if (i % 4 == 0) i -> "shared run of eight tokens exactly here now plus more"
+      else i -> s"unique$i words only in doc number $i with filler tokens"
+    }
+    val a = run(docs, w = 8, parts = 1)
+    val b = run(docs, w = 8, parts = 13)
+    assert(a == b)
+    assert(docs.collect { case (i, _) if i % 4 == 0 => i }
+      .forall(i => a(i)._2 >= 1L))
+  }
+
+  test("gate face at sf0.001: some duplicated spans exist, totals bounded") {
+    val rows = Dedup.dupSpansGate(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getLong(2) > 0), "no duplicated spans in corpus")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1),
+        s"dup_tokens exceeds n_tokens for doc ${r.getLong(0)}")
+    }
+  }
+}
