@@ -195,6 +195,14 @@ object SparkEntry {
     // exact substring-span dedup (Lee et al. 2021 as postings, no suffix
     // array): duplicated w-token windows -> per-doc merged span coverage
     "q105_dup_spans" -> Dedup.dupSpansGate _,
+    // product quantization + ADC retrieval: 8 code bytes per vector,
+    // broadcast distance tables, exact-integer on the int8 grid so the
+    // full encode->lookup->rank pipeline replays in DuckDB
+    "q106_pq_topk" -> Similarity.pqTopKGate _,
+    // dedup-aware split: the split unit is the near-dup CLUSTER (q38
+    // components), so near-identical docs can't straddle train/test —
+    // the leakage mode a row-hash split can't prevent
+    "q107_cluster_split" -> Dedup.clusterSplit _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -365,6 +373,8 @@ object SparkEntry {
     "q98_pagerank" -> Graph.pageRankSql,
     "q104_heavy_hitters" -> Relational.mgHeavyHittersSql,
     "q105_dup_spans" -> Dedup.dupSpansSql,
+    "q106_pq_topk" -> Similarity.pqTopKSql,
+    "q107_cluster_split" -> Dedup.clusterSplitSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -562,6 +562,52 @@ object Dedup {
        |FROM comp c JOIN sizes s USING (cluster)
        |ORDER BY c.doc_id""".stripMargin
 
+  /** q107 — dedup-aware train/val/test split: the split UNIT is the
+    * near-duplicate CLUSTER (q38's connected components over the LSH
+    * pair graph), not the document, so two near-identical docs can never
+    * land one in train and one in test — the leakage mode a plain
+    * row-hash split (q39) cannot prevent and the reason production
+    * pipelines split AFTER clustering. Singletons (docs in no pair) use
+    * their own id as the unit. Assignment = the q39 md5 bucket of the
+    * unit id, so the whole face is deterministic and the oracle replays
+    * clusters (recursive CTE) + the split hash end-to-end.
+    *
+    * Scale: the component table covers only docs involved in pairs
+    * (orders of magnitude below the corpus); the left join back is
+    * doc_id-keyed; the split is a narrow expression. Nothing here adds
+    * to the LSH pipeline's own cost. */
+  def clusterSplit(s: SparkSession, d: String): DataFrame = {
+    val comp = connectedComponents(
+      minhashLshPairsShared(s, d).select(col("d1"), col("d2")))
+      .select(col("id").as("doc_id"), col("comp"))
+    val unit = Tables.documents(s, d).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("unit"))
+    Sampling.groupSplit(unit, col("unit").cast("string"))
+      .orderBy(col("doc_id"))
+  }
+
+  def clusterSplitSql: String =
+    s"""WITH RECURSIVE pairs AS (${minhashLshPairsSql}),
+       | edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM pairs
+       |  UNION
+       |  SELECT d2, d1 FROM pairs),
+       | reach(a, b) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+       | comp AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+       | unit AS (
+       |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS unit
+       |  FROM documents d LEFT JOIN comp c USING (doc_id))
+       |SELECT doc_id, unit,
+       |  CASE WHEN CAST('0x' || substr(md5(CAST(unit AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80
+       |       THEN 'train'
+       |       WHEN CAST('0x' || substr(md5(CAST(unit AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90
+       |       THEN 'val' ELSE 'test' END AS split
+       |FROM unit ORDER BY doc_id""".stripMargin
+
   private val SpanW = 8
 
   /** q105 — exact substring-span dedup (the token-level complement of the

@@ -834,4 +834,112 @@ object Similarity {
       |  FROM dots)
       |SELECT qid, cid, dot, rank FROM ranked WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin
+
+  // q106 PQ geometry: 8 subspaces x 8 dims over the 64-dim embeddings,
+  // 16 centroids per subspace, top-10 retrieval for the 5 q48 probes
+  private val PqM = 8
+  private val PqSub = 8
+  private val PqK = 16
+  private val PqTopN = 10
+
+  /** q106 — product quantization + asymmetric-distance retrieval (Jégou
+    * et al. 2011, the memory-tier below q48's int8: 64 float dims → 8
+    * code BYTES per vector, an 8×16-entry distance table per query, and
+    * retrieval never touches the original vectors). All arithmetic is
+    * exact-integer on the q48 int8 grid, so encode, distance table, and
+    * ranking replay bit-for-bit in DuckDB — the hash-exact gate the
+    * float PQ literature can't have.
+    *
+    * Codebook: per subspace, the int8 subvectors of the 16 smallest-id
+    * embeddings (deterministic seeds, the k-means-free regime — q94
+    * already gates Lloyd training; composing them is a follow-up, not a
+    * gate requirement). Encode: argmin_j ||x_m − c_{m,j}||² with (d2, j)
+    * tie-break, as one min-struct agg (q88 idiom) over a broadcast join
+    * against the 128-row codebook — each vector's 16 candidate rows
+    * collapse map-side BEFORE the shuffle, so the exchange carries n×M
+    * code rows, not n×M×K candidates. ADC: the 5 probes' 640-row
+    * distance table broadcasts; codes join it on (m, code) and one
+    * map-side-combined sum per (qid, cid) yields the approximate
+    * distance; a per-qid rank window (5 bounded partitions) emits the
+    * top-10. At 100 TB: codes are the ONLY n-sized table after encode
+    * (8 bytes of payload per vector), every join against it broadcasts
+    * a bounded side, and no original vector is ever shuffled. */
+  def pqTopKGate(s: SparkSession, d: String): DataFrame =
+    pqTopK(Tables.embeddings(s, d))
+
+  def pqTopK(embeddings: DataFrame): DataFrame = {
+    val qe = quantizeInt8(embeddings).select(col("vec_id"), col("q8"))
+    // n×M rows: (vec_id, m, 8-dim int8 subvector)
+    val subs = qe.select(col("vec_id"),
+        explode(transform(sequence(lit(0), lit(PqM - 1)), m =>
+          struct(m.as("m"), slice(col("q8"), m * PqSub + 1, lit(PqSub)).as("sub")))).as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.sub").as("sub"))
+    val seeds = subs.where(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("j"), col("sub").as("cent"))
+    // exact-integer squared L2 on the int8 grid (≤ 8·254² per subspace)
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), _ + _)
+    val codes = subs.join(broadcast(seeds), Seq("m"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(d2(col("sub"), col("cent")).as("d2"), col("j"))).as("w"))
+      .select(col("vec_id"), col("m"), col("w.j").as("code"))
+    // 5 probes × 8 subspaces × 16 centroids = 640-row ADC table
+    val dtab = subs.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("m"), col("sub").as("qsub"))
+      .join(seeds, Seq("m"))
+      .select(col("qid"), col("m"), col("j"), d2(col("qsub"), col("cent")).as("dq"))
+    val adc = codes.join(broadcast(dtab),
+        codes("m") === dtab("m") && codes("code") === dtab("j"))
+      .where(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id").as("cid"))
+      .agg(sum(col("dq")).cast("long").as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("cid").asc)
+    adc.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= PqTopN)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val pqTopKSql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+       |  FROM embeddings),
+       | q8 AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CASE WHEN ma > 0
+       |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+       |  FROM base),
+       | subs AS (
+       |  SELECT vec_id, CAST(m AS INT) AS m,
+       |    list_slice(q, m * $PqSub + 1, m * $PqSub + $PqSub) AS sub
+       |  FROM q8, range($PqM) t(m)),
+       | seeds AS (
+       |  SELECT m, CAST(vec_id AS INT) AS j, sub AS cent
+       |  FROM subs WHERE vec_id < $PqK),
+       | cand AS (
+       |  SELECT s.vec_id, s.m, c.j,
+       |    list_dot_product(s.sub, s.sub) - 2 * list_dot_product(s.sub, c.cent)
+       |      + list_dot_product(c.cent, c.cent) AS d2
+       |  FROM subs s JOIN seeds c USING (m)),
+       | codes AS (
+       |  SELECT vec_id, m, j AS code FROM (
+       |    SELECT vec_id, m, j,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+       |    FROM cand) WHERE rn = 1),
+       | dtab AS (
+       |  SELECT s.vec_id AS qid, s.m, c.j,
+       |    list_dot_product(s.sub, s.sub) - 2 * list_dot_product(s.sub, c.cent)
+       |      + list_dot_product(c.cent, c.cent) AS dq
+       |  FROM subs s JOIN seeds c USING (m) WHERE s.vec_id < 5),
+       | adc AS (
+       |  SELECT d.qid, k.vec_id AS cid, CAST(sum(d.dq) AS BIGINT) AS adc
+       |  FROM codes k JOIN dtab d ON d.m = k.m AND d.j = k.code
+       |  WHERE k.vec_id <> d.qid
+       |  GROUP BY d.qid, k.vec_id),
+       | ranked AS (
+       |  SELECT qid, cid, adc,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cid ASC) AS rank
+       |  FROM adc)
+       |SELECT qid, cid, adc, rank FROM ranked WHERE rank <= $PqTopN
+       |ORDER BY qid, rank""".stripMargin
 }

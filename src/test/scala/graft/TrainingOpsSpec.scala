@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.ops.{Sampling, Similarity, Temporal, TextAnalysis}
+import graft.ops.{Dedup, Sampling, Similarity, Temporal, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -448,5 +448,20 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       o
     }.toSeq
     assert(overlaps.sum >= overlaps.size * 3, s"overlaps=$overlaps") // ≥3/5 avg
+  }
+
+  test("clusterSplit (q107): no near-dup pair straddles a split; covers every doc") {
+    val split = Dedup.clusterSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(split.size == nDocs)
+    assert(split.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(split.values.toSet.contains("train"))
+    val pairs = Dedup.minhashLshPairsShared(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture has no near-dup pairs — test is vacuous")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"pair ($a,$b) straddles ${split(a)}/${split(b)}")
+    }
   }
 }
