@@ -203,6 +203,11 @@ object SparkEntry {
     // components), so near-identical docs can't straddle train/test —
     // the leakage mode a row-hash split can't prevent
     "q107_cluster_split" -> Dedup.clusterSplit _,
+    // stream-stream LEFT OUTER interval join (6th streaming class):
+    // outer emission on watermark-driven state eviction; the oracle
+    // recomputes the eviction rule, so early/late/duplicated outer
+    // rows diverge the hash
+    "q108_stream_outer_join" -> Pipelines.streamOuterIntervalJoin _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -375,6 +380,7 @@ object SparkEntry {
     "q105_dup_spans" -> Dedup.dupSpansSql,
     "q106_pq_topk" -> Similarity.pqTopKSql,
     "q107_cluster_split" -> Dedup.clusterSplitSql,
+    "q108_stream_outer_join" -> Pipelines.streamOuterIntervalJoinSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

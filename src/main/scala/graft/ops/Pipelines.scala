@@ -380,6 +380,71 @@ object Pipelines {
       .orderBy(col("event_id"))
   }
 
+  /** Gate face (q108) for
+    * [[graft.streaming.StreamIngest.intervalJoinStreamOuter]] — the
+    * LEFT OUTER stream-stream join, q57's sixth streaming class: outer
+    * emission on state eviction. Same single-pass AvailableNow harness
+    * as q57; the data batch emits every matched row, then the no-data
+    * batch advances the global watermark to min(max signup ts, max view
+    * ts) − 1 h and the join evicts every signup whose ENTIRE match
+    * window [ts, ts+24h) now lies at-or-below it, emitting the
+    * null-padded outer row. Output: per-signup view count and value sum,
+    * where an outer-emitted signup contributes (0, NULL) — so the gate
+    * hashes BOTH the matched aggregate (q57's face) and the exact
+    * outer-emission set. The oracle recomputes the eviction rule in
+    * DuckDB: unmatched signups with ts + 24h ≤ watermark. A join that
+    * emitted an outer row early (state bug), late (watermark bug), or
+    * alongside matches (duplication bug) diverges the hash.
+    *
+    * Scale: identical state shape to q57 (symmetric hash join,
+    * watermark-trimmed both sides); outer rows ride the existing
+    * eviction pass — no extra state, no extra shuffle. */
+  def streamOuterIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    def src(): DataFrame = Tables.eventsStream(s, d)
+    val signups = src().where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val views = src().where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("rts"), col("value"))
+    val base = freshTmp("soj_q108")
+    val q = graft.streaming.StreamIngest
+      .intervalJoinStreamOuter(signups, views, "user_id")
+      .select(col("event_id"), col("value"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    s.read.parquet(s"$base/out")
+      .groupBy(col("event_id"))
+      .agg(count(col("value")).as("n_views"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val streamOuterIntervalJoinSql: String =
+    """WITH wm AS (SELECT least(
+      |    (SELECT max(epoch_ms(ts)) FROM events WHERE event_type = 'signup'),
+      |    (SELECT max(epoch_ms(ts)) FROM events WHERE event_type = 'view'))
+      |    - 3600000 AS w),
+      | matched AS (
+      |  SELECT s.event_id, count(*) AS n_views, round(sum(v.value), 4) AS sum_value
+      |  FROM events s
+      |  JOIN events v ON v.user_id = s.user_id AND v.event_type = 'view'
+      |    AND epoch_ms(v.ts) >= epoch_ms(s.ts)
+      |    AND epoch_ms(v.ts) < epoch_ms(s.ts) + 86400000
+      |  WHERE s.event_type = 'signup'
+      |  GROUP BY s.event_id),
+      | closed_unmatched AS (
+      |  SELECT s.event_id, 0 AS n_views, CAST(NULL AS DOUBLE) AS sum_value
+      |  FROM events s, wm
+      |  WHERE s.event_type = 'signup'
+      |    AND s.event_id NOT IN (SELECT event_id FROM matched)
+      |    AND epoch_ms(s.ts) + 86400000 <= wm.w)
+      |SELECT event_id, CAST(n_views AS BIGINT) AS n_views, sum_value FROM matched
+      |UNION ALL
+      |SELECT event_id, CAST(n_views AS BIGINT) AS n_views, sum_value
+      |FROM closed_unmatched
+      |ORDER BY event_id""".stripMargin
+
   /** Streaming parquet source over the single events file (q57's trick);
     * delegates to [[graft.Tables.eventsStream]] so ts normalization has
     * exactly one definition shared with the batch loader. */

@@ -105,6 +105,26 @@ object StreamIngest {
       .drop(r(key))
   }
 
+  /** Stream-stream LEFT OUTER interval join — [[intervalJoinStream]]'s
+    * join with outer semantics: matched rows emit as they join; a left
+    * row with NO match emits null-padded only once the global watermark
+    * proves no future right row can land in its [ts, ts+window) — the
+    * outer-emission-on-state-eviction contract, the piece the inner join
+    * (q57) never exercises. State is bounded exactly as the inner join's
+    * (watermark-trimmed on both sides); the outer rows are a byproduct
+    * of the same eviction, not extra state. */
+  def intervalJoinStreamOuter(left: DataFrame, right: DataFrame, key: String,
+      window_ : String = "24 hours", watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right.withWatermark("rts", watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        col("rts") >= col("ts") &&
+        col("rts") < col("ts") + expr(s"INTERVAL $window_"),
+      "left_outer")
+      .drop(r(key))
+  }
+
   /** Session windows (gap-based) per user — state-bounded by watermark. */
   def sessionizedEvents(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events

@@ -171,6 +171,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch == got)
   }
 
+  test("left-outer interval join: outer rows emit exactly on watermark close") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp((1000000 + min) * 60000L)
+    val memL = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val memR = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val signups = memL.toDF().toDF("user_id", "ts", "event_id")
+    val views = memR.toDF().toDF("user_id", "rts", "value")
+    val joined = StreamIngest.intervalJoinStreamOuter(signups, views, "user_id",
+      window_ = "30 minutes", watermark = "10 minutes")
+    val q = joined.select(col("event_id"), col("value"))
+      .writeStream.format("memory").queryName("oj_out")
+      .outputMode("append").start()
+    def rows() = s.sql("SELECT event_id, value FROM oj_out").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toSet
+    try {
+      // u1 signup matches; u2 signup never matches (wrong-user and
+      // out-of-window views only)
+      memL.addData((1L, ts(0), 100L), (2L, ts(1), 200L))
+      memR.addData((1L, ts(5), 1.0), (3L, ts(6), 2.0), (2L, ts(40), 4.0))
+      q.processAllAvailable()
+      // watermark so far: 0 → nothing evicted; matched row present, no
+      // outer row yet even though u2 has no match
+      assert(rows() == Set((100L, Some(1.0))), s"early outer? ${rows()}")
+      // advance both watermarks far past ts(1)+30min: u2's window closes
+      memL.addData((9L, ts(200), 900L))
+      memR.addData((9L, ts(200), 0.5))
+      q.processAllAvailable()
+      assert(rows() == Set((100L, Some(1.0)), (900L, Some(0.5)), (200L, None)),
+        s"got ${rows()}")
+    } finally q.stop()
+  }
+
   test("sessionsBatch (window SQL) matches the stateful path, incl. a hot key") {
     import graft.streaming.Sessionize
     val s = spark
