@@ -208,6 +208,11 @@ object SparkEntry {
     // recomputes the eviction rule, so early/late/duplicated outer
     // rows diverge the hash
     "q108_stream_outer_join" -> Pipelines.streamOuterIntervalJoin _,
+    // BPE tokenizer training: 2 pair merges learned on the word-freq
+    // dictionary (bounded by vocab, not corpus); exact greedy
+    // left-to-right merge via run parity — DuckDB replays both
+    // iterations end-to-end
+    "q109_bpe_train" -> TextAnalysis.bpeTrain _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -381,6 +386,7 @@ object SparkEntry {
     "q106_pq_topk" -> Similarity.pqTopKSql,
     "q107_cluster_split" -> Dedup.clusterSplitSql,
     "q108_stream_outer_join" -> Pipelines.streamOuterIntervalJoinSql,
+    "q109_bpe_train" -> TextAnalysis.bpeTrainSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

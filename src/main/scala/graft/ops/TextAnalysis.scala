@@ -474,4 +474,178 @@ object TextAnalysis {
       |  CAST(min(CASE WHEN cc * 10 >= n_docs * 9 THEN bin END) * 16 AS BIGINT) AS p90_tok,
       |  CAST(min(CASE WHEN cc * 100 >= n_docs * 99 THEN bin END) * 16 AS BIGINT) AS p99_tok
       |FROM cum GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q109: BPE tokenizer training (pair merges on the word-frequency dict)
+  // ---------------------------------------------------------------------
+
+  private val BpeIters = 2
+  private val BpeTopK = 20
+
+  /** One BPE iteration's pair statistics: explode each vocab word's
+    * space-joined symbol sequence into adjacent pairs, weighted by the
+    * word's corpus frequency, and sum. */
+  private def bpePairStats(vocab: DataFrame): DataFrame = {
+    val syms = split(col("seq"), " ")
+    val pairs = zip_with(
+      slice(syms, lit(1), size(syms) - 1),
+      slice(syms, lit(2), size(syms) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    vocab.select(col("n"), explode(pairs).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+  }
+
+  /** Apply ONE merge (the 1-row `best` frame: p1, p2) to every vocab
+    * word's symbol sequence with BPE's exact greedy left-to-right
+    * non-overlap rule: within each maximal run of consecutive matching
+    * positions, merge at even offsets only ("o o o" under merge (o,o) →
+    * "oo o", never "o oo"). A plain string replace gets runs wrong when
+    * the pair overlaps itself, so this is the q105 islands idiom on the
+    * MATCHED positions instead: island = consecutive-i run, merge iff
+    * (i − island_start) is even; position i+1 of a merged i drops; the
+    * sequence rebuilds with an ordered string_agg. */
+  private def bpeApplyMerge(vocab: DataFrame, best: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byI = Window.partitionBy(col("word")).orderBy(col("i"))
+    val e = vocab
+      .select(col("word"), col("n"), posexplode(split(col("seq"), " ")).as(Seq("i", "sym")))
+      .crossJoin(broadcast(best.select(col("p1"), col("p2"))))
+      .withColumn("mtch", col("sym") === col("p1") && lead(col("sym"), 1).over(byI) === col("p2"))
+    val matched = e.where(col("mtch"))
+      .withColumn("prev", lag(col("i"), 1).over(byI))
+      .withColumn("cut", when(col("prev").isNull || col("i") - col("prev") > 1, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("cut")).over(
+        byI.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("start", min(col("i")).over(Window.partitionBy(col("word"), col("isl"))))
+      .where((col("i") - col("start")) % 2 === 0)
+      .select(col("word"), col("i").as("mi"))
+    e.join(matched.select(col("word"), col("mi").as("i"), lit(true).as("mergeHere")),
+        Seq("word", "i"), "left")
+      .join(matched.select(col("word"), (col("mi") + 1).as("i"), lit(true).as("dropped")),
+        Seq("word", "i"), "left")
+      .where(col("dropped").isNull)
+      .select(col("word"), col("n"), col("i"),
+        when(col("mergeHere"), concat(col("p1"), col("p2"))).otherwise(col("sym")).as("sym"))
+      .groupBy(col("word"), col("n"))
+      .agg(concat_ws(" ", transform(array_sort(collect_list(struct(col("i"), col("sym")))),
+        x => x.getField("sym"))).as("seq"))
+  }
+
+  /** q109 — BPE tokenizer training (Sennrich et al. 2016), the step
+    * every LLM data pipeline runs before anything tokenizes: learn the
+    * first `BpeIters` pair merges from the corpus and report the
+    * resulting symbol inventory. Training operates on the WORD-FREQUENCY
+    * DICTIONARY, not the corpus: one scan builds (word, count), and
+    * every subsequent iteration touches only the vocab — bounded by
+    * distinct words no matter the corpus size, the reason classic BPE
+    * training scales to any volume. Each iteration: weighted adjacent-
+    * pair counts (one narrow agg over the vocab), argmax with (count
+    * desc, pair asc) tie-break, then the exact greedy left-to-right
+    * merge via the islands idiom ([[bpeApplyMerge]] — run parity, not
+    * string replace, which mis-merges self-overlapping pairs). The gate
+    * emits the learned merges and the top-`BpeTopK` corpus-weighted
+    * symbols after training; DuckDB replays both unrolled iterations
+    * end-to-end, so a wrong pair count, tie-break, or merge application
+    * anywhere diverges the hash. */
+  def bpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeTrainFrom(Tables.documents(s, d))
+
+  def bpeTrainFrom(docs: DataFrame): DataFrame = {
+    val vocab0 = docs
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("seq", concat_ws(" ", split(col("word"), "(?!$)")))
+      .localCheckpoint(true) // vocab is small; truncate the corpus scan
+    var vocab = vocab0
+    val merges = Seq.newBuilder[DataFrame]
+    for (step <- 1 to BpeIters) {
+      val best = bpePairStats(vocab)
+        .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        .select(split(col("pair"), " ").getItem(0).as("p1"),
+          split(col("pair"), " ").getItem(1).as("p2"), col("cnt"))
+        .localCheckpoint(true) // 1 row, feeds two consumers
+      merges += best.select(lit("merge").as("kind"), lit(step).as("ord"),
+        concat(col("p1"), lit(" "), col("p2")).as("item"), col("cnt").as("n"))
+      vocab = bpeApplyMerge(vocab, best).localCheckpoint(true)
+    }
+    val symbols = vocab
+      .select(col("n"), explode(split(col("seq"), " ")).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("n")).as("sn"))
+      .orderBy(col("sn").desc, col("sym").asc).limit(BpeTopK)
+      .select(lit("symbol").as("kind"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("sn").desc, col("sym").asc)).as("ord"),
+        col("sym").as("item"), col("sn").as("n"))
+    merges.result().reduce(_.unionByName(_)).unionByName(symbols)
+      .orderBy(col("kind"), col("ord"))
+  }
+
+  /** One unrolled BPE iteration as DuckDB CTEs: from vocab `$in` (word,
+    * n, seq) derive `best$k` (p1, p2, cnt) and the merged vocab `$out`. */
+  private def bpeIterSql(k: Int, in: String, out: String): String =
+    s"""px$k AS (
+       |  SELECT n, unnest(range(1, len(syms))) AS i, syms
+       |  FROM (SELECT n, string_split(seq, ' ') AS syms FROM $in)),
+       | ps$k AS (
+       |  SELECT syms[i] || ' ' || syms[i+1] AS pair, CAST(sum(n) AS BIGINT) AS cnt
+       |  FROM px$k GROUP BY 1),
+       | best$k AS (
+       |  SELECT string_split(pair, ' ')[1] AS p1, string_split(pair, ' ')[2] AS p2, cnt
+       |  FROM ps$k ORDER BY cnt DESC, pair ASC LIMIT 1),
+       | ex$k AS (
+       |  SELECT word, n, unnest(range(1, len(syms)+1)) AS i, syms
+       |  FROM (SELECT word, n, string_split(seq, ' ') AS syms FROM $in)),
+       | e$k AS (
+       |  SELECT word, n, i, syms[i] AS sym,
+       |    (syms[i] = b.p1 AND
+       |     lead(syms[i]) OVER (PARTITION BY word ORDER BY i) = b.p2) AS mtch
+       |  FROM ex$k CROSS JOIN best$k b),
+       | m$k AS (
+       |  SELECT word, i,
+       |    CASE WHEN lag(i) OVER w IS NULL OR i - lag(i) OVER w > 1 THEN 1 ELSE 0 END AS cut
+       |  FROM e$k WHERE mtch WINDOW w AS (PARTITION BY word ORDER BY i)),
+       | m2$k AS (
+       |  SELECT word, i,
+       |    sum(cut) OVER (PARTITION BY word ORDER BY i ROWS UNBOUNDED PRECEDING) AS isl
+       |  FROM m$k),
+       | mk$k AS (
+       |  SELECT word, i FROM (
+       |    SELECT word, i, i - min(i) OVER (PARTITION BY word, isl) AS off FROM m2$k)
+       |  WHERE off % 2 = 0),
+       | $out AS (
+       |  SELECT e.word, e.n,
+       |    string_agg(CASE WHEN mk.i IS NOT NULL THEN b.p1 || b.p2 ELSE e.sym END,
+       |               ' ' ORDER BY e.i) AS seq
+       |  FROM e$k e
+       |  CROSS JOIN best$k b
+       |  LEFT JOIN mk$k mk ON mk.word = e.word AND mk.i = e.i
+       |  LEFT JOIN mk$k dr ON dr.word = e.word AND dr.i + 1 = e.i
+       |  WHERE dr.i IS NULL
+       |  GROUP BY e.word, e.n)""".stripMargin
+
+  val bpeTrainSql: String =
+    s"""WITH v0 AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS n,
+       |    array_to_string(string_split_regex(word, ''), ' ') AS seq
+       |  FROM (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word
+       |        FROM documents)
+       |  GROUP BY word),
+       | ${bpeIterSql(1, "v0", "v1")},
+       | ${bpeIterSql(2, "v1", "v2")},
+       | syms AS (
+       |  SELECT sym, CAST(sum(n) AS BIGINT) AS sn FROM (
+       |    SELECT n, unnest(string_split(seq, ' ')) AS sym FROM v2)
+       |  GROUP BY sym),
+       | topk AS (
+       |  SELECT 'symbol' AS kind,
+       |    CAST(row_number() OVER (ORDER BY sn DESC, sym ASC) AS INT) AS ord,
+       |    sym AS item, sn AS n
+       |  FROM syms ORDER BY sn DESC, sym ASC LIMIT $BpeTopK)
+       |SELECT kind, ord, item, n FROM (
+       |  SELECT 'merge' AS kind, 1 AS ord, p1 || ' ' || p2 AS item, cnt AS n FROM best1
+       |  UNION ALL
+       |  SELECT 'merge', 2, p1 || ' ' || p2, cnt FROM best2
+       |  UNION ALL
+       |  SELECT * FROM topk)
+       |ORDER BY kind, ord""".stripMargin
 }
