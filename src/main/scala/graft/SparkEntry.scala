@@ -213,6 +213,10 @@ object SparkEntry {
     // left-to-right merge via run parity — DuckDB replays both
     // iterations end-to-end
     "q109_bpe_train" -> TextAnalysis.bpeTrain _,
+    // AMS join-size estimation (7th sketch family): |A join B| from two
+    // narrow scans with 32 integer sums each — no key shuffle, no join;
+    // md5-derived signs make the randomized estimate hash-exact
+    "q110_ams_join_size" -> Relational.amsJoinSize _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -387,6 +391,7 @@ object SparkEntry {
     "q107_cluster_split" -> Dedup.clusterSplitSql,
     "q108_stream_outer_join" -> Pipelines.streamOuterIntervalJoinSql,
     "q109_bpe_train" -> TextAnalysis.bpeTrainSql,
+    "q110_ams_join_size" -> Relational.amsJoinSizeSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

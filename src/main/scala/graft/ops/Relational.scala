@@ -1003,6 +1003,73 @@ object Relational {
       .orderBy(col("n_true").desc, col("word"))
   }
 
+  private val AmsJ = 32
+
+  /** q110 — AMS/tug-of-war join-size estimation (Alon–Matias–Szegedy
+    * 1996; the 7th sketch family: second-moment / join cardinality).
+    * |A ⋈ B| on key k is Σ_k fA(k)·fB(k); each AMS estimator j keeps
+    * Z_j = Σ_rows s_j(key) with a ±1 sign function, and E[Z_A_j·Z_B_j]
+    * is exactly the join size. The mean of `AmsJ` independent estimators
+    * is the estimate — computed from TWO NARROW SCANS with constant
+    * aggregation state, never building a per-key table and never
+    * executing the join. That is the planner's cardinality-estimation
+    * primitive at 100 TB: the exact answer needs a key shuffle; this
+    * needs 32 integer sums per side.
+    *
+    * Signs come from ONE md5 per row (not one per estimator — the q93
+    * k-md5 lesson): the 60-bit house prefix of md5('ams|'||key) supplies
+    * `AmsJ` ≤ 60 sign bits via shift-and-mask, so both engines replay
+    * every Z_j — and therefore the estimate — bit-for-bit: a hash-exact
+    * gate for a randomized estimator, no accuracy contract needed (the
+    * estimate's ERROR is spec-asserted; its VALUE is deterministic).
+    * The face also computes the exact join size (two bounded per-key
+    * aggs + one join on the ~|keys| tables) so the gate row carries
+    * both; integer div by AmsJ keeps the mean exact. */
+  def amsJoinSize(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    def keyed(pred: Column) = li.where(pred).select(col("l_partkey").as("k"))
+    val a = keyed(col("l_shipdate") < lit("1996-01-01"))
+    val b = keyed(col("l_shipdate") >= lit("1996-01-01"))
+    def sketch(side: DataFrame, prefix: String) = {
+      val h = conv(substring(md5(concat(lit("ams|"), col("k").cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      val zs = (0 until AmsJ).map(j =>
+        sum(shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1).as(s"$prefix$j"))
+      side.agg(zs.head, zs.tail: _*)
+    }
+    val est = sketch(a, "za").crossJoin(sketch(b, "zb"))
+      .select((0 until AmsJ).map(j => col(s"za$j") * col(s"zb$j"))
+        .reduce(_ + _).as("zsum"))
+      // integer div (Column `/` on longs is DOUBLE division); zsum is
+      // positive for any real join — spec-asserted — so div ≡ DuckDB //
+      .select(expr(s"CAST(zsum div $AmsJ AS BIGINT)").as("ams_est"))
+    val exact = a.groupBy(col("k")).agg(count(lit(1)).as("fa"))
+      .join(b.groupBy(col("k")).agg(count(lit(1)).as("fb")), "k")
+      .agg(sum(col("fa") * col("fb")).as("exact_size"))
+    exact.crossJoin(est)
+      .select(lit("partkey_join").as("metric"), col("exact_size"), col("ams_est"))
+  }
+
+  val amsJoinSizeSql: String =
+    s"""WITH a AS (SELECT l_partkey AS k FROM lineitem
+       |   WHERE l_shipdate < '1996-01-01'),
+       | b AS (SELECT l_partkey AS k FROM lineitem
+       |   WHERE l_shipdate >= '1996-01-01'),
+       | js AS (SELECT unnest(range(0, $AmsJ)) AS j),
+       | ah AS (SELECT CAST('0x' || substr(md5('ams|' || CAST(k AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM a),
+       | bh AS (SELECT CAST('0x' || substr(md5('ams|' || CAST(k AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM b),
+       | az AS (SELECT j, sum(((h >> j) & 1) * 2 - 1) AS z FROM ah, js GROUP BY j),
+       | bz AS (SELECT j, sum(((h >> j) & 1) * 2 - 1) AS z FROM bh, js GROUP BY j),
+       | est AS (SELECT CAST(sum(az.z * bz.z) // $AmsJ AS BIGINT) AS ams_est
+       |   FROM az JOIN bz USING (j)),
+       | ex AS (
+       |  SELECT CAST(sum(fa * fb) AS BIGINT) AS exact_size FROM
+       |    (SELECT k, count(*) AS fa FROM a GROUP BY k) fa
+       |    JOIN (SELECT k, count(*) AS fb FROM b GROUP BY k) fb USING (k))
+       |SELECT 'partkey_join' AS metric,
+       |  (SELECT exact_size FROM ex) AS exact_size,
+       |  (SELECT ams_est FROM est) AS ams_est""".stripMargin
+
   val mgHeavyHittersSql: String =
     s"""WITH toks AS (
        |  SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word
