@@ -546,8 +546,13 @@ object Dedup {
     * the SAME pair set (the full portable LSH pipeline inlined), then
     * min-reachable-id per node — a different algorithm arriving at the
     * same unique fixpoint. */
-  def dupClustersSql: String =
-    s"""WITH RECURSIVE pairs AS ($minhashLshPairsSql),
+  /** Shared recursive-CTE prefix: LSH pairs → symmetric edges →
+    * transitive closure → min-id components. ONE definition feeding both
+    * the q38 and q107 oracles, so the two can never desynchronize on the
+    * clustering (review finding: a drifted copy would silently split
+    * the split unit away from the dedup clusters). */
+  private def componentsCteSql: String =
+    s"""pairs AS ($minhashLshPairsSql),
        | edges AS (
        |  SELECT d1 AS src, d2 AS dst FROM pairs
        |  UNION
@@ -556,7 +561,10 @@ object Dedup {
        |  SELECT src, src FROM edges
        |  UNION
        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
-       | comp AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+       | comp AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a)""".stripMargin
+
+  def dupClustersSql: String =
+    s"""WITH RECURSIVE $componentsCteSql,
        | sizes AS (SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY cluster)
        |SELECT c.doc_id, c.cluster, s.cluster_size
        |FROM comp c JOIN sizes s USING (cluster)
@@ -588,16 +596,7 @@ object Dedup {
   }
 
   def clusterSplitSql: String =
-    s"""WITH RECURSIVE pairs AS (${minhashLshPairsSql}),
-       | edges AS (
-       |  SELECT d1 AS src, d2 AS dst FROM pairs
-       |  UNION
-       |  SELECT d2, d1 FROM pairs),
-       | reach(a, b) AS (
-       |  SELECT src, src FROM edges
-       |  UNION
-       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
-       | comp AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+    s"""WITH RECURSIVE $componentsCteSql,
        | unit AS (
        |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS unit
        |  FROM documents d LEFT JOIN comp c USING (doc_id))

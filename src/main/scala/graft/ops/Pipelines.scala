@@ -394,7 +394,11 @@ object Pipelines {
     * outer-emission set. The oracle recomputes the eviction rule in
     * DuckDB: unmatched signups with ts + 24h ≤ watermark. A join that
     * emitted an outer row early (state bug), late (watermark bug), or
-    * alongside matches (duplication bug) diverges the hash.
+    * alongside matches (duplication bug) diverges the hash. The ≤
+    * boundary is Spark's MEASURED rule, pinned at millisecond
+    * granularity by OuterJoinBoundarySpec (no emission at wm =
+    * ts+window−1ms, emission exactly at wm = ts+window) — a Spark
+    * upgrade that shifts it reds that spec before this gate.
     *
     * Scale: identical state shape to q57 (symmetric hash join,
     * watermark-trimmed both sides); outer rows ride the existing
@@ -426,7 +430,7 @@ object Pipelines {
       |    (SELECT max(epoch_ms(ts)) FROM events WHERE event_type = 'view'))
       |    - 3600000 AS w),
       | matched AS (
-      |  SELECT s.event_id, count(*) AS n_views, round(sum(v.value), 4) AS sum_value
+      |  SELECT s.event_id, count(v.value) AS n_views, round(sum(v.value), 4) AS sum_value
       |  FROM events s
       |  JOIN events v ON v.user_id = s.user_id AND v.event_type = 'view'
       |    AND epoch_ms(v.ts) >= epoch_ms(s.ts)

@@ -996,7 +996,7 @@ object Relational {
       .where(col("n_true") * (MgCap + 1) > col("n_total"))
       .join(entries, Seq("word"), "left")
       .select(col("word"), col("n_true"), col("n_total"),
-        coalesce(col("est").isNotNull, lit(false)).as("found"),
+        col("est").isNotNull.as("found"),
         coalesce(col("est") <= col("n_true"), lit(false)).as("le_true"),
         coalesce(col("est") * (MgCap + 1) + col("n_total") >=
           col("n_true") * (MgCap + 1), lit(false)).as("ge_lower"))
@@ -1033,9 +1033,11 @@ object Relational {
     def sketch(side: DataFrame, prefix: String) = {
       val h = conv(substring(md5(concat(lit("ams|"), col("k").cast("string"))), 1, 15), 16, 10)
         .cast("long")
+      // project h ONCE before the agg: inlining it into all 32 sums
+      // would lean on codegen CSE to avoid 32 md5s per row (review)
       val zs = (0 until AmsJ).map(j =>
-        sum(shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1).as(s"$prefix$j"))
-      side.agg(zs.head, zs.tail: _*)
+        sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"$prefix$j"))
+      side.select(h.as("h")).agg(zs.head, zs.tail: _*)
     }
     val est = sketch(a, "za").crossJoin(sketch(b, "zb"))
       .select((0 until AmsJ).map(j => col(s"za$j") * col(s"zb$j"))

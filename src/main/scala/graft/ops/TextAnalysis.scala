@@ -558,8 +558,15 @@ object TextAnalysis {
       .localCheckpoint(true) // vocab is small; truncate the corpus scan
     var vocab = vocab0
     val merges = Seq.newBuilder[DataFrame]
+    val spark = docs.sparkSession
+    // '#' can never appear in a [a-z0-9]+ symbol or any merge of them, so
+    // the sentinel matches nothing: when NO pairs remain (every word
+    // fully merged) the iteration is a no-op instead of the empty `best`
+    // annihilating the vocab through the cross join (review finding)
+    val sentinel = spark.range(1)
+      .select(lit("# #").as("pair"), lit(-1L).as("cnt"))
     for (step <- 1 to BpeIters) {
-      val best = bpePairStats(vocab)
+      val best = bpePairStats(vocab).unionByName(sentinel)
         .orderBy(col("cnt").desc, col("pair").asc).limit(1)
         .select(split(col("pair"), " ").getItem(0).as("p1"),
           split(col("pair"), " ").getItem(1).as("p2"), col("cnt"))
@@ -591,7 +598,9 @@ object TextAnalysis {
        |  FROM px$k GROUP BY 1),
        | best$k AS (
        |  SELECT string_split(pair, ' ')[1] AS p1, string_split(pair, ' ')[2] AS p2, cnt
-       |  FROM ps$k ORDER BY cnt DESC, pair ASC LIMIT 1),
+       |  FROM (SELECT pair, cnt FROM ps$k
+       |        UNION ALL SELECT '# #', CAST(-1 AS BIGINT))
+       |  ORDER BY cnt DESC, pair ASC LIMIT 1),
        | ex$k AS (
        |  SELECT word, n, unnest(range(1, len(syms)+1)) AS i, syms
        |  FROM (SELECT word, n, string_split(seq, ' ') AS syms FROM $in)),
