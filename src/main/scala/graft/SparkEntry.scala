@@ -217,6 +217,10 @@ object SparkEntry {
     // narrow scans with 32 integer sums each — no key shuffle, no join;
     // md5-derived signs make the randomized estimate hash-exact
     "q110_ams_join_size" -> Relational.amsJoinSize _,
+    // STREAMING Misra-Gries (7th streaming class: sketch state): the
+    // q104 sketch updated then MERGED with restored state across 3 real
+    // micro-batches; same theorem contract, now covering state restore
+    "q111_stream_heavy_hitters" -> Pipelines.streamHeavyHitters _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -392,6 +396,7 @@ object SparkEntry {
     "q108_stream_outer_join" -> Pipelines.streamOuterIntervalJoinSql,
     "q109_bpe_train" -> TextAnalysis.bpeTrainSql,
     "q110_ams_join_size" -> Relational.amsJoinSizeSql,
+    "q111_stream_heavy_hitters" -> Pipelines.streamHeavyHittersSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -449,6 +449,63 @@ object Pipelines {
       |FROM closed_unmatched
       |ORDER BY event_id""".stripMargin
 
+  /** Gate face (q111) — STREAMING Misra–Gries heavy hitters: the q104
+    * sketch maintained as streaming-aggregation state across real
+    * micro-batches (the 7th streaming class: sketch state). The corpus
+    * arrives in three waves (doc_id mod 3, the q103 file-delivery
+    * trick, maxFilesPerTrigger=1), so the MG buffer is updated in batch
+    * 1, then MERGED with the restored state in batches 2 and 3 — the
+    * cross-batch path a single-batch run never executes. The MG theorem
+    * is order- and merge-independent, so the streamed sketch satisfies
+    * exactly the q104 contract: the gate emits the same guaranteed-set
+    * flags (computed against batch-exact counts) and the oracle asserts
+    * them — a sketch whose state mis-restored (lost counts, doubled
+    * counts, dropped keys) breaks underestimate/bound/found and reds
+    * the hash. n_total rides the same streaming state (a second agg
+    * buffer), so a dropped batch reds the count parity too.
+    *
+    * Scale: state = ONE bounded MG buffer (≤ cap entries) + a long —
+    * constant regardless of stream length; each micro-batch shuffles
+    * tasks×cap partial entries, the q104 argument per batch. */
+  def streamHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val cap = 64
+    val base = freshTmp("shh_q111")
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    (0 until 3).foreach(i => docs.where(pmod(col("doc_id"), lit(3)) === i)
+      .coalesce(1).write.mode("append").parquet(s"$base/in"))
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val q = stream
+      .select(explode(graft.ops.TextAnalysis.words(col("text"))).as("word"))
+      .agg(graft.functions.MgAgg.mgSketch(col("word"), cap).as("sk"),
+        count(lit(1)).as("n_total"))
+      .writeStream.format("memory").queryName("shh_q111_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // complete mode: the memory table holds the LATEST full result (one
+    // row: the cross-batch sketch + stream-total count)
+    val fin = s.table("shh_q111_out").cache()
+    val entries = fin.select(explode(col("sk")).as(Seq("word", "est")))
+    val toks = docs.select(explode(graft.ops.TextAnalysis.words(col("text"))).as("word"))
+    val exact = toks.groupBy(col("word")).agg(count(lit(1)).as("n_true"))
+    exact.crossJoin(broadcast(fin.select(col("n_total"))))
+      .where(col("n_true") * (cap + 1) > col("n_total"))
+      .join(entries, Seq("word"), "left")
+      .select(col("word"), col("n_true"), col("n_total"),
+        col("est").isNotNull.as("found"),
+        coalesce(col("est") <= col("n_true"), lit(false)).as("le_true"),
+        coalesce(col("est") * (cap + 1) + col("n_total") >=
+          col("n_true") * (cap + 1), lit(false)).as("ge_lower"))
+      .orderBy(col("n_true").desc, col("word"))
+  }
+
+  /** Oracle for q111: identical contract to q104 — the guaranteed set
+    * and N recomputed from scratch; the STREAMED sketch must satisfy the
+    * same theorem flags the batch sketch does (state restore is just
+    * another merge order). */
+  val streamHeavyHittersSql: String = graft.ops.Relational.mgHeavyHittersSql
+
   /** Streaming parquet source over the single events file (q57's trick);
     * delegates to [[graft.Tables.eventsStream]] so ts normalization has
     * exactly one definition shared with the batch loader. */

@@ -85,4 +85,28 @@ class MgSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"contract flag false for ${r.getString(0)}")
     }
   }
+
+  test("streaming mg (q111): 3 micro-batches, count parity, flags all true") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.ops.Pipelines.streamHeavyHitters(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // n_total parity with the batch corpus proves no micro-batch was
+    // dropped or double-counted through the state restore
+    val s = spark
+    val exactTotal = graft.Tables.documents(s, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.ops.TextAnalysis.words(org.apache.spark.sql.functions.col("text"))))
+      .count()
+    assert(rows.head.getLong(2) == exactTotal,
+      s"stream n_total ${rows.head.getLong(2)} != corpus tokens $exactTotal")
+    rows.foreach { r =>
+      assert(r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5),
+        s"contract flag false for ${r.getString(0)} in streamed sketch")
+    }
+    // the delivery really was multi-batch: >= 3 data files in the input
+    // dir, and maxFilesPerTrigger=1 makes each its own micro-batch
+    val inFiles = new java.io.File("target/tmp/shh_q111/in")
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(inFiles >= 3, s"expected >=3 delivery files, found $inFiles")
+  }
 }
