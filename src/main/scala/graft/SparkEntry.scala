@@ -221,6 +221,11 @@ object SparkEntry {
     // q104 sketch updated then MERGED with restored state across 3 real
     // micro-batches; same theorem contract, now covering state restore
     "q111_stream_heavy_hitters" -> Pipelines.streamHeavyHitters _,
+    // prefix-filtered exact Jaccard join (SSJoin/PPJoin principle): the
+    // candidate join touches only each doc's rarest-prefix shingles;
+    // oracle = q32's brute force VERBATIM, so equality proves the
+    // pruning lossless
+    "q112_prefix_jaccard" -> ((s: SparkSession, d: String) => Dedup.prefixJaccardPairs(s, d)),
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -397,6 +402,7 @@ object SparkEntry {
     "q109_bpe_train" -> TextAnalysis.bpeTrainSql,
     "q110_ams_join_size" -> Relational.amsJoinSizeSql,
     "q111_stream_heavy_hitters" -> Pipelines.streamHeavyHittersSql,
+    "q112_prefix_jaccard" -> Dedup.jaccardPairsSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -152,6 +152,57 @@ object Dedup {
        |WHERE round(n_common * 1.0 / (n1.ns + n2.ns - n_common), 4) >= 0.5
        |ORDER BY d1, d2""".stripMargin
 
+  /** q112 — prefix-filtered exact Jaccard join (the SSJoin/PPJoin prefix
+    * principle, Chaudhuri et al. 2006 / Xiao et al. 2008): the EXACT
+    * all-pairs answer of [[jaccardPairs]] through a candidate join that
+    * touches only each document's PREFIX — its |s| − ⌈t·|s|⌉ + 1 rarest
+    * shingles under a global (df asc, shingle asc) order. Any pair with
+    * Jaccard ≥ t must share a prefix shingle, so joining prefixes loses
+    * nothing; candidates then verify by exact set intersection. The
+    * ORACLE IS [[jaccardPairsSql]] VERBATIM — the brute-force
+    * formulation — so gate equality proves the pruning lossless and the
+    * verification exact (the q93/q100 convention).
+    *
+    * Scale: the quadratic term Σf² now runs over PREFIX postings only —
+    * rarest-first ordering makes prefix df's the smallest in the corpus,
+    * typically collapsing candidate volume by orders of magnitude vs
+    * the full self-join (measured in the spec and BASELINE probe); the
+    * verify leg is linear in candidates (per-doc capped sets join in by
+    * doc_id). The df cap stays load-bearing exactly as in q32. */
+  def prefixJaccardPairs(s: SparkSession, d: String, maxDf: Int = 100,
+      t: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shAll = shingles(Tables.documents(s, d))
+    val dfreq = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    val sh = shAll.join(dfreq, "shingle").cache() // (doc_id, shingle, df)
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("shingle").asc)
+    val whole = Window.partitionBy(col("doc_id"))
+    val ranked = sh
+      .withColumn("rn", row_number().over(byRarity))
+      .withColumn("ns", count(lit(1)).over(whole))
+    val prefix = ranked
+      .where(col("rn") <= col("ns") - ceil(col("ns") * t) + 1)
+      .select(col("doc_id"), col("shingle"))
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("shingle")).as("set"), count(lit(1)).as("ns"))
+    candidates
+      .join(sets.select(col("doc_id").as("d1"), col("set").as("s1"), col("ns").as("ns1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("set").as("s2"), col("ns").as("ns2")), "d2")
+      .withColumn("n_common", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") / (col("ns1") + col("ns2") - col("n_common")), 4))
+      .where(col("jaccard") >= t)
+      .select(col("d1"), col("d2"), col("n_common"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Text near-dup DEDUP (the keep-list): drop every document with a
     * near-duplicate (Jaccard ≥ 0.5) of smaller doc_id — one anti-join,
     * deterministic, no iterative clustering (same policy as
