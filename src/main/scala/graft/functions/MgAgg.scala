@@ -6,6 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -51,6 +52,15 @@ final case class MgAgg(
     s"capacity must be in [1, 2^16], got $capacity")
 
   override def child: Expression = key
+
+  // declared input contract: update() casts the child's value straight to
+  // UTF8String, so a non-string child must fail at ANALYSIS, not as an
+  // executor-side ClassCastException (AbstractDataType is private[sql],
+  // so checkInputDataTypes rather than ExpectsInputTypes)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (key.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mg_sketch requires a STRING key, got ${key.dataType.catalogString}")
 
   override def createAggregationBuffer(): mutable.HashMap[UTF8String, Long] =
     mutable.HashMap.empty[UTF8String, Long]

@@ -182,8 +182,16 @@ object Dedup {
     val ranked = sh
       .withColumn("rn", row_number().over(byRarity))
       .withColumn("ns", count(lit(1)).over(whole))
+    // Prefix length at t' = t − 1e-4, NOT t: the face (and the verbatim
+    // q32 oracle) accept round(jaccard, 4) >= t, so a pair with TRUE
+    // Jaccard in [t − 5e-5, t) rounds up and must pass — but the t-length
+    // prefix only guarantees candidates for true J >= t. The slacked
+    // prefix guarantees every pair with true J >= t − 1e-4 ⊇ every pair
+    // that can round up to t, restoring losslessness at the rounding
+    // boundary (costs at most one extra prefix shingle per doc).
+    val tSlack = t - 1e-4
     val prefix = ranked
-      .where(col("rn") <= col("ns") - ceil(col("ns") * t) + 1)
+      .where(col("rn") <= col("ns") - ceil(col("ns") * tSlack) + 1)
       .select(col("doc_id"), col("shingle"))
     val candidates = prefix.as("a")
       .join(prefix.as("b"),

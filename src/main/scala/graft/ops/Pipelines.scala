@@ -467,9 +467,16 @@ object Pipelines {
     * Scale: state = ONE bounded MG buffer (≤ cap entries) + a long —
     * constant regardless of stream length; each micro-batch shuffles
     * tasks×cap partial entries, the q104 argument per batch. */
+  /** Where [[streamHeavyHitters]] stages its delivery files — exposed for
+    * the q111 spec's multi-batch assertion so the test doesn't re-derive
+    * freshTmp's internal layout (a rename here updates both sides). */
+  private[graft] def streamHeavyHittersInputDir: java.io.File =
+    new java.io.File(s"target/tmp/$ShhName/in")
+  private val ShhName = "shh_q111"
+
   def streamHeavyHitters(s: SparkSession, d: String): DataFrame = {
     val cap = 64
-    val base = freshTmp("shh_q111")
+    val base = freshTmp(ShhName)
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     (0 until 3).foreach(i => docs.where(pmod(col("doc_id"), lit(3)) === i)
       .coalesce(1).write.mode("append").parquet(s"$base/in"))

@@ -1042,9 +1042,13 @@ object Relational {
     val est = sketch(a, "za").crossJoin(sketch(b, "zb"))
       .select((0 until AmsJ).map(j => col(s"za$j") * col(s"zb$j"))
         .reduce(_ + _).as("zsum"))
-      // integer div (Column `/` on longs is DOUBLE division); zsum is
-      // positive for any real join — spec-asserted — so div ≡ DuckDB //
-      .select(expr(s"CAST(zsum div $AmsJ AS BIGINT)").as("ams_est"))
+      // integer div (Column `/` on longs is DOUBLE division). Spark `div`
+      // truncates toward zero; DuckDB `//` floors — they diverge on a
+      // negative zsum, which per-estimator variance CAN produce for small
+      // skewed sides. greatest(zsum, 0) in BOTH engines makes the operand
+      // non-negative (where the two semantics agree) and is the right
+      // estimate anyway: a join size is never negative.
+      .select(expr(s"CAST(greatest(zsum, 0) div $AmsJ AS BIGINT)").as("ams_est"))
     val exact = a.groupBy(col("k")).agg(count(lit(1)).as("fa"))
       .join(b.groupBy(col("k")).agg(count(lit(1)).as("fb")), "k")
       .agg(sum(col("fa") * col("fb")).as("exact_size"))
@@ -1062,7 +1066,7 @@ object Relational {
        | bh AS (SELECT CAST('0x' || substr(md5('ams|' || CAST(k AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM b),
        | az AS (SELECT j, sum(((h >> j) & 1) * 2 - 1) AS z FROM ah, js GROUP BY j),
        | bz AS (SELECT j, sum(((h >> j) & 1) * 2 - 1) AS z FROM bh, js GROUP BY j),
-       | est AS (SELECT CAST(sum(az.z * bz.z) // $AmsJ AS BIGINT) AS ams_est
+       | est AS (SELECT CAST(greatest(sum(az.z * bz.z), 0) // $AmsJ AS BIGINT) AS ams_est
        |   FROM az JOIN bz USING (j)),
        | ex AS (
        |  SELECT CAST(sum(fa * fb) AS BIGINT) AS exact_size FROM

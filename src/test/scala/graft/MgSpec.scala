@@ -104,9 +104,12 @@ class MgSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"contract flag false for ${r.getString(0)} in streamed sketch")
     }
     // the delivery really was multi-batch: >= 3 data files in the input
-    // dir, and maxFilesPerTrigger=1 makes each its own micro-batch
-    val inFiles = new java.io.File("target/tmp/shh_q111/in")
-      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    // dir, and maxFilesPerTrigger=1 makes each its own micro-batch. The
+    // dir comes from the operator itself (not a re-derived literal), and
+    // must exist — a missing dir would otherwise NPE or pass vacuously.
+    val inDir = graft.ops.Pipelines.streamHeavyHittersInputDir
+    assert(inDir.isDirectory, s"q111 input dir missing: $inDir")
+    val inFiles = inDir.listFiles().count(f => f.getName.endsWith(".parquet"))
     assert(inFiles >= 3, s"expected >=3 delivery files, found $inFiles")
   }
 }
