@@ -36,7 +36,7 @@ object Dedup {
     * then a single distinct — the shape that survives 100 TB. */
   /** `dedup = false` skips the distinct shuffle — correct for consumers
     * whose aggregate is duplicate-insensitive (min-hash). */
-  private def shingles(docs: DataFrame, dedup: Boolean = true): DataFrame = {
+  private[graft] def shingles(docs: DataFrame, dedup: Boolean = true): DataFrame = {
     // materialize the words array behind a projection boundary FIRST:
     // inside an interpreted HOF the regexp would otherwise re-run per
     // lambda element (measured 5× on this query)
@@ -114,7 +114,9 @@ object Dedup {
     // capped self-join is paid once per run, not once per consumer
     SharedPlans.cached(s, s"jaccardPairs|$d|$maxDf")(jaccardPairsPlan(s, d, maxDf))
 
-  private def jaccardPairsPlan(s: SparkSession, d: String, maxDf: Int): DataFrame = {
+  // private[graft]: tools/PrefixJaccardAB times this un-memoized (the
+  // SharedPlans persist would turn repeat timings into cache reads)
+  private[graft] def jaccardPairsPlan(s: SparkSession, d: String, maxDf: Int): DataFrame = {
     val shAll = shingles(Tables.documents(s, d))
     val rare = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select(col("shingle"))
@@ -170,7 +172,7 @@ object Dedup {
     * verify leg is linear in candidates (per-doc capped sets join in by
     * doc_id). The df cap stays load-bearing exactly as in q32. */
   def prefixJaccardPairs(s: SparkSession, d: String, maxDf: Int = 100,
-      t: Double = 0.5): DataFrame = {
+      t: Double = 0.5, setVerify: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val shAll = shingles(Tables.documents(s, d))
     val dfreq = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -198,12 +200,34 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(collect_set(col("shingle")).as("set"), count(lit(1)).as("ns"))
-    candidates
-      .join(sets.select(col("doc_id").as("d1"), col("set").as("s1"), col("ns").as("ns1")), "d1")
-      .join(sets.select(col("doc_id").as("d2"), col("set").as("s2"), col("ns").as("ns2")), "d2")
-      .withColumn("n_common", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    // Verification — two equivalent legs, A/B'd in tools/PrefixJaccardAB:
+    //  - relational (default): count common shingles via candidates ⋈
+    //    postings ⋈ postings — two hash joins + one hash-agg, all
+    //    codegen'd, intermediate volume Σ_cand ns(d1) narrow rows. The
+    //    standard PPJoin formulation; no per-doc array ever materializes.
+    //  - set-based (setVerify): collect_set per doc, ship both arrays to
+    //    each candidate, array_intersect. Wide rows (a full shingle set
+    //    per candidate SIDE), kept for the A/B and as the mapPartitions-
+    //    free reference of what the relational leg computes.
+    val common =
+      if (setVerify) {
+        val sets = sh.groupBy(col("doc_id"))
+          .agg(collect_set(col("shingle")).as("set"))
+        candidates
+          .join(sets.select(col("doc_id").as("d1"), col("set").as("s1")), "d1")
+          .join(sets.select(col("doc_id").as("d2"), col("set").as("s2")), "d2")
+          .select(col("d1"), col("d2"),
+            size(array_intersect(col("s1"), col("s2"))).cast("long").as("n_common"))
+      } else {
+        val pa = sh.select(col("doc_id").as("d1"), col("shingle"))
+        val pb = sh.select(col("doc_id").as("d2"), col("shingle"))
+        candidates.join(pa, "d1").join(pb, Seq("d2", "shingle"))
+          .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_common"))
+      }
+    common
+      .join(counts.select(col("doc_id").as("d1"), col("ns").as("ns1")), "d1")
+      .join(counts.select(col("doc_id").as("d2"), col("ns").as("ns2")), "d2")
       .withColumn("jaccard",
         round(col("n_common").cast("double") / (col("ns1") + col("ns2") - col("n_common")), 4))
       .where(col("jaccard") >= t)

@@ -51,8 +51,16 @@ object Graph {
     *    data loop. */
   def pageRankInt(edges: DataFrame, iters: Int): DataFrame = {
     // ONE edge build, cached src-partitioned — the only |E|-sized state;
-    // deg and r0 derive from the cache co-partitioned (no exchange)
-    val e = edges.repartition(32, col("src")).persist()
+    // deg and r0 derive from the cache co-partitioned (no exchange).
+    // The explicit partition COUNT (EnsureRequirements only recognizes
+    // the co-partitioning when it is explicit) follows the session:
+    // graft.graph.parts if set, else spark.sql.shuffle.partitions — a
+    // literal here would silently degrade the whole trick on a real
+    // cluster configured wider than the dev box.
+    val conf = edges.sparkSession.conf
+    val parts = conf.getOption("graft.graph.parts").map(_.toInt)
+      .getOrElse(conf.get("spark.sql.shuffle.partitions").toInt)
+    val e = edges.repartition(parts, col("src")).persist()
     // deg is referenced 4× in the unrolled DAG (r0 + one dd per round);
     // caching the |V|-row table keeps the fused plan from re-aggregating
     // the |E|-row cache each time
