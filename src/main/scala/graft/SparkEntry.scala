@@ -226,6 +226,10 @@ object SparkEntry {
     // oracle = q32's brute force VERBATIM, so equality proves the
     // pruning lossless
     "q112_prefix_jaccard" -> ((s: SparkSession, d: String) => Dedup.prefixJaccardPairs(s, d)),
+    // bigram LM with stupid backoff trained on the even-doc_id half,
+    // scoring the odd half in integer milli-bits/token (1-bit-quantized
+    // log2 via bin-length) — the model-based quality-filter signal
+    "q113_lm_quality" -> TextAnalysis.lmQualityScore _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -403,6 +407,7 @@ object SparkEntry {
     "q110_ams_join_size" -> Relational.amsJoinSizeSql,
     "q111_stream_heavy_hitters" -> Pipelines.streamHeavyHittersSql,
     "q112_prefix_jaccard" -> Dedup.jaccardPairsSql,
+    "q113_lm_quality" -> TextAnalysis.lmQualityScoreSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -116,8 +116,11 @@ object Dedup {
 
   // private[graft]: tools/PrefixJaccardAB times this un-memoized (the
   // SharedPlans persist would turn repeat timings into cache reads)
-  private[graft] def jaccardPairsPlan(s: SparkSession, d: String, maxDf: Int): DataFrame = {
-    val shAll = shingles(Tables.documents(s, d))
+  private[graft] def jaccardPairsPlan(s: SparkSession, d: String, maxDf: Int): DataFrame =
+    jaccardPairsOf(Tables.documents(s, d), maxDf)
+
+  private[graft] def jaccardPairsOf(docs: DataFrame, maxDf: Int): DataFrame = {
+    val shAll = shingles(docs)
     val rare = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select(col("shingle"))
     val sh = shAll.join(rare, "shingle").cache()
@@ -165,16 +168,26 @@ object Dedup {
     * formulation — so gate equality proves the pruning lossless and the
     * verification exact (the q93/q100 convention).
     *
-    * Scale: the quadratic term Σf² now runs over PREFIX postings only —
-    * rarest-first ordering makes prefix df's the smallest in the corpus,
-    * typically collapsing candidate volume by orders of magnitude vs
-    * the full self-join (measured in the spec and BASELINE probe); the
-    * verify leg is linear in candidates (per-doc capped sets join in by
-    * doc_id). The df cap stays load-bearing exactly as in q32. */
+    * Scale — measured scoping (PrefixJaccardAB, probe_q112_ab_r9.txt):
+    * the quadratic term Σ C(df,2) runs over PREFIX postings only, and
+    * rarest-first ordering keeps hot shingles OUT of prefixes — but that
+    * only pays when the df distribution is heavy-tailed. This harness's
+    * corpus has BOUNDED df (max 25 at every probed SF), so [[jaccardPairs]]'
+    * capped brute force is already linear and beats this operator there
+    * (e.g. 13.1 vs 19.6 s at sf1). In the hot-shingle regime the prefix
+    * join is the only exact plan that survives: with a 22-word boilerplate
+    * on 30% of sf1 docs (hot df ≈ 15k, Σ C(df,2) = 2.26e9), brute = 339 s
+    * vs prefix = 10.3 s — 33×, identical output. Use jaccardPairs when a
+    * df cap is acceptable; use THIS when exactness over an uncapped
+    * universe matters or the corpus carries boilerplate/hot shingles. */
   def prefixJaccardPairs(s: SparkSession, d: String, maxDf: Int = 100,
-      t: Double = 0.5, setVerify: Boolean = false): DataFrame = {
+      t: Double = 0.5, setVerify: Boolean = true): DataFrame =
+    prefixJaccardPairsOf(Tables.documents(s, d), maxDf, t, setVerify)
+
+  private[graft] def prefixJaccardPairsOf(docs: DataFrame, maxDf: Int,
+      t: Double, setVerify: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val shAll = shingles(Tables.documents(s, d))
+    val shAll = shingles(docs)
     val dfreq = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
     val sh = shAll.join(dfreq, "shingle").cache() // (doc_id, shingle, df)
@@ -201,15 +214,18 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-    // Verification — two equivalent legs, A/B'd in tools/PrefixJaccardAB:
-    //  - relational (default): count common shingles via candidates ⋈
-    //    postings ⋈ postings — two hash joins + one hash-agg, all
-    //    codegen'd, intermediate volume Σ_cand ns(d1) narrow rows. The
-    //    standard PPJoin formulation; no per-doc array ever materializes.
-    //  - set-based (setVerify): collect_set per doc, ship both arrays to
-    //    each candidate, array_intersect. Wide rows (a full shingle set
-    //    per candidate SIDE), kept for the A/B and as the mapPartitions-
-    //    free reference of what the relational leg computes.
+    // Verification — two equivalent legs, A/B'd in tools/PrefixJaccardAB
+    // (probe_q112_ab_r9.txt). The SET leg won EVERY measurement — natural
+    // corpus and constructed hot-shingle regime alike (e.g. 10.3 s vs the
+    // relational leg's 50.2 s at sf1 with 15k candidates): per-doc sets
+    // are bounded by doc length, ship ONCE per candidate side, and
+    // array_intersect runs in-memory per row, while the relational
+    // candidates⋈postings⋈postings form pays a Σ_cand ns(d1) row
+    // expansion through two shuffles plus a re-agg. Kept selectable:
+    //  - set-based (default): collect_set per doc, array_intersect.
+    //  - relational (setVerify=false): the textbook PPJoin count-common
+    //    formulation, for corpora whose single longest doc wouldn't fit
+    //    a collected array (not this schema's regime).
     val common =
       if (setVerify) {
         val sets = sh.groupBy(col("doc_id"))

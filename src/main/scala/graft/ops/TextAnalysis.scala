@@ -657,4 +657,123 @@ object TextAnalysis {
        |  UNION ALL
        |  SELECT * FROM topk)
        |ORDER BY kind, ord""".stripMargin
+
+  /** Backoff penalty in bits (≈ ×1/4 mass for the unigram path) and the
+    * extra OOV bits; 1-bit log resolution makes both pure integers. */
+  private val LmBackoffBits = 2L
+  private val LmOovExtraBits = 4L
+
+  /** floor(log2(x)) for x ≥ 1, integer-exact in BOTH engines: the binary
+    * rendering's length minus one (Spark `bin`, DuckDB `bin` — verified
+    * identical for BIGINT). This is the 1-bit-quantized logarithm that
+    * keeps an LM score inside the suite's exact-integer/hash-gate
+    * convention — no ln() whose last-ulp could differ across libm
+    * implementations and summation orders. */
+  private def ilog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+
+  /** q113 — n-gram LM perplexity/quality scoring (the model-based quality
+    * filter of CCNet/RefinedWeb-style curation, KenLM-shape): train a
+    * bigram LM with stupid backoff (Brants et al. 2007) on the EVEN-doc_id
+    * half of the corpus, score every ODD-doc_id document by its average
+    * quantized negative log2-likelihood — low bits/token ≈ fluent, in-
+    * domain text; high ≈ gibberish. The held-out split is what makes the
+    * score a real signal (self-trained scores would see every bigram) and
+    * exercises both backoff paths: unseen bigram → unigram backoff
+    * (+[[LmBackoffBits]]), unseen word → OOV (+[[LmOovExtraBits]] more).
+    *
+    * Per adjacent token pair (w1, w2) of a scored doc, with train counts
+    * c2 = bigram, c1 = unigram(w1), cu = unigram(w2), N = train tokens:
+    *
+    *   nlp = ilog2(c1) − ilog2(c2)          c2 > 0   (≥ 0: c2 ≤ c1)
+    *       | B + ilog2(N) − ilog2(cu)       c2 = 0, cu > 0
+    *       | B + OOV + ilog2(N)             cu = 0
+    *
+    * score_mbits = (1000 · Σ nlp) div n_pairs — milli-bits per token,
+    * pure integer, replayed bit-for-bit by the oracle. Docs with < 2
+    * tokens carry the −1 sentinel.
+    *
+    * Scale: the model is two map-side-combinable hash-aggs over the train
+    * half (vocab-bounded outputs, ≪ corpus); scoring is three shuffle
+    * hash joins keyed on tokens/bigrams plus one per-doc agg — no
+    * broadcast of anything corpus-sized, no window wider than one
+    * document, everything codegen. At 100 TB the bigram table is the
+    * only large intermediate and it is (distinct bigrams)-sized, shared
+    * across all scored partitions by key partitioning. */
+  def lmQualityScore(s: SparkSession, d: String): DataFrame =
+    lmQualityScoreOf(Tables.documents(s, d))
+
+  private[graft] def lmQualityScoreOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wp = docs.select(col("doc_id"),
+      posexplode(words(col("text"))).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = wp.withColumn("w2", lead(col("w"), 1).over(byDoc))
+    val trainToks = wp.where(col("doc_id") % 2 === 0)
+    val uni = trainToks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val nTrain = trainToks.agg(count(lit(1)).as("n"))
+    val big = pairs.where(col("doc_id") % 2 === 0 && col("w2").isNotNull)
+      .groupBy(col("w").as("b1"), col("w2").as("b2"))
+      .agg(count(lit(1)).as("c2"))
+    val scored = pairs.where(col("doc_id") % 2 === 1 && col("w2").isNotNull)
+      .select(col("doc_id"), col("w").as("w1"), col("w2"))
+      .join(big, col("w1") === col("b1") && col("w2") === col("b2"), "left")
+      .join(uni.select(col("w").as("u1w"), col("cu").as("c1")), col("w1") === col("u1w"), "left")
+      .join(uni.select(col("w").as("u2w"), col("cu").as("cu2")), col("w2") === col("u2w"), "left")
+      .crossJoin(broadcast(nTrain))
+      .select(col("doc_id"),
+        when(col("c2").isNotNull, ilog2(col("c1")) - ilog2(col("c2")))
+          .when(col("cu2").isNotNull,
+            lit(LmBackoffBits) + ilog2(col("n")) - ilog2(col("cu2")))
+          .otherwise(lit(LmBackoffBits + LmOovExtraBits) + ilog2(col("n")))
+          .as("nlp"))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("nlp")).as("s"))
+      .select(col("doc_id"), col("n_pairs"),
+        expr("(1000 * s) div n_pairs").as("score_mbits"))
+    docs.where(col("doc_id") % 2 === 1).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("score_mbits"), lit(-1L)).as("score_mbits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmQualityScoreSql: String =
+    s"""WITH wordpos AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(text, '$wordPat')) AS w,
+       |    generate_subscripts(regexp_extract_all(text, '$wordPat'), 1) AS pos
+       |  FROM documents),
+       | pairs AS (
+       |  SELECT doc_id, w AS w1,
+       |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |  FROM wordpos),
+       | uni AS (SELECT w, count(*) AS cu FROM wordpos
+       |   WHERE doc_id % 2 = 0 GROUP BY w),
+       | n AS (SELECT count(*) AS n FROM wordpos WHERE doc_id % 2 = 0),
+       | big AS (SELECT w1, w2, count(*) AS c2 FROM pairs
+       |   WHERE doc_id % 2 = 0 AND w2 IS NOT NULL GROUP BY w1, w2),
+       | sc AS (
+       |  SELECT p.doc_id,
+       |    CASE WHEN b.c2 IS NOT NULL
+       |           THEN (length(bin(u1.cu)) - 1) - (length(bin(b.c2)) - 1)
+       |         WHEN u2.cu IS NOT NULL
+       |           THEN $LmBackoffBits + (length(bin(n.n)) - 1) - (length(bin(u2.cu)) - 1)
+       |         ELSE ${LmBackoffBits + LmOovExtraBits} + (length(bin(n.n)) - 1) END AS nlp
+       |  FROM pairs p
+       |  LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+       |  LEFT JOIN uni u1 ON p.w1 = u1.w
+       |  LEFT JOIN uni u2 ON p.w2 = u2.w
+       |  CROSS JOIN n
+       |  WHERE p.doc_id % 2 = 1 AND p.w2 IS NOT NULL),
+       | per AS (
+       |  SELECT doc_id, count(*) AS n_pairs,
+       |    CAST((1000 * sum(nlp)) // count(*) AS BIGINT) AS score_mbits
+       |  FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(per.n_pairs, 0) AS n_pairs,
+       |  coalesce(per.score_mbits, -1) AS score_mbits
+       |FROM documents d LEFT JOIN per USING (doc_id)
+       |WHERE d.doc_id % 2 = 1
+       |ORDER BY d.doc_id""".stripMargin
 }

@@ -18,7 +18,21 @@ import org.apache.spark.sql.functions._
   * and prints the theoretical pair volumes (Σ C(df,2) over the full vs
   * prefix-only postings) that explain the wall clocks.
   *
-  * Usage: graft.tools.PrefixJaccardAB <sfDir> [maxDf ...]
+  * MEASURED FINDING (this testdata family, probe_q112_ab_r9.txt): the
+  * shingle df distribution is BOUNDED — max df = 25 at sf0.1 AND sf1
+  * (ScaleUp perturbs text into fresh shingle universes), so the default
+  * cap never bites, Σ C(df,2) is already linear, and the prefix filter
+  * is pure window-sort overhead: brute wins at every probed (SF, cap).
+  * The regime the SSJoin literature targets — heavy-tailed df where the
+  * self-join is quadratic in hot shingles — has to be CONSTRUCTED here:
+  * `boilerplate <frac> <words>` appends one shared boilerplate sentence
+  * to a doc fraction, giving ~frac·n docs a run of hot shingles. In that
+  * regime the capped brute force must either drop the hot shingles
+  * (cap bites -> misses boilerplate-driven pairs) or explode; the prefix
+  * join keeps hot shingles OUT of prefixes (rarest-first) while still
+  * verifying them exactly.
+  *
+  * Usage: graft.tools.PrefixJaccardAB <sfDir> [maxDf ...] [boilerplate <frac> <words>]
   * (default caps: 100 400 1000 4000)
   */
 object PrefixJaccardAB {
@@ -29,8 +43,26 @@ object PrefixJaccardAB {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = args.head
-    val caps = if (args.length > 1) args.tail.map(_.toInt).toSeq
+    val bpIdx = args.indexOf("boilerplate")
+    val (capArgs, bp) =
+      if (bpIdx >= 0) (args.slice(1, bpIdx), Some((args(bpIdx + 1).toDouble, args(bpIdx + 2).toInt)))
+      else (args.tail, None)
+    val caps = if (capArgs.nonEmpty) capArgs.map(_.toInt).toSeq
                else Seq(100, 400, 1000, 4000)
+
+    // corpus under test: the table itself, or the table with a shared
+    // boilerplate sentence appended to ~frac of docs (hot-shingle regime)
+    def corpus(): org.apache.spark.sql.DataFrame = {
+      val docs = graft.Tables.documents(spark, d)
+      bp match {
+        case None => docs
+        case Some((frac, nw)) =>
+          val sentence = (1 to nw).map(i => s"boilerplate$i").mkString(" ")
+          docs.withColumn("text",
+            when(pmod(col("doc_id"), lit(1000)) < lit((frac * 1000).toInt),
+              concat(col("text"), lit(" " + sentence))).otherwise(col("text")))
+      }
+    }
 
     def timed(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val n = f
@@ -46,17 +78,18 @@ object PrefixJaccardAB {
     caps.foreach { cap =>
       // pair volumes that explain the walls: Σ C(df,2) over full vs
       // prefix postings (the join's pre-aggregation row count)
-      val sh = graft.ops.Dedup.shingles(graft.Tables.documents(spark, d))
+      val sh = graft.ops.Dedup.shingles(corpus())
       val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .where(col("df") <= cap)
       val fullPairs = dfreq.agg(sum(col("df") * (col("df") - 1) / 2))
         .collect().head.getDouble(0).toLong
-      val (tb, nb) = run(graft.ops.Dedup.jaccardPairsPlan(spark, d, cap))
-      val (tr, nr) = run(graft.ops.Dedup.prefixJaccardPairs(spark, d, cap, 0.5, setVerify = false))
-      val (ts, nsn) = run(graft.ops.Dedup.prefixJaccardPairs(spark, d, cap, 0.5, setVerify = true))
+      val (tb, nb) = run(graft.ops.Dedup.jaccardPairsOf(corpus(), cap))
+      val (tr, nr) = run(graft.ops.Dedup.prefixJaccardPairsOf(corpus(), cap, 0.5, setVerify = false))
+      val (ts, nsn) = run(graft.ops.Dedup.prefixJaccardPairsOf(corpus(), cap, 0.5, setVerify = true))
       assert(nb == nr && nb == nsn,
         s"A/B result divergence at cap=$cap: brute=$nb rel=$nr set=$nsn")
-      println(f"[ab] $d cap=$cap full_join_pairs=$fullPairs pairs=$nb " +
+      println(f"[ab] $d${bp.map{case (f,w)=>s" bp=$f/$w"}.getOrElse("")} cap=$cap " +
+        f"full_join_pairs=$fullPairs pairs=$nb " +
         f"brute=$tb%.2fs pfx_rel=$tr%.2fs pfx_set=$ts%.2fs")
     }
     spark.stop()
