@@ -7,12 +7,18 @@ approximating the driver's compare so mismatches surface before round end.
 
 Usage: python3 scripts/check.py [sfDir] [--skip-verify]
        python3 scripts/check.py --bench-diff [old.json new.json]
+       python3 scripts/check.py --correctness-diff [old.json new.json]
 
 --bench-diff compares per-query medians between two driver bench files
 (default: the two highest BENCH_r*.json rounds) and flags regressions
 > 25% that are also > 0.2s absolute (so sub-second queries don't trip
 on scheduler noise). Queries only in one file are listed as added or
 removed; the shared-query totals quantify pass-level drift.
+
+--correctness-diff compares two CORRECTNESS_r*.json files (default: the
+two highest rounds): a query silently DROPPING OUT of the gate, newly
+failing, or downgrading from hash-checked to rows-only is flagged —
+the r8 verdict noted nothing watches for that class automatically.
 """
 import sys, os, json, subprocess, glob, math
 
@@ -125,9 +131,54 @@ def bench_diff(argv):
         print("  no per-query regressions above threshold")
     return 1 if flagged else 0
 
+def correctness_diff(argv):
+    explicit = [a for a in argv if not a.startswith("--")]
+    if len(explicit) == 2:
+        old_path, new_path = explicit
+    else:
+        rounds = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+        if len(rounds) < 2:
+            print("correctness-diff: need two CORRECTNESS_r*.json files"); return 0
+        old_path, new_path = rounds[-2], rounds[-1]
+    old, new = json.load(open(old_path)), json.load(open(new_path))
+
+    def status(rec):
+        # driver record: rows/schema/hash flags, err; a query without an
+        # oracle gets rows-only checks (hash_match absent or None)
+        if rec.get("err"): return "error"
+        if rec.get("hash_match") is True: return "hash"
+        if rec.get("rows_match") is True: return "rows-only"
+        return "fail"
+    print(f"correctness-diff: {os.path.basename(old_path)} -> {os.path.basename(new_path)}")
+    dropped = sorted(set(old) - set(new))
+    added = sorted(set(new) - set(old))
+    bad = []
+    rank = {"hash": 3, "rows-only": 2, "fail": 1, "error": 0}
+    for q in sorted(set(old) & set(new)):
+        so, sn = status(old[q]), status(new[q])
+        if rank[sn] < rank[so]:
+            bad.append((q, so, sn))
+    if added:
+        print(f"  added ({len(added)}): "
+              f"{', '.join(f'{q}[{status(new[q])}]' for q in added)}")
+    if dropped:
+        print(f"  DROPPED ({len(dropped)}): {', '.join(dropped)} — a query "
+              "left the gate; deliberate removals should be recorded in the "
+              "round notes")
+    if bad:
+        print("  DOWNGRADED:")
+        for q, so, sn in bad:
+            print(f"    {q}: {so} -> {sn}")
+    if not dropped and not bad:
+        n_hash = sum(1 for q in new if status(new[q]) == "hash")
+        print(f"  no drops or downgrades; {n_hash}/{len(new)} hash-checked")
+    return 1 if (dropped or bad) else 0
+
 def main():
     if "--bench-diff" in sys.argv:
         sys.exit(bench_diff(sys.argv[2:]))
+    if "--correctness-diff" in sys.argv:
+        sys.exit(correctness_diff(sys.argv[2:]))
     if "--skip-verify" not in sys.argv:
         run_verify()
     import duckdb

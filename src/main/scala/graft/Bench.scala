@@ -63,6 +63,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // RocksDB state store: the r9 A/B (probe_statestore_r9.txt) had it
+      // faster on every streaming face (q57/q103/q108/q111 total
+      // 21.6 -> 20.3 s at sf0.1); at real state sizes the gap widens —
+      // incremental snapshots vs HDFSBacked's full-map rewrite per commit
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -14,6 +14,10 @@ object Verify {
       // sketch aggregates (TypedImperativeAggregate) carry ~256B buffers;
       // the 128-group sort-fallback default defeats them
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      // same state-store provider as Bench (r9 A/B): the gate must
+      // verify the provider the bench actually runs
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
