@@ -230,6 +230,9 @@ object SparkEntry {
     // scoring the odd half in integer milli-bits/token (1-bit-quantized
     // log2 via bin-length) — the model-based quality-filter signal
     "q113_lm_quality" -> TextAnalysis.lmQualityScore _,
+    // the trained tokenizer APPLIED: per-doc word + BPE-token counts via
+    // the encoded vocab (word -> |seq|) — the corpus never re-segments
+    "q114_bpe_encode" -> TextAnalysis.bpeEncode _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -408,6 +411,7 @@ object SparkEntry {
     "q111_stream_heavy_hitters" -> Pipelines.streamHeavyHittersSql,
     "q112_prefix_jaccard" -> Dedup.jaccardPairsSql,
     "q113_lm_quality" -> TextAnalysis.lmQualityScoreSql,
+    "q114_bpe_encode" -> TextAnalysis.bpeEncodeSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

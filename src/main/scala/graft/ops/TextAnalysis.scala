@@ -551,6 +551,28 @@ object TextAnalysis {
     bpeTrainFrom(Tables.documents(s, d))
 
   def bpeTrainFrom(docs: DataFrame): DataFrame = {
+    val (mergeSteps, vocab) = bpeSteps(docs)
+    val merges = mergeSteps.zipWithIndex.map { case (best, i) =>
+      best.select(lit("merge").as("kind"), lit(i + 1).as("ord"),
+        concat(col("p1"), lit(" "), col("p2")).as("item"), col("cnt").as("n"))
+    }
+    val symbols = vocab
+      .select(col("n"), explode(split(col("seq"), " ")).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("n")).as("sn"))
+      .orderBy(col("sn").desc, col("sym").asc).limit(BpeTopK)
+      .select(lit("symbol").as("kind"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("sn").desc, col("sym").asc)).as("ord"),
+        col("sym").as("item"), col("sn").as("n"))
+    merges.reduce(_.unionByName(_)).unionByName(symbols)
+      .orderBy(col("kind"), col("ord"))
+  }
+
+  /** The shared BPE training loop: builds the word-frequency vocab, runs
+    * [[BpeIters]] merge iterations, and returns (per-step best-merge
+    * 1-row frames (p1, p2, cnt), final vocab (word, n, seq)). Both the
+    * training report (q109) and the encoder (q114) consume this. */
+  private def bpeSteps(docs: DataFrame): (Seq[DataFrame], DataFrame) = {
     val vocab0 = docs
       .select(explode(words(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
@@ -565,27 +587,82 @@ object TextAnalysis {
     // annihilating the vocab through the cross join (review finding)
     val sentinel = spark.range(1)
       .select(lit("# #").as("pair"), lit(-1L).as("cnt"))
-    for (step <- 1 to BpeIters) {
+    for (_ <- 1 to BpeIters) {
       val best = bpePairStats(vocab).unionByName(sentinel)
         .orderBy(col("cnt").desc, col("pair").asc).limit(1)
         .select(split(col("pair"), " ").getItem(0).as("p1"),
           split(col("pair"), " ").getItem(1).as("p2"), col("cnt"))
         .localCheckpoint(true) // 1 row, feeds two consumers
-      merges += best.select(lit("merge").as("kind"), lit(step).as("ord"),
-        concat(col("p1"), lit(" "), col("p2")).as("item"), col("cnt").as("n"))
+      merges += best
       vocab = bpeApplyMerge(vocab, best).localCheckpoint(true)
     }
-    val symbols = vocab
-      .select(col("n"), explode(split(col("seq"), " ")).as("sym"))
-      .groupBy(col("sym")).agg(sum(col("n")).as("sn"))
-      .orderBy(col("sn").desc, col("sym").asc).limit(BpeTopK)
-      .select(lit("symbol").as("kind"),
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("sn").desc, col("sym").asc)).as("ord"),
-        col("sym").as("item"), col("sn").as("n"))
-    merges.result().reduce(_.unionByName(_)).unionByName(symbols)
-      .orderBy(col("kind"), col("ord"))
+    (merges.result(), vocab)
   }
+
+  /** q114 — BPE tokenizer APPLICATION (encode + count): tokenize every
+    * document with the q109-trained tokenizer and report per-doc word
+    * and BPE-token counts — the "how many tokens is my corpus" question
+    * every LLM data pipeline answers before budgeting a training run.
+    *
+    * The scale insight (same as training): a word's encoding depends
+    * only on the word, so the CORPUS is never re-segmented — the final
+    * trained vocab (word → merged seq) IS the encoder, and per-doc
+    * token counts are one (doc, word)-grouped agg joined to that
+    * vocab-sized table: n_tokens(doc) = Σ_w cnt(doc, w)·|seq(w)|. At
+    * 100 TB the join's build side stays |vocab| and the corpus-side
+    * work is the same hash-agg q20 does. Every word of every doc is in
+    * the vocab by construction (trained on the same corpus), so the
+    * inner join loses nothing — wordless docs zero-fill via the final
+    * left join. */
+  def bpeEncode(s: SparkSession, d: String): DataFrame =
+    bpeEncodeFrom(Tables.documents(s, d))
+
+  private[graft] def bpeEncodeFrom(docs: DataFrame): DataFrame = {
+    val (_, vocab) = bpeSteps(docs)
+    val enc = vocab.select(col("word"),
+      size(split(col("seq"), " ")).cast("long").as("ntok"))
+    val perDoc = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+      .join(enc, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("ntok")).as("n_tokens"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for q114: replays both training iterations (the q109 CTEs
+    * verbatim) then the encode join — a wrong merge ANYWHERE in training
+    * shifts some word's symbol count and diverges per-doc totals. */
+  val bpeEncodeSql: String =
+    s"""WITH v0 AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS n,
+       |    array_to_string(string_split_regex(word, ''), ' ') AS seq
+       |  FROM (SELECT unnest(regexp_extract_all(text, '$wordPat')) AS word
+       |        FROM documents)
+       |  GROUP BY word),
+       | ${bpeIterSql(1, "v0", "v1")},
+       | ${bpeIterSql(2, "v1", "v2")},
+       | enc AS (SELECT word, len(string_split(seq, ' ')) AS ntok FROM v2),
+       | wc AS (
+       |  SELECT doc_id, word, count(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(text, '$wordPat')) AS word
+       |    FROM documents)
+       |  GROUP BY doc_id, word),
+       | per AS (
+       |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+       |    CAST(sum(cnt * ntok) AS BIGINT) AS n_tokens
+       |  FROM wc JOIN enc USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(per.n_words, 0) AS n_words,
+       |  coalesce(per.n_tokens, 0) AS n_tokens
+       |FROM documents d LEFT JOIN per USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** One unrolled BPE iteration as DuckDB CTEs: from vocab `$in` (word,
     * n, seq) derive `best$k` (p1, p2, cnt) and the merged vocab `$out`. */

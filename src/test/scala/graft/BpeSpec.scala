@@ -71,6 +71,32 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(train(docs, parts = 1).toSeq == train(docs, parts = 13).toSeq)
   }
 
+  test("bpeEncode (q114): hand-computed counts under the trained merges") {
+    val s = spark
+    import s.implicits._
+    // vocab: abcd(2) -> "a b c d", xy(1) -> "x y"
+    // merge 1: counts ab=2, bc=2, cd=2, xy=1 -> lexicographic "a b"
+    //   abcd: "ab c d"
+    // merge 2: "ab c"=2, "c d"=2, "x y"=1 -> lexicographic "ab c"
+    //   abcd: "abc d" (2 symbols); xy stays "x y" (2 symbols)
+    val docs = Seq((0L, "abcd"), (1L, "abcd xy")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncodeFrom(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(0L -> (1L, 2L), 1L -> (2L, 4L)))
+  }
+
+  test("bpeEncode: wordless doc zero-fills; layout-independent") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "abcd"), (1L, "abcd xy"), (2L, "...!!!"))
+    def run(parts: Int) = TextAnalysis.bpeEncodeFrom(
+        docs.toDF("doc_id", "text").repartition(parts))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val a = run(1)
+    assert(a.find(_._1 == 2L).contains((2L, 0L, 0L)))
+    assert(a == run(7))
+  }
+
   test("gate face at sf0.001: 2 merges + 20 symbols, weights descending") {
     val rows = TextAnalysis.bpeTrain(spark, "/root/testdata/sf0.001").collect()
     val merges = rows.filter(_.getString(0) == "merge")
