@@ -780,19 +780,26 @@ object TextAnalysis {
     lmQualityScoreOf(Tables.documents(s, d))
 
   private[graft] def lmQualityScoreOf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wp = docs.select(col("doc_id"),
-      posexplode(words(col("text"))).as(Seq("pos", "w")))
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val pairs = wp.withColumn("w2", lead(col("w"), 1).over(byDoc))
-    val trainToks = wp.where(col("doc_id") % 2 === 0)
+    // adjacent pairs built INSIDE the row (the shingles idiom: slice the
+    // words array against its own tail and explode) — one narrow
+    // projection per doc, no per-doc window sort; the oracle's
+    // lead-over-window formulation is semantically identical
+    val wArr = col("w")
+    val pairArr = when(size(wArr) >= 2,
+      transform(sequence(lit(1), size(wArr) - 1), i =>
+        struct(element_at(wArr, i).as("w1"), element_at(wArr, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val pairs = docs.select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), explode(pairArr).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val trainToks = docs.where(col("doc_id") % 2 === 0)
+      .select(explode(words(col("text"))).as("w"))
     val uni = trainToks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
     val nTrain = trainToks.agg(count(lit(1)).as("n"))
-    val big = pairs.where(col("doc_id") % 2 === 0 && col("w2").isNotNull)
-      .groupBy(col("w").as("b1"), col("w2").as("b2"))
+    val big = pairs.where(col("doc_id") % 2 === 0)
+      .groupBy(col("w1").as("b1"), col("w2").as("b2"))
       .agg(count(lit(1)).as("c2"))
-    val scored = pairs.where(col("doc_id") % 2 === 1 && col("w2").isNotNull)
-      .select(col("doc_id"), col("w").as("w1"), col("w2"))
+    val scored = pairs.where(col("doc_id") % 2 === 1)
       .join(big, col("w1") === col("b1") && col("w2") === col("b2"), "left")
       .join(uni.select(col("w").as("u1w"), col("cu").as("c1")), col("w1") === col("u1w"), "left")
       .join(uni.select(col("w").as("u2w"), col("cu").as("cu2")), col("w2") === col("u2w"), "left")
