@@ -233,6 +233,10 @@ object SparkEntry {
     // the trained tokenizer APPLIED: per-doc word + BPE-token counts via
     // the encoded vocab (word -> |seq|) — the corpus never re-segments
     "q114_bpe_encode" -> TextAnalysis.bpeEncode _,
+    // SemDeDup (Abbas 2023): k-means-cluster the embeddings (q94's
+    // integer Lloyd pipeline verbatim), then near-dup only WITHIN each
+    // cluster — integer cross-multiplied cosine, q44's smaller-id keep
+    "q115_semdedup" -> Similarity.semDedup _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -412,6 +416,7 @@ object SparkEntry {
     "q112_prefix_jaccard" -> Dedup.jaccardPairsSql,
     "q113_lm_quality" -> TextAnalysis.lmQualityScoreSql,
     "q114_bpe_encode" -> TextAnalysis.bpeEncodeSql,
+    "q115_semdedup" -> Similarity.semDedupSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

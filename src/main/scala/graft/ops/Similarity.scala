@@ -717,9 +717,10 @@ object Similarity {
     kmeansIntOn(quantizeInt8(Tables.embeddings(s, d))
       .select(col("vec_id"), col("q8")), k, iters)
 
-  /** Core Lloyd loop over an already-quantized (vec_id, q8) frame; seeds
-    * are the first k vec_ids. See [[kmeansInt]]. */
-  def kmeansIntOn(qe: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** The Lloyd loop alone: trains and returns the converged centroids
+    * over an already-quantized (vec_id, q8) frame; seeds are the first k
+    * vec_ids. Shared by [[kmeansIntOn]] (q94) and [[semDedup]] (q115). */
+  private[graft] def kmeansFit(qe: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
     var cents: Array[Array[Long]] = qe.where(col("vec_id") < k).orderBy(col("vec_id"))
       .collect().map(_.getSeq[Double](1).map(_.toLong).toArray)
     require(cents.length == k, s"need $k seed vectors (vec_id < $k), got ${cents.length}")
@@ -745,6 +746,14 @@ object Similarity {
       }
       cents = next
     }
+    cents
+  }
+
+  /** Core Lloyd loop over an already-quantized (vec_id, q8) frame; seeds
+    * are the first k vec_ids. See [[kmeansInt]]. */
+  def kmeansIntOn(qe: DataFrame, k: Int, iters: Int): DataFrame = {
+    val cents = kmeansFit(qe, k, iters)
+    val viaJoin = k > KmeansMaxExprK
     // final assignment with the converged centroids; per-cluster count +
     // a portable centroid signature
     val centMd5 = cents.map(c => c.mkString(" "))
@@ -756,13 +765,13 @@ object Similarity {
       .orderBy(col("cluster"))
   }
 
-  val kmeansIntSql: String = {
-    // one Lloyd iteration as SQL: assign by integer squared distance
-    // (first-min tie-break via ORDER BY dist, cluster), then the rounded
-    // integer mean per (cluster, dim), empty clusters keeping the
-    // previous centroid via the LEFT JOIN coalesce
-    def iter(prev: String, out: String): String =
-      s""" a$out AS (
+  // one Lloyd iteration as SQL: assign by integer squared distance
+  // (first-min tie-break via ORDER BY dist, cluster), then the rounded
+  // integer mean per (cluster, dim), empty clusters keeping the
+  // previous centroid via the LEFT JOIN coalesce. Shared by the q94 and
+  // q115 oracles — both replay the identical training pipeline.
+  private def kmeansIterSql(prev: String, out: String): String =
+    s""" a$out AS (
          |  SELECT q8.vec_id, q8.q, c.cluster,
          |    row_number() OVER (PARTITION BY q8.vec_id
          |      ORDER BY list_sum(list_transform(range(1, 65),
@@ -784,6 +793,10 @@ object Similarity {
          |        FROM $prev p CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d) pd
          |  LEFT JOIN s$out s ON s.cluster = pd.cluster AND s.dim = pd.i
          |  GROUP BY pd.cluster)""".stripMargin
+  /** Shared training-replay prefix for the q94/q115 oracles: quantize →
+    * first-8 seeds → two Lloyd iterations → final assignment ranking
+    * (`afin`, filter rk = 1 to read it). Consumers append CTEs/SELECT. */
+  private def kmeansCoreSql: String =
     s"""WITH base AS (
        |  SELECT vec_id, embedding,
        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
@@ -797,22 +810,95 @@ object Similarity {
        |  SELECT CAST(vec_id AS INT) AS cluster,
        |    list_transform(q, x -> CAST(x AS BIGINT)) AS cent
        |  FROM q8 WHERE vec_id < 8),
-       |${iter("c0", "c1")},
-       |${iter("c1", "c2")},
+       |${kmeansIterSql("c0", "c1")},
+       |${kmeansIterSql("c1", "c2")},
        | afin AS (
        |  SELECT q8.vec_id, c.cluster,
        |    row_number() OVER (PARTITION BY q8.vec_id
        |      ORDER BY list_sum(list_transform(range(1, 65),
        |        i -> (q8.q[i] - c.cent[i]) * (q8.q[i] - c.cent[i]))) ASC,
        |        c.cluster ASC) AS rk
-       |  FROM q8, c2 c)
+       |  FROM q8, c2 c)""".stripMargin
+
+  val kmeansIntSql: String =
+    s"""$kmeansCoreSql
        |SELECT f.cluster, count(*) AS n_members,
        |  md5(array_to_string(list_transform(c.cent, x -> CAST(x AS VARCHAR)),
        |      ' ')) AS centroid_md5
        |FROM (SELECT * FROM afin WHERE rk = 1) f
        |JOIN c2 c ON c.cluster = f.cluster
        |GROUP BY f.cluster, c.cent ORDER BY f.cluster""".stripMargin
+
+  /** q115 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    * deduplication = k-means-cluster the embedding space, then look for
+    * near-duplicates only WITHIN each cluster — the published
+    * cluster-then-compare recipe that took web-scale semantic dedup from
+    * all-pairs-infeasible to routine. Distinct from q44 (exact all-pairs
+    * keep-list) and q42 (LSH buckets): here the partition is a LEARNED
+    * clustering, so semantically-close pairs that LSH's random planes
+    * split are still co-located.
+    *
+    * Every compared value is exact-integer (the q94/q48 conventions):
+    * vectors are int8-quantized; clustering is the q94 integer Lloyd
+    * pipeline VERBATIM (same seeds, same rounded-integer centroids, same
+    * first-min tie-break — the oracle reuses those CTEs); the near-dup
+    * test is the integer cross-multiplied cosine
+    *   dot > 0  AND  dot²·den² ≥ num²·‖a‖²·‖b‖²   (τ = num/den = 2/5)
+    * so no float ever reaches a compared value (max magnitude
+    * 25·(64·127²)² < 2⁴⁵, exact in long/BIGINT). The keep policy is
+    * q44's deterministic smaller-id rule applied within the cluster.
+    *
+    * Scale: clustering cost is q94's (narrow assignment passes + k·64-row
+    * aggs). The pair join is the ONLY quadratic piece and it runs
+    * per-cluster — in production k grows ∝ n (SemDeDup uses k ≈ n/100·ε)
+    * so expected cluster occupancy, and with it candidates per vector,
+    * stays constant; the k > 64 broadcast-join assignment regime (q94's
+    * guard) already covers that k. Output is per-vector, so downstream
+    * filters join on it without recomputing. */
+  def semDedup(s: SparkSession, d: String): DataFrame =
+    semDedupOn(quantizeInt8(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("q8")), k = 8, iters = 2, tauNum = 2, tauDen = 5)
+
+  def semDedupOn(qe: DataFrame, k: Int, iters: Int,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    val cents = kmeansFit(qe, k, iters)
+    val asg = kmeansAssign(qe, cents, k > KmeansMaxExprK)
+      .withColumn("nn", vecDot(col("q8"), col("q8")).cast("long"))
+    val a = asg.select(col("cluster"), col("vec_id").as("id1"),
+      col("q8").as("v1"), col("nn").as("n1"))
+    val b = asg.select(col("cluster").as("cl2"), col("vec_id").as("id2"),
+      col("q8").as("v2"), col("nn").as("n2"))
+    val dropped = a.join(b, col("cluster") === col("cl2") && col("id1") < col("id2"))
+      .withColumn("dot", vecDot(col("v1"), col("v2")).cast("long"))
+      .where(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(tauDen.toLong * tauDen) >=
+          lit(tauNum.toLong * tauNum) * col("n1") * col("n2"))
+      .select(col("id2")).distinct()
+    asg.select(col("vec_id"), col("cluster"))
+      .join(dropped, asg("vec_id") === dropped("id2"), "left")
+      .select(col("vec_id"), col("cluster"), col("id2").isNotNull.as("is_dup"))
+      .orderBy(col("vec_id"))
   }
+
+  val semDedupSql: String =
+    s"""$kmeansCoreSql,
+       | asg AS (SELECT vec_id, cluster FROM afin WHERE rk = 1),
+       | nrm AS (SELECT vec_id,
+       |   CAST(list_dot_product(q, q) AS BIGINT) AS nn FROM q8),
+       | dropped AS (
+       |  SELECT DISTINCT id2 FROM (
+       |    SELECT b.vec_id AS id2,
+       |      CAST(list_dot_product(qa.q, qb.q) AS BIGINT) AS dot,
+       |      na.nn AS n1, nb.nn AS n2
+       |    FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |    JOIN q8 qa ON qa.vec_id = a.vec_id
+       |    JOIN q8 qb ON qb.vec_id = b.vec_id
+       |    JOIN nrm na ON na.vec_id = a.vec_id
+       |    JOIN nrm nb ON nb.vec_id = b.vec_id)
+       |  WHERE dot > 0 AND dot * dot * 25 >= 4 * n1 * n2)
+       |SELECT a.vec_id, a.cluster, (d.id2 IS NOT NULL) AS is_dup
+       |FROM asg a LEFT JOIN dropped d ON d.id2 = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
 
   val quantizedTopKSql: String =
     """WITH base AS (

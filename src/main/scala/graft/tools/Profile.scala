@@ -16,6 +16,10 @@ object Profile {
       // the 128-group sort-fallback default defeats them
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.adaptive.enabled", "true")
+      // match the adopted Bench/Verify state store (r9 A/B) so streaming
+      // probes measure the shipped configuration
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- names; i <- 1 to repeat) {

@@ -418,6 +418,40 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       b.map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSeq)
   }
 
+  test("semDedup: is_dup == exists same-cluster smaller-id pair at cos >= 2/5; layout independent") {
+    val res = Similarity.semDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(res.length == Tables.embeddings(spark, sf).count())
+    // independent replay of the DEDUP layer (the clustering layer is
+    // q94's oracle-checked pipeline): brute-force all pairs locally with
+    // exact integer arithmetic against the operator's own assignment
+    val q8 = Similarity.quantizeInt8(Tables.embeddings(spark, sf))
+      .select(col("vec_id"), col("q8")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).map(_.toLong).toArray).toMap
+    val cluster = res.map(t => t._1 -> t._2).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val ids = res.map(_._1).sorted
+    val expectDup = ids.map { id =>
+      id -> ids.exists { o =>
+        o < id && cluster(o) == cluster(id) && {
+          val d = dot(q8(o), q8(id))
+          d > 0 && d * d * 25 >= 4 * dot(q8(o), q8(o)) * dot(q8(id), q8(id))
+        }
+      }
+    }.toMap
+    res.foreach { case (id, _, dup) =>
+      assert(dup == expectDup(id), s"vec $id: face=$dup expected=${expectDup(id)}") }
+    assert(res.count(_._3) > 0, "corpus should contain semantic dups")
+    // a different physical layout must not move a single flag (every
+    // compared value is an exact integer)
+    val b = Similarity.semDedupOn(
+      Similarity.quantizeInt8(Tables.embeddings(spark, sf).repartition(13))
+        .select(col("vec_id"), col("q8")), k = 8, iters = 2, tauNum = 2, tauDen = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(res.toSeq == b.toSeq, "layout changed the semdedup output")
+  }
+
   test("labelCentroids: exact-integer sums are partition-layout independent; bounds hold") {
     val a = graft.ops.Similarity.labelCentroids(spark, sf).collect()
     assert(a.length == 640) // 10 labels × 64 dims
