@@ -237,6 +237,10 @@ object SparkEntry {
     // integer Lloyd pipeline verbatim), then near-dup only WITHIN each
     // cluster — integer cross-multiplied cosine, q44's smaller-id keep
     "q115_semdedup" -> Similarity.semDedup _,
+    // FUZZY decontamination: cross-corpus (R-S) MinHash-LSH join of the
+    // training half against the benchmark half — catches paraphrased
+    // leakage q69's exact 3-gram overlap misses; bench side broadcasts
+    "q116_lsh_decontaminate" -> ((s: SparkSession, d: String) => Dedup.lshDecontaminate(s, d)),
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -417,6 +421,7 @@ object SparkEntry {
     "q113_lm_quality" -> TextAnalysis.lmQualityScoreSql,
     "q114_bpe_encode" -> TextAnalysis.bpeEncodeSql,
     "q115_semdedup" -> Similarity.semDedupSql,
+    "q116_lsh_decontaminate" -> Dedup.lshDecontaminateSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -254,6 +254,25 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.keys.forall(_ % 50 != 0))
   }
 
+  test("lshDecontaminate: pairs straddle the split and agree with the q34 self-join family") {
+    val got = graft.ops.Dedup.lshDecontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty, "corpus should contain cross-split near-dups")
+    // directionality: left side is always a TRAINING doc, right a BENCH doc
+    got.foreach { case (t, b, _) =>
+      assert(t % 10 != 0 && b % 10 == 0, s"pair ($t,$b) does not straddle") }
+    // same signature family + banding as the q34 portable self-join →
+    // its cross-split pairs, reoriented (bench on the right), must be
+    // exactly this operator's output
+    val q34cross = graft.ops.Dedup.minhashLshPairs(spark, sf, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 10 == 0) ^ (b % 10 == 0) }
+      .map { case (a, b, e) => if (b % 10 == 0) (a, b, e) else (b, a, e) }
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == q34cross.toSeq,
+      "cross-split q34 pairs diverge from the R-S join output")
+  }
+
   test("groupSplit: every group lands entirely in one split") {
     val out = graft.ops.Sampling.docSplit(spark, sf)
     val perSource = out.groupBy(col("source"))
