@@ -241,6 +241,11 @@ object SparkEntry {
     // training half against the benchmark half — catches paraphrased
     // leakage q69's exact 3-gram overlap misses; bench side broadcasts
     "q116_lsh_decontaminate" -> ((s: SparkSession, d: String) => Dedup.lshDecontaminate(s, d)),
+    // RELATIVE per-group quality threshold (FineWeb/CCNet): keep each
+    // language's docs above its own p25 — exact percentile via a
+    // bounded-domain histogram cumsum; oracle uses percentile_disc, a
+    // different formulation, so equality proves hist-percentile == sort
+    "q117_group_quantile_filter" -> TextAnalysis.groupQuantileFilter _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -422,6 +427,7 @@ object SparkEntry {
     "q114_bpe_encode" -> TextAnalysis.bpeEncodeSql,
     "q115_semdedup" -> Similarity.semDedupSql,
     "q116_lsh_decontaminate" -> Dedup.lshDecontaminateSql,
+    "q117_group_quantile_filter" -> TextAnalysis.groupQuantileFilterSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -157,6 +157,66 @@ object TextAnalysis {
       |  AND avg_len BETWEEN 2.0 AND 10.0
       |ORDER BY doc_id""".stripMargin
 
+  /** q117 — RELATIVE quality threshold per group (the FineWeb/CCNet
+    * practice): instead of q24's absolute gates, keep each language's
+    * docs at/above its own score distribution's p25 — robust to
+    * per-domain score shifts, the reason production filters threshold
+    * per group. Score = integer stopword basis points
+    * (n_stop·10000 div n_words).
+    *
+    * The percentile is computed scale-safely: the score domain is
+    * BOUNDED ([0, 10000]), so instead of `percentile_disc`'s
+    * buffer-every-value aggregate the face builds a per-(lang, score)
+    * HISTOGRAM (map-side combinable, ≤ 10k rows per group), takes the
+    * cumulative sum over that bounded table, and picks the smallest
+    * score with 4·cum ≥ n — exactly percentile_disc(0.25)'s rank rule
+    * (smallest value at rank ≥ ⌈n/4⌉) in integer cross-multiplied form,
+    * the q87 histogram idiom. The oracle uses DuckDB's actual
+    * `percentile_disc` — a DIFFERENT formulation, so cross-engine
+    * equality proves histogram-percentile ≡ sort-percentile (the
+    * q93/q100 convention). Cuts table is ≤ |langs| rows → broadcast
+    * join back; the corpus never sorts, never shuffles whole rows. */
+  def groupQuantileFilter(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(words(col("text"))).as("nw"),
+        size(regexp_extract_all(col("text"), lit(stopPat), lit(0))).as("nstop"))
+      .where(col("nw") > 0)
+      .select(col("doc_id"), col("lang"),
+        expr("nstop * 10000 div nw").as("score_bp"))
+    val hist = scored.groupBy(col("lang"), col("score_bp"))
+      .agg(count(lit(1)).as("c"))
+    val cum = Window.partitionBy(col("lang")).orderBy(col("score_bp"))
+    val tot = Window.partitionBy(col("lang"))
+    val cuts = hist
+      .withColumn("cum", sum(col("c")).over(cum))
+      .withColumn("n", sum(col("c")).over(tot))
+      .where(col("cum") * 4 >= col("n"))
+      .groupBy(col("lang")).agg(min(col("score_bp")).as("cut_bp"))
+    scored.join(broadcast(cuts), "lang")
+      .where(col("score_bp") >= col("cut_bp"))
+      .select(col("doc_id"), col("lang"), col("score_bp"), col("cut_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val groupQuantileFilterSql: String =
+    """WITH sc AS (
+      |  SELECT doc_id, lang, (nstop * 10000) // nw AS score_bp
+      |  FROM (SELECT doc_id, lang,
+      |          len(regexp_extract_all(text, '[a-z0-9]+')) AS nw,
+      |          len(regexp_extract_all(text, '\b(the|a|of|and|in|to|is)\b')) AS nstop
+      |        FROM documents)
+      |  WHERE nw > 0),
+      | cuts AS (
+      |  SELECT lang,
+      |    percentile_disc(0.25) WITHIN GROUP (ORDER BY score_bp) AS cut_bp
+      |  FROM sc GROUP BY lang)
+      |SELECT s.doc_id, s.lang, s.score_bp, c.cut_bp
+      |FROM sc s JOIN cuts c USING (lang)
+      |WHERE s.score_bp >= c.cut_bp
+      |ORDER BY s.doc_id""".stripMargin
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
     * w-word shingle (rolling window over the words array), then keep the
     * MINIMUM hash of every window of `winnow` consecutive shingle hashes —

@@ -254,6 +254,36 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.keys.forall(_ % 50 != 0))
   }
 
+  test("groupQuantileFilter: histogram percentile == local sort percentile; quartile accounting") {
+    val out = graft.ops.TextAnalysis.groupQuantileFilter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // independent local replay: per-lang scores, sort, percentile_disc
+    // rank rule (value at rank ceil(n/4)) — the sort-based formulation
+    // the distributed face avoids
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val stopRe = "\\b(the|a|of|and|in|to|is)\\b".r
+    val wordRe = "[a-z0-9]+".r
+    val scores = docs.flatMap { case (id, lang, t) =>
+      val nw = wordRe.findAllIn(t).size
+      if (nw == 0) None
+      else Some((id, lang, stopRe.findAllIn(t).size.toLong * 10000 / nw))
+    }
+    val expected = scores.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      val sorted = rows.map(_._3).sorted
+      val cut = sorted((math.ceil(sorted.length / 4.0).toInt - 1).max(0))
+      rows.filter(_._3 >= cut).map(r => (r._1, lang, r._3, cut)).toSeq
+    }.toSet
+    assert(out.toSet == expected, "distributed histogram cut diverged from local sort cut")
+    // the kept fraction per group is >= 75% (ties at the cut can only add)
+    scores.groupBy(_._2).foreach { case (lang, rows) =>
+      val kept = out.count(_._2 == lang)
+      assert(kept * 4 >= rows.length * 3, s"$lang kept $kept of ${rows.length}")
+    }
+  }
+
   test("lshDecontaminate: pairs straddle the split and agree with the q34 self-join family") {
     val got = graft.ops.Dedup.lshDecontaminate(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
