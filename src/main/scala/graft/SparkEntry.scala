@@ -246,6 +246,23 @@ object SparkEntry {
     // bounded-domain histogram cumsum; oracle uses percentile_disc, a
     // different formulation, so equality proves hist-percentile == sort
     "q117_group_quantile_filter" -> TextAnalysis.groupQuantileFilter _,
+    // DSIR (Xie 2023): importance-resample raw docs toward a target
+    // domain — two hashed-n-gram unigram models (≤8192-bucket tables,
+    // broadcast), per-doc integer log2 likelihood-ratio, keep > 0
+    "q118_dsir_resample" -> TextAnalysis.dsirResample _,
+    // SCD2: the q102 changelog intervalized into the full type-2
+    // dimension history — per-key lead() window, deletes close
+    // intervals and leave validity gaps
+    "q119_scd2_history" -> Reconcile.scd2Gate _,
+    // corpus Gram/scatter matrix (PCA/whitening input) as ONE bounded
+    // 2080-long-buffer aggregate pass; the oracle runs the explode-
+    // and-groupBy formulation, so equality is the agg≡explode proof
+    "q120_gram_matrix" -> Similarity.gramMatrix _,
+    // streaming late-data dead-letter (8th streaming class): keyed-
+    // watermark state routes late rows to a flagged side output
+    // instead of silently dropping them; 3-wave delivery makes real
+    // late rows, oracle replays the routing rule exactly
+    "q121_stream_dead_letter" -> Pipelines.streamDeadLetter _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -428,6 +445,10 @@ object SparkEntry {
     "q115_semdedup" -> Similarity.semDedupSql,
     "q116_lsh_decontaminate" -> Dedup.lshDecontaminateSql,
     "q117_group_quantile_filter" -> TextAnalysis.groupQuantileFilterSql,
+    "q118_dsir_resample" -> TextAnalysis.dsirResampleSql,
+    "q119_scd2_history" -> Reconcile.scd2Sql,
+    "q120_gram_matrix" -> Similarity.gramMatrixSql,
+    "q121_stream_dead_letter" -> Pipelines.streamDeadLetterSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

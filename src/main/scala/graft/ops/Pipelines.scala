@@ -789,4 +789,80 @@ object Pipelines {
       |SELECT (SELECT n FROM nl) AS n_log, (SELECT n FROM nl) AS n_applied,
       |  (SELECT n FROM dig) AS n_batch, (SELECT n FROM dig) AS n_stream,
       |  (SELECT x FROM dig) AS xor_batch, (SELECT x FROM dig) AS xor_stream""".stripMargin
+
+  /** Gate face (q121) — streaming late-data DEAD-LETTER routing
+    * ([[graft.streaming.DeadLetter]], 8th streaming class: side-output
+    * from custom state). The events corpus arrives in 3 waves
+    * (event_id mod 3, maxFilesPerTrigger = 1 — the q103/q111 delivery
+    * trick), timestamps interleaved across waves by construction, so
+    * waves 2–3 genuinely contain rows behind wave 1's keyed watermark:
+    * those route to the flagged side channel instead of being silently
+    * dropped (what Spark's built-in stateful aggs do). Delay = half the
+    * corpus's time span (computed from the data so the face survives
+    * testdata regeneration), window = 1 day. The face sums the sink's
+    * per-batch deltas; the oracle replays the exact keyed-watermark
+    * rule — per key, max prior-wave event time minus delay — so a row
+    * misrouted in either direction, a dropped late row, or a watermark
+    * advanced at the wrong batch boundary diverges the counts. */
+  /** Where [[streamDeadLetter]] stages its delivery files — exposed for
+    * the q121 spec's multi-batch assertion (the q111 convention: the
+    * test must not re-derive freshTmp's internal layout). */
+  private[graft] def streamDeadLetterInputDir: java.io.File =
+    new java.io.File(s"target/tmp/$DlqName/in")
+  private val DlqName = "dlq_q121"
+
+  def streamDeadLetter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.DeadLetter
+    val base = freshTmp(DlqName)
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("t"))
+    (0 until 3).foreach(i => ev.where(pmod(col("event_id"), lit(3)) === i)
+      .coalesce(1).write.mode("append").parquet(s"$base/in"))
+    val delaySec = ev.agg(expr("(max(t) - min(t)) div 2")).head.getLong(0)
+    val stream = s.readStream
+      .schema(org.apache.spark.sql.Encoders.product[DeadLetter.Ev].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/in").as[DeadLetter.Ev]
+    val q = DeadLetter.route(stream, delaySec, windowSec = 86400L)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    s.read.parquet(s"$base/out")
+      .groupBy(col("event_type"), col("kind"), col("window_start"))
+      .agg(sum(col("n")).as("n"))
+      .orderBy(col("event_type"), col("kind"), col("window_start"))
+  }
+
+  /** Oracle for q121: the keyed-watermark routing rule recomputed from
+    * scratch — wave = event_id mod 3, prior-wave running max per key,
+    * late iff t < prior_max − (span div 2) — then the same
+    * (key, kind, window) totals. */
+  val streamDeadLetterSql: String =
+    """WITH e AS (
+      |  SELECT event_type, event_id % 3 AS w,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS t
+      |  FROM events),
+      | sp AS (SELECT (max(t) - min(t)) // 2 AS delay FROM e),
+      | mx AS (SELECT event_type, w, max(t) AS mt FROM e GROUP BY 1, 2),
+      | pm AS (
+      |  SELECT event_type, w, max(mt) OVER (
+      |    PARTITION BY event_type ORDER BY w
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+      |  FROM mx),
+      | cls AS (
+      |  SELECT e.event_type, e.t,
+      |    CASE WHEN pm.prior_max IS NOT NULL
+      |           AND e.t < pm.prior_max - (SELECT delay FROM sp)
+      |         THEN 'late' ELSE 'ontime' END AS kind
+      |  FROM e JOIN pm ON e.event_type = pm.event_type AND e.w = pm.w)
+      |SELECT event_type, kind,
+      |  CASE WHEN kind = 'ontime' THEN (t // 86400) * 86400
+      |       ELSE -1 END AS window_start,
+      |  count(*) AS n
+      |FROM cls GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
 }

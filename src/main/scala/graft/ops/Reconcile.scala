@@ -252,8 +252,10 @@ object Reconcile {
         .withColumn("o_orderstatus", lit("Z")), 4, "U"))
   }
 
-  val mergeUpsertSql: String =
-    """WITH log AS (
+  /** The q102/q119 changelog as a DuckDB CTE body — ONE text shared by
+    * both oracles so the two faces provably read the same log. */
+  private val changeLogSqlCte: String =
+    """log AS (
       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
       |    0 AS version, 'U' AS op FROM orders
       |  UNION ALL
@@ -270,7 +272,10 @@ object Reconcile {
       |  FROM orders WHERE o_orderkey % 55 = 2
       |  UNION ALL
       |  SELECT -o_orderkey, o_custkey, o_orderstatus, o_orderpriority, 1, 'U'
-      |  FROM orders WHERE o_orderkey % 13 = 3),
+      |  FROM orders WHERE o_orderkey % 13 = 3)""".stripMargin
+
+  val mergeUpsertSql: String =
+    s"""WITH $changeLogSqlCte,
       |ranked AS (
       |  SELECT *, row_number() OVER (
       |    PARTITION BY o_orderkey ORDER BY version DESC) AS rn
@@ -279,6 +284,65 @@ object Reconcile {
       |  CAST(version AS BIGINT) AS version
       |FROM ranked WHERE rn = 1 AND op = 'U'
       |ORDER BY o_orderkey""".stripMargin
+
+  /** q119 — SCD2 history intervalization: turn the same keyed+versioned
+    * changelog q102 COLLAPSES into the full slowly-changing-dimension
+    * history table it IMPLIES (Kimball type-2: one row per version of
+    * each key, carrying its validity interval). Per key ordered by
+    * version: `valid_from` = the row's version, `valid_to` = the NEXT
+    * log entry's version (any op — an update supersedes, a delete
+    * closes), null = still open; `is_current` = open upsert. Delete
+    * rows emit nothing themselves — a deleted-then-resurrected key
+    * (v3 D, v4 U in the gate log) correctly shows a validity GAP
+    * [3, 4) during which the key did not exist.
+    *
+    * Shape: where q102 could pre-collapse map-side (only the winner
+    * survives), a HISTORY table outputs every version, so the minimal
+    * plan is the per-key window itself: one shuffle keyed on the
+    * dimension key carrying exactly the rows that will be emitted,
+    * then a sort-within-partition and a single-row lookahead (`lead`)
+    * — no second pass, no self-join on version ranges (the first-write
+    * formulation everyone reaches for, which shuffles the log twice
+    * and probes it quadratically per key). At 100 TB the cost is one
+    * shuffle of the changelog — the floor for this semantics, since
+    * every output row depends on its key's successor.
+    *
+    * Precondition (shared with q102): (key, version) unique — a tied
+    * version would make the interval chain ambiguous in any engine. */
+  def scd2History(log: DataFrame, keyCols: Seq[String], versionCol: String,
+                  opCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol))
+    val payload = log.columns
+      .filterNot(c => keyCols.contains(c) || c == versionCol || c == opCol)
+    log.withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .where(col(opCol) === "U")
+      .select(keyCols.map(col) ++ payload.map(col) :+
+        col(versionCol).as("valid_from") :+ col("valid_to") :+
+        col("valid_to").isNull.as("is_current"): _*)
+  }
+
+  /** Gate face (q119): the q102 changelog, intervalized. Every CDC case
+    * lands a distinct interval shape: multi-update keys get chained
+    * [0,1) [1,2) [2,∞); deleted keys get a closed [0,3) and no open
+    * row; resurrected keys get the [3,4) gap then an open [4,∞). */
+  def scd2Gate(s: SparkSession, d: String): DataFrame =
+    scd2History(changeLogTiers(Tables.orders(s, d)).reduce(_.unionByName(_)),
+      Seq("o_orderkey"), "version", "op")
+      .orderBy(col("o_orderkey"), col("valid_from"))
+
+  val scd2Sql: String =
+    s"""WITH $changeLogSqlCte,
+      |iv AS (
+      |  SELECT *, lead(version) OVER (
+      |    PARTITION BY o_orderkey ORDER BY version) AS valid_to
+      |  FROM log)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+      |  CAST(version AS BIGINT) AS valid_from,
+      |  CAST(valid_to AS BIGINT) AS valid_to,
+      |  valid_to IS NULL AS is_current
+      |FROM iv WHERE op = 'U'
+      |ORDER BY o_orderkey, valid_from""".stripMargin
 
   val tableDigestSql: String =
     """WITH r AS (

@@ -1028,4 +1028,55 @@ object Similarity {
        |  FROM adc)
        |SELECT qid, cid, adc, rank FROM ranked WHERE rank <= $PqTopN
        |ORDER BY qid, rank""".stripMargin
+
+  /** q120 — corpus Gram/scatter matrix over the int8-quantized
+    * embeddings: Σ xᵢxⱼ for every dim pair i ≤ j, via ONE
+    * [[graft.functions.GramAgg]] pass (buffer = 2080 longs, merged
+    * element-wise map-side). This is the foundation statistic for
+    * PCA/whitening/OPQ rotation over an embedding corpus — the step a
+    * 100 TB pipeline runs BEFORE q92's projection or q106's PQ to pick
+    * the basis — and the reason it must be one bounded-buffer scan: the
+    * explode-to-(i,j)-and-groupBy formulation (exactly what the DuckDB
+    * oracle runs, n·d²/2 rows through a shuffle) is the plan that dies
+    * first at scale, so gate equality is the agg-replaces-explode proof,
+    * the q97/q102 bounded-agg convention applied to a matrix.
+    *
+    * All-integer on the q48 int8 grid: every entry is an exact sum of
+    * |x| ≤ 127 products, hash-exact across engines. Output: one row per
+    * (i, j) upper-triangle cell. The trace (Σ diagonal) and per-dim
+    * means derive downstream; they are deliberately not separate scans. */
+  def gramMatrix(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.GramAgg.gramUpper
+    val dim = 64
+    val g = quantizeInt8(Tables.embeddings(s, d))
+      .agg(gramUpper(col("q8"), dim).as("g"))
+    // unpack positionally: flatten(transform...) generates (i,j) pairs in
+    // the buffer's row-major upper-triangle order, so pos indexes g
+    val ij = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        struct(i.as("i"), j.as("j")))))
+    g.select(col("g"), posexplode(ij))
+      .select(col("col.i").as("i"), col("col.j").as("j"),
+        element_at(col("g"), col("pos") + 1).as("s"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val gramMatrixSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | ex AS (
+      |  SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) AS i
+      |  FROM q8)
+      |SELECT CAST(a.i - 1 AS INT) AS i, CAST(b.i - 1 AS INT) AS j,
+      |  CAST(sum(a.x * b.x) AS BIGINT) AS s
+      |FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |GROUP BY 1, 2
+      |ORDER BY i, j""".stripMargin
 }

@@ -920,4 +920,122 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN per USING (doc_id)
        |WHERE d.doc_id % 2 = 1
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Hashed-feature space for [[dsirResample]]: 8192 buckets from a
+    * 16-bit md5 prefix (the suite's portable-hash convention — q101's
+    * kmvHash shape); 2^16 mod 8192 = 0, so the fold is unbiased. */
+  private val DsirBuckets = 8192
+  private def dsirBucket(f: Column): Column =
+    conv(substring(md5(concat(lit("dsir|"), f)), 1, 4), 16, 10)
+      .cast("long") % DsirBuckets
+
+  /** q118 — DSIR: Data Selection via Importance Resampling (Xie et al.,
+    * NeurIPS 2023), the published recipe for "pick raw-web documents
+    * that look like the target domain": fit two bag-of-hashed-n-grams
+    * unigram models — one on the TARGET slice (here `lang = 'en'`, the
+    * paper's formal-text stand-in), one on the full RAW pool — and
+    * weight every document by its likelihood ratio between them. Docs
+    * with log-ratio > 0 look more target-like than raw-average and are
+    * kept; the weight itself is the resampling input.
+    *
+    * Features are the paper's: unigrams AND adjacent bigrams, hashed
+    * into [[DsirBuckets]] buckets (hashing is what BOUNDS the model at
+    * any corpus size — the vocabulary can grow with the data, the
+    * bucket table cannot). Per feature instance with target count ct,
+    * raw count cr, totals Nt/Nr (add-one smoothed over B buckets):
+    *
+    *   λ(b)  = ilog2(ct(b)+1) − ilog2(cr(b)+1)
+    *   off   = ilog2(Nr+B) − ilog2(Nt+B)
+    *   log₂w = Σ_i λ(b_i) + n·off      (1-bit-quantized, q113 convention)
+    *
+    * logw_mbits = 1000·log₂w, pure integer with NO division — the
+    * importance weight is deliberately NOT length-normalized (a weight
+    * is a product of per-feature ratios; that is what "importance"
+    * means in the paper — and skipping the division also sidesteps the
+    * trunc-vs-floor divergence the q110 advice item was about). keep =
+    * logw_mbits > 0. Featureless docs carry (0, 0, false).
+    *
+    * Scale: this is the cheapest model-based filter in the suite — the
+    * model is TWO ≤B-row hash-aggs (map-side combined; the target agg
+    * is a filtered second aggregate over the same scan), the λ table is
+    * ≤8192 rows and BROADCASTS, so scoring is one narrow explode + one
+    * broadcast hash join + one per-doc agg: the corpus is scanned, never
+    * shuffled row-for-row (contrast q113, whose token-keyed model forces
+    * three shuffle joins). At 100 TB the only wide op is the per-doc
+    * sum, combined map-side. */
+  def dsirResample(s: SparkSession, d: String): DataFrame =
+    dsirResampleOf(Tables.documents(s, d))
+
+  private[graft] def dsirResampleOf(docs: DataFrame): DataFrame = {
+    val wArr = col("w")
+    val bigrams = when(size(wArr) >= 2,
+      transform(sequence(lit(1), size(wArr) - 1), i =>
+        concat(element_at(wArr, i), lit(" "), element_at(wArr, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val feats = docs.select(col("doc_id"), col("lang"), words(col("text")).as("w"))
+      .select(col("doc_id"), col("lang"),
+        explode(concat(wArr, bigrams)).as("f"))
+      .select(col("doc_id"), col("lang"), dsirBucket(col("f")).as("b"))
+    // one pass builds BOTH models: raw count + filtered target count;
+    // cached (≤B rows) so the totals agg and the λ projection don't each
+    // re-scan the corpus — with it the whole operator is TWO corpus
+    // scans (model, scoring), the floor for a two-pass method
+    val model = feats.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      .cache()
+    val totals = model.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val lam = model.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (ilog2(col("ct") + 1) - ilog2(col("cr") + 1)).as("lam"),
+        (ilog2(col("nr") + DsirBuckets) - ilog2(col("nt") + DsirBuckets)).as("off"))
+    val perDoc = feats.join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        (lit(1000L) * (sum(col("lam")) + count(lit(1)) * first(col("off"))))
+          .as("logw_mbits"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("logw_mbits"), lit(0L)).as("logw_mbits"),
+        (coalesce(col("logw_mbits"), lit(0L)) > 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dsirResampleSql: String =
+    s"""WITH wl AS (
+       |  SELECT doc_id, lang, regexp_extract_all(text, '$wordPat') AS ws
+       |  FROM documents),
+       | uni AS (SELECT doc_id, lang, unnest(ws) AS f FROM wl),
+       | big AS (
+       |  SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS f
+       |  FROM (SELECT doc_id, lang, ws, unnest(range(1, len(ws))) AS i FROM wl)),
+       | feats AS (
+       |  SELECT doc_id, lang,
+       |    CAST('0x' || substr(md5('dsir|' || f), 1, 4) AS BIGINT) % $DsirBuckets AS b
+       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+       | model AS (
+       |  SELECT b, count(*) AS cr,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+       |  FROM feats GROUP BY b),
+       | tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt
+       |         FROM model),
+       | lam AS (
+       |  SELECT b,
+       |    (length(bin(ct + 1)) - 1) - (length(bin(cr + 1)) - 1) AS lam,
+       |    (length(bin(nr + $DsirBuckets)) - 1)
+       |      - (length(bin(nt + $DsirBuckets)) - 1) AS off
+       |  FROM model CROSS JOIN tot),
+       | per AS (
+       |  SELECT f.doc_id, count(*) AS n_feats,
+       |    CAST(1000 * (sum(l.lam) + count(*) * any_value(l.off)) AS BIGINT)
+       |      AS logw_mbits
+       |  FROM feats f JOIN lam l USING (b) GROUP BY f.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(per.n_feats, 0) AS n_feats,
+       |  coalesce(per.logw_mbits, 0) AS logw_mbits,
+       |  coalesce(per.logw_mbits, 0) > 0 AS keep
+       |FROM documents d LEFT JOIN per USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 }

@@ -195,4 +195,42 @@ class ReconcileSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("id", "v", "version")
     assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty)
   }
+
+  private def history(rows: Seq[(Long, String, Long, String)]) =
+    ops.Reconcile.scd2History(mergeLog(rows), Seq("id"), "version", "op")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .sortBy(t => (t._1, t._3)).toSeq
+
+  test("scd2History: update chain becomes chained intervals, one open") {
+    assert(history(Seq(
+      (2L, "base", 0L, "U"), (2L, "upd", 1L, "U"), (2L, "upd2", 2L, "U"))) ==
+      Seq((2L, "base", 0L, 1L, false), (2L, "upd", 1L, 2L, false),
+        (2L, "upd2", 2L, -1L, true)))
+  }
+
+  test("scd2History: a delete closes the interval and emits no row") {
+    assert(history(Seq((3L, "base", 0L, "U"), (3L, "gone", 1L, "D"))) ==
+      Seq((3L, "base", 0L, 1L, false)))
+  }
+
+  test("scd2History: delete-then-resurrect leaves a validity gap") {
+    assert(history(Seq(
+      (5L, "base", 0L, "U"), (5L, "x", 3L, "D"), (5L, "back", 4L, "U"))) ==
+      Seq((5L, "base", 0L, 3L, false), (5L, "back", 4L, -1L, true)))
+  }
+
+  test("scd2History: current slice equals the q102 merged snapshot") {
+    // the history's open rows ARE the snapshot mergeUpsert computes —
+    // the cross-operator invariant that ties q119 to q102
+    val sf = "/root/testdata/sf0.001"
+    val current = ops.Reconcile.scd2Gate(spark, sf)
+      .where(col("is_current"))
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val snapshot = ops.Reconcile.mergeUpsertGate(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    assert(current.exceptAll(snapshot).isEmpty &&
+      snapshot.exceptAll(current).isEmpty)
+  }
 }
