@@ -263,6 +263,10 @@ object SparkEntry {
     // instead of silently dropping them; 3-wave delivery makes real
     // late rows, oracle replays the routing rule exactly
     "q121_stream_dead_letter" -> Pipelines.streamDeadLetter _,
+    // filter evaluation: exact ROC-AUC (Mann-Whitney with tie credit)
+    // of the q117 quality score against the lang='en' weak label, from
+    // the bounded per-score histogram — no pairwise pass, no corpus sort
+    "q122_auc_eval" -> TextAnalysis.aucEval _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -449,6 +453,7 @@ object SparkEntry {
     "q119_scd2_history" -> Reconcile.scd2Sql,
     "q120_gram_matrix" -> Similarity.gramMatrixSql,
     "q121_stream_dead_letter" -> Pipelines.streamDeadLetterSql,
+    "q122_auc_eval" -> TextAnalysis.aucEvalSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -685,33 +685,47 @@ object Similarity {
 
   /** One assignment pass: `qe` = (vec_id, q8) → + `cluster`. First-min
     * tie-break in BOTH regimes: `array_position` returns the first index
-    * with the min distance; `min(struct(dist, cluster))` orders by dist
-    * then cluster — same smallest-cluster winner (distances are exact
-    * integers in double, so equality is exact, not FP-fuzzy). */
+    * with the min score; `min(struct(score, cluster))` orders by score
+    * then cluster — same smallest-cluster winner.
+    *
+    * The ranking value is ‖c‖² − 2·x·c, NOT the full squared distance:
+    * ‖x‖² is constant within a vector's candidate set, so the argmin
+    * AND every tie are identical (exact integers in double — the shift
+    * preserves equality exactly, not FP-fuzzily), and the kernel
+    * becomes ONE codegen'd [[graft.functions.VectorExprs.DotProduct]]
+    * per (vector, centroid) instead of the HOF `aggregate(zip_with(…))`
+    * difference form. The HOF form is CodegenFallback — interpreted
+    * lambda dispatch + a fresh 64-slot array allocation per evaluation —
+    * and at production k the assignment is n×k kernels per pass: the
+    * r9 probe caught the join regime at 889 s for n=200k, k=512 at sf10
+    * (≈ 300M interpreted evals); the q92 lesson, applied here. */
   private[graft] def kmeansAssign(qe: DataFrame, cs: Array[Array[Long]],
-      viaJoin: Boolean): DataFrame =
+      viaJoin: Boolean): DataFrame = {
+    import graft.functions.VectorExprs.vecDot
+    def normSq(c: Array[Long]): Double = c.map(v => (v * v).toDouble).sum
     if (!viaJoin) {
-      val dists = array(cs.map { c =>
-        aggregate(zip_with(col("q8"), typedLit(c.toSeq),
-          (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x)
+      val scores = array(cs.map { c =>
+        lit(normSq(c)) - lit(2.0d) * vecDot(col("q8"),
+          typedLit(c.map(_.toDouble).toSeq))
       }.toIndexedSeq: _*)
       qe.withColumn("cluster",
-        (array_position(dists, array_min(dists)) - 1).cast("int"))
+        (array_position(scores, array_min(scores)) - 1).cast("int"))
     } else {
       val s = qe.sparkSession
       import s.implicits._
-      val centDf = cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-        .toSeq.toDF("__cl", "__cent")
+      val centDf = cs.zipWithIndex
+        .map { case (c, i) => (i, c.map(_.toDouble).toSeq, normSq(c)) }
+        .toSeq.toDF("__cl", "__cent", "__cn")
       qe.join(broadcast(centDf))
-        .withColumn("__dist",
-          aggregate(zip_with(col("q8"), col("__cent"),
-            (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x))
+        .withColumn("__score",
+          col("__cn") - lit(2.0d) * vecDot(col("q8"), col("__cent")))
         .groupBy(col("vec_id"))
-        .agg(min(struct(col("__dist"), col("__cl"))).as("__best"),
+        .agg(min(struct(col("__score"), col("__cl"))).as("__best"),
           first(col("q8")).as("q8"))
         .select(col("vec_id"), col("q8"),
           col("__best.__cl").cast("int").as("cluster"))
     }
+  }
 
   def kmeansInt(s: SparkSession, d: String, k: Int = 8, iters: Int = 2): DataFrame =
     kmeansIntOn(quantizeInt8(Tables.embeddings(s, d))
@@ -862,8 +876,11 @@ object Similarity {
   def semDedupOn(qe: DataFrame, k: Int, iters: Int,
       tauNum: Int, tauDen: Int): DataFrame = {
     val cents = kmeansFit(qe, k, iters)
+    // cached: used as BOTH join sides and the final keep frame — without
+    // it the whole quantize+assign pipeline runs three times (r9 probe)
     val asg = kmeansAssign(qe, cents, k > KmeansMaxExprK)
       .withColumn("nn", vecDot(col("q8"), col("q8")).cast("long"))
+      .cache()
     val a = asg.select(col("cluster"), col("vec_id").as("id1"),
       col("q8").as("v1"), col("nn").as("n1"))
     val b = asg.select(col("cluster").as("cl2"), col("vec_id").as("id2"),

@@ -217,6 +217,72 @@ object TextAnalysis {
       |WHERE s.score_bp >= c.cut_bp
       |ORDER BY s.doc_id""".stripMargin
 
+  /** q122 — filter evaluation: EXACT ROC-AUC (Mann–Whitney U with tie
+    * credit) of a quality score against a label — the "is my filter any
+    * good" measurement every curation pipeline needs before it trusts a
+    * threshold. Face: q117's integer stopword-bp score as the predictor,
+    * `lang = 'en'` as the (weak) positive label — stopwords are English
+    * function words, so the score SHOULD rank en docs high, and the AUC
+    * quantifies exactly how well.
+    *
+    * Exact and integer: with per-score positive/negative counts np/nn
+    * and cumneg = negatives strictly below the score,
+    *
+    *   2U = Σ_s np(s)·(2·cumneg(s) + nn(s))      (ties get ½ credit ×2)
+    *   auc_ppm = 10⁶·2U div (2·n_pos·n_neg)       (all positive: div ≡ //)
+    *
+    * Scale: the pairwise definition is n_pos·n_neg comparisons; this
+    * form needs only the per-score histogram — map-side combined, ≤
+    * 10001 rows total (the score domain is bounded, the q117/q87
+    * argument) — then one ordered pass over that bounded table. The
+    * unpartitioned window runs over ≤ 10001 rows, never the corpus.
+    * The corpus is scanned once, shuffled never. */
+  def aucEval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, d)
+      .select(col("lang"),
+        size(words(col("text"))).as("nw"),
+        size(regexp_extract_all(col("text"), lit(stopPat), lit(0))).as("nstop"))
+      .where(col("nw") > 0)
+      .select(expr("nstop * 10000 div nw").as("score_bp"),
+        (col("lang") === "en").cast("long").as("pos"))
+    val per = scored.groupBy(col("score_bp"))
+      .agg(sum(col("pos")).as("np"),
+        (count(lit(1)) - sum(col("pos"))).as("nn"))
+    val below = Window.orderBy(col("score_bp"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    per.withColumn("cumneg", coalesce(sum(col("nn")).over(below), lit(0L)))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cumneg") + col("nn"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        expr("(1000000 * u2) div (2 * n_pos * n_neg)").as("auc_ppm"))
+  }
+
+  val aucEvalSql: String =
+    """WITH sc AS (
+      |  SELECT (nstop * 10000) // nw AS score_bp, (lang = 'en') AS pos
+      |  FROM (SELECT lang,
+      |          len(regexp_extract_all(text, '[a-z0-9]+')) AS nw,
+      |          len(regexp_extract_all(text, '\b(the|a|of|and|in|to|is)\b')) AS nstop
+      |        FROM documents)
+      |  WHERE nw > 0),
+      | per AS (
+      |  SELECT score_bp,
+      |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+      |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+      |  FROM sc GROUP BY score_bp),
+      | cum AS (
+      |  SELECT np, nn, coalesce(sum(nn) OVER (
+      |    ORDER BY score_bp ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    0) AS cumneg
+      |  FROM per)
+      |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+      |  CAST(sum(nn) AS BIGINT) AS n_neg,
+      |  CAST(sum(np * (2 * cumneg + nn)) AS BIGINT) AS u2,
+      |  CAST((1000000 * sum(np * (2 * cumneg + nn)))
+      |       // (2 * sum(np) * sum(nn)) AS BIGINT) AS auc_ppm
+      |FROM cum""".stripMargin
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
     * w-word shingle (rolling window over the words array), then keep the
     * MINIMUM hash of every window of `winnow` consecutive shingle hashes —
