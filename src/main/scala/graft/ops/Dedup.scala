@@ -190,9 +190,25 @@ object Dedup {
     val shAll = shingles(docs)
     val dfreq = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
-    val sh = shAll.join(dfreq, "shingle").cache() // (doc_id, shingle, df)
+    // DICTIONARY-ENCODE the shingle strings to compact long surrogates
+    // before anything wide: every downstream stage (two windows, the
+    // prefix self-join, distinct, the verification joins/sets) then
+    // shuffles 8-byte ids instead of ~25-byte strings. At sf30 (1.5M
+    // docs, 78M postings) the string formulation's CUMULATIVE shuffle
+    // spill exceeded 73 GB of local scratch and killed the job (r9
+    // probe, both verification legs); the encoded form fits. Surrogate =
+    // monotonically_increasing_id over the df table: no global sort, no
+    // collisions possible (vs hashing), and equality-isomorphic to the
+    // strings, so every count, intersection, and the final output are
+    // IDENTICAL — ids never surface. The (df, sid) prefix order is a
+    // valid canonical total order: the prefix principle needs only that
+    // both docs rank their shingles by the same global order.
+    val dict = dfreq
+      .select(col("shingle"), col("df"), monotonically_increasing_id().as("sid"))
+    val sh = shAll.join(dict, "shingle")
+      .select(col("doc_id"), col("sid"), col("df")).cache()
     val byRarity = Window.partitionBy(col("doc_id"))
-      .orderBy(col("df").asc, col("shingle").asc)
+      .orderBy(col("df").asc, col("sid").asc)
     val whole = Window.partitionBy(col("doc_id"))
     val ranked = sh
       .withColumn("rn", row_number().over(byRarity))
@@ -207,10 +223,10 @@ object Dedup {
     val tSlack = t - 1e-4
     val prefix = ranked
       .where(col("rn") <= col("ns") - ceil(col("ns") * tSlack) + 1)
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("sid"))
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
@@ -229,16 +245,16 @@ object Dedup {
     val common =
       if (setVerify) {
         val sets = sh.groupBy(col("doc_id"))
-          .agg(collect_set(col("shingle")).as("set"))
+          .agg(collect_set(col("sid")).as("set"))
         candidates
           .join(sets.select(col("doc_id").as("d1"), col("set").as("s1")), "d1")
           .join(sets.select(col("doc_id").as("d2"), col("set").as("s2")), "d2")
           .select(col("d1"), col("d2"),
             size(array_intersect(col("s1"), col("s2"))).cast("long").as("n_common"))
       } else {
-        val pa = sh.select(col("doc_id").as("d1"), col("shingle"))
-        val pb = sh.select(col("doc_id").as("d2"), col("shingle"))
-        candidates.join(pa, "d1").join(pb, Seq("d2", "shingle"))
+        val pa = sh.select(col("doc_id").as("d1"), col("sid"))
+        val pb = sh.select(col("doc_id").as("d2"), col("sid"))
+        candidates.join(pa, "d1").join(pb, Seq("d2", "sid"))
           .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_common"))
       }
     common
