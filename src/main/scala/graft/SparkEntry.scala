@@ -267,6 +267,13 @@ object SparkEntry {
     // of the q117 quality score against the lang='en' weak label, from
     // the bounded per-score histogram — no pairwise pass, no corpus sort
     "q122_auc_eval" -> TextAnalysis.aucEval _,
+    // ordered funnel in ONE windowed pass (running conditional mins
+    // qualify each step strictly after the previous); oracle runs the
+    // 3-chained-join formulation -> equality proves the single-pass plan
+    "q123_funnel" -> Relational.funnel _,
+    // weekly retention cohorts: first-active-week x delta distinct
+    // users; integer epoch-weeks, co-partitioned user join, bounded cells
+    "q124_retention_cohorts" -> Relational.retentionCohorts _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -454,6 +461,8 @@ object SparkEntry {
     "q120_gram_matrix" -> Similarity.gramMatrixSql,
     "q121_stream_dead_letter" -> Pipelines.streamDeadLetterSql,
     "q122_auc_eval" -> TextAnalysis.aucEvalSql,
+    "q123_funnel" -> Relational.funnelSql,
+    "q124_retention_cohorts" -> Relational.retentionCohortsSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

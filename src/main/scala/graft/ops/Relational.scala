@@ -1087,4 +1087,110 @@ object Relational {
        |FROM exact, n
        |WHERE n_true * ${MgCap + 1} > n_total
        |ORDER BY n_true DESC, word""".stripMargin
+
+  /** q123 — ordered funnel conversion (signup → view → purchase, each
+    * step STRICTLY after the previous): the product-analytics primitive
+    * every event warehouse runs. Computed in ONE pass: per user ordered
+    * by ts, a running `min(case …) over (rows unbounded preceding)`
+    * carries "earliest signup so far" past each row, so a view is
+    * step-2-valid iff that running min < its ts, and a second running
+    * min over valid views qualifies purchases the same way — one
+    * shuffle (by user), one sort, two window mins. The formulation
+    * everyone writes instead — three chained per-step aggregates, each
+    * joined back to the events table — scans and shuffles the corpus
+    * three times; the ORACLE runs exactly that 3-join form, so gate
+    * equality proves windowed-single-pass ≡ chained-joins (the
+    * q93/q100/q117 different-formulation convention).
+    *
+    * Strict-inequality semantics make ties benign: a same-timestamp
+    * signup can enter the running min but never satisfies `< ts`, and
+    * min is monotone under the extra rows, so the result is
+    * deterministic regardless of intra-timestamp sort order. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("t"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = ev
+      .withColumn("s1", min(when(col("event_type") === "signup", col("t"))).over(w))
+      .withColumn("v_ok",
+        col("event_type") === "view" && col("s1") < col("t"))
+      .withColumn("s2", min(when(col("v_ok"), col("t"))).over(w))
+      .withColumn("p_ok",
+        col("event_type") === "purchase" && col("s2") < col("t"))
+    val perUser = staged.groupBy(col("user_id"))
+      .agg(max(col("event_type") === "signup").as("st1"),
+        max(col("v_ok")).as("st2"), max(col("p_ok")).as("st3"))
+    perUser.agg(count(lit(1)).as("n_users"),
+        sum(col("st1").cast("long")).as("n_signup"),
+        sum(col("st2").cast("long")).as("n_view_after"),
+        sum(col("st3").cast("long")).as("n_purchase_after"))
+      .select(col("n_users"), col("n_signup"), col("n_view_after"),
+        col("n_purchase_after"),
+        // NULL when the prior step is empty: a conversion out of nothing
+        // is undefined, and ANSI div-by-zero would otherwise throw
+        when(col("n_signup") > 0,
+          expr("(1000000 * n_view_after) div n_signup")).as("conv_view_ppm"),
+        when(col("n_view_after") > 0,
+          expr("(1000000 * n_purchase_after) div n_view_after"))
+          .as("conv_purchase_ppm"))
+  }
+
+  val funnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t
+      |  FROM events),
+      | s1 AS (SELECT user_id, min(t) AS t1 FROM e
+      |        WHERE event_type = 'signup' GROUP BY 1),
+      | s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN s1 USING (user_id)
+      |        WHERE e.event_type = 'view' AND e.t > s1.t1 GROUP BY 1),
+      | s3 AS (SELECT e.user_id, min(e.t) AS t3 FROM e JOIN s2 USING (user_id)
+      |        WHERE e.event_type = 'purchase' AND e.t > s2.t2 GROUP BY 1)
+      |SELECT (SELECT count(DISTINCT user_id) FROM e) AS n_users,
+      |  (SELECT count(*) FROM s1) AS n_signup,
+      |  (SELECT count(*) FROM s2) AS n_view_after,
+      |  (SELECT count(*) FROM s3) AS n_purchase_after,
+      |  CASE WHEN (SELECT count(*) FROM s1) > 0 THEN
+      |    (1000000 * (SELECT count(*) FROM s2)) // (SELECT count(*) FROM s1)
+      |  END AS conv_view_ppm,
+      |  CASE WHEN (SELECT count(*) FROM s2) > 0 THEN
+      |    (1000000 * (SELECT count(*) FROM s3)) // (SELECT count(*) FROM s2)
+      |  END AS conv_purchase_ppm""".stripMargin
+
+  /** q124 — weekly retention cohorts: cohort = a user's first active
+    * week, cell (cohort_week, week_delta) = distinct users from that
+    * cohort active delta weeks later — the other canonical
+    * product-analytics table. Shape: one (user, week) distinct (map-side
+    * partial), one per-user min, one co-partitioned join back (both
+    * sides user-keyed — no extra shuffle), one bounded agg whose output
+    * is |weeks|² cells regardless of event volume. Weeks are integer
+    * epoch-week indices (epoch seconds div 604800) — no calendar
+    * functions whose week-numbering conventions could diverge between
+    * engines. */
+  def retentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val uw = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_timestamp(ts) div 604800").as("week"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("week")).as("cw"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cw").as("cohort_week"),
+        (col("week") - col("cw")).as("week_delta"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_delta"))
+  }
+
+  val retentionCohortsSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+      |  FROM events),
+      | cohort AS (SELECT user_id, min(week) AS cw FROM uw GROUP BY 1)
+      |SELECT c.cw AS cohort_week, u.week - c.cw AS week_delta,
+      |  count(*) AS n_users
+      |FROM uw u JOIN cohort c USING (user_id)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
 }
