@@ -60,6 +60,10 @@ object Bench {
       // sketch aggregates (TypedImperativeAggregate) carry ~256B buffers;
       // the 128-group sort-fallback default defeats them
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      // bench SFs carry tiny streaming state -> the measured small-state
+      // knee (r9 StreamPartsAB: q57 8.9->3.2 s at 32->8); the library
+      // default stays the session width, which is the scale-safe choice
+      .config("graft.stream.parts", graft.ops.Pipelines.StreamParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

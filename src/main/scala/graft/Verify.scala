@@ -18,6 +18,9 @@ object Verify {
       // verify the provider the bench actually runs
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // gate SF carries tiny streaming state -> the same small-state
+      // stream width the bench runs (the gate must verify that config)
+      .config("graft.stream.parts", graft.ops.Pipelines.StreamParts)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -27,6 +27,50 @@ object Pipelines {
     dir.getPath
   }
 
+  /** State-partition width for the STATEFUL streaming faces, set via
+    * `graft.stream.parts`. A streaming query pays a per-partition
+    * state-store commit EVERY micro-batch, so the width must be sized
+    * to state VOLUME — and that is a deployment fact, not a library
+    * guess, so the DEFAULT is the session's own shuffle width (scale-
+    * safe) and the knob is opt-in where the caller knows its state is
+    * small. The r9 A/B (`StreamPartsAB`, probe_r9b.txt annex) measured
+    * the knee MOVING with state size: at sf0.1 (tiny state) 8 wins —
+    * q57 8.9→3.2 s, q103 8.8→5.4 s — so Bench/Verify set
+    * `graft.stream.parts=8`; at sf30 (4.5M-key CDC state, two-sided
+    * join state) 16–32 wins — q103 160 s @16 vs 219 s @8, q108 44 s
+    * @32 vs 130 s @8 — so the default conf ships UNSET and the sf30
+    * probes run at the session width. */
+  private[graft] val StreamParts = 8 // measured small-state knee (Bench/Verify opt in)
+
+  /** Streaming-face completion deadline. MUST be generous and MUST fail
+    * loud: `awaitTermination(timeout)` returns `false` on expiry with
+    * the query STILL RUNNING, and the original 120 s deadline silently
+    * did exactly that on q103 at sf30 (the face then aggregated a
+    * half-written sink while the stream kept writing, and the next
+    * run's scratch cleanup raced the live query into
+    * TASK_WRITE_FAILED — caught by the r9 partition probe). */
+  private val StreamTimeoutMs = 1800000L
+
+  /** Run a streaming query with the session's shuffle-partition conf
+    * (which fixes a NEW query's state-partition count at first
+    * checkpoint) temporarily set to the streaming width, restoring the
+    * batch width afterwards. Throws if the query misses the deadline —
+    * a face must never read its sink under a live writer. */
+  private def runStream(s: SparkSession)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, s.conf.getOption("graft.stream.parts").getOrElse(prev))
+    try {
+      val q = start
+      if (!q.awaitTermination(StreamTimeoutMs)) {
+        q.stop()
+        throw new IllegalStateException(
+          s"streaming face still running after $StreamTimeoutMs ms")
+      }
+    } finally s.conf.set(key, prev)
+  }
+
   /** The 7-rule cascade (SURVEY.md §1.3) applied to strings constructed
     * deterministically from orders — every rule exercised, oracle-checked
     * against an identical CASE cascade in DuckDB. Timestamps surface as
@@ -322,10 +366,16 @@ object Pipelines {
     val schema = StructType(Seq(
       StructField("o_orderkey", LongType), StructField("o_orderpriority", StringType),
       StructField("o_totalprice", DoubleType)))
+    // stateless file ingest: no state store, keep the batch width —
+    // but the same loud deadline as runStream
     val q = graft.streaming.StreamIngest.writeParquetStream(
       graft.streaming.StreamIngest.readCsvStream(s, s"$base/csv", schema, cfg),
       s"$base/out", s"$base/ckpt")
-    q.awaitTermination(120000)
+    if (!q.awaitTermination(StreamTimeoutMs)) {
+      q.stop()
+      throw new IllegalStateException(
+        s"q54 ingest stream still running after $StreamTimeoutMs ms")
+    }
     val out = s.read.parquet(s"$base/out")
     val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
     def side(df: DataFrame): (Long, Long) = {
@@ -367,13 +417,13 @@ object Pipelines {
     val views = src().where(col("event_type") === "view")
       .select(col("user_id"), col("ts").as("rts"), col("value"))
     val base = freshTmp("sij_q57")
-    val q = graft.streaming.StreamIngest
+    runStream(s) {
+      graft.streaming.StreamIngest
       .intervalJoinStream(signups, views, "user_id") // [ts, ts+24h), q46's window
       .select(col("event_id"), col("value"))
       .writeStream.format("parquet")
       .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start() }
     s.read.parquet(s"$base/out")
       .groupBy(col("event_id"))
       .agg(count(lit(1)).as("n_views"), round(sum(col("value")), 4).as("sum_value"))
@@ -410,13 +460,13 @@ object Pipelines {
     val views = src().where(col("event_type") === "view")
       .select(col("user_id"), col("ts").as("rts"), col("value"))
     val base = freshTmp("soj_q108")
-    val q = graft.streaming.StreamIngest
+    runStream(s) {
+      graft.streaming.StreamIngest
       .intervalJoinStreamOuter(signups, views, "user_id")
       .select(col("event_id"), col("value"))
       .writeStream.format("parquet")
       .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start() }
     s.read.parquet(s"$base/out")
       .groupBy(col("event_id"))
       .agg(count(col("value")).as("n_views"),
@@ -482,14 +532,14 @@ object Pipelines {
       .coalesce(1).write.mode("append").parquet(s"$base/in"))
     val stream = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
-    val q = stream
+    runStream(s) {
+      stream
       .select(explode(graft.ops.TextAnalysis.words(col("text"))).as("word"))
       .agg(graft.functions.MgAgg.mgSketch(col("word"), cap).as("sk"),
         count(lit(1)).as("n_total"))
       .writeStream.format("memory").queryName("shh_q111_out")
       .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start() }
     // complete mode: the memory table holds the LATEST full result (one
     // row: the cross-batch sketch + stream-total count)
     val fin = s.table("shh_q111_out").cache()
@@ -533,12 +583,12 @@ object Pipelines {
   def streamWindows(s: SparkSession, d: String): DataFrame = {
     val ev = eventStream(s, d).select(col("ts"), col("event_type"), col("value"))
     val base = freshTmp("swin_q58")
-    val q = graft.streaming.StreamIngest
+    runStream(s) {
+      graft.streaming.StreamIngest
       .windowedEventCounts(ev, watermark = "0 seconds", window_ = "10 minutes")
       .writeStream.format("parquet")
       .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start() }
     s.read.parquet(s"$base/out")
       .select(unix_timestamp(col("window_start")).as("window_start"),
         col("event_type"), col("n_events"),
@@ -564,13 +614,13 @@ object Pipelines {
   def streamDedup(s: SparkSession, d: String): DataFrame = {
     val ev = eventStream(s, d).select(col("ts"), col("user_id"), col("event_type"))
     val base = freshTmp("sdd_q59")
-    val q = graft.streaming.StreamIngest
+    runStream(s) {
+      graft.streaming.StreamIngest
       .dedupStream(ev, Seq("user_id", "event_type"), watermark = "10 minutes")
       .select(col("user_id"), col("event_type"))
       .writeStream.format("parquet")
       .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start() }
     s.read.parquet(s"$base/out")
       .orderBy(col("user_id"), col("event_type"))
   }
@@ -593,12 +643,12 @@ object Pipelines {
     val dim = Tables.customer(s, d)
       .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
     val base = freshTmp("enr_q91")
-    val q = graft.streaming.StreamIngest.enrichStream(ev, dim, "user_id")
+    runStream(s) {
+      graft.streaming.StreamIngest.enrichStream(ev, dim, "user_id")
       .select(col("segment"), col("event_type"), col("value"))
       .writeStream.format("parquet")
       .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start() }
     s.read.parquet(s"$base/out")
       .groupBy(col("segment"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
@@ -714,12 +764,12 @@ object Pipelines {
       .schema(org.apache.spark.sql.Encoders.product[CdcApply.Change].schema)
       .option("maxFilesPerTrigger", 2)
       .parquet(s"$base/log").as[CdcApply.Change]
-    val q = CdcApply.applyStream(stream)
+    runStream(s) {
+      CdcApply.applyStream(stream)
       .writeStream.format("parquet")
       .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
       .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start() }
     // final per-key row = the max-n_applied winner transition (monotone)
     val fin = s.read.parquet(s"$base/out")
       .groupBy(col("o_orderkey"))
@@ -825,12 +875,12 @@ object Pipelines {
       .schema(org.apache.spark.sql.Encoders.product[DeadLetter.Ev].schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$base/in").as[DeadLetter.Ev]
-    val q = DeadLetter.route(stream, delaySec, windowSec = 86400L)
+    runStream(s) {
+      DeadLetter.route(stream, delaySec, windowSec = 86400L)
       .writeStream.format("parquet")
       .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
       .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start() }
     s.read.parquet(s"$base/out")
       .groupBy(col("event_type"), col("kind"), col("window_start"))
       .agg(sum(col("n")).as("n"))

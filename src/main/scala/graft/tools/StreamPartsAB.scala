@@ -21,8 +21,10 @@ object StreamPartsAB {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // the faces now read graft.stream.parts (default 8) inside
+    // runStream; drive that knob, not the session batch width
     for (parts <- Seq(32, 16, 8, 4); name <- names; i <- 1 to runs) {
-      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      spark.conf.set("graft.stream.parts", parts)
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, d)
         .write.format("noop").mode("overwrite").save()
