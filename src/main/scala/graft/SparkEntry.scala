@@ -274,6 +274,11 @@ object SparkEntry {
     // weekly retention cohorts: first-active-week x delta distinct
     // users; integer epoch-weeks, co-partitioned user join, bounded cells
     "q124_retention_cohorts" -> Relational.retentionCohorts _,
+    // KMV sketch ROLL-UP (the sketch-cube pattern): per-group sketches
+    // merged to a global sketch that is BIT-EQUAL to the direct one
+    // (bottom-k of a union of bottom-ks) - merge input is groups x k
+    // longs, never the data; both rows emitted and oracle-checked
+    "q125_kmv_rollup" -> Relational.kmvRollup _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -463,6 +468,7 @@ object SparkEntry {
     "q122_auc_eval" -> TextAnalysis.aucEvalSql,
     "q123_funnel" -> Relational.funnelSql,
     "q124_retention_cohorts" -> Relational.retentionCohortsSql,
+    "q125_kmv_rollup" -> Relational.kmvRollupSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

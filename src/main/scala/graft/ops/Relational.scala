@@ -1088,6 +1088,87 @@ object Relational {
        |WHERE n_true * ${MgCap + 1} > n_total
        |ORDER BY n_true DESC, word""".stripMargin
 
+  /** q125 — KMV sketch ROLL-UP (the sketch-cube pattern): per-group
+    * distinct sketches merged into a global sketch WITHOUT rescanning
+    * the data — the property that makes sketches the 100 TB answer to
+    * "distincts at every grouping level": compute once at the finest
+    * grain, roll up by merging k-long arrays. For bottom-k this is
+    * EXACT, not approximate-on-approximate: every one of the k smallest
+    * hashes of the union is among the k smallest of its own source, so
+    * bottom-k(⋃ bottom-k(Sᵢ)) = bottom-k(⋃ Sᵢ) and the rolled-up
+    * sketch — and therefore its estimate — is BIT-IDENTICAL to the
+    * direct single-scan global sketch. The face emits both rows, and
+    * the oracle recomputes both; their forced equality is the roll-up
+    * theorem, machine-checked per run.
+    *
+    * Merge = explode the per-group arrays and re-aggregate the HASHES
+    * through the same [[graft.functions.KmvAgg]] (no re-hashing): the
+    * merge input is groups×k longs regardless of data volume. Face:
+    * per-priority buyer sketches over orders (5 groups), the roll-up,
+    * and the direct global. */
+  def kmvRollup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.KmvAgg.kmvSketch
+    val est = when(size(col("arr")) < KmvK, size(col("arr")).cast("long"))
+      .otherwise(expr(
+        s"CAST((CAST(${KmvK - 1} AS DECIMAL(38,0)) * CAST(1152921504606846976 AS DECIMAL(38,0))) div element_at(arr, $KmvK) AS BIGINT)"))
+    val keyed = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("grp"),
+        kmvHash(col("o_custkey")).as("h"), col("o_custkey").as("k"))
+    val per = keyed.groupBy(col("grp"))
+      .agg(kmvSketch(col("h"), KmvK).as("arr"),
+        countDistinct(col("k")).as("exact"))
+      .cache() // ≤5 rows of k longs; feeds both output and the roll-up
+    val globalExact = keyed.agg(countDistinct(col("k"))).head.getLong(0)
+    val rolled = per.select(explode(col("arr")).as("h"))
+      .agg(kmvSketch(col("h"), KmvK).as("arr"))
+      .select(lit("zz_rollup").as("scope"), est.as("est_distinct"),
+        lit(globalExact).as("exact_distinct"))
+    val direct = keyed.agg(kmvSketch(col("h"), KmvK).as("arr"))
+      .select(lit("zz_direct").as("scope"), est.as("est_distinct"),
+        lit(globalExact).as("exact_distinct"))
+    per.select(col("grp").as("scope"), est.as("est_distinct"),
+        col("exact").as("exact_distinct"))
+      .unionAll(rolled).unionAll(direct)
+      .orderBy(col("scope"))
+  }
+
+  val kmvRollupSql: String = {
+    def h(e: String) =
+      s"CAST('0x' || substr(md5('kmv|' || CAST($e AS VARCHAR)), 1, 15) AS BIGINT)"
+    def estOf(src: String) =
+      s"""(SELECT CASE WHEN count(*) < $KmvK THEN count(*)
+         |  ELSE CAST((CAST(${KmvK - 1} AS HUGEINT) * 1152921504606846976)
+         |       // max(hh) AS BIGINT) END
+         | FROM (SELECT h AS hh FROM $src ORDER BY h LIMIT $KmvK) t)""".stripMargin
+    s"""WITH keyed AS (
+       |  SELECT o_orderpriority AS grp, ${h("o_custkey")} AS h, o_custkey AS k
+       |  FROM orders),
+       | dh AS (SELECT DISTINCT grp, h FROM keyed),
+       | ranked AS (
+       |  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+       |  FROM dh),
+       | per_est AS (
+       |  SELECT grp,
+       |    CASE WHEN count(*) < $KmvK THEN count(*)
+       |      ELSE CAST((CAST(${KmvK - 1} AS HUGEINT) * 1152921504606846976)
+       |           // max(CASE WHEN rk = $KmvK THEN h END) AS BIGINT) END AS est
+       |  FROM ranked WHERE rk <= $KmvK GROUP BY grp),
+       | per_exact AS (
+       |  SELECT grp, count(DISTINCT k) AS exact FROM keyed GROUP BY grp),
+       | sketch_union AS (
+       |  SELECT DISTINCT h FROM ranked WHERE rk <= $KmvK),
+       | gexact AS (SELECT count(DISTINCT k) AS x FROM keyed),
+       | uh AS (SELECT DISTINCT h FROM dh)
+       |SELECT e.grp AS scope, CAST(e.est AS BIGINT) AS est_distinct,
+       |  CAST(x.exact AS BIGINT) AS exact_distinct
+       |FROM per_est e JOIN per_exact x USING (grp)
+       |UNION ALL
+       |SELECT 'zz_rollup', ${estOf("sketch_union")}, (SELECT x FROM gexact)
+       |UNION ALL
+       |SELECT 'zz_direct', ${estOf("uh")}, (SELECT x FROM gexact)
+       |ORDER BY scope""".stripMargin
+  }
+
   /** q123 — ordered funnel conversion (signup → view → purchase, each
     * step STRICTLY after the previous): the product-analytics primitive
     * every event warehouse runs. Computed in ONE pass: per user ordered
