@@ -57,10 +57,16 @@ final case class GramAgg(
       val arr = v.asInstanceOf[ArrayData]
       require(arr.numElements() == d,
         s"gram_upper(d=$d) got a ${arr.numElements()}-element vector")
-      // pull once into a primitive local: exact ints carried as doubles
+      // pull once into a primitive local: exact ints carried as doubles.
+      // A null ELEMENT would otherwise read as 0.0 silently (unsafe-row
+      // semantics) and corrupt the matrix — fail loud instead.
       val x = new Array[Long](d)
       var i = 0
-      while (i < d) { x(i) = arr.getDouble(i).toLong; i += 1 }
+      while (i < d) {
+        require(!arr.isNullAt(i), s"gram_upper: null element at index $i")
+        x(i) = arr.getDouble(i).toLong
+        i += 1
+      }
       var idx = 0
       i = 0
       while (i < d) {
