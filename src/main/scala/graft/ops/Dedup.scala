@@ -197,14 +197,30 @@ object Dedup {
     // docs, 78M postings) the string formulation's CUMULATIVE shuffle
     // spill exceeded 73 GB of local scratch and killed the job (r9
     // probe, both verification legs); the encoded form fits. Surrogate =
-    // monotonically_increasing_id over the df table: no global sort, no
-    // collisions possible (vs hashing), and equality-isomorphic to the
+    // xxhash64(shingle): DETERMINISTIC under partition recompute — an
+    // executor that loses a cached partition and replays lineage derives
+    // the SAME sid every other partition saw (a monotonically_increasing_id
+    // surrogate here could re-number on recompute and silently corrupt the
+    // sid equality join at cluster scale — r9 advice item). Hash collisions
+    // would merge two distinct shingles, so the dict is cached and a
+    // collision guard runs EAGERLY before any sid is trusted: distinct
+    // shingles must equal distinct sids (fail-loud, the GramAgg
+    // convention). P(collision) at 10⁸ distinct shingles ≈ 3·10⁻⁴ over a
+    // 64-bit space — the guard is belt over suspenders, but it converts a
+    // silent wrong answer into a loud abort. Equality-isomorphic to the
     // strings, so every count, intersection, and the final output are
     // IDENTICAL — ids never surface. The (df, sid) prefix order is a
     // valid canonical total order: the prefix principle needs only that
     // both docs rank their shingles by the same global order.
     val dict = dfreq
-      .select(col("shingle"), col("df"), monotonically_increasing_id().as("sid"))
+      .select(col("shingle"), col("df"), xxhash64(col("shingle")).as("sid"))
+      .cache()
+    val nShingle = dict.count()
+    val nSid = dict.agg(countDistinct(col("sid"))).head.getLong(0)
+    if (nSid != nShingle)
+      throw new IllegalStateException(
+        s"prefixJaccardPairs: xxhash64 shingle-dictionary collision " +
+          s"($nShingle shingles -> $nSid sids); rerun with a salted hash")
     val sh = shAll.join(dict, "shingle")
       .select(col("doc_id"), col("sid"), col("df")).cache()
     val byRarity = Window.partitionBy(col("doc_id"))
@@ -223,10 +239,35 @@ object Dedup {
     val tSlack = t - 1e-4
     val prefix = ranked
       .where(col("rn") <= col("ns") - ceil(col("ns") * tSlack) + 1)
-      .select(col("doc_id"), col("sid"))
+      .select(col("doc_id"), col("sid"), col("rn"), col("ns"))
+    // PPJoin candidate filters (Xiao et al. 2008 §3), evaluated INSIDE
+    // the join condition so pruned pairs die in the codegen'd join loop
+    // and never reach the distinct shuffle or the set-verification joins
+    // (the r9 sf30 probe's 53 GB spill lived exactly there — candidate
+    // volume tracked the df tail, 5.8× wall at 3× data):
+    //  - LENGTH filter: J ≥ t' ⟹ |∩|/|∪| ≤ min(ns)/max(ns), so
+    //    min(ns) ≥ t'·max(ns).
+    //  - POSITIONAL filter: J ≥ t' ⟺ overlap o ≥ t'/(1+t')·(ns1+ns2).
+    //    At the RAREST shared shingle (positions rn1, rn2 under the
+    //    canonical order) every shared shingle ranks ≥ rn in BOTH docs,
+    //    so o ≤ 1 + min(ns1−rn1, ns2−rn2); require that bound to reach
+    //    the threshold.
+    // Losslessness: a qualifying pair's rarest shared shingle sits in
+    // both prefixes (the prefix principle at t'), and at THAT occurrence
+    // both filters hold by the inequalities above — so every true pair
+    // still emits ≥ 1 candidate row. Occurrences of later shared
+    // shingles may be pruned (their positional bound does not cover
+    // shingles ranked before them), which only removes duplicate
+    // candidate rows the distinct would have collapsed anyway.
+    val reqOverlap = lit(tSlack / (1.0 + tSlack)) *
+      (col("a.ns") + col("b.ns")).cast("double")
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id")
+          && least(col("a.ns"), col("b.ns")).cast("double") >=
+             lit(tSlack) * greatest(col("a.ns"), col("b.ns")).cast("double")
+          && (lit(1L) + least(col("a.ns") - col("a.rn"),
+                col("b.ns") - col("b.rn"))).cast("double") >= reqOverlap)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))

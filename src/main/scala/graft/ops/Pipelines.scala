@@ -868,8 +868,22 @@ object Pipelines {
     val ev = Tables.events(s, d)
       .select(col("event_type"), col("event_id"),
         unix_timestamp(col("ts")).as("t"))
-    (0 until 3).foreach(i => ev.where(pmod(col("event_id"), lit(3)) === i)
-      .coalesce(1).write.mode("append").parquet(s"$base/in"))
+    // Wave ORDER is load-bearing here (unlike q111/q103, whose state is
+    // merge-order-independent): the keyed watermark advances wave by
+    // wave, and the oracle replays waves in event_id%3 order. The file
+    // source orders by MODIFICATION TIME, and two sequential appends can
+    // tie within the filesystem's stamp granularity — so stamp each
+    // wave's files explicitly with strictly increasing times (r9 advice).
+    val inDir = new java.io.File(s"$base/in")
+    val stamped = scala.collection.mutable.HashSet[String]()
+    (0 until 3).foreach { i =>
+      ev.where(pmod(col("event_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      val waveT = 1700000000000L + i * 600000L
+      inDir.listFiles().foreach { f =>
+        if (stamped.add(f.getName)) f.setLastModified(waveT)
+      }
+    }
     val delaySec = ev.agg(expr("(max(t) - min(t)) div 2")).head.getLong(0)
     val stream = s.readStream
       .schema(org.apache.spark.sql.Encoders.product[DeadLetter.Ev].schema)

@@ -1114,10 +1114,16 @@ object Relational {
     val keyed = Tables.orders(s, d)
       .select(col("o_orderpriority").as("grp"),
         kmvHash(col("o_custkey")).as("h"), col("o_custkey").as("k"))
-    val per = keyed.groupBy(col("grp"))
+    // ≤5 rows of k longs feed both the output and the roll-up: collect
+    // them into a LocalRelation instead of .cache() — same single scan,
+    // but nothing persists past this call (a cached frame here outlived
+    // the query and accumulated across gate/bench invocations until the
+    // harness's clearCache — r9 advice item)
+    val perAgg = keyed.groupBy(col("grp"))
       .agg(kmvSketch(col("h"), KmvK).as("arr"),
         countDistinct(col("k")).as("exact"))
-      .cache() // ≤5 rows of k longs; feeds both output and the roll-up
+    val per = s.createDataFrame(
+      java.util.Arrays.asList(perAgg.collect(): _*), perAgg.schema)
     val globalExact = keyed.agg(countDistinct(col("k"))).head.getLong(0)
     val rolled = per.select(explode(col("arr")).as("h"))
       .agg(kmvSketch(col("h"), KmvK).as("arr"))

@@ -877,7 +877,12 @@ object Similarity {
       tauNum: Int, tauDen: Int): DataFrame = {
     val cents = kmeansFit(qe, k, iters)
     // cached: used as BOTH join sides and the final keep frame — without
-    // it the whole quantize+assign pipeline runs three times (r9 probe)
+    // it the whole quantize+assign pipeline runs three times (r9 probe).
+    // asg is corpus-sized, so it cannot collect to a LocalRelation like
+    // the bounded model frames (q118/q125); its lifetime is governed by
+    // the harness hygiene contract — Verify clears the cache per query,
+    // Bench per pass (see SharedPlans doc) — callers embedding this in a
+    // longer-lived session should clearCache() when done
     val asg = kmeansAssign(qe, cents, k > KmeansMaxExprK)
       .withColumn("nn", vecDot(col("q8"), col("q8")).cast("long"))
       .cache()

@@ -255,7 +255,13 @@ object TextAnalysis {
       .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
         sum(col("np") * (lit(2L) * col("cumneg") + col("nn"))).as("u2"))
       .select(col("n_pos"), col("n_neg"), col("u2"),
-        expr("(1000000 * u2) div (2 * n_pos * n_neg)").as("auc_ppm"))
+        // single-class guard (r9 advice): with no positives or no
+        // negatives AUC is undefined — emit NULL explicitly rather than
+        // inherit engine-specific div-by-zero behavior (non-ANSI Spark
+        // NULLs, ANSI throws, DuckDB `//` differs again); the oracle
+        // carries the matching CASE
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("(1000000 * u2) div (2 * n_pos * n_neg)")).as("auc_ppm"))
   }
 
   val aucEvalSql: String =
@@ -279,8 +285,10 @@ object TextAnalysis {
       |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
       |  CAST(sum(nn) AS BIGINT) AS n_neg,
       |  CAST(sum(np * (2 * cumneg + nn)) AS BIGINT) AS u2,
-      |  CAST((1000000 * sum(np * (2 * cumneg + nn)))
-      |       // (2 * sum(np) * sum(nn)) AS BIGINT) AS auc_ppm
+      |  CASE WHEN sum(np) > 0 AND sum(nn) > 0
+      |    THEN CAST((1000000 * sum(np * (2 * cumneg + nn)))
+      |         // (2 * sum(np) * sum(nn)) AS BIGINT)
+      |    ELSE NULL END AS auc_ppm
       |FROM cum""".stripMargin
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
@@ -1043,13 +1051,16 @@ object TextAnalysis {
         explode(concat(wArr, bigrams)).as("f"))
       .select(col("doc_id"), col("lang"), dsirBucket(col("f")).as("b"))
     // one pass builds BOTH models: raw count + filtered target count;
-    // cached (≤B rows) so the totals agg and the λ projection don't each
-    // re-scan the corpus — with it the whole operator is TWO corpus
-    // scans (model, scoring), the floor for a two-pass method
-    val model = feats.groupBy(col("b"))
+    // the ≤B-row model is COLLECTED into a LocalRelation (not .cache(),
+    // which outlived the query and accumulated across invocations — r9
+    // advice item) so the totals agg and the λ projection don't each
+    // re-scan the corpus — the whole operator is TWO corpus scans
+    // (model, scoring), the floor for a two-pass method
+    val modelAgg = feats.groupBy(col("b"))
       .agg(count(lit(1)).as("cr"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
-      .cache()
+    val model = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(modelAgg.collect(): _*), modelAgg.schema)
     val totals = model.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     val lam = model.crossJoin(broadcast(totals))
       .select(col("b"),
