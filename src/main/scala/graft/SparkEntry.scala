@@ -279,6 +279,35 @@ object SparkEntry {
     // (bottom-k of a union of bottom-ks) - merge input is groups x k
     // longs, never the data; both rows emitted and oracle-checked
     "q125_kmv_rollup" -> Relational.kmvRollup _,
+    // INCREMENTAL ANN maintenance: existing corpus indexed ONCE and
+    // PERSISTED (parquet artifact); the new batch is quantized, routed
+    // off the persisted centroids, and searched against its cell of the
+    // persisted index - the corpus is never re-encoded (daily-ingest
+    // shape); oracle replays quantize + both routings + in-cell top-k
+    "q126_ivf_incremental" -> ((s: SparkSession, d: String) => Similarity.ivfIncremental(s, d)),
+    // INCREMENTAL delta-dedup: the dedup face of the daily-ingest shape
+    // - corpus MinHash signatures + band buckets persisted once, the
+    // new batch admission-screened off the artifact (fresh batch sigs,
+    // broadcast band join, per-new-doc admit/reject); the gate hash
+    // also proves the signature parquet round-trip lossless
+    "q127_delta_dedup" -> Dedup.deltaDedup _,
+    // quality-aware dedup representative: keep the LONGEST member of
+    // each near-dup cluster (ties -> min id), with per-doc provenance
+    // (cluster, score, representative, verdict); oracle replays the
+    // recursive-CTE closure + the same keep-longest rank
+    "q128_cluster_reps" -> Dedup.clusterReps _,
+    // one-pass table profiler (the ANALYZE shape): per-column nulls /
+    // exact distincts / min-max in ONE aggregate over ONE scan, then
+    // unpivoted - the oracle may rescan per column, the engine must not
+    "q129_table_profile" -> Relational.tableProfile _,
+    // referential-integrity audit: every FK edge of the star schema -
+    // child rows / orphans / distinct orphan keys, one broadcast
+    // left-join aggregate per edge (the post-landing data-quality gate)
+    "q130_fk_audit" -> Reconcile.fkAudit _,
+    // erasure cascade audit (right-to-be-forgotten): subject list ->
+    // orders -> lineitem semi-join cascade, per-table before/erased/
+    // after counts; subject side broadcasts at every step
+    "q131_erasure_cascade" -> Reconcile.erasureCascade _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -469,6 +498,12 @@ object SparkEntry {
     "q123_funnel" -> Relational.funnelSql,
     "q124_retention_cohorts" -> Relational.retentionCohortsSql,
     "q125_kmv_rollup" -> Relational.kmvRollupSql,
+    "q126_ivf_incremental" -> Similarity.ivfIncrementalSql,
+    "q127_delta_dedup" -> Dedup.deltaDedupSql,
+    "q128_cluster_reps" -> Dedup.clusterRepsSql,
+    "q129_table_profile" -> Relational.tableProfileSql,
+    "q130_fk_audit" -> Reconcile.fkAuditSql,
+    "q131_erasure_cascade" -> Reconcile.erasureCascadeSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

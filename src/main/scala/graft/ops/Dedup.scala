@@ -237,9 +237,14 @@ object Dedup {
     // that can round up to t, restoring losslessness at the rounding
     // boundary (costs at most one extra prefix shingle per doc).
     val tSlack = t - 1e-4
+    // (ns, ns−rn) PACKED into one long (21 bits each side; doc shingle
+    // counts are ≪ 2²¹): the prefix self-join is the widest spill in the
+    // plan at sf30, so its rows stay 3 longs, not 4 — the filters below
+    // unpack with codegen'd shifts
     val prefix = ranked
       .where(col("rn") <= col("ns") - ceil(col("ns") * tSlack) + 1)
-      .select(col("doc_id"), col("sid"), col("rn"), col("ns"))
+      .select(col("doc_id"), col("sid"),
+        (col("ns") * lit(1L << 21) + (col("ns") - col("rn"))).as("pk"))
     // PPJoin candidate filters (Xiao et al. 2008 §3), evaluated INSIDE
     // the join condition so pruned pairs die in the codegen'd join loop
     // and never reach the distinct shuffle or the set-verification joins
@@ -259,15 +264,16 @@ object Dedup {
     // shingles may be pruned (their positional bound does not cover
     // shingles ranked before them), which only removes duplicate
     // candidate rows the distinct would have collapsed anyway.
+    def nsOf(side: String) = shiftright(col(s"$side.pk"), 21)
+    def remOf(side: String) = col(s"$side.pk").bitwiseAND(lit((1L << 21) - 1))
     val reqOverlap = lit(tSlack / (1.0 + tSlack)) *
-      (col("a.ns") + col("b.ns")).cast("double")
+      (nsOf("a") + nsOf("b")).cast("double")
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
         col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id")
-          && least(col("a.ns"), col("b.ns")).cast("double") >=
-             lit(tSlack) * greatest(col("a.ns"), col("b.ns")).cast("double")
-          && (lit(1L) + least(col("a.ns") - col("a.rn"),
-                col("b.ns") - col("b.rn"))).cast("double") >= reqOverlap)
+          && least(nsOf("a"), nsOf("b")).cast("double") >=
+             lit(tSlack) * greatest(nsOf("a"), nsOf("b")).cast("double")
+          && (lit(1L) + least(remOf("a"), remOf("b"))).cast("double") >= reqOverlap)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
@@ -703,6 +709,127 @@ object Dedup {
        |WHERE est_jaccard >= 0.5 ORDER BY train_doc, bench_doc""".stripMargin
   }
 
+  /** q127 — INCREMENTAL (delta) DEDUP against a PERSISTED signature
+    * index: the dedup face of the daily-ingest shape (q126 is the ANN
+    * face). The existing corpus (doc_id % 7 ≠ 0) is signed once — q33's
+    * portable MinHash signatures — and the index (signatures + banded
+    * buckets, both derived WITHOUT re-reading the corpus: bands come
+    * from the persisted signature table) is written to parquet. The new
+    * batch (doc_id % 7 = 0) is then ADMISSION-SCREENED entirely off
+    * that artifact: fresh batch signatures, band join against the
+    * persisted buckets, est-Jaccard verify against the persisted
+    * signatures, and a per-new-doc admit/reject verdict. The corpus
+    * text is never re-shingled, re-hashed, or re-shuffled per batch.
+    *
+    * Differs from q116 (fuzzy decontamination) in both direction and
+    * output grain: q116 emits cross-corpus PAIRS from a one-shot
+    * two-sided pipeline; this emits a per-new-document admission
+    * decision (n matches, first match, admitted) against an index that
+    * physically round-trips disk — the gate hash therefore also proves
+    * the signature parquet round-trip lossless.
+    *
+    * Scale: per batch the corpus-sized work is a STREAM of the
+    * persisted band/sig tables through broadcast joins against the
+    * (small) batch — the signing job is paid once per corpus, not per
+    * batch; bands in production are bucketed by (band, bucket) so a
+    * batch touches only its colliding buckets. */
+  def deltaDedup(s: SparkSession, d: String): DataFrame = {
+    val base = {
+      val dir = new java.io.File("target/tmp/delta_q127")
+      scala.reflect.io.Path(dir).deleteRecursively()
+      dir.getPath
+    }
+    val docs = Tables.documents(s, d)
+    def sigOf(part: DataFrame): DataFrame = {
+      val sh = shingles(part, dedup = false) // min is dup-insensitive
+        .select(col("doc_id"), baseHash(col("shingle")).as("h"))
+      val aggs = (0 until K).map(i => min(affineHash(i, col("h"))).as(s"mh$i"))
+      sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"),
+          array((0 until K).map(i => col(s"mh$i")): _*).as("sig"))
+    }
+    val bucketOf: Int => Column = b => concat_ws(",",
+      (0 until ROWS_PER_BAND).map(r => col("sig")(b * ROWS_PER_BAND + r).cast("string")): _*)
+    def bandsOf(sig: DataFrame): DataFrame = sig.select(col("doc_id"),
+      posexplode(array((0 until BANDS).map(bucketOf): _*)).as(Seq("band", "bandhash")))
+    // the "prior run": sign the corpus, persist sig; derive + persist
+    // bands FROM THE PERSISTED SIGS (one corpus scan total)
+    sigOf(docs.where(col("doc_id") % 7 =!= 0))
+      .write.mode("overwrite").parquet(s"$base/sig")
+    val idxSig = s.read.parquet(s"$base/sig")
+    bandsOf(idxSig).write.mode("overwrite").parquet(s"$base/bands")
+    val idxBands = s.read.parquet(s"$base/bands")
+    // the "daily batch": fresh signatures for the new docs only
+    val newDocs = docs.where(col("doc_id") % 7 === 0)
+    val newSig = sigOf(newDocs).cache() // batch-sized: k longs per new doc
+    val newBands = bandsOf(newSig)
+      .select(col("doc_id").as("new_doc"), col("band"), col("bandhash"))
+    val cand = idxBands
+      .select(col("doc_id").as("corpus_doc"), col("band"), col("bandhash"))
+      .join(broadcast(newBands), Seq("band", "bandhash"))
+      .select(col("new_doc"), col("corpus_doc")).distinct()
+    val matches = cand
+      .join(broadcast(newSig.select(col("doc_id").as("new_doc"), col("sig").as("nsig"))), "new_doc")
+      .join(idxSig.select(col("doc_id").as("corpus_doc"), col("sig").as("csig")), "corpus_doc")
+      .withColumn("est_jaccard", round(
+        aggregate(zip_with(col("nsig"), col("csig"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / K, 4))
+      .where(col("est_jaccard") >= 0.5)
+      .groupBy(col("new_doc"))
+      .agg(count(lit(1)).as("n_corpus_dups"), min(col("corpus_doc")).as("first_dup"))
+    newDocs.select(col("doc_id").as("new_doc"))
+      .join(matches, Seq("new_doc"), "left")
+      .select(col("new_doc"),
+        coalesce(col("n_corpus_dups"), lit(0L)).as("n_corpus_dups"),
+        col("first_dup"),
+        col("n_corpus_dups").isNull.as("admitted"))
+      .orderBy(col("new_doc"))
+  }
+
+  /** Oracle for [[deltaDedup]]: the identical two-phase pipeline in
+    * DuckDB — q33 signatures for both sides, value-keyed bands,
+    * directional candidate join, est-Jaccard verify, per-new-doc
+    * admission roll-up. */
+  def deltaDedupSql: String = {
+    val sigCols = (0 until K).map { i =>
+      val (a, b) = affineConsts(i)
+      s"min(($a * h + $b) % $AffineP) AS mh$i"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until BANDS).map { b =>
+      val vals = (0 until ROWS_PER_BAND).map(r => s"mh${b * ROWS_PER_BAND + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $vals) AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val eq = (0 until K).map(i => s"CASE WHEN s1.mh$i = s2.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH s AS ($shinglesSql),
+       | hs AS (SELECT doc_id,
+       |   CAST('0x' || substr(md5(shingle), 1, 10) AS BIGINT) AS h FROM s),
+       | sig AS (SELECT doc_id,
+       |  $sigCols
+       |  FROM hs GROUP BY doc_id),
+       | bands AS (
+       |  $bandSelects),
+       | cand AS (
+       |  SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+       |  FROM bands n JOIN bands c ON n.band = c.band AND n.bucket = c.bucket
+       |  WHERE n.doc_id % 7 = 0 AND c.doc_id % 7 <> 0),
+       | est AS (
+       |  SELECT new_doc, corpus_doc, round(($eq) / 32.0, 4) AS est_jaccard
+       |  FROM cand
+       |  JOIN sig s1 ON new_doc = s1.doc_id
+       |  JOIN sig s2 ON corpus_doc = s2.doc_id),
+       | m AS (
+       |  SELECT new_doc, count(*) AS n_corpus_dups, min(corpus_doc) AS first_dup
+       |  FROM est WHERE est_jaccard >= 0.5 GROUP BY new_doc)
+       |SELECT d.doc_id AS new_doc,
+       |  CAST(coalesce(m.n_corpus_dups, 0) AS BIGINT) AS n_corpus_dups,
+       |  m.first_dup,
+       |  m.new_doc IS NULL AS admitted
+       |FROM documents d LEFT JOIN m ON d.doc_id = m.new_doc
+       |WHERE d.doc_id % 7 = 0
+       |ORDER BY new_doc""".stripMargin
+  }
+
   /** [[minhashLshPairs]] (portable variant) behind [[SharedPlans]]: the
     * pair table feeds q34 AND the cluster query q38 — one LSH pipeline
     * per (session, dir), the honest materialize-once pipeline shape. */
@@ -841,6 +968,57 @@ object Dedup {
        |       WHEN CAST('0x' || substr(md5(CAST(unit AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90
        |       THEN 'val' ELSE 'test' END AS split
        |FROM unit ORDER BY doc_id""".stripMargin
+
+  /** q128 — QUALITY-AWARE duplicate-cluster representative selection:
+    * q38 gives the clusters; q37/q44's keep policy (min doc_id) is
+    * arbitrary — production pipelines keep the BEST member of each
+    * near-dup cluster, not the first. This face keeps the LONGEST
+    * member (word count, the standard keep-longest-duplicate policy;
+    * ties break to min doc_id so the answer is unique), and emits every
+    * clustered doc with its cluster, score, representative, and verdict
+    * — the per-doc provenance a curation audit needs ("why was this
+    * dropped, and for which survivor?").
+    *
+    * Scale: rides the shared LSH pipeline (SharedPlans) like q38/q107;
+    * the component table covers only pair-involved docs, the score join
+    * is doc_id-keyed, and the rank window partitions by cluster —
+    * bounded by cluster size, never corpus-sized. */
+  def clusterReps(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = connectedComponents(
+      minhashLshPairsShared(s, d).select(col("d1"), col("d2")))
+      .select(col("id").as("doc_id"), col("comp").as("cluster"))
+    val nw = Tables.documents(s, d)
+      .select(col("doc_id"), size(TextAnalysis.words(col("text"))).as("nw"))
+    val scored = comp.join(nw, "doc_id")
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("nw").desc, col("doc_id").asc)
+    val reps = scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("rep_id"))
+    scored.join(reps, "cluster")
+      .select(col("doc_id"), col("cluster"), col("nw"), col("rep_id"),
+        (col("doc_id") === col("rep_id")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for [[clusterReps]]: the q38 recursive-CTE closure + the
+    * same keep-longest rank, replayed end-to-end. */
+  def clusterRepsSql: String =
+    s"""WITH RECURSIVE $componentsCteSql,
+       | nw AS (SELECT doc_id,
+       |   len(regexp_extract_all(text, '[a-z0-9]+')) AS nw FROM documents),
+       | scored AS (
+       |  SELECT c.doc_id, c.cluster, nw.nw FROM comp c JOIN nw USING (doc_id)),
+       | reps AS (
+       |  SELECT cluster, doc_id AS rep_id FROM (
+       |    SELECT cluster, doc_id, row_number() OVER (
+       |      PARTITION BY cluster ORDER BY nw DESC, doc_id ASC) AS rn
+       |    FROM scored) WHERE rn = 1)
+       |SELECT s.doc_id, s.cluster, s.nw, r.rep_id,
+       |  s.doc_id = r.rep_id AS kept
+       |FROM scored s JOIN reps r USING (cluster)
+       |ORDER BY s.doc_id""".stripMargin
 
   private val SpanW = 8
 

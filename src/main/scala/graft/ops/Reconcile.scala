@@ -344,6 +344,124 @@ object Reconcile {
       |FROM iv WHERE op = 'U'
       |ORDER BY o_orderkey, valid_from""".stripMargin
 
+  /** q130 — REFERENTIAL-INTEGRITY AUDIT: every foreign-key edge of the
+    * star schema checked in one pass per edge — child rows, orphan rows
+    * (no matching parent key), distinct orphan keys. The data-quality
+    * gate a copy pipeline runs after landing (the reference trusts the
+    * transfer; see [[Reconcile]] preamble) and a training pipeline runs
+    * before joining facts to dims: a broken FK silently drops rows in
+    * every downstream inner join.
+    *
+    * Shape per edge: child keys LEFT JOIN distinct parent keys → one
+    * aggregate (count / null-count / distinct-null-keys). Dimension
+    * parents (region, nation, part, supplier, customer-keys, orders-
+    * keys) broadcast after the distinct; the only corpus-sized side
+    * streams. At 100 TB the lineitem→orders edge is the one real
+    * shuffle and the q90 Bloom pre-filter is the documented scale path
+    * (orphans are rare; the Bloom rejects matches cheaply and only
+    * suspected orphans reach the join). */
+  def fkAudit(s: SparkSession, d: String): DataFrame = {
+    def edge(name: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame =
+      child.select(col(ck).as("k"))
+        .join(broadcast(parent.select(col(pk).as("k")).distinct()
+          .withColumn("ex", lit(1))), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("ex").isNull, 1L).otherwise(0L)).as("n_orphans"),
+          countDistinct(when(col("ex").isNull, col("k"))).as("n_orphan_keys"))
+        .select(lit(name).as("fk"), col("n_child"), col("n_orphans"),
+          col("n_orphan_keys"))
+    val edges = Seq(
+      edge("customer.c_nationkey->nation", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey"),
+      edge("lineitem.l_orderkey->orders", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey"),
+      edge("lineitem.l_partkey->part", Tables.lineitem(s, d), "l_partkey",
+        Tables.part(s, d), "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", Tables.lineitem(s, d), "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey"),
+      edge("nation.n_regionkey->region", Tables.nation(s, d), "n_regionkey",
+        Tables.region(s, d), "r_regionkey"),
+      edge("orders.o_custkey->customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"),
+      edge("supplier.s_nationkey->nation", Tables.supplier(s, d), "s_nationkey",
+        Tables.nation(s, d), "n_nationkey"))
+    edges.reduce(_ unionAll _).orderBy(col("fk"))
+  }
+
+  val fkAuditSql: String = {
+    val edges = Seq(
+      ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      .map { case (name, ct, ck, pt, pk) =>
+        s"""SELECT '$name' AS fk, count(*) AS n_child,
+           |   CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           |   CAST(count(DISTINCT CASE WHEN p.k IS NULL THEN c.$ck END) AS BIGINT) AS n_orphan_keys
+           | FROM $ct c LEFT JOIN (SELECT DISTINCT $pk AS k FROM $pt) p
+           |   ON c.$ck = p.k""".stripMargin
+      }.mkString("\n UNION ALL\n")
+    s"WITH a AS (\n $edges)\nSELECT * FROM a ORDER BY fk"
+  }
+
+  /** q131 — ERASURE (right-to-be-forgotten) CASCADE AUDIT: delete
+    * requests arrive as a subject list (here customers with
+    * c_custkey % 97 = 0, the deterministic stand-in for a request
+    * table); the cascade follows the FK graph — customer → orders →
+    * lineitem — and the face emits the per-table audit a compliance
+    * pipeline must log: rows before, rows erased, rows after. The
+    * actual delete is the complement anti-join (kept = NOT IN cascade),
+    * counted here rather than materialized so the face is a pure audit.
+    *
+    * Scale: the subject list is tiny (requests, not data) and
+    * broadcasts; orders-to-erase is subject-keyed (broadcast semi-join);
+    * the lineitem leg joins against erased ORDER KEYS — still request-
+    * sized in any real corpus — so no corpus-sized side ever shuffles.
+    * Counts are map-side-combined aggregates. */
+  def erasureCascade(s: SparkSession, d: String): DataFrame = {
+    val subjects = Tables.customer(s, d)
+      .where(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+    val custAll = Tables.customer(s, d)
+    val ordAll = Tables.orders(s, d)
+    val liAll = Tables.lineitem(s, d)
+    val delOrders = ordAll.join(broadcast(subjects),
+      ordAll("o_custkey") === subjects("c_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+    def row(table: String, all: DataFrame, deleted: DataFrame): DataFrame =
+      all.agg(count(lit(1)).as("n_before"))
+        .crossJoin(deleted.agg(count(lit(1)).as("n_erased")))
+        .select(lit(table).as("table_name"), col("n_before"), col("n_erased"),
+          (col("n_before") - col("n_erased")).as("n_after"))
+    val delLi = liAll.join(broadcast(delOrders),
+      liAll("l_orderkey") === delOrders("o_orderkey"), "left_semi")
+    row("customer", custAll,
+        custAll.join(broadcast(subjects), custAll("c_custkey") === subjects("c_custkey"), "left_semi"))
+      .unionAll(row("lineitem", liAll, delLi))
+      .unionAll(row("orders", ordAll, delOrders))
+      .orderBy(col("table_name"))
+  }
+
+  val erasureCascadeSql: String =
+    """WITH subj AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+      | delo AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM subj)),
+      | dell AS (SELECT l_orderkey FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM delo)),
+      | a AS (
+      |  SELECT 'customer' AS table_name,
+      |    (SELECT count(*) FROM customer) AS n_before,
+      |    (SELECT count(*) FROM subj) AS n_erased
+      |  UNION ALL
+      |  SELECT 'lineitem',
+      |    (SELECT count(*) FROM lineitem), (SELECT count(*) FROM dell)
+      |  UNION ALL
+      |  SELECT 'orders',
+      |    (SELECT count(*) FROM orders), (SELECT count(*) FROM delo))
+      |SELECT table_name, n_before, n_erased, n_before - n_erased AS n_after
+      |FROM a ORDER BY table_name""".stripMargin
+
   val tableDigestSql: String =
     """WITH r AS (
       |  SELECT

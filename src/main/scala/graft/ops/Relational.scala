@@ -1106,6 +1106,86 @@ object Relational {
     * merge input is groups×k longs regardless of data volume. Face:
     * per-priority buyer sketches over orders (5 groups), the roll-up,
     * and the direct global. */
+  /** q129 — one-pass TABLE PROFILER (the `ANALYZE`/data-quality shape
+    * every ingest pipeline runs before training): per column of orders —
+    * row count, null count, EXACT distinct count, numeric min/max,
+    * string min/max (dates formatted to an engine-neutral yyyy-MM-dd).
+    * Computed as ONE aggregate over ONE scan (all 6×4 measures in a
+    * single agg; Catalyst plans the multi-countDistinct as one Expand —
+    * still a single pass over the data), then unpivoted to one row per
+    * column via an explode of the single result row — no per-column
+    * rescans.
+    *
+    * Scale: the scan is one pass; the Expand multiplies rows by the
+    * distinct-agg count before the shuffle, so at 100 TB the knob is
+    * swapping `countDistinct` for `approx_count_distinct` (HLL, no
+    * Expand) — kept exact here because exactness is what the DuckDB
+    * oracle can replay, and the swap is a one-line policy change. */
+  def tableProfile(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq(
+      ("o_orderkey", "num"), ("o_custkey", "num"), ("o_orderstatus", "str"),
+      ("o_totalprice", "num"), ("o_orderdate", "date"), ("o_orderpriority", "str"))
+    val aggExprs = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, kind) =>
+      val base = Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"))
+      val mm = kind match {
+        case "num" => Seq(
+          min(col(c)).cast("double").as(s"mn_$c"),
+          max(col(c)).cast("double").as(s"mx_$c"),
+          lit(null).cast("string").as(s"ms_$c"),
+          lit(null).cast("string").as(s"xs_$c"))
+        case "str" => Seq(
+          lit(null).cast("double").as(s"mn_$c"),
+          lit(null).cast("double").as(s"mx_$c"),
+          min(col(c)).as(s"ms_$c"), max(col(c)).as(s"xs_$c"))
+        case _ => Seq( // date: engine-neutral formatting
+          lit(null).cast("double").as(s"mn_$c"),
+          lit(null).cast("double").as(s"mx_$c"),
+          date_format(min(col(c)), "yyyy-MM-dd").as(s"ms_$c"),
+          date_format(max(col(c)), "yyyy-MM-dd").as(s"xs_$c"))
+      }
+      base ++ mm
+    }
+    val row = Tables.orders(s, d).agg(aggExprs.head, aggExprs.tail: _*)
+    val structs = array(cols.map { case (c, _) =>
+      struct(lit(c).as("col_name"), col("n_rows"),
+        col(s"nn_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
+        col(s"mn_$c").as("min_num"), col(s"mx_$c").as("max_num"),
+        col(s"ms_$c").as("min_str"), col(s"xs_$c").as("max_str"))
+    }: _*)
+    row.select(explode(structs).as("p")).select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Oracle for [[tableProfile]]: the same measures per column, one
+    * UNION ALL block each (DuckDB may rescan; the Spark side must not). */
+  val tableProfileSql: String = {
+    val blocks = Seq(
+      ("o_orderkey", "num"), ("o_custkey", "num"), ("o_orderstatus", "str"),
+      ("o_totalprice", "num"), ("o_orderdate", "date"), ("o_orderpriority", "str"))
+      .map { case (c, kind) =>
+        val mm = kind match {
+          case "num" =>
+            s"""CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+               |   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str""".stripMargin
+          case "str" =>
+            s"""CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+               |   min($c) AS min_str, max($c) AS max_str""".stripMargin
+          case _ =>
+            s"""CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+               |   strftime(min($c), '%Y-%m-%d') AS min_str,
+               |   strftime(max($c), '%Y-%m-%d') AS max_str""".stripMargin
+        }
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |   CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |   CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |   $mm
+           | FROM orders""".stripMargin
+      }.mkString("\n UNION ALL\n")
+    s"""WITH p AS (\n $blocks)\nSELECT * FROM p ORDER BY col_name""".stripMargin
+  }
+
   def kmvRollup(s: SparkSession, d: String): DataFrame = {
     import graft.functions.KmvAgg.kmvSketch
     val est = when(size(col("arr")) < KmvK, size(col("arr")).cast("long"))

@@ -1101,4 +1101,107 @@ object Similarity {
       |FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
       |GROUP BY 1, 2
       |ORDER BY i, j""".stripMargin
+
+  /** q126 — INCREMENTAL ANN maintenance: the daily-ingest shape of a
+    * production vector pipeline (r9 verdict item 7). The EXISTING corpus
+    * (vec_id % 10 ≠ 0, ~90%) is indexed once — int8-quantized, routed to
+    * its argmax-integer-dot IVF cell — and the index (codes + cell ids)
+    * is PERSISTED as a parquet artifact. The NEW batch (vec_id % 10 = 0,
+    * ~10%) is then served entirely off that artifact: quantize the batch,
+    * route it against the persisted centroids, and search ONLY its target
+    * cell of the persisted index. The corpus is never re-encoded,
+    * re-assigned, or re-shuffled — the face proves it physically by
+    * reading the index back from disk (the q51 artifact-round-trip
+    * convention), not from the lineage that built it.
+    *
+    * All comparisons are exact integer dots of int8 codes (the q43
+    * regime: ≤ 64·127² per term, no float ties), so the WHOLE pipeline —
+    * quantize, both routings, the persisted index contents, the in-cell
+    * top-k — replays verbatim in DuckDB and the gate hash proves the
+    * disk round-trip lossless too (int-valued doubles are exact in
+    * parquet).
+    *
+    * Scale: the index build is the one corpus-sized job and it is paid
+    * ONCE, not per batch — exactly the property that matters at 100 TB
+    * (re-encoding a 100 TB corpus daily is the anti-pattern). Per batch:
+    * centroids broadcast to the batch (tiny × small), then the ROUTED
+    * BATCH broadcasts into the index join — the index streams from disk,
+    * partitioned by cell in production (bucketed write), so a batch
+    * touching c cells reads c cells' worth of codes, not the corpus.
+    * Window ranks partition by qid (batch-sized, never corpus-sized). */
+  def ivfIncremental(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val base = {
+      val dir = new java.io.File("target/tmp/ivf_q126")
+      scala.reflect.io.Path(dir).deleteRecursively()
+      dir.getPath
+    }
+    val qe = quantizeInt8(Tables.embeddings(s, d)).select(col("vec_id"), col("q8"))
+    val existing = qe.where(col("vec_id") % 10 =!= 0)
+    val cent = existing.where(col("vec_id") % 100 === 1)
+      .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("cent_id").asc)
+    def route(v: DataFrame): DataFrame =
+      v.join(broadcast(cent))
+        .select(col("vec_id"), col("q8"), col("cent_id"),
+          vecDot(col("q8"), col("cq")).cast("long").as("cdot"))
+        .withColumn("rn", row_number().over(wAssign))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("q8"), col("cent_id"))
+    // the "prior run": build and persist the index artifact
+    route(existing).write.mode("overwrite").parquet(s"$base/index")
+    val index = s.read.parquet(s"$base/index")
+    // the "daily batch": routed off the persisted centroids, searched
+    // against the persisted index only
+    val batch = route(qe.where(col("vec_id") % 10 === 0))
+      .select(col("vec_id").as("qid"), col("q8").as("qv"),
+        col("cent_id").as("qcell"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("cid").asc)
+    index.join(broadcast(batch), col("cent_id") === col("qcell"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        vecDot(col("qv"), col("q8")).cast("long").as("dot"))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val ivfIncrementalSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | existing AS (SELECT * FROM q8 WHERE vec_id % 10 <> 0),
+      | newb AS (SELECT * FROM q8 WHERE vec_id % 10 = 0),
+      | cent AS (SELECT vec_id AS cent_id, q AS cq
+      |          FROM existing WHERE vec_id % 100 = 1),
+      | idx AS (
+      |  SELECT vec_id, q, cent_id FROM (
+      |    SELECT e.vec_id, e.q, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY CAST(list_dot_product(e.q, c.cq) AS BIGINT) DESC,
+      |                 c.cent_id ASC) AS rn
+      |    FROM existing e CROSS JOIN cent c) WHERE rn = 1),
+      | probes AS (
+      |  SELECT vec_id AS qid, q AS qv, cent_id AS qcell FROM (
+      |    SELECT n.vec_id, n.q, c.cent_id,
+      |      row_number() OVER (PARTITION BY n.vec_id
+      |        ORDER BY CAST(list_dot_product(n.q, c.cq) AS BIGINT) DESC,
+      |                 c.cent_id ASC) AS rn
+      |    FROM newb n CROSS JOIN cent c) WHERE rn = 1),
+      | dots AS (
+      |  SELECT p.qid, i.vec_id AS cid,
+      |    CAST(list_dot_product(p.qv, i.q) AS BIGINT) AS dot
+      |  FROM idx i JOIN probes p ON i.cent_id = p.qcell),
+      | ranked AS (
+      |  SELECT qid, cid, dot,
+      |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid ASC) AS rank
+      |  FROM dots)
+      |SELECT qid, cid, dot, rank FROM ranked WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin
 }

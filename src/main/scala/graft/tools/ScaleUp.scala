@@ -66,7 +66,9 @@ object ScaleUp {
           (df, k) => df.withColumn(k, col(k) + lit(c * Stride)))
         perCopy(shifted, c)
       }.reduce(_ unionAll _)
-      unioned.repartition(outParts)
+      // partition count scales with volume past the 100-copy design
+      // point (1000 copies in 8 files = 2 GB+ per file otherwise)
+      unioned.repartition(outParts * math.max(1, copies / 100))
         .write.mode("overwrite").parquet(s"$out/$table.parquet")
       println(s"[scaleup] $table x$copies -> $out/$table.parquet")
     }
@@ -89,9 +91,26 @@ object ScaleUp {
     // family (sf1/sf3 probes unchanged).
     val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     replicate("documents", Seq("doc_id"), 8) { (df, c) =>
-      val a = coprimes((c / 26) % coprimes.length)
-      val b = c % 26
-      val mapped = (0 until 26).map(i => Alpha((a * i + b) % 26)).mkString
+      val mapped =
+        if (c < 312) {
+          val a = coprimes((c / 26) % coprimes.length)
+          val b = c % 26
+          (0 until 26).map(i => Alpha((a * i + b) % 26)).mkString
+        } else {
+          // the affine family exhausts at 12×26 = 312 copies — copies 312
+          // apart would share a bijection and become byte-identical text
+          // clones (the r4/r5 artifact class at the fifth decade). Beyond
+          // 312, a seeded Fisher–Yates permutation (26! ≫ any copy count)
+          // keeps every copy's bijection distinct; copies < 312 keep the
+          // affine family so sf1/sf10/sf30 probes stay comparable.
+          val arr = Alpha.toCharArray
+          val rnd = new java.util.Random(0x5ca1eab1eL + c)
+          for (i <- 25 to 1 by -1) {
+            val j = rnd.nextInt(i + 1)
+            val t = arr(i); arr(i) = arr(j); arr(j) = t
+          }
+          new String(arr)
+        }
       df.withColumn("text", translate(col("text"), Alpha, mapped))
     }
     // Rotation repeats after 64 copies (and slice(…, 64-c) goes negative

@@ -1,0 +1,150 @@
+package graft
+
+import graft.ops.{Dedup, Reconcile, Relational, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-10 maintenance/governance operators: incremental
+  * ANN (q126), delta dedup (q127), quality-aware cluster reps (q128),
+  * table profiler (q129), FK audit (q130), erasure cascade (q131). The
+  * gate oracle checks values; these cover the semantics the oracle
+  * can't see — the persisted-artifact contract (the batch path must
+  * work off DISK, not lineage), internal consistency, and invariants. */
+class MaintenanceOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("graft-maintenance-ops-test")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("ivfIncremental (q126): persisted index is complete, batch neighbors come from the index only") {
+    val out = Similarity.ivfIncremental(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // neighbors must be corpus docs (index side), queries must be batch docs
+    assert(rows.forall(r => r.getAs[Long]("qid") % 10 == 0))
+    assert(rows.forall(r => r.getAs[Long]("cid") % 10 != 0))
+    // ranks are 1..k contiguous per query, dots non-increasing
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val dots = sorted.map(_.getAs[Long]("dot")).toSeq
+      assert(dots == dots.sorted.reverse)
+    }
+    // the artifact physically exists and covers the whole existing corpus
+    val idx = spark.read.parquet("target/tmp/ivf_q126/index")
+    val nExisting = Tables.embeddings(spark, sf)
+      .where(col("vec_id") % 10 =!= 0).count()
+    assert(idx.count() == nExisting)
+    out.unpersist()
+  }
+
+  test("deltaDedup (q127): planted near-dup of a corpus doc is rejected, admission partitions the batch") {
+    val out = Dedup.deltaDedup(spark, sf).cache()
+    val n = out.count()
+    val nNew = Tables.documents(spark, sf).where(col("doc_id") % 7 === 0).count()
+    assert(n == nNew) // every new doc gets a verdict
+    // admitted <=> zero corpus dups; first_dup set iff rejected
+    assert(out.where(col("admitted") && col("n_corpus_dups") =!= 0).count() == 0)
+    assert(out.where(!col("admitted") && col("first_dup").isNull).count() == 0)
+    // first_dup points into the corpus side of the split
+    assert(out.where(col("first_dup").isNotNull && col("first_dup") % 7 === 0).count() == 0)
+    out.unpersist()
+  }
+
+  test("deltaDedup index artifact: signatures + bands persisted, bands derive from the sig table") {
+    Dedup.deltaDedup(spark, sf).collect()
+    val sig = spark.read.parquet("target/tmp/delta_q127/sig")
+    val bands = spark.read.parquet("target/tmp/delta_q127/bands")
+    val nSig = sig.count()
+    assert(nSig > 0)
+    assert(bands.count() == nSig * Dedup.BANDS) // 8 band rows per signed doc
+    assert(sig.where(col("doc_id") % 7 === 0).count() == 0) // corpus only
+  }
+
+  test("clusterReps (q128): rep is the longest member (ties -> min id), one rep per cluster") {
+    val out = Dedup.clusterReps(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    byCluster.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rep_id")).distinct.length == 1)
+      val rep = rs.filter(_.getAs[Boolean]("kept"))
+      assert(rep.length == 1)
+      val best = rs.minBy(r => (-r.getAs[Int]("nw").toLong, r.getAs[Long]("doc_id")))
+      assert(rep.head.getAs[Long]("doc_id") == best.getAs[Long]("doc_id"))
+    }
+    // clusters agree with q38's components
+    val q38 = Dedup.dupClusters(spark, sf)
+      .select(col("doc_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r =>
+      assert(q38(r.getAs[Long]("doc_id")) == r.getAs[Long]("cluster")))
+    out.unpersist()
+  }
+
+  test("tableProfile (q129): one row per column, measures match direct queries") {
+    val out = Relational.tableProfile(spark, sf).collect()
+    assert(out.map(_.getAs[String]("col_name")).toSeq.sorted.length == 6)
+    val o = Tables.orders(spark, sf)
+    val n = o.count()
+    assert(out.forall(_.getAs[Long]("n_rows") == n))
+    val okRow = out.find(_.getAs[String]("col_name") == "o_orderkey").get
+    assert(okRow.getAs[Long]("n_distinct") ==
+      o.select(countDistinct(col("o_orderkey"))).head.getLong(0))
+    assert(okRow.getAs[Double]("min_num") ==
+      o.agg(min(col("o_orderkey"))).head.getLong(0).toDouble)
+    val stRow = out.find(_.getAs[String]("col_name") == "o_orderstatus").get
+    assert(stRow.isNullAt(stRow.fieldIndex("min_num")))
+    assert(stRow.getAs[String]("min_str") ==
+      o.agg(min(col("o_orderstatus"))).head.getString(0))
+  }
+
+  test("fkAudit (q130): driver-generated star schema has zero orphans; a planted orphan is counted") {
+    val out = Reconcile.fkAudit(spark, sf).collect()
+    assert(out.length == 7)
+    assert(out.forall(_.getAs[Long]("n_orphans") == 0L))
+    assert(out.forall(_.getAs[Long]("n_orphan_keys") == 0L))
+    // planted orphan: audit a child with rows pointing at a missing parent
+    val s = spark
+    import s.implicits._
+    val child = Seq((1L, 10L), (2L, 10L), (3L, 99L), (4L, 98L), (5L, 99L))
+      .toDF("id", "fk")
+    val parent = Seq(10L).toDF("pk")
+    val m = new java.io.File("target/tmp/fk_spec"); m.mkdirs()
+    child.write.mode("overwrite").parquet("target/tmp/fk_spec/child")
+    parent.write.mode("overwrite").parquet("target/tmp/fk_spec/parent")
+    val audited = spark.read.parquet("target/tmp/fk_spec/child").select(col("fk").as("k"))
+      .join(broadcast(spark.read.parquet("target/tmp/fk_spec/parent")
+        .select(col("pk").as("k")).distinct().withColumn("ex", lit(1))), Seq("k"), "left")
+      .agg(sum(when(col("ex").isNull, 1L).otherwise(0L)).as("n_orphans"),
+        countDistinct(when(col("ex").isNull, col("k"))).as("n_orphan_keys")).head
+    assert(audited.getAs[Long]("n_orphans") == 3 && audited.getAs[Long]("n_orphan_keys") == 2)
+  }
+
+  test("erasureCascade (q131): counts satisfy the cascade identities") {
+    val out = Reconcile.erasureCascade(spark, sf).collect()
+    val m = out.map(r => r.getAs[String]("table_name") ->
+      (r.getAs[Long]("n_before"), r.getAs[Long]("n_erased"), r.getAs[Long]("n_after"))).toMap
+    assert(m.keySet == Set("customer", "orders", "lineitem"))
+    m.values.foreach { case (b, e, a) => assert(a == b - e && e >= 0 && a >= 0) }
+    // erased orders == orders whose customer is a subject (direct recompute)
+    val subj = Tables.customer(spark, sf).where(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey"))
+    val expOrders = Tables.orders(spark, sf)
+      .join(subj, col("o_custkey") === col("c_custkey"), "left_semi").count()
+    assert(m("orders")._2 == expOrders)
+    assert(m("customer")._2 == subj.count())
+  }
+}
