@@ -308,6 +308,22 @@ object SparkEntry {
     // orders -> lineitem semi-join cascade, per-table before/erased/
     // after counts; subject side broadcasts at every step
     "q131_erasure_cascade" -> Reconcile.erasureCascade _,
+    // time-series gap-fill + forward fill: generated day grid
+    // (explode(sequence)), co-partitioned (user, day) left join, one
+    // user-windowed carry-forward - the resample/densify primitive
+    "q132_gap_fill" -> Relational.gapFill _,
+    // event-sequence transition matrix (Markov/path analysis): one
+    // lead-window pass pairs successors, |types|^2 bounded output,
+    // integer-ppm row normalization via a broadcast totals join
+    "q133_path_transitions" -> Relational.pathTransitions _,
+    // multi-touch attribution (first/last/linear at once): purchase x
+    // touch pairing via the bucketed rangeJoin, one windowed rank pass,
+    // 3-way generated explode into a (model x touch_type) roll-up
+    "q134_attribution" -> Relational.attribution _,
+    // rolling anomaly detection, INTEGER-EXACT: trailing-7-day window
+    // sums cross-multiplied so the 2-sigma flag needs no float mean/
+    // var/sqrt - the hash-checkable z-test
+    "q135_rolling_anomaly" -> Relational.rollingAnomaly _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -504,6 +520,10 @@ object SparkEntry {
     "q129_table_profile" -> Relational.tableProfileSql,
     "q130_fk_audit" -> Reconcile.fkAuditSql,
     "q131_erasure_cascade" -> Reconcile.erasureCascadeSql,
+    "q132_gap_fill" -> Relational.gapFillSql,
+    "q133_path_transitions" -> Relational.pathTransitionsSql,
+    "q134_attribution" -> Relational.attributionSql,
+    "q135_rolling_anomaly" -> Relational.rollingAnomalySql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

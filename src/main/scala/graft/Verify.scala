@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional trailing query names: dump only those (targeted local
+    // check while iterating — the driver always passes exactly 2 args)
+    val only: String => Boolean =
+      if (args.length > 2) args.drop(2).toSet else (_ => true)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,7 +31,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // wipe our scratch area (file-round-trip queries write here)
     scala.reflect.io.Path("target/tmp").deleteRecursively()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -80,7 +84,8 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] q51 artifact snapshot failed: ${e.getMessage}")
     }
-    val json = SparkEntry.oracleSql.view.filterKeys(!downgrades.contains(_)).toMap
+    val json = SparkEntry.oracleSql.view
+      .filterKeys(k => only(k) && !downgrades.contains(k)).toMap
       .map { case (k, v) =>
         val resolved = v.replace("__Q51_ARTIFACT__", q51Dst.getPath)
         s"${q(k)}: ${q(resolved)}"

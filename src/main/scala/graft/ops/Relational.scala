@@ -1360,4 +1360,260 @@ object Relational {
       |FROM uw u JOIN cohort c USING (user_id)
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
+
+  /** q132 — time-series GAP-FILL + FORWARD FILL (resample): each user's
+    * daily value series densified to EVERY day of the user's active
+    * span, missing days carried forward from the last observed day and
+    * flagged — the regularization step every downstream time-series
+    * consumer (rolling stats, decay models, charting) assumes and no
+    * built-in Spark operator provides. Days are integer epoch-day
+    * indices (`unix_timestamp div 86400`) — no calendar functions whose
+    * conventions could diverge between engines.
+    *
+    * Shape: one daily aggregate (map-side partial), one per-user span
+    * aggregate, `explode(sequence(d0, d1))` to mint the grid — the grid
+    * is GENERATED, never shuffled from data — then a co-partitioned
+    * (user, day) left join and ONE user-partitioned ordered window for
+    * the carry-forward (`last(v, ignoreNulls)` over rows-unbounded-
+    * preceding). Scale: output and window width are bounded by
+    * users × span-days, never event volume; a pathological multi-year
+    * idle user costs rows, not memory (the running-last state is one
+    * value). The span's first day always has data, so no leading-null
+    * rows exist by construction. */
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(sum(col("value")).as("v"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), col("v").isNull.as("filled"),
+        round(last(col("v"), ignoreNulls = true).over(w), 4).as("value"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Oracle for [[gapFill]]: the identical densify-and-carry in DuckDB —
+    * `generate_series` grid, left join, `last_value(v IGNORE NULLS)`. */
+  val gapFillSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    sum(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      | grid AS (
+      |  SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+      |  FROM daily GROUP BY user_id),
+      | j AS (
+      |  SELECT g.user_id, g.day, d.v
+      |  FROM grid g LEFT JOIN daily d USING (user_id, day))
+      |SELECT user_id, day, v IS NULL AS filled,
+      |  round(last_value(v IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value
+      |FROM j ORDER BY user_id, day""".stripMargin
+
+  /** q133 — event-sequence TRANSITION MATRIX (the Markov / path-analysis
+    * primitive): for every consecutive pair of events in a user's
+    * timeline, count (from_type → to_type) and normalize each row to a
+    * transition probability — "after a view, what happens next?".
+    *
+    * Shape: ONE user-partitioned ordered window (`lead`) to pair each
+    * event with its successor — the same single-shuffle discipline as
+    * q123's funnel (vs the self-join form, which re-shuffles the corpus
+    * to find successors) — then a map-side-partial count into a
+    * |types|² result. The total order (t, event_id) is unique per user
+    * (event_id is unique), so ties at the same timestamp are
+    * deterministic in both engines. Probabilities are integer ppm via
+    * `div` (row_n ≥ 1 by construction — every from-row has ≥ 1
+    * transition); the totals join is broadcast (≤ |types| rows).
+    * Scale: shuffle = one user-keyed exchange; window state = one
+    * look-ahead row; the matrix is bounded by the type vocabulary,
+    * never event volume. */
+  def pathTransitions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val steps = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("t"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+    val trans = steps
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("from_type")).agg(sum(col("n")).as("row_n"))
+    trans.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(1000000 * n) div row_n").as("p_ppm"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Oracle for [[pathTransitions]]: same lead-window pairing in DuckDB. */
+  val pathTransitionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+      |    event_type
+      |  FROM events),
+      | nx AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id)
+      |      AS to_type
+      |  FROM e),
+      | tr AS (SELECT from_type, to_type, count(*) AS n FROM nx
+      |        WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      | tot AS (SELECT from_type, sum(n) AS row_n FROM tr GROUP BY 1)
+      |SELECT t.from_type, t.to_type, t.n,
+      |  CAST((1000000 * t.n) // o.row_n AS BIGINT) AS p_ppm
+      |FROM tr t JOIN tot o USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
+  /** q134 — MULTI-TOUCH ATTRIBUTION (first-touch / last-touch / linear):
+    * each purchase's value is credited to the touch events (signup,
+    * view) that preceded it within a 7-day lookback — under all three
+    * standard models at once — and rolled up per (model, touch_type):
+    * the marketing-analytics table every event warehouse serves.
+    *
+    * Shape: the purchase×touch pairing is [[Temporal.rangeJoin]] — the
+    * bucketed EQUI-join (key, time-bucket) with the interval predicate
+    * inside the join, NOT a per-user cross product — so candidate
+    * volume is bounded by per-user activity density within the
+    * lookback, the same scale argument as q46. Ranks and counts come
+    * from one (user, purchase)-partitioned window pass; models fan out
+    * by a 3-element generated `explode` (no rescans) into a bounded
+    * (3 × |touch types|) aggregate. Time compares at ms precision on
+    * BOTH sides (rangeJoin buckets on `unix_millis`), strict `<` at the
+    * purchase instant; (tt, t_id) makes first/last ranks deterministic
+    * under ties. Zero-credit rows from the first/last models add
+    * exactly 0.0 to their sums — emitting them keeps the plan one pass
+    * with no per-model filter. */
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val lookbackMs = 7L * 86400 * 1000
+    // shift the purchase ts back by the lookback so rangeJoin's
+    // [t0, t0 + window) lands on [pt − lookback, pt) — inclusive at the
+    // window start, strict before the purchase itself
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("value"),
+        (col("ts") - expr("INTERVAL 7 DAY")).as("ts"))
+    val touches = ev.where(col("event_type").isin("signup", "view"))
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("event_type").as("touch_type"), col("ts"))
+    val pairs = Temporal.rangeJoin(purchases, touches, "user_id", "ts",
+      windowMs = lookbackMs, bucketMs = lookbackMs)
+    val byPurchase = Window.partitionBy(col("user_id"), col("p_id"))
+    val ranked = pairs
+      .withColumn("n", count(lit(1)).over(byPurchase))
+      .withColumn("rf", row_number().over(
+        byPurchase.orderBy(col("_rt"), col("t_id"))))
+      .withColumn("rl", row_number().over(
+        byPurchase.orderBy(col("_rt").desc, col("t_id").desc)))
+    ranked
+      .select(col("touch_type"), explode(array(
+        struct(lit("first_touch").as("model"),
+          when(col("rf") === 1, col("value")).otherwise(lit(0.0)).as("credit")),
+        struct(lit("last_touch").as("model"),
+          when(col("rl") === 1, col("value")).otherwise(lit(0.0)).as("credit")),
+        struct(lit("linear").as("model"),
+          (col("value") / col("n")).as("credit")))).as("mc"))
+      .groupBy(col("mc.model").as("model"), col("touch_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("mc.credit")), 4).as("credit"))
+      .orderBy(col("model"), col("touch_type"))
+  }
+
+  /** Oracle for [[attribution]]: the plain theta-join + rank replay
+    * DuckDB can afford at verify SF (the engine plan stays the bucketed
+    * equi-join — the q46 convention). */
+  val attributionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS t, event_type, value
+      |  FROM events),
+      | p AS (SELECT user_id, event_id AS p_id, t AS pt, value FROM e
+      |       WHERE event_type = 'purchase'),
+      | tc AS (SELECT user_id, event_id AS t_id, t AS tt,
+      |          event_type AS touch_type FROM e
+      |        WHERE event_type IN ('signup', 'view')),
+      | pairs AS (
+      |  SELECT p.user_id, p.p_id, p.value, tc.t_id, tc.tt, tc.touch_type
+      |  FROM p JOIN tc ON p.user_id = tc.user_id
+      |    AND tc.tt < p.pt AND tc.tt >= p.pt - 604800000),
+      | ranked AS (
+      |  SELECT *, count(*) OVER (PARTITION BY user_id, p_id) AS n,
+      |    row_number() OVER (PARTITION BY user_id, p_id
+      |                       ORDER BY tt, t_id) AS rf,
+      |    row_number() OVER (PARTITION BY user_id, p_id
+      |                       ORDER BY tt DESC, t_id DESC) AS rl
+      |  FROM pairs),
+      | credits AS (
+      |  SELECT 'first_touch' AS model, touch_type,
+      |    CASE WHEN rf = 1 THEN value ELSE 0.0 END AS credit FROM ranked
+      |  UNION ALL
+      |  SELECT 'last_touch', touch_type,
+      |    CASE WHEN rl = 1 THEN value ELSE 0.0 END FROM ranked
+      |  UNION ALL
+      |  SELECT 'linear', touch_type, value / n FROM ranked)
+      |SELECT model, touch_type, count(*) AS n_pairs,
+      |  round(sum(credit), 4) AS credit
+      |FROM credits GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q135 — INTEGER-EXACT rolling anomaly detection: each user's daily
+    * event count tested against the trailing-week window (7 prior days
+    * with data, current day excluded) at 2σ — the ops-monitoring
+    * primitive ("did this user's activity spike?"), with the flag
+    * decided in EXACT integer arithmetic so the gate hash can check it:
+    * |n − μ| > 2σ over window sums (m = frame rows, s1 = Σn, s2 = Σn²)
+    * cross-multiplies to (m·n − s1)² > 4·(m·s2 − s1²) — no floating
+    * mean, variance, or sqrt whose rounding could diverge between
+    * engines at the decision boundary (the q95/q122 convention). The
+    * flag is NULL until the frame is full (7 prior rows): a z-test
+    * against a partial week is undefined, and both engines' CASE emits
+    * the same NULL.
+    *
+    * Shape: one daily count aggregate (map-side partial), then ONE
+    * user-partitioned ordered window carrying three running integer
+    * sums over a ROWS frame — state is 7 rows of longs per user,
+    * regardless of event volume; counts ≤ ~10⁶/day keep every product
+    * (≤ m²·n² ~ 5·10¹⁷) inside a long. Scale: shuffle = one user-keyed
+    * exchange; output rows = active (user, day) pairs. */
+  def rollingAnomaly(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("m", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .select(col("user_id"), col("day"), col("n").as("n_events"),
+        col("m").as("window_days"),
+        when(col("m") === 7,
+          (col("m") * col("n") - col("s1")) * (col("m") * col("n") - col("s1")) >
+            lit(4L) * (col("m") * col("s2") - col("s1") * col("s1")))
+          .as("anomaly"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Oracle for [[rollingAnomaly]]: identical frame + integer test in
+    * DuckDB (its BIGINT sums promote to HUGEINT — same exact values). */
+  val rollingAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      | win AS (
+      |  SELECT user_id, day, n,
+      |    count(*) OVER w AS m, sum(n) OVER w AS s1, sum(n * n) OVER w AS s2
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY day
+      |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, day, n AS n_events, m AS window_days,
+      |  CASE WHEN m = 7 THEN
+      |    (m * n - s1) * (m * n - s1) > 4 * (m * s2 - s1 * s1)
+      |  END AS anomaly
+      |FROM win ORDER BY user_id, day""".stripMargin
 }

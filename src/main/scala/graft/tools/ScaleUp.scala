@@ -29,7 +29,11 @@ import org.apache.spark.sql.functions._
   * The output is a TIMING corpus only (the oracle gate runs at sf0.01);
   * it is written under target/ and never committed.
   *
-  * Usage: graft.tools.ScaleUp [srcDir] [outDir] [copies]
+  * Usage: graft.tools.ScaleUp [srcDir] [outDir] [copies] [tables]
+  * `tables` is an optional comma-separated subset (default: all) — the
+  * fifth-decade (sf100) probe only exercises the documents-based dedup
+  * family, and cloning 600M lineitem rows nobody reads would waste most
+  * of the scratch budget.
   */
 object ScaleUp {
 
@@ -48,6 +52,8 @@ object ScaleUp {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "target/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val only: String => Boolean =
+      if (args.length > 3) args(3).split(",").toSet else (_ => true)
 
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -60,6 +66,7 @@ object ScaleUp {
 
     def replicate(table: String, keyCols: Seq[String], outParts: Int)(
         perCopy: (DataFrame, Int) => DataFrame = (df, _) => df): Unit = {
+      if (!only(table)) return
       val base = spark.read.parquet(s"$src/$table.parquet")
       val unioned = (0 until copies).map { c =>
         val shifted = keyCols.foldLeft(base)(
@@ -73,7 +80,7 @@ object ScaleUp {
       println(s"[scaleup] $table x$copies -> $out/$table.parquet")
     }
 
-    Seq("region", "nation").foreach { t =>
+    Seq("region", "nation").filter(only).foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
