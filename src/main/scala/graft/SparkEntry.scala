@@ -324,6 +324,25 @@ object SparkEntry {
     // sums cross-multiplied so the 2-sigma flag needs no float mean/
     // var/sqrt - the hash-checkable z-test
     "q135_rolling_anomaly" -> Relational.rollingAnomaly _,
+    // point-in-time SCD2 join: each fact joined to the dimension
+    // version valid AT ITS OWN effective version (feature-store /
+    // no-leakage join); key-equi shuffle with the interval predicate
+    // inside, fan-out bounded by versions-per-key
+    "q136_point_in_time_join" -> Reconcile.pointInTimeJoin _,
+    // incremental aggregate maintenance: persisted per-group rollup
+    // artifact + delta-only scan merged by union+re-agg; face emits
+    // merged AND direct rows - their equality is the merge theorem,
+    // hash-checked every run (the q125 convention)
+    "q137_incremental_agg" -> Relational.incrementalAgg _,
+    // streaming rolling anomaly (10th streaming class): per-user ring-
+    // buffer state machine scores each newly-complete day against the
+    // trailing 7 across micro-batch boundaries; oracle = q135's batch
+    // SQL verbatim, so stream ≡ batch is on the hash path
+    "q138_stream_rolling_anomaly" -> Pipelines.streamRollingAnomaly _,
+    // distribution drift audit between two corpus snapshots: per
+    // (feature, bucket) integer-ppm shares + |delta ppm| - TVD needs
+    // no logarithm, so the drift report is hash-exact integer math
+    "q139_drift_audit" -> TextAnalysis.driftAudit _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -524,6 +543,10 @@ object SparkEntry {
     "q133_path_transitions" -> Relational.pathTransitionsSql,
     "q134_attribution" -> Relational.attributionSql,
     "q135_rolling_anomaly" -> Relational.rollingAnomalySql,
+    "q136_point_in_time_join" -> Reconcile.pointInTimeJoinSql,
+    "q137_incremental_agg" -> Relational.incrementalAggSql,
+    "q138_stream_rolling_anomaly" -> Pipelines.streamRollingAnomalySql,
+    "q139_drift_audit" -> TextAnalysis.driftAuditSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -14,6 +14,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // reduce width chosen by AQE up to this cap, coalesced back down
+      // for the tiny gate SF (the Bench/Profile r10 convention)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", 256)
       .config("spark.sql.session.timeZone", "UTC")
       // sketch aggregates (TypedImperativeAggregate) carry ~256B buffers;
       // the 128-group sort-fallback default defeats them

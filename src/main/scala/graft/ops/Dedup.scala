@@ -123,6 +123,12 @@ object Dedup {
     val shAll = shingles(docs)
     val rare = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select(col("shingle"))
+    jaccardPairsFrom(shAll, rare)
+  }
+
+  /** [[jaccardPairsOf]] body, factored so q112's adaptive route can
+    * reuse an already-computed df table (one postings shuffle total). */
+  private def jaccardPairsFrom(shAll: DataFrame, rare: DataFrame): DataFrame = {
     val sh = shAll.join(rare, "shingle").cache()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
     val common = sh.as("a")
@@ -179,17 +185,65 @@ object Dedup {
     * on 30% of sf1 docs (hot df ≈ 15k, Σ C(df,2) = 2.26e9), brute = 339 s
     * vs prefix = 10.3 s — 33×, identical output. Use jaccardPairs when a
     * df cap is acceptable; use THIS when exactness over an uncapped
-    * universe matters or the corpus carries boilerplate/hot shingles. */
+    * universe matters or the corpus carries boilerplate/hot shingles.
+    *
+    * r10: the operator now makes that regime choice ITSELF — see
+    * [[RoutePairsPerPosting]]. The default adaptively routes bounded-
+    * tail inputs to the (linear, faster) brute plan and heavy-tail
+    * inputs to the prefix plan; `route = false` forces the prefix plan
+    * (specs / A/B tooling). Output is identical either way. */
   def prefixJaccardPairs(s: SparkSession, d: String, maxDf: Int = 100,
-      t: Double = 0.5, setVerify: Boolean = true): DataFrame =
-    prefixJaccardPairsOf(Tables.documents(s, d), maxDf, t, setVerify)
+      t: Double = 0.5, setVerify: Boolean = true, route: Boolean = true): DataFrame =
+    prefixJaccardPairsOf(Tables.documents(s, d), maxDf, t, setVerify, route)
+
+  /** Adaptive-route knee, in candidate pairs per posting: the operator
+    * routes to the BRUTE capped plan when Σ C(df,2) ≤ K·Σ df over the
+    * capped universe. Both plans emit the IDENTICAL exact pair set
+    * (q112's oracle is q32's SQL verbatim under either route), so this
+    * is purely a physical-plan decision, made from the df table the
+    * operator computes anyway. Calibration (r9/r10 A/Bs): a bounded-df
+    * corpus has ratio ≤ (maxDf−1)/2 ≤ 49.5 at the default cap and the
+    * brute plan measured 2.6–3.2× faster at every natural (SF, cap) —
+    * and is PROVABLY linear there (Σ C(df,2) ≤ (maxDf/2)·postings);
+    * the hot-boilerplate regime (loosened cap, df ≈ 15k) measures
+    * ratios in the thousands and the prefix plan wins 33×. K = 64 sits
+    * between with ≥ 2 orders of magnitude margin on the hot side. */
+  private val RoutePairsPerPosting = 64L
 
   private[graft] def prefixJaccardPairsOf(docs: DataFrame, maxDf: Int,
-      t: Double, setVerify: Boolean): DataFrame = {
+      t: Double, setVerify: Boolean, route: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val shAll = shingles(docs)
     val dfreq = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
+    if (route) {
+      // r10: the r9 PPJoin filters + packed ids cut the prefix plan's
+      // spill but left its decades superlinear on THIS corpus family
+      // (sf10 56.9 → sf30 248 s = 4.4× at 3× data, probe_r10.txt):
+      // candidate volume still tracks the df tail, while the capped
+      // brute plan is linear by construction. Route on the measured
+      // tail ratio; `route = false` (specs, PrefixJaccardAB) pins the
+      // prefix machinery itself.
+      //
+      // The stats come from a 1/4 HASH-SAMPLE OF SHINGLES, not the full
+      // df table: sampling by shingle keeps each sampled shingle's df
+      // EXACT (all its postings survive the filter), the map-side
+      // filter cuts the stats shuffle 4×, and the full-table stats pass
+      // measured +40–150 s at sf30 — real money for a plan decision
+      // with two orders of magnitude of margin. Tail-miss risk: the
+      // hot-boilerplate regime carries ~22 hot shingles, so the sample
+      // misses ALL of them (and mis-routes to brute) with probability
+      // 0.75²² ≈ 0.2%; a mis-route costs time, never correctness.
+      val st = shAll.where(pmod(xxhash64(col("shingle")), lit(4)) === 0)
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDf)
+        .agg(sum(expr("df * (df - 1) div 2")).as("cand"),
+          sum(col("df")).as("postings")).head
+      val (cand, postings) =
+        if (st.isNullAt(0)) (0L, 0L) else (st.getLong(0), st.getLong(1))
+      if (cand <= RoutePairsPerPosting * postings)
+        return jaccardPairsFrom(shAll, dfreq.select(col("shingle")))
+    }
     // DICTIONARY-ENCODE the shingle strings to compact long surrogates
     // before anything wide: every downstream stage (two windows, the
     // prefix self-join, distinct, the verification joins/sets) then

@@ -857,6 +857,56 @@ object Pipelines {
   /** Where [[streamDeadLetter]] stages its delivery files — exposed for
     * the q121 spec's multi-batch assertion (the q111 convention: the
     * test must not re-derive freshTmp's internal layout). */
+  private val SraName = "sra_q138"
+
+  /** Gate face (q138) for [[graft.streaming.RollingAnomaly]] — the
+    * ring-buffer state machine run as a REAL streaming query over
+    * day-partitioned waves. Events split into three day-tercile waves
+    * (mod-time-stamped in strictly increasing order, the q121 r9-advice
+    * convention, so the file source cannot reorder them); each wave's
+    * micro-batch completes its days, the machine scores them against
+    * state carried from PRIOR waves and emits q135's exact flag rows.
+    * The oracle is q135's batch-window SQL verbatim: equality proves
+    * the incremental ring ≡ the batch ROWS frame across wave
+    * boundaries (days 8+ of a user score against a ring built in an
+    * earlier micro-batch — a state restore is on the hash path). */
+  def streamRollingAnomaly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.RollingAnomaly
+    val base = freshTmp(SraName)
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+    val mm = ev.agg(min(col("day")), max(col("day"))).head
+    val (d0, span) = (mm.getLong(0), mm.getLong(1) - mm.getLong(0) + 1)
+    val (b1, b2) = (d0 + span / 3, d0 + 2 * span / 3)
+    val inDir = new java.io.File(s"$base/in")
+    val stamped = scala.collection.mutable.HashSet[String]()
+    Seq(col("day") < b1,
+        col("day") >= b1 && col("day") < b2,
+        col("day") >= b2).zipWithIndex.foreach { case (wave, i) =>
+      ev.where(wave).coalesce(1).write.mode("append").parquet(s"$base/in")
+      val waveT = 1700000000000L + i * 600000L
+      inDir.listFiles().foreach(f => if (stamped.add(f.getName)) f.setLastModified(waveT))
+    }
+    val stream = s.readStream
+      .schema(org.apache.spark.sql.Encoders.product[RollingAnomaly.Ev].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/in").as[RollingAnomaly.Ev]
+    runStream(s) {
+      RollingAnomaly.flags(stream)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start() }
+    s.read.parquet(s"$base/out")
+      .select(col("user_id"), col("day"), col("n_events"),
+        col("window_days"), col("anomaly"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Oracle for q138: q135's SQL VERBATIM — stream ≡ batch, bit for bit. */
+  val streamRollingAnomalySql: String = graft.ops.Relational.rollingAnomalySql
+
   private[graft] def streamDeadLetterInputDir: java.io.File =
     new java.io.File(s"target/tmp/$DlqName/in")
   private val DlqName = "dlq_q121"

@@ -462,6 +462,64 @@ object Reconcile {
       |SELECT table_name, n_before, n_erased, n_before - n_erased AS n_after
       |FROM a ORDER BY table_name""".stripMargin
 
+  /** q136 — POINT-IN-TIME (as-of version) SCD2 dimension join: each
+    * fact row joined to the dimension version that was valid AT ITS OWN
+    * effective version — the feature-store / "no data leakage" join
+    * that makes training features reproducible ("what did the
+    * dimension say when this event happened?", not "what does it say
+    * now"). Facts are lineitem rows with a per-row effective version
+    * (`l_partkey % 5`, spanning every tier of the q119 changelog);
+    * the dimension is q119's SCD2 history of orders.
+    *
+    * Semantics: fact matches the history row with
+    * `valid_from <= v < coalesce(valid_to, ∞)` for its key. SCD2
+    * intervals are disjoint per key (q119's lead-chain construction),
+    * so each fact matches AT MOST one version — a fact whose version
+    * falls in a deletion gap (or before the key existed) drops out,
+    * exactly the rows a current-state join would silently mis-attribute.
+    *
+    * Shape: the join is KEY-EQUI on o_orderkey with the interval
+    * predicate inside the join condition — co-partitioned fact/history
+    * shuffle, per-key fan-out bounded by versions-per-key (≤ 5 here;
+    * bounded by changelog depth in general), never a cross product.
+    * Output is a (versions × status) bounded aggregate. */
+  def pointInTimeJoin(s: SparkSession, d: String): DataFrame = {
+    val hist = scd2History(
+      changeLogTiers(Tables.orders(s, d)).reduce(_.unionByName(_)),
+      Seq("o_orderkey"), "version", "op")
+    val facts = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"),
+        (col("l_partkey") % 5).as("as_of"))
+    facts.join(hist,
+        facts("l_orderkey") === hist("o_orderkey") &&
+          col("valid_from") <= col("as_of") &&
+          (col("valid_to").isNull || col("as_of") < col("valid_to")))
+      .groupBy(col("as_of"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_facts"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("as_of"), col("o_orderstatus"))
+  }
+
+  /** Oracle for [[pointInTimeJoin]]: the interval join replayed over the
+    * shared q102/q119 changelog CTE. */
+  val pointInTimeJoinSql: String =
+    s"""WITH $changeLogSqlCte,
+      |iv AS (
+      |  SELECT o_orderkey, o_orderstatus, version AS valid_from,
+      |    lead(version) OVER (PARTITION BY o_orderkey ORDER BY version)
+      |      AS valid_to, op
+      |  FROM log),
+      |hist AS (SELECT * FROM iv WHERE op = 'U'),
+      |facts AS (
+      |  SELECT l_orderkey, l_quantity, l_partkey % 5 AS as_of
+      |  FROM lineitem)
+      |SELECT f.as_of, h.o_orderstatus, count(*) AS n_facts,
+      |  round(sum(f.l_quantity), 2) AS sum_qty
+      |FROM facts f JOIN hist h ON f.l_orderkey = h.o_orderkey
+      |  AND h.valid_from <= f.as_of
+      |  AND (h.valid_to IS NULL OR f.as_of < h.valid_to)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val tableDigestSql: String =
     """WITH r AS (
       |  SELECT

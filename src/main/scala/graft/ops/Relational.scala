@@ -1559,6 +1559,79 @@ object Relational {
       |  round(sum(credit), 4) AS credit
       |FROM credits GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q137 — INCREMENTAL AGGREGATE MAINTENANCE (the materialized-view /
+    * rollup-refresh shape): yesterday's per-group aggregate table is
+    * PERSISTED as a parquet artifact; today's delta batch is aggregated
+    * alone and MERGED with the read-back artifact — history is never
+    * rescanned. The face emits the merged row AND the full-recompute
+    * row per group (the q125 both-rows convention): their equality —
+    * hash-checked through the oracle, which replays both paths — is
+    * the aggregate-merge theorem (count/sum/min/max are mergeable;
+    * this is exactly why production rollups restrict themselves to
+    * algebraic aggregates — a countDistinct here would need q101's
+    * sketches), and the artifact leg proves the parquet round-trip
+    * lossless (the q126/q127 convention).
+    *
+    * Shape: merge = union of two GROUP-SIZED partial tables + one
+    * re-aggregate — the delta scan is the only data-sized work per
+    * refresh. At 100 TB the artifact is |groups| rows; the refresh
+    * cost is O(delta), independent of history size. */
+  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val base = {
+      val dir = new java.io.File("target/tmp/incr_q137")
+      scala.reflect.io.Path(dir).deleteRecursively()
+      dir.getPath
+    }
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+    def aggOf(df: DataFrame): DataFrame = df.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+    // "yesterday": aggregate the history once and persist the rollup
+    aggOf(ev.where(col("event_id") % 5 =!= 0))
+      .write.mode("overwrite").parquet(s"$base/agg")
+    val hist = s.read.parquet(s"$base/agg")
+    // "today": aggregate ONLY the delta, merge with the artifact
+    val delta = aggOf(ev.where(col("event_id") % 5 === 0))
+    val merged = hist.unionByName(delta).groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+    val direct = aggOf(ev)
+    def shape(df: DataFrame, src: String): DataFrame =
+      df.select(col("event_type"), lit(src).as("src"), col("n"),
+        round(col("sv"), 4).as("sum_value"),
+        round(col("mn"), 4).as("min_value"),
+        round(col("mx"), 4).as("max_value"))
+    shape(merged, "merged").unionByName(shape(direct, "direct"))
+      .orderBy(col("event_type"), col("src"))
+  }
+
+  /** Oracle for [[incrementalAgg]]: both paths replayed — partials,
+    * union-merge, and the direct recompute. */
+  val incrementalAggSql: String =
+    """WITH hist AS (
+      |  SELECT event_type, count(*) AS n, sum(value) AS sv,
+      |    min(value) AS mn, max(value) AS mx
+      |  FROM events WHERE event_id % 5 <> 0 GROUP BY 1),
+      | delta AS (
+      |  SELECT event_type, count(*) AS n, sum(value) AS sv,
+      |    min(value) AS mn, max(value) AS mx
+      |  FROM events WHERE event_id % 5 = 0 GROUP BY 1),
+      | u AS (SELECT * FROM hist UNION ALL SELECT * FROM delta),
+      | merged AS (
+      |  SELECT event_type, 'merged' AS src, sum(n) AS n, sum(sv) AS sv,
+      |    min(mn) AS mn, max(mx) AS mx
+      |  FROM u GROUP BY 1),
+      | direct AS (
+      |  SELECT event_type, 'direct' AS src, count(*) AS n,
+      |    sum(value) AS sv, min(value) AS mn, max(value) AS mx
+      |  FROM events GROUP BY 1),
+      | b AS (SELECT * FROM merged UNION ALL SELECT * FROM direct)
+      |SELECT event_type, src, CAST(n AS BIGINT) AS n,
+      |  round(sv, 4) AS sum_value, round(mn, 4) AS min_value,
+      |  round(mx, 4) AS max_value
+      |FROM b ORDER BY 1, 2""".stripMargin
+
   /** q135 — INTEGER-EXACT rolling anomaly detection: each user's daily
     * event count tested against the trailing-week window (7 prior days
     * with data, current day excluded) at 2σ — the ops-monitoring

@@ -1129,7 +1129,8 @@ object Similarity {
     * partitioned by cell in production (bucketed write), so a batch
     * touching c cells reads c cells' worth of codes, not the corpus.
     * Window ranks partition by qid (batch-sized, never corpus-sized). */
-  def ivfIncremental(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+  def ivfIncremental(s: SparkSession, d: String, k: Int = 3,
+      centStride: Int = 100): DataFrame = {
     val base = {
       val dir = new java.io.File("target/tmp/ivf_q126")
       scala.reflect.io.Path(dir).deleteRecursively()
@@ -1137,7 +1138,15 @@ object Similarity {
     }
     val qe = quantizeInt8(Tables.embeddings(s, d)).select(col("vec_id"), col("q8"))
     val existing = qe.where(col("vec_id") % 10 =!= 0)
-    val cent = existing.where(col("vec_id") % 100 === 1)
+    // Cell count = |existing| / centStride. The gate face's fixed
+    // stride (100, matching the oracle literal) makes cells ∝ n — fine
+    // at gate SF, but then routing costs n·cells = n²/stride: the r10
+    // sf10 probe measured the knee (180 s at n = 200k). The PRODUCTION
+    // recipe (the q115 k ∝ n lesson, inverted) is cells ≈ √n, i.e.
+    // centStride ≈ √n: routing and in-cell search then both grow
+    // n^1.5 — IVF's single-node fundamental; on a cluster the cells
+    // distribute. `tools/IvfIncrProbe` measures that recipe per SF. */
+    val cent = existing.where(col("vec_id") % centStride === 1)
       .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cdot").desc, col("cent_id").asc)

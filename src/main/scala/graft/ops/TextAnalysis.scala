@@ -1115,4 +1115,93 @@ object TextAnalysis {
        |  coalesce(per.logw_mbits, 0) > 0 AS keep
        |FROM documents d LEFT JOIN per USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+
+  /** q139 — DISTRIBUTION DRIFT AUDIT between two corpus snapshots (the
+    * data-drift monitor a training pipeline runs before mixing a new
+    * crawl into the pool): per feature (language mix; length histogram)
+    * and bucket, both snapshots' counts and integer-ppm shares plus the
+    * per-bucket drift |ppm_a − ppm_b|. Summing drift_ppm per feature
+    * and halving gives the total-variation distance in ppm — TVD is
+    * chosen over PSI/KL exactly because it needs NO logarithm: the
+    * whole report is integer arithmetic (`div`, abs), so the drift
+    * decision is hash-exact in both engines (the q135 convention; a
+    * PSI's `ln` could differ in the last ulp between libm and the JVM).
+    * Snapshots: the early sources (src0–src9) vs the rest — a
+    * source-mix shift, the production drift case.
+    *
+    * Shape: ONE scan into a (2 snapshots × features × buckets) bounded
+    * count (map-side partial), snapshot totals broadcast back, full
+    * outer per-bucket alignment (a bucket absent from one snapshot is
+    * 0 ppm there — that asymmetry IS drift, not an error). Output is
+    * bounded by the bucket vocabulary at any corpus size. */
+  def driftAudit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(when(length(col("source")) === 4, lit(0L)).otherwise(lit(1L)).as("snap"),
+        col("lang"),
+        concat(lit("len_"),
+          lpad(least(expr("n_chars div 50"), lit(19L)).cast("string"), 2, "0"))
+          .as("len_bucket"))
+    val feats = docs.select(col("snap"), lit("lang").as("feature"),
+        col("lang").as("bucket"))
+      .unionAll(docs.select(col("snap"), lit("len").as("feature"),
+        col("len_bucket").as("bucket")))
+    val counts = feats.groupBy(col("snap"), col("feature"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    // per-snapshot doc totals (same denominator for every feature)
+    val tot = docs.groupBy(col("snap")).agg(count(lit(1)).as("n"))
+    val ppm = counts.join(broadcast(tot), "snap")
+      .select(col("snap"), col("feature"), col("bucket"), col("c"),
+        expr("(1000000 * c) div n").as("ppm"))
+    val a = ppm.where(col("snap") === 0)
+      .select(col("feature"), col("bucket"), col("c").as("n_a"),
+        col("ppm").as("ppm_a"))
+    val b = ppm.where(col("snap") === 1)
+      .select(col("feature"), col("bucket"), col("c").as("n_b"),
+        col("ppm").as("ppm_b"))
+    a.join(b, Seq("feature", "bucket"), "full")
+      .select(col("feature"), col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("ppm_a"), lit(0L)).as("ppm_a"),
+        coalesce(col("ppm_b"), lit(0L)).as("ppm_b"),
+        abs(coalesce(col("ppm_a"), lit(0L)) - coalesce(col("ppm_b"), lit(0L)))
+          .as("drift_ppm"))
+      .orderBy(col("feature"), col("bucket"))
+  }
+
+  /** Oracle for [[driftAudit]]: the identical two-snapshot ppm report. */
+  val driftAuditSql: String =
+    """WITH docs AS (
+      |  SELECT CASE WHEN length(source) = 4 THEN 0 ELSE 1 END AS snap,
+      |    lang,
+      |    'len_' || lpad(CAST(least(n_chars // 50, 19) AS VARCHAR), 2, '0')
+      |      AS len_bucket
+      |  FROM documents),
+      | feats AS (
+      |  SELECT snap, 'lang' AS feature, lang AS bucket FROM docs
+      |  UNION ALL
+      |  SELECT snap, 'len', len_bucket FROM docs),
+      | counts AS (
+      |  SELECT snap, feature, bucket, count(*) AS c
+      |  FROM feats GROUP BY 1, 2, 3),
+      | tot AS (SELECT snap, count(*) AS n FROM docs GROUP BY 1),
+      | ppm AS (
+      |  SELECT c.snap, c.feature, c.bucket, c.c,
+      |    (1000000 * c.c) // t.n AS ppm
+      |  FROM counts c JOIN tot t USING (snap)),
+      | a AS (SELECT feature, bucket, c AS n_a, ppm AS ppm_a
+      |       FROM ppm WHERE snap = 0),
+      | b AS (SELECT feature, bucket, c AS n_b, ppm AS ppm_b
+      |       FROM ppm WHERE snap = 1)
+      |SELECT coalesce(a.feature, b.feature) AS feature,
+      |  coalesce(a.bucket, b.bucket) AS bucket,
+      |  CAST(coalesce(a.n_a, 0) AS BIGINT) AS n_a,
+      |  CAST(coalesce(b.n_b, 0) AS BIGINT) AS n_b,
+      |  CAST(coalesce(a.ppm_a, 0) AS BIGINT) AS ppm_a,
+      |  CAST(coalesce(b.ppm_b, 0) AS BIGINT) AS ppm_b,
+      |  CAST(abs(coalesce(a.ppm_a, 0) - coalesce(b.ppm_b, 0)) AS BIGINT)
+      |    AS drift_ppm
+      |FROM a FULL OUTER JOIN b
+      |  ON a.feature = b.feature AND a.bucket = b.bucket
+      |ORDER BY 1, 2""".stripMargin
 }

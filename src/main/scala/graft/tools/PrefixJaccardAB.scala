@@ -84,8 +84,8 @@ object PrefixJaccardAB {
       val fullPairs = dfreq.agg(sum(col("df") * (col("df") - 1) / 2))
         .collect().head.getDouble(0).toLong
       val (tb, nb) = run(graft.ops.Dedup.jaccardPairsOf(corpus(), cap))
-      val (tr, nr) = run(graft.ops.Dedup.prefixJaccardPairsOf(corpus(), cap, 0.5, setVerify = false))
-      val (ts, nsn) = run(graft.ops.Dedup.prefixJaccardPairsOf(corpus(), cap, 0.5, setVerify = true))
+      val (tr, nr) = run(graft.ops.Dedup.prefixJaccardPairsOf(corpus(), cap, 0.5, setVerify = false, route = false))
+      val (ts, nsn) = run(graft.ops.Dedup.prefixJaccardPairsOf(corpus(), cap, 0.5, setVerify = true, route = false))
       assert(nb == nr && nb == nsn,
         s"A/B result divergence at cap=$cap: brute=$nb rel=$nr set=$nsn")
       println(f"[ab] $d${bp.map{case (f,w)=>s" bp=$f/$w"}.getOrElse("")} cap=$cap " +

@@ -21,7 +21,7 @@ object Q112RelProbe {
     spark.sparkContext.setLogLevel("ERROR")
     for (i <- 1 to runs) {
       val t0 = System.nanoTime()
-      graft.ops.Dedup.prefixJaccardPairs(spark, d, setVerify = useSet)
+      graft.ops.Dedup.prefixJaccardPairs(spark, d, setVerify = useSet, route = false)
         .write.format("noop").mode("overwrite").save()
       val leg = if (useSet) "set" else "rel"
       println(f"q112($leg) run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs")

@@ -166,6 +166,54 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got((2L, 17L)) == ((3L, 7L, Some(false))))
   }
 
+  // ---------------------------------------------------------------- q137
+
+  test("incrementalAgg: merged equals direct; delta-only groups appear") {
+    val s = spark
+    import s.implicits._
+    val tmp = "target/tmp/incr_spec"
+    // event_ids chosen so type X lives ONLY in the delta (ids % 5 == 0)
+    // and type Y only in history — both group-alignment edge cases
+    Seq((5L, "X", 1.5), (10L, "X", 2.5), (1L, "Y", 3.0), (2L, "Y", 4.0),
+      (3L, "Z", 1.0), (15L, "Z", 9.0))
+      .map { case (id, ty, v) =>
+        (id, new java.sql.Timestamp(id * 1000L), id, ty, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.ops.Relational.incrementalAgg(spark, tmp).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    for (ty <- Seq("X", "Y", "Z"))
+      assert(got((ty, "merged")) == got((ty, "direct")), s"type $ty diverged")
+    assert(got(("X", "merged")) == ((2L, 4.0, 1.5, 2.5))) // delta-only group
+    assert(got(("Z", "merged")) == ((2L, 10.0, 1.0, 9.0))) // split group
+    // the rollup artifact really exists on disk (the delta path reads it)
+    assert(new java.io.File("target/tmp/incr_q137/agg").exists())
+  }
+
+  // ---------------------------------------------------------------- q139
+
+  test("driftAudit: shares normalize, totals conserve, drift bounded (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.ops.TextAnalysis.driftAudit(spark, sf).cache()
+    val docs = Tables.documents(spark, sf).count()
+    // per feature, each snapshot's counts partition its snapshot
+    val byFeat = got.groupBy(col("feature"))
+      .agg(sum(col("n_a")).as("na"), sum(col("n_b")).as("nb"),
+        sum(col("ppm_a")).as("pa"), sum(col("ppm_b")).as("pb"),
+        count(lit(1)).as("k")).collect()
+    assert(byFeat.length == 2)
+    byFeat.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == docs, s"${r.getString(0)} counts")
+      // ppm shares sum to 1e6 up to integer-div floor loss per bucket
+      for (p <- Seq(r.getLong(3), r.getLong(4)))
+        assert(p <= 1000000L && p > 1000000L - r.getLong(5),
+          s"${r.getString(0)} ppm sum $p")
+    }
+    // drift is |a-b| of ppm shares: within [0, 1e6] per bucket
+    assert(got.where(col("drift_ppm") < 0 || col("drift_ppm") > 1000000L).isEmpty)
+  }
+
   test("rollingAnomaly: flag is null exactly below the full frame (sf0.001)") {
     val sf = "/root/testdata/sf0.001"
     val got = graft.ops.Relational.rollingAnomaly(spark, sf).cache()

@@ -78,14 +78,21 @@ class DupSpansSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("prefixJaccardPairs (q112) equals the brute-force join; prefixes actually prune") {
     val sf = "/root/testdata/sf0.001"
     val brute = Dedup.jaccardPairs(spark, sf).collect().map(_.toSeq).toSeq
-    val pruned = Dedup.prefixJaccardPairs(spark, sf).collect().map(_.toSeq).toSeq
+    // route = false pins the PREFIX machinery itself (the adaptive route
+    // would — correctly — pick the brute plan on this bounded-df corpus,
+    // making the equality vacuous)
+    val pruned = Dedup.prefixJaccardPairs(spark, sf, route = false)
+      .collect().map(_.toSeq).toSeq
     assert(brute.nonEmpty, "fixture has no near-dup pairs — equality is vacuous")
     assert(pruned == brute)
     // a LOWER threshold widens prefixes but must stay exact too (the
     // prefix-size formula is threshold-dependent — exercise it off 0.5)
-    val b3 = Dedup.prefixJaccardPairs(spark, sf, t = 0.3).collect()
-      .map(_.toSeq).toSeq
+    val b3 = Dedup.prefixJaccardPairs(spark, sf, t = 0.3, route = false)
+      .collect().map(_.toSeq).toSeq
     assert(b3.size >= brute.size, "t=0.3 must admit at least the t=0.5 pairs")
+    // the adaptive route (the gate face's default) is output-identical
+    val routed = Dedup.prefixJaccardPairs(spark, sf).collect().map(_.toSeq).toSeq
+    assert(routed == brute)
   }
 
   test("gate face at sf0.001: some duplicated spans exist, totals bounded") {

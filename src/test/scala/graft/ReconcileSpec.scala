@@ -221,6 +221,24 @@ class ReconcileSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((5L, "base", 0L, 3L, false), (5L, "back", 4L, -1L, true)))
   }
 
+  test("pointInTimeJoin: at most one version per fact; deletion-gap facts drop") {
+    val sf = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), (col("l_partkey") % 5).as("as_of"))
+    val facts = li.count()
+    val total = ops.Reconcile.pointInTimeJoin(spark, sf)
+      .agg(sum(col("n_facts"))).head.getLong(0)
+    // disjoint SCD2 intervals ⇒ each fact joins ≤ 1 version
+    assert(total <= facts)
+    // the only drops are deletion-gap reads: as_of=3 hits every %11==2
+    // key's gap; as_of=4 hits it unless the key resurrected (%55==2)
+    val drop3 = li.where(col("as_of") === 3 && col("l_orderkey") % 11 === 2).count()
+    val drop4 = li.where(col("as_of") === 4 && col("l_orderkey") % 11 === 2 &&
+      !(col("l_orderkey") % 55 === 2)).count()
+    assert(total == facts - drop3 - drop4,
+      s"joined $total != $facts - $drop3 - $drop4")
+  }
+
   test("scd2History: current slice equals the q102 merged snapshot") {
     // the history's open rows ARE the snapshot mergeUpsert computes —
     // the cross-operator invariant that ties q119 to q102

@@ -389,4 +389,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       batch.toDF().exceptAll(streamed).isEmpty,
       "resumed streaming snapshot differs from batch apply")
   }
+
+  test("rolling-anomaly ring: scores match the batch frame, ring trims to 7") {
+    import graft.streaming.RollingAnomaly.{stepDays, Ring}
+    // 8 constant days then a spike, delivered in two waves: the spike's
+    // score must use the ring carried across the wave boundary
+    val wave1 = (1L to 5L).map(d => (d, 5L))
+    val wave2 = Seq((6L, 5L), (7L, 5L), (8L, 5L), (9L, 50L))
+    val (f1, r1) = stepDays(1L, Ring(Nil, Nil), wave1)
+    assert(f1.forall(_.anomaly.isEmpty)) // frames 0..4 all partial
+    val (f2, r2) = stepDays(1L, r1, wave2)
+    val byDay = f2.map(f => f.day -> f).toMap
+    assert(byDay(8L).anomaly.contains(false)) // first full frame, constant
+    assert(byDay(9L).anomaly.contains(true))  // the spike
+    assert(r2.days == (3L to 9L) && r2.counts.size == 7) // trimmed ring
+  }
+
+  test("rolling-anomaly ring: an out-of-order day fails loud") {
+    import graft.streaming.RollingAnomaly.{stepDays, Ring}
+    val (_, r) = stepDays(1L, Ring(Nil, Nil), Seq((5L, 1L)))
+    val e = intercept[IllegalStateException](stepDays(1L, r, Seq((5L, 2L))))
+    assert(e.getMessage.contains("ascending"))
+  }
 }
