@@ -343,6 +343,10 @@ object SparkEntry {
     // (feature, bucket) integer-ppm shares + |delta ppm| - TVD needs
     // no logarithm, so the drift report is hash-exact integer math
     "q139_drift_audit" -> TextAnalysis.driftAudit _,
+    // tokenizer evaluation: fertility (tokens/word) and compression
+    // (chars/token) per language off q114's trained model - the
+    // over-fragmentation report; integer-ppm, |langs|-bounded
+    "q140_tokenizer_stats" -> TextAnalysis.tokenizerStats _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -547,6 +551,7 @@ object SparkEntry {
     "q137_incremental_agg" -> Relational.incrementalAggSql,
     "q138_stream_rolling_anomaly" -> Pipelines.streamRollingAnomalySql,
     "q139_drift_audit" -> TextAnalysis.driftAuditSql,
+    "q140_tokenizer_stats" -> TextAnalysis.tokenizerStatsSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -773,8 +773,11 @@ object TextAnalysis {
   /** Oracle for q114: replays both training iterations (the q109 CTEs
     * verbatim) then the encode join — a wrong merge ANYWHERE in training
     * shifts some word's symbol count and diverges per-doc totals. */
-  val bpeEncodeSql: String =
-    s"""WITH v0 AS (
+  /** The q114 pipeline as DuckDB CTEs (training + encode, ending in
+    * `per` (doc_id, n_words, n_tokens)) — ONE text shared by the q114
+    * and q140 oracles so both faces provably replay the same model. */
+  private lazy val bpeEncodeCtes: String =
+    s"""v0 AS (
        |  SELECT word, CAST(count(*) AS BIGINT) AS n,
        |    array_to_string(string_split_regex(word, ''), ' ') AS seq
        |  FROM (SELECT unnest(regexp_extract_all(text, '$wordPat')) AS word
@@ -791,12 +794,68 @@ object TextAnalysis {
        | per AS (
        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
        |    CAST(sum(cnt * ntok) AS BIGINT) AS n_tokens
-       |  FROM wc JOIN enc USING (word) GROUP BY doc_id)
+       |  FROM wc JOIN enc USING (word) GROUP BY doc_id)""".stripMargin
+
+  val bpeEncodeSql: String =
+    s"""WITH $bpeEncodeCtes
        |SELECT d.doc_id,
        |  coalesce(per.n_words, 0) AS n_words,
        |  coalesce(per.n_tokens, 0) AS n_tokens
        |FROM documents d LEFT JOIN per USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+
+  /** q140 — TOKENIZER EVALUATION (fertility / compression by language):
+    * the measurement run before committing to a tokenizer — how many
+    * tokens per word (fertility) and characters per token (compression)
+    * does the trained vocabulary achieve on each language's slice? A
+    * tokenizer trained on a mixed corpus systematically over-fragments
+    * minority scripts; this is the table that makes that visible.
+    * Rides q114's trained-then-applied pipeline (same model, same
+    * encode join — the oracle shares the CTE text so the two faces
+    * provably replay the same model) and rolls per-doc token counts up
+    * to a \|langs\|-bounded report with integer-ppm ratios (`div`,
+    * positive operands — engine-identical floor).
+    *
+    * Scale: everything corpus-sized is q114's cost (vocab-bounded
+    * model, two corpus scans); the roll-up adds one |langs| aggregate
+    * over doc-level rows. */
+  def tokenizerStats(s: SparkSession, d: String): DataFrame = {
+    val per = bpeEncodeFrom(Tables.documents(s, d))
+    Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(per, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        col("n_chars"),
+        when(col("n_words") > 0,
+          expr("(1000000 * n_tokens) div n_words")).as("fertility_ppm"),
+        when(col("n_tokens") > 0,
+          expr("(1000000 * n_chars) div n_tokens")).as("chars_per_token_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle for [[tokenizerStats]]: q114's shared CTEs + the per-lang
+    * roll-up. */
+  val tokenizerStatsSql: String =
+    s"""WITH $bpeEncodeCtes,
+       | j AS (
+       |  SELECT d.lang, d.n_chars,
+       |    coalesce(per.n_words, 0) AS nw, coalesce(per.n_tokens, 0) AS nt
+       |  FROM documents d LEFT JOIN per USING (doc_id))
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(nw) AS BIGINT) AS n_words,
+       |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  CASE WHEN sum(nw) > 0
+       |    THEN CAST((1000000 * sum(nt)) // sum(nw) AS BIGINT) END
+       |    AS fertility_ppm,
+       |  CASE WHEN sum(nt) > 0
+       |    THEN CAST((1000000 * sum(n_chars)) // sum(nt) AS BIGINT) END
+       |    AS chars_per_token_ppm
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
   /** One unrolled BPE iteration as DuckDB CTEs: from vocab `$in` (word,
     * n, seq) derive `best$k` (p1, p2, cnt) and the merged vocab `$out`. */

@@ -214,6 +214,24 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.where(col("drift_ppm") < 0 || col("drift_ppm") > 1000000L).isEmpty)
   }
 
+  // ---------------------------------------------------------------- q140
+
+  test("tokenizerStats: conserves q114's totals, fertility >= 1 token/word (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.ops.TextAnalysis.tokenizerStats(spark, sf).cache()
+    val langs = Tables.documents(spark, sf)
+      .select(col("lang")).distinct().count()
+    assert(got.count() == langs)
+    // the per-lang roll-up partitions q114's per-doc totals exactly
+    val q114 = graft.ops.TextAnalysis.bpeEncode(spark, sf)
+      .agg(sum(col("n_words")), sum(col("n_tokens"))).head
+    val mine = got.agg(sum(col("n_words")), sum(col("n_tokens"))).head
+    assert(mine.getLong(0) == q114.getLong(0) &&
+      mine.getLong(1) == q114.getLong(1))
+    // every word encodes to >= 1 token, so fertility_ppm >= 1e6
+    assert(got.where(col("fertility_ppm") < 1000000L).isEmpty)
+  }
+
   test("rollingAnomaly: flag is null exactly below the full frame (sf0.001)") {
     val sf = "/root/testdata/sf0.001"
     val got = graft.ops.Relational.rollingAnomaly(spark, sf).cache()
