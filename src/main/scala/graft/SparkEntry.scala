@@ -347,6 +347,10 @@ object SparkEntry {
     // (chars/token) per language off q114's trained model - the
     // over-fragmentation report; integer-ppm, |langs|-bounded
     "q140_tokenizer_stats" -> TextAnalysis.tokenizerStats _,
+    // filter-funnel ablation: per filter, fail counts / unique kills /
+    // sequential survivors from ONE scan's boolean flags - internally
+    // consistent by construction, every number an exact integer
+    "q141_filter_funnel" -> Curation.filterFunnel _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -552,6 +556,7 @@ object SparkEntry {
     "q138_stream_rolling_anomaly" -> Pipelines.streamRollingAnomalySql,
     "q139_drift_audit" -> TextAnalysis.driftAuditSql,
     "q140_tokenizer_stats" -> TextAnalysis.tokenizerStatsSql,
+    "q141_filter_funnel" -> Curation.filterFunnelSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -494,4 +494,83 @@ object Curation {
       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
       |  FROM documents)
       |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin
+
+  /** q141 — FILTER-FUNNEL ABLATION: the report a curation pipeline owes
+    * its operators before anyone trusts a survivor count. For each
+    * filter in the chain (length band → min words → digit-ratio cap):
+    * how many docs fail it AT ALL, how many fail ONLY it (its unique
+    * kills — remove this filter and exactly these docs come back: the
+    * ablation stat), and how many docs survive the chain UP TO it
+    * (the sequential funnel). All three views come from the SAME three
+    * boolean flags, so the report is internally consistent by
+    * construction and every number is an exact integer.
+    *
+    * Shape: ONE corpus scan computes the flags, one aggregate reduces
+    * them to a single row of sums (map-side partial), and the 3-row
+    * report is a generated explode of that row — no per-filter rescans
+    * (the oracle may rescan; the engine must not, the q129 discipline). */
+  def filterFunnel(s: SparkSession, d: String): DataFrame = {
+    val flagged = Tables.documents(s, d).select(
+      (col("n_chars") >= 100 && col("n_chars") <= 500).as("len_ok"),
+      (size(TextAnalysis.words(col("text"))) >= 30).as("words_ok"),
+      (length(regexp_replace(col("text"), "[^0-9]", "")) * 10 <
+        col("n_chars")).as("digit_ok"))
+    def cnt(c: Column) = sum(c.cast("long"))
+    val r = flagged.agg(
+      count(lit(1)).as("n_docs"),
+      cnt(!col("len_ok")).as("f_len"),
+      cnt(!col("words_ok")).as("f_words"),
+      cnt(!col("digit_ok")).as("f_digit"),
+      cnt(!col("len_ok") && col("words_ok") && col("digit_ok")).as("u_len"),
+      cnt(col("len_ok") && !col("words_ok") && col("digit_ok")).as("u_words"),
+      cnt(col("len_ok") && col("words_ok") && !col("digit_ok")).as("u_digit"),
+      cnt(col("len_ok")).as("s1"),
+      cnt(col("len_ok") && col("words_ok")).as("s2"),
+      cnt(col("len_ok") && col("words_ok") && col("digit_ok")).as("s3"))
+    r.select(explode(array(
+        struct(lit(1).as("stage"), lit("len_band").as("filter"),
+          col("f_len").as("n_fail"), col("u_len").as("n_unique_fail"),
+          col("s1").as("n_survivors_after")),
+        struct(lit(2).as("stage"), lit("min_words").as("filter"),
+          col("f_words").as("n_fail"), col("u_words").as("n_unique_fail"),
+          col("s2").as("n_survivors_after")),
+        struct(lit(3).as("stage"), lit("digit_ratio").as("filter"),
+          col("f_digit").as("n_fail"), col("u_digit").as("n_unique_fail"),
+          col("s3").as("n_survivors_after")))).as("row"),
+      col("n_docs"))
+      .select(col("row.stage").as("stage"), col("row.filter").as("filter"),
+        col("n_docs"), col("row.n_fail").as("n_fail"),
+        col("row.n_unique_fail").as("n_unique_fail"),
+        col("row.n_survivors_after").as("n_survivors_after"))
+      .orderBy(col("stage"))
+  }
+
+  /** Oracle for [[filterFunnel]]: the same flags and roll-ups in DuckDB. */
+  val filterFunnelSql: String =
+    """WITH f AS (
+      |  SELECT
+      |    n_chars >= 100 AND n_chars <= 500 AS len_ok,
+      |    len(regexp_extract_all(text, '[a-z0-9]+')) >= 30 AS words_ok,
+      |    length(regexp_replace(text, '[^0-9]', '', 'g')) * 10 < n_chars
+      |      AS digit_ok
+      |  FROM documents),
+      | agg AS (
+      |  SELECT count(*) AS n_docs,
+      |    CAST(sum(CASE WHEN NOT len_ok THEN 1 ELSE 0 END) AS BIGINT) AS f_len,
+      |    CAST(sum(CASE WHEN NOT words_ok THEN 1 ELSE 0 END) AS BIGINT) AS f_words,
+      |    CAST(sum(CASE WHEN NOT digit_ok THEN 1 ELSE 0 END) AS BIGINT) AS f_digit,
+      |    CAST(sum(CASE WHEN NOT len_ok AND words_ok AND digit_ok THEN 1 ELSE 0 END) AS BIGINT) AS u_len,
+      |    CAST(sum(CASE WHEN len_ok AND NOT words_ok AND digit_ok THEN 1 ELSE 0 END) AS BIGINT) AS u_words,
+      |    CAST(sum(CASE WHEN len_ok AND words_ok AND NOT digit_ok THEN 1 ELSE 0 END) AS BIGINT) AS u_digit,
+      |    CAST(sum(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+      |    CAST(sum(CASE WHEN len_ok AND words_ok THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+      |    CAST(sum(CASE WHEN len_ok AND words_ok AND digit_ok THEN 1 ELSE 0 END) AS BIGINT) AS s3
+      |  FROM f)
+      |SELECT 1 AS stage, 'len_band' AS filter, n_docs, f_len AS n_fail,
+      |  u_len AS n_unique_fail, s1 AS n_survivors_after FROM agg
+      |UNION ALL
+      |SELECT 2, 'min_words', n_docs, f_words, u_words, s2 FROM agg
+      |UNION ALL
+      |SELECT 3, 'digit_ratio', n_docs, f_digit, u_digit, s3 FROM agg
+      |ORDER BY stage""".stripMargin
 }

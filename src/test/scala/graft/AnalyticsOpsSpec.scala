@@ -232,6 +232,24 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.where(col("fertility_ppm") < 1000000L).isEmpty)
   }
 
+  // ---------------------------------------------------------------- q141
+
+  test("filterFunnel: funnel identities hold (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.ops.Curation.filterFunnel(spark, sf).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val (n, fLen, _, s1) = rows("len_band")
+    assert(s1 == n - fLen) // stage 1 survivors = docs minus its fails
+    // survivors are monotone down the chain
+    val chain = Seq(rows("len_band")._4, rows("min_words")._4, rows("digit_ratio")._4)
+    assert(chain == chain.sorted.reverse && chain.forall(_ >= 0))
+    // a unique kill is in particular a kill
+    rows.values.foreach { case (_, f, u, _) => assert(u <= f) }
+    // removing every filter's unique kills cannot beat the union bound:
+    // final survivors + sum of all fails >= n (inclusion-exclusion floor)
+    assert(chain.last + rows.values.map(_._2).sum >= n)
+  }
+
   test("rollingAnomaly: flag is null exactly below the full frame (sf0.001)") {
     val sf = "/root/testdata/sf0.001"
     val got = graft.ops.Relational.rollingAnomaly(spark, sf).cache()
