@@ -127,8 +127,13 @@ object Dedup {
   }
 
   /** [[jaccardPairsOf]] body, factored so q112's adaptive route can
-    * reuse an already-computed df table (one postings shuffle total). */
-  private def jaccardPairsFrom(shAll: DataFrame, rare: DataFrame): DataFrame = {
+    * reuse an already-computed df table (one postings shuffle total).
+    * `t` parameterizes the similarity cut so the routed brute plan
+    * honors q112's threshold argument — with the old hard-coded 0.5,
+    * any routed call at t ≠ 0.5 silently returned pairs at the wrong
+    * threshold (ADVICE r10). */
+  private def jaccardPairsFrom(shAll: DataFrame, rare: DataFrame,
+      t: Double = 0.5): DataFrame = {
     val sh = shAll.join(rare, "shingle").cache()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
     val common = sh.as("a")
@@ -141,7 +146,7 @@ object Dedup {
       .join(counts.select(col("doc_id"), col("ns").as("ns2")), col("d2") === col("doc_id")).drop("doc_id")
       .withColumn("jaccard",
         round(col("n_common").cast("double") / (col("ns1") + col("ns2") - col("n_common")), 4))
-      .where(col("jaccard") >= 0.5)
+      .where(col("jaccard") >= t)
       .select(col("d1"), col("d2"), col("n_common"), col("jaccard"))
       .orderBy(col("d1"), col("d2"))
   }
@@ -242,7 +247,7 @@ object Dedup {
       val (cand, postings) =
         if (st.isNullAt(0)) (0L, 0L) else (st.getLong(0), st.getLong(1))
       if (cand <= RoutePairsPerPosting * postings)
-        return jaccardPairsFrom(shAll, dfreq.select(col("shingle")))
+        return jaccardPairsFrom(shAll, dfreq.select(col("shingle")), t)
     }
     // DICTIONARY-ENCODE the shingle strings to compact long surrogates
     // before anything wide: every downstream stage (two windows, the

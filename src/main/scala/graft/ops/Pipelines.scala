@@ -840,23 +840,7 @@ object Pipelines {
       |  (SELECT n FROM dig) AS n_batch, (SELECT n FROM dig) AS n_stream,
       |  (SELECT x FROM dig) AS xor_batch, (SELECT x FROM dig) AS xor_stream""".stripMargin
 
-  /** Gate face (q121) — streaming late-data DEAD-LETTER routing
-    * ([[graft.streaming.DeadLetter]], 8th streaming class: side-output
-    * from custom state). The events corpus arrives in 3 waves
-    * (event_id mod 3, maxFilesPerTrigger = 1 — the q103/q111 delivery
-    * trick), timestamps interleaved across waves by construction, so
-    * waves 2–3 genuinely contain rows behind wave 1's keyed watermark:
-    * those route to the flagged side channel instead of being silently
-    * dropped (what Spark's built-in stateful aggs do). Delay = half the
-    * corpus's time span (computed from the data so the face survives
-    * testdata regeneration), window = 1 day. The face sums the sink's
-    * per-batch deltas; the oracle replays the exact keyed-watermark
-    * rule — per key, max prior-wave event time minus delay — so a row
-    * misrouted in either direction, a dropped late row, or a watermark
-    * advanced at the wrong batch boundary diverges the counts. */
-  /** Where [[streamDeadLetter]] stages its delivery files — exposed for
-    * the q121 spec's multi-batch assertion (the q111 convention: the
-    * test must not re-derive freshTmp's internal layout). */
+  // staging dir name for q138's delivery files (freshTmp key)
   private val SraName = "sra_q138"
 
   /** Gate face (q138) for [[graft.streaming.RollingAnomaly]] — the
@@ -907,10 +891,27 @@ object Pipelines {
   /** Oracle for q138: q135's SQL VERBATIM — stream ≡ batch, bit for bit. */
   val streamRollingAnomalySql: String = graft.ops.Relational.rollingAnomalySql
 
+  /** Where [[streamDeadLetter]] stages its delivery files — exposed for
+    * the q121 spec's multi-batch assertion (the q111 convention: the
+    * test must not re-derive freshTmp's internal layout). */
   private[graft] def streamDeadLetterInputDir: java.io.File =
     new java.io.File(s"target/tmp/$DlqName/in")
   private val DlqName = "dlq_q121"
 
+  /** Gate face (q121) — streaming late-data DEAD-LETTER routing
+    * ([[graft.streaming.DeadLetter]], 8th streaming class: side-output
+    * from custom state). The events corpus arrives in 3 waves
+    * (event_id mod 3, maxFilesPerTrigger = 1 — the q103/q111 delivery
+    * trick), timestamps interleaved across waves by construction, so
+    * waves 2–3 genuinely contain rows behind wave 1's keyed watermark:
+    * those route to the flagged side channel instead of being silently
+    * dropped (what Spark's built-in stateful aggs do). Delay = half the
+    * corpus's time span (computed from the data so the face survives
+    * testdata regeneration), window = 1 day. The face sums the sink's
+    * per-batch deltas; the oracle replays the exact keyed-watermark
+    * rule — per key, max prior-wave event time minus delay — so a row
+    * misrouted in either direction, a dropped late row, or a watermark
+    * advanced at the wrong batch boundary diverges the counts. */
   def streamDeadLetter(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.streaming.DeadLetter

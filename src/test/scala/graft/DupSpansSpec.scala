@@ -93,6 +93,12 @@ class DupSpansSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the adaptive route (the gate face's default) is output-identical
     val routed = Dedup.prefixJaccardPairs(spark, sf).collect().map(_.toSeq).toSeq
     assert(routed == brute)
+    // routed at t = 0.3 must honor the threshold too — on this bounded-df
+    // corpus the route picks the BRUTE plan, which used to hard-code the
+    // 0.5 cut and silently drop the 0.3-band pairs (ADVICE r10)
+    val routed3 = Dedup.prefixJaccardPairs(spark, sf, t = 0.3)
+      .collect().map(_.toSeq).toSeq
+    assert(routed3 == b3, "routed t=0.3 diverges from the pinned prefix plan")
   }
 
   test("gate face at sf0.001: some duplicated spans exist, totals bounded") {
