@@ -77,6 +77,12 @@ def load_bench_loads(path):
     la = (d or {}).get("load_avg")
     return [float(x) for x in la] if la else None
 
+# The micro-batch streaming faces (10 classes + batch q63's streaming
+# sibling set): their bench cost is dominated by the fixed 3-wave
+# delivery + checkpoint-commit latency floor, not data volume.
+STREAMING_QUERIES = {"q54", "q57", "q58", "q59", "q62", "q91", "q103",
+                     "q108", "q111", "q121", "q138"}
+
 def bench_diff(argv):
     explicit = [a for a in argv if not a.startswith("--")]
     if len(explicit) == 2:
@@ -118,6 +124,20 @@ def bench_diff(argv):
     if shared and tot_old > 0:
         print(f"  shared {len(shared)} queries: {tot_old:.1f}s -> {tot_new:.1f}s "
               f"({(tot_new - tot_old) / tot_old * 100:+.1f}%)")
+        # per-class subtotal (r10 verdict item 6): the streaming faces
+        # are micro-batch/checkpoint LATENCY-bound (3-wave delivery x
+        # commit protocol), not data-bound — ~22s of the r10 166s total.
+        # Splitting them out makes a bench drift interpretable: a move
+        # in the streaming subtotal is scheduler/commit overhead, a move
+        # in the batch subtotal is plan/data cost.
+        stream = [q for q in shared if q in STREAMING_QUERIES]
+        batch = [q for q in shared if q not in STREAMING_QUERIES]
+        for label, qs in (("streaming (latency-floor)", stream),
+                          ("batch (data-bound)", batch)):
+            if qs:
+                so, sn = sum(old[q] for q in qs), sum(new[q] for q in qs)
+                print(f"    {label:26s} {len(qs):3d}q: {so:.1f}s -> {sn:.1f}s "
+                      f"({(sn - so) / so * 100:+.1f}%)")
     else:
         print("  no shared queries")
     if added:   print(f"  added   ({len(added)}): {', '.join(added)} "

@@ -284,7 +284,9 @@ object SparkEntry {
     // off the persisted centroids, and searched against its cell of the
     // persisted index - the corpus is never re-encoded (daily-ingest
     // shape); oracle replays quantize + both routings + in-cell top-k
-    "q126_ivf_incremental" -> ((s: SparkSession, d: String) => Similarity.ivfIncremental(s, d)),
+    // centStride pinned to the oracle literal (%100) — the library
+    // DEFAULT (0) self-sizes stride ≈ √n, the production path
+    "q126_ivf_incremental" -> ((s: SparkSession, d: String) => Similarity.ivfIncremental(s, d, centStride = 100)),
     // INCREMENTAL delta-dedup: the dedup face of the daily-ingest shape
     // - corpus MinHash signatures + band buckets persisted once, the
     // new batch admission-screened off the artifact (fresh batch sigs,

@@ -352,25 +352,43 @@ object Reconcile {
     * before joining facts to dims: a broken FK silently drops rows in
     * every downstream inner join.
     *
-    * Shape per edge: child keys LEFT JOIN distinct parent keys → one
-    * aggregate (count / null-count / distinct-null-keys). Dimension
-    * parents (region, nation, part, supplier, customer-keys, orders-
-    * keys) broadcast after the distinct; the only corpus-sized side
-    * streams. At 100 TB the lineitem→orders edge is the one real
-    * shuffle and the q90 Bloom pre-filter is the documented scale path
-    * (orphans are rare; the Bloom rejects matches cheaply and only
-    * suspected orphans reach the join). */
+    * Shape per edge — SIZE-ROUTED on the measured parent keyset (the
+    * q112 self-routing precedent; r10 verdict item 1 — the old code
+    * force-broadcast EVERY parent, including lineitem→orders whose
+    * keyset scales with the corpus and is unbroadcastable at 100 TB):
+    *
+    *  - parent keyset < [[FkFactMinKeys]] (all dims, and customer at
+    *    dim scale): child ROWS left-join the broadcast keyset — no
+    *    shuffle at all, partial aggregate on top. The hint is safe
+    *    here BECAUSE the route just counted the keyset.
+    *  - at/above (lineitem→orders from sf10 up): [[fkFactEdge]] — the
+    *    child reduces to (key, count) FIRST (map-side combined, so the
+    *    shuffle carries distinct keys, not rows), a q90-style Bloom of
+    *    the parent keyset diverts definitely-orphan keys around the
+    *    join (no false negatives — a win exactly in the orphan-heavy
+    *    unvetted-ingest regime; one cheap extra pass when orphans are
+    *    rare), and the suspected-matched remainder resolves by a
+    *    CO-PARTITIONED shuffle left-join with NO broadcast hint —
+    *    Spark/AQE stays free to pick the physical join from runtime
+    *    sizes. Past [[FkBloomMaxBits]] the Bloom itself would be the
+    *    driver-side bottleneck, so the edge degrades to the plain
+    *    keyset shuffle join — the honest fundamental cost of an exact
+    *    audit at that scale. */
   def fkAudit(s: SparkSession, d: String): DataFrame = {
     def edge(name: String, child: DataFrame, ck: String,
-        parent: DataFrame, pk: String): DataFrame =
-      child.select(col(ck).as("k"))
-        .join(broadcast(parent.select(col(pk).as("k")).distinct()
-          .withColumn("ex", lit(1))), Seq("k"), "left")
-        .agg(count(lit(1)).as("n_child"),
-          sum(when(col("ex").isNull, 1L).otherwise(0L)).as("n_orphans"),
-          countDistinct(when(col("ex").isNull, col("k"))).as("n_orphan_keys"))
-        .select(lit(name).as("fk"), col("n_child"), col("n_orphans"),
-          col("n_orphan_keys"))
+        parent: DataFrame, pk: String): DataFrame = {
+      val parentKeys = parent.select(col(pk).as("k")).distinct()
+      if (parentKeys.count() >= FkFactMinKeys)
+        fkFactEdge(name, child, ck, parent, pk)
+      else
+        child.select(col(ck).as("k"))
+          .join(broadcast(parentKeys.withColumn("ex", lit(1))), Seq("k"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col("ex").isNull, 1L).otherwise(0L)).as("n_orphans"),
+            countDistinct(when(col("ex").isNull, col("k"))).as("n_orphan_keys"))
+          .select(lit(name).as("fk"), col("n_child"), col("n_orphans"),
+            col("n_orphan_keys"))
+    }
     val edges = Seq(
       edge("customer.c_nationkey->nation", Tables.customer(s, d), "c_nationkey",
         Tables.nation(s, d), "n_nationkey"),
@@ -387,6 +405,50 @@ object Reconcile {
       edge("supplier.s_nationkey->nation", Tables.supplier(s, d), "s_nationkey",
         Tables.nation(s, d), "n_nationkey"))
     edges.reduce(_ unionAll _).orderBy(col("fk"))
+  }
+
+  /** Parent-keyset count at which an FK edge stops broadcasting: 2^22
+    * keys ≈ 32 MB of longs — past the point where a forced broadcast
+    * is a per-executor memory tax rather than a saving. Orders crosses
+    * it at sf10 (15M keys); the dims never do. */
+  private[graft] val FkFactMinKeys: Long = 1L << 22
+
+  /** Bloom cap for the fact edge: past 2^30 bits the word array
+    * [[Bloom.buildBits]] collects is ≥ 128 MB of driver memory — the
+    * filter would become the bottleneck it exists to remove. Covers
+    * parents to ~67M keys at 16 bits/key. */
+  private[graft] val FkBloomMaxBits: Long = 1L << 30
+
+  /** The fact-scale FK edge (see [[fkAudit]]): keyset-reduced child,
+    * Bloom-diverted definite orphans, hint-free shuffle left-join for
+    * the suspected-matched remainder. Output row is identical to the
+    * broadcast edge's — the q130 spec asserts both the equality and
+    * the plan shape (no BroadcastExchange with auto-broadcast off). */
+  private[graft] def fkFactEdge(name: String, child: DataFrame, ck: String,
+      parent: DataFrame, pk: String): DataFrame = {
+    val childKeys = child.groupBy(col(ck).as("k")).agg(count(lit(1)).as("cnt"))
+    val parentKeys = parent.select(col(pk).as("k")).distinct()
+    val m = Bloom.sizeBits(parentKeys.count())
+    val (definite, maybe) =
+      if (m <= FkBloomMaxBits) {
+        val bits = Bloom.buildBits(parentKeys, col("k"), Bloom.DefaultHashes, m)
+        val probe = Bloom.mightContain(bits, col("k"), Bloom.DefaultHashes, m)
+        // negative probe = certainly absent from parent (no false
+        // negatives) → orphan without touching the join; NULL keys
+        // ride the join branch where a never-matching left join
+        // reproduces the oracle's NULL semantics exactly (orphan ROW,
+        // not an orphan KEY — count(k) skips NULL)
+        (childKeys.where(col("k").isNotNull && !probe),
+          childKeys.where(col("k").isNull || probe))
+      } else (childKeys.where(lit(false)), childKeys)
+    val resolved = maybe
+      .join(parentKeys.withColumn("ex", lit(1)), Seq("k"), "left")
+    definite.withColumn("ex", lit(null).cast("int")).unionByName(resolved)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_child"),
+        coalesce(sum(when(col("ex").isNull, col("cnt"))), lit(0L)).as("n_orphans"),
+        count(when(col("ex").isNull, col("k"))).as("n_orphan_keys"))
+      .select(lit(name).as("fk"), col("n_child"), col("n_orphans"),
+        col("n_orphan_keys"))
   }
 
   val fkAuditSql: String = {

@@ -1130,7 +1130,7 @@ object Similarity {
     * touching c cells reads c cells' worth of codes, not the corpus.
     * Window ranks partition by qid (batch-sized, never corpus-sized). */
   def ivfIncremental(s: SparkSession, d: String, k: Int = 3,
-      centStride: Int = 100): DataFrame = {
+      centStride: Int = 0): DataFrame = {
     val base = {
       val dir = new java.io.File("target/tmp/ivf_q126")
       scala.reflect.io.Path(dir).deleteRecursively()
@@ -1138,15 +1138,19 @@ object Similarity {
     }
     val qe = quantizeInt8(Tables.embeddings(s, d)).select(col("vec_id"), col("q8"))
     val existing = qe.where(col("vec_id") % 10 =!= 0)
-    // Cell count = |existing| / centStride. The gate face's fixed
-    // stride (100, matching the oracle literal) makes cells ∝ n — fine
-    // at gate SF, but then routing costs n·cells = n²/stride: the r10
-    // sf10 probe measured the knee (180 s at n = 200k). The PRODUCTION
-    // recipe (the q115 k ∝ n lesson, inverted) is cells ≈ √n, i.e.
-    // centStride ≈ √n: routing and in-cell search then both grow
-    // n^1.5 — IVF's single-node fundamental; on a cluster the cells
-    // distribute. `tools/IvfIncrProbe` measures that recipe per SF. */
-    val cent = existing.where(col("vec_id") % centStride === 1)
+    // Cell count = |existing| / stride. centStride = 0 (the DEFAULT)
+    // computes stride ≈ √n from the corpus itself — the q112
+    // self-routing precedent applied to IVF geometry (r10 verdict item
+    // 2): cells ≈ √n keeps routing AND in-cell search at n^1.5, IVF's
+    // single-node fundamental; on a cluster the cells distribute. A
+    // FIXED stride makes cells ∝ n and routing n²/stride — the r10
+    // sf10 probe measured that knee (180 s at n = 200k). The gate face
+    // alone pins centStride = 100 to match the oracle literal;
+    // `tools/IvfIncrProbe` measures the default recipe per SF. */
+    val stride =
+      if (centStride > 0) centStride
+      else math.max(2, math.round(math.sqrt(existing.count().toDouble)).toInt)
+    val cent = existing.where(col("vec_id") % stride === 1)
       .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cdot").desc, col("cent_id").asc)
@@ -1157,17 +1161,31 @@ object Similarity {
         .withColumn("rn", row_number().over(wAssign))
         .where(col("rn") === 1)
         .select(col("vec_id"), col("q8"), col("cent_id"))
-    // the "prior run": build and persist the index artifact
-    route(existing).write.mode("overwrite").parquet(s"$base/index")
+    // the "prior run": build and persist the index artifact,
+    // PARTITIONED BY CELL — "a batch touching c cells reads c cells'
+    // worth of codes" must be true on disk, not just in prose (r10
+    // verdict item 2): the layout is what makes the serve-path prune
+    // physical
+    route(existing).write.mode("overwrite")
+      .partitionBy("cent_id").parquet(s"$base/index")
     val index = s.read.parquet(s"$base/index")
     // the "daily batch": routed off the persisted centroids, searched
     // against the persisted index only
     val batch = route(qe.where(col("vec_id") % 10 === 0))
       .select(col("vec_id").as("qid"), col("q8").as("qv"),
         col("cent_id").as("qcell"))
+      .cache()
+    // static partition pruning on the touched cells: the collect is
+    // BOUNDED by the cell count (≈ √n under the default stride — ~10⁵
+    // ids at n = 10¹⁰), deterministic where dynamic pruning depends on
+    // planner thresholds. The scan's PartitionFilters carries the
+    // in-list; the q126 spec asserts it.
+    val cells = batch.select(col("qcell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val served = index.where(col("cent_id").isin(cells: _*))
     val wTop = Window.partitionBy(col("qid"))
       .orderBy(col("dot").desc, col("cid").asc)
-    index.join(broadcast(batch), col("cent_id") === col("qcell"))
+    served.join(broadcast(batch), col("cent_id") === col("qcell"))
       .select(col("qid"), col("vec_id").as("cid"),
         vecDot(col("qv"), col("q8")).cast("long").as("dot"))
       .withColumn("rank", row_number().over(wTop))

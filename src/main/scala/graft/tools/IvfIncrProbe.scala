@@ -10,7 +10,8 @@ import graft.ops.Similarity
   * production recipe holds cells ≈ √n by growing the stride with the
   * corpus; this probes it, printing the cell count and occupancy so
   * the honest stat is on record (the SemDedupProbe convention).
-  * Usage: IvfIncrProbe <sfDir> <centStride> <runs> */
+  * Usage: IvfIncrProbe <sfDir> <centStride> <runs> — centStride 0
+  * probes the library DEFAULT (self-sized stride ≈ √n, r11). */
 object IvfIncrProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val stride = args(1).toInt; val runs = args(2).toInt
@@ -22,9 +23,12 @@ object IvfIncrProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val n = graft.Tables.embeddings(spark, sfDir)
       .where(col("vec_id") % 10 =!= 0).count()
-    val cells = math.max(1L, n / stride)
-    println(s"[ivf-probe] n_existing=$n stride=$stride cells~$cells " +
-      s"occupancy~${n / cells}")
+    val effStride = if (stride > 0) stride
+      else math.max(2, math.round(math.sqrt(n.toDouble)).toInt)
+    val cells = math.max(1L, n / effStride)
+    println(s"[ivf-probe] n_existing=$n stride=$effStride" +
+      (if (stride == 0) " (auto ~sqrt(n))" else "") +
+      s" cells~$cells occupancy~${n / cells}")
     for (i <- 1 to runs) {
       val t0 = System.nanoTime()
       Similarity.ivfIncremental(spark, sfDir, k = 3, centStride = stride)
