@@ -681,15 +681,24 @@ object TextAnalysis {
     * symbols after training; DuckDB replays both unrolled iterations
     * end-to-end, so a wrong pair count, tie-break, or merge application
     * anywhere diverges the hash. */
-  def bpeTrain(s: SparkSession, d: String): DataFrame =
-    bpeTrainFrom(Tables.documents(s, d))
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    // the TRAINING face: always retrains (its cost IS training) and
+    // REFRESHES the persisted model artifact that the apply faces
+    // (q114/q140) serve off — the q126/q127/q137 daily-run convention
+    bpeWriteModel(s, d)
+    bpeReportFrom(s.read.parquet(s"${bpeModelDir(d)}/merges"),
+      s.read.parquet(s"${bpeModelDir(d)}/vocab"))
+  }
 
   def bpeTrainFrom(docs: DataFrame): DataFrame = {
     val (mergeSteps, vocab) = bpeSteps(docs)
-    val merges = mergeSteps.zipWithIndex.map { case (best, i) =>
-      best.select(lit("merge").as("kind"), lit(i + 1).as("ord"),
-        concat(col("p1"), lit(" "), col("p2")).as("item"), col("cnt").as("n"))
-    }
+    bpeReportFrom(bpeMergesFrame(mergeSteps), vocab)
+  }
+
+  /** The q109 report off a (merges, vocab) model pair. */
+  private def bpeReportFrom(merges: DataFrame, vocab: DataFrame): DataFrame = {
+    val mergeRows = merges.select(lit("merge").as("kind"), col("ord"),
+      concat(col("p1"), lit(" "), col("p2")).as("item"), col("cnt").as("n"))
     val symbols = vocab
       .select(col("n"), explode(split(col("seq"), " ")).as("sym"))
       .groupBy(col("sym")).agg(sum(col("n")).as("sn"))
@@ -698,8 +707,42 @@ object TextAnalysis {
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("sn").desc, col("sym").asc)).as("ord"),
         col("sym").as("item"), col("sn").as("n"))
-    merges.reduce(_.unionByName(_)).unionByName(symbols)
-      .orderBy(col("kind"), col("ord"))
+    mergeRows.unionByName(symbols).orderBy(col("kind"), col("ord"))
+  }
+
+  private def bpeMergesFrame(mergeSteps: Seq[DataFrame]): DataFrame =
+    mergeSteps.zipWithIndex.map { case (best, i) =>
+      best.select(lit(i + 1).as("ord"), col("p1"), col("p2"), col("cnt"))
+    }.reduce(_ unionByName _)
+
+  /** Persisted-model dir for the q109/q114/q140 tokenizer family, keyed
+    * by input dir (the q51 artifact-name convention). Verify wipes
+    * `target/tmp` at startup, so a gate run trains exactly once and
+    * every later face of the same run serves off the artifact. */
+  private[graft] def bpeModelDir(d: String): java.io.File =
+    new java.io.File(s"target/tmp/bpe_model_${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+
+  /** Train on `d`'s documents and persist the model: `merges` (ord, p1,
+    * p2, cnt) + `vocab` (word, n, seq — the encoder). `_OK` commits the
+    * write (a crashed half-write never serves). */
+  private def bpeWriteModel(s: SparkSession, d: String): Unit = synchronized {
+    val dir = bpeModelDir(d)
+    scala.reflect.io.Path(dir).deleteRecursively()
+    val (mergeSteps, vocab) = bpeSteps(Tables.documents(s, d))
+    bpeMergesFrame(mergeSteps).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/merges")
+    vocab.write.mode("overwrite").parquet(s"$dir/vocab")
+    new java.io.File(dir, "_OK").createNewFile()
+  }
+
+  /** The trained encoder (word → merged seq) for `d`: served off the
+    * persisted artifact when present, trained (and persisted) on demand
+    * when not — so q114/q140 never RE-train a model q109 already built
+    * this run (r10 verdict item 7: q140 re-trained per face, 3.2 s). */
+  private[graft] def bpeModelVocab(s: SparkSession, d: String): DataFrame = {
+    val dir = bpeModelDir(d)
+    if (!new java.io.File(dir, "_OK").exists()) bpeWriteModel(s, d)
+    s.read.parquet(s"$dir/vocab")
   }
 
   /** The shared BPE training loop: builds the word-frequency vocab, runs
@@ -749,10 +792,14 @@ object TextAnalysis {
     * inner join loses nothing — wordless docs zero-fill via the final
     * left join. */
   def bpeEncode(s: SparkSession, d: String): DataFrame =
-    bpeEncodeFrom(Tables.documents(s, d))
+    bpeEncodeWith(Tables.documents(s, d), bpeModelVocab(s, d))
 
-  private[graft] def bpeEncodeFrom(docs: DataFrame): DataFrame = {
-    val (_, vocab) = bpeSteps(docs)
+  private[graft] def bpeEncodeFrom(docs: DataFrame): DataFrame =
+    bpeEncodeWith(docs, bpeSteps(docs)._2)
+
+  /** Encode off a given trained vocab (the artifact path or a fresh
+    * train — the apply join is identical either way). */
+  private def bpeEncodeWith(docs: DataFrame, vocab: DataFrame): DataFrame = {
     val enc = vocab.select(col("word"),
       size(split(col("seq"), " ")).cast("long").as("ntok"))
     val perDoc = docs
@@ -820,7 +867,7 @@ object TextAnalysis {
     * model, two corpus scans); the roll-up adds one |langs| aggregate
     * over doc-level rows. */
   def tokenizerStats(s: SparkSession, d: String): DataFrame = {
-    val per = bpeEncodeFrom(Tables.documents(s, d))
+    val per = bpeEncodeWith(Tables.documents(s, d), bpeModelVocab(s, d))
     Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
       .join(per, "doc_id")
       .groupBy(col("lang"))
