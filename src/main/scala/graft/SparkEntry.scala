@@ -353,6 +353,24 @@ object SparkEntry {
     // sequential survivors from ONE scan's boolean flags - internally
     // consistent by construction, every number an exact integer
     "q141_filter_funnel" -> Curation.filterFunnel _,
+    // cross-snapshot dedup-delta audit: how yesterday's near-dup
+    // clusters became today's (appeared/merged/grown/churned/shrunk/
+    // split/vanished) - ONE shared LSH pair table filtered per
+    // snapshot (band candidacy is per-doc), two pair-graph closures,
+    // bounded label-table joins
+    "q142_dedup_delta" -> Dedup.dedupDelta _,
+    // embedding-space drift: per-cell occupancy (integer argmax routing
+    // to fixed anchors) of snapshot A vs B in exact ppm shares - q139's
+    // TVD question asked of the vector space; ONE assignment pass,
+    // snapshots as conditional aggs. centStride pinned to the oracle
+    // literal (%100); the library DEFAULT (0) self-sizes ~sqrt(n)
+    "q143_embedding_drift" -> ((s: SparkSession, d: String) =>
+      Similarity.embeddingDrift(s, d, centStride = 100)),
+    // ANN recall audit: IVF top-k vs exact integer-dot ground truth on
+    // the probe sample - recall@k as a hash-exact ppm fraction; the
+    // quality gate to run after any index maintenance or stride change
+    "q144_ann_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.annRecallAudit(s, d)),
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -559,6 +577,9 @@ object SparkEntry {
     "q139_drift_audit" -> TextAnalysis.driftAuditSql,
     "q140_tokenizer_stats" -> TextAnalysis.tokenizerStatsSql,
     "q141_filter_funnel" -> Curation.filterFunnelSql,
+    "q142_dedup_delta" -> Dedup.dedupDeltaSql,
+    "q143_embedding_drift" -> Similarity.embeddingDriftSql,
+    "q144_ann_recall" -> Similarity.annRecallAuditSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

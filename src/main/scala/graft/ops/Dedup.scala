@@ -1183,4 +1183,153 @@ object Dedup {
        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q142: cross-snapshot dedup-delta audit
+  // ---------------------------------------------------------------------
+
+  /** q142 — CROSS-SNAPSHOT DEDUP-DELTA AUDIT: given two corpus
+    * snapshots, how did the near-dup CLUSTER structure change — which
+    * clusters appeared, merged, grew, shrank, churned, split, or
+    * vanished? This is the "what did yesterday's crawl add" question a
+    * production corpus pipeline answers daily (a burst of `appeared`/
+    * `merged` clusters = a new boilerplate source entering the crawl;
+    * `vanished`/`split` = takedowns or extraction changes), composing
+    * q38's connected components with q139's drift framing.
+    *
+    * Snapshots are deterministic deciles of the corpus — "yesterday"
+    * A = docs with id % 10 ≠ 0 (decile 0 arrives today), "today"
+    * B = docs with id % 10 ≠ 1 (decile 1 was taken down) — overlapping
+    * but NON-nested, so both directions of change are exercised.
+    *
+    * The scale insight: LSH band candidacy is PER-DOC, so a snapshot's
+    * pair table is exactly the full-corpus pair table filtered to both
+    * endpoints in the snapshot — ONE shared LSH pipeline
+    * ([[minhashLshPairsShared]], the same plan q34/q38/q107/q128 ride)
+    * serves both snapshots; no re-shingling, no second signature pass.
+    * Components then run per snapshot on the pair-involved docs only
+    * (orders of magnitude below the corpus), and the delta audit is
+    * two label-table joins + bounded aggregates.
+    *
+    * Output, one row per audited cluster: `side` ('B' = every today-
+    * cluster with its class; 'A' = only the classes today cannot see —
+    * clusters that `split` across ≥2 today-clusters or `vanished`),
+    * member count, how many counterpart clusters its members map to
+    * (`n_linked`), members with no counterpart cluster (`n_exclusive`:
+    * new docs or prior singletons), and the class. */
+  def dedupDelta(s: SparkSession, d: String): DataFrame =
+    dedupDeltaFromPairs(
+      minhashLshPairsShared(s, d).select(col("d1"), col("d2")),
+      _ % 10 =!= 0, _ % 10 =!= 1)
+
+  /** Core of [[dedupDelta]] over an explicit pair table and snapshot
+    * membership predicates (a pair belongs to a snapshot iff BOTH
+    * endpoints do). Class rules, B side, in priority order:
+    * `appeared` (no member was in any A-cluster), `merged` (members
+    * span ≥2 A-clusters), then for the single-prior-cluster case with
+    * `one_from_a` = members inherited from it and `one_a_size` = its
+    * full size: `churned` (gained new members AND lost prior ones),
+    * `grown` (gained only), `shrunk` (lost only), `unchanged`. A side:
+    * `vanished` (members in no B-cluster), `split` (≥2 B-clusters);
+    * the 1-linked A rows are exactly the B-side story and are omitted. */
+  private[graft] def dedupDeltaFromPairs(pairs: DataFrame,
+      inA: Column => Column, inB: Column => Column): DataFrame = {
+    val compA = connectedComponents(
+        pairs.where(inA(col("d1")) && inA(col("d2"))))
+      .select(col("id").as("doc_id"), col("comp").as("ca"))
+    val compB = connectedComponents(
+        pairs.where(inB(col("d1")) && inB(col("d2"))))
+      .select(col("id").as("doc_id"), col("comp").as("cb"))
+    val aSizes = compA.groupBy(col("ca")).agg(count(lit(1)).as("a_size"))
+    val mB = compB.join(compA, Seq("doc_id"), "left")
+    val bAgg = mB.groupBy(col("cb")).agg(
+      count(lit(1)).as("n_members"),
+      countDistinct(col("ca")).as("n_linked"),
+      sum(when(col("ca").isNull, 1L).otherwise(0L)).as("n_exclusive"))
+    // single-prior-cluster stats: for n_linked == 1 rows there is
+    // exactly one (cb, ca) link, so min() reads it; other rows ignore
+    // these columns (their class resolves before the CASE reaches them)
+    val linkStats = mB.where(col("ca").isNotNull)
+      .groupBy(col("cb"), col("ca")).agg(count(lit(1)).as("n_from_a"))
+      .join(aSizes, "ca")
+      .groupBy(col("cb"))
+      .agg(min(col("n_from_a")).as("one_from_a"),
+        min(col("a_size")).as("one_a_size"))
+    val bRows = bAgg.join(linkStats, Seq("cb"), "left").select(
+      lit("B").as("side"), col("cb").as("cluster"),
+      col("n_members"), col("n_linked"), col("n_exclusive"),
+      when(col("n_linked") === 0, "appeared")
+        .when(col("n_linked") >= 2, "merged")
+        .when(col("n_exclusive") > 0 && col("one_from_a") < col("one_a_size"), "churned")
+        .when(col("n_exclusive") > 0, "grown")
+        .when(col("one_from_a") < col("one_a_size"), "shrunk")
+        .otherwise("unchanged").as("delta_class"))
+    val aRows = compA.join(compB, Seq("doc_id"), "left")
+      .groupBy(col("ca")).agg(
+        count(lit(1)).as("n_members"),
+        countDistinct(col("cb")).as("n_linked"),
+        sum(when(col("cb").isNull, 1L).otherwise(0L)).as("n_exclusive"))
+      .where(col("n_linked") =!= 1)
+      .select(lit("A").as("side"), col("ca").as("cluster"),
+        col("n_members"), col("n_linked"), col("n_exclusive"),
+        when(col("n_linked") === 0, "vanished").otherwise("split").as("delta_class"))
+    bRows.unionByName(aRows).orderBy(col("side"), col("cluster"))
+  }
+
+  /** Oracle for [[dedupDelta]]: the portable LSH pair pipeline once,
+    * both snapshot filters, two recursive-CTE closures (the q38
+    * construction per snapshot), and the same delta classification. */
+  val dedupDeltaSql: String =
+    s"""WITH RECURSIVE pairs AS ($minhashLshPairsSql),
+       | pa AS (SELECT d1, d2 FROM pairs WHERE d1 % 10 != 0 AND d2 % 10 != 0),
+       | pb AS (SELECT d1, d2 FROM pairs WHERE d1 % 10 != 1 AND d2 % 10 != 1),
+       | ea AS (SELECT d1 AS src, d2 AS dst FROM pa UNION SELECT d2, d1 FROM pa),
+       | eb AS (SELECT d1 AS src, d2 AS dst FROM pb UNION SELECT d2, d1 FROM pb),
+       | ra(a, b) AS (
+       |  SELECT src, src FROM ea
+       |  UNION
+       |  SELECT r.a, e.dst FROM ra r JOIN ea e ON e.src = r.b),
+       | rb(a, b) AS (
+       |  SELECT src, src FROM eb
+       |  UNION
+       |  SELECT r.a, e.dst FROM rb r JOIN eb e ON e.src = r.b),
+       | compa AS (SELECT a AS doc_id, min(b) AS ca FROM ra GROUP BY a),
+       | compb AS (SELECT a AS doc_id, min(b) AS cb FROM rb GROUP BY a),
+       | asizes AS (SELECT ca, count(*) AS a_size FROM compa GROUP BY ca),
+       | mb AS (SELECT b.doc_id, b.cb, a.ca
+       |        FROM compb b LEFT JOIN compa a USING (doc_id)),
+       | bagg AS (
+       |  SELECT cb, count(*) AS n_members, count(DISTINCT ca) AS n_linked,
+       |    CAST(sum(CASE WHEN ca IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive
+       |  FROM mb GROUP BY cb),
+       | link AS (
+       |  SELECT cb, ca, count(*) AS n_from_a FROM mb
+       |  WHERE ca IS NOT NULL GROUP BY cb, ca),
+       | linkstats AS (
+       |  SELECT l.cb, min(l.n_from_a) AS one_from_a, min(s.a_size) AS one_a_size
+       |  FROM link l JOIN asizes s USING (ca) GROUP BY l.cb),
+       | brows AS (
+       |  SELECT 'B' AS side, g.cb AS cluster, g.n_members, g.n_linked,
+       |    g.n_exclusive,
+       |    CASE WHEN g.n_linked = 0 THEN 'appeared'
+       |         WHEN g.n_linked >= 2 THEN 'merged'
+       |         WHEN g.n_exclusive > 0 AND ls.one_from_a < ls.one_a_size THEN 'churned'
+       |         WHEN g.n_exclusive > 0 THEN 'grown'
+       |         WHEN ls.one_from_a < ls.one_a_size THEN 'shrunk'
+       |         ELSE 'unchanged' END AS delta_class
+       |  FROM bagg g LEFT JOIN linkstats ls USING (cb)),
+       | arows AS (
+       |  SELECT 'A' AS side, ca AS cluster, count(*) AS n_members,
+       |    count(DISTINCT cb) AS n_linked,
+       |    CAST(sum(CASE WHEN cb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive,
+       |    CASE WHEN count(DISTINCT cb) = 0 THEN 'vanished'
+       |         ELSE 'split' END AS delta_class
+       |  FROM compa a LEFT JOIN compb b USING (doc_id)
+       |  GROUP BY ca HAVING count(DISTINCT cb) != 1)
+       |SELECT side, cluster, n_members, n_linked, n_exclusive, delta_class
+       |FROM brows
+       |UNION ALL
+       |SELECT side, cluster, n_members, n_linked, n_exclusive, delta_class
+       |FROM arows
+       |ORDER BY side, cluster""".stripMargin
 }

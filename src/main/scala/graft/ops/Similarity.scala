@@ -1231,4 +1231,176 @@ object Similarity {
       |  FROM dots)
       |SELECT qid, cid, dot, rank FROM ranked WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q143: embedding-space drift audit (cell-occupancy TVD)
+  // ---------------------------------------------------------------------
+
+  /** q143 — EMBEDDING DRIFT AUDIT: q139's distribution-drift question
+    * asked of the EMBEDDING space — did today's corpus move in vector
+    * space relative to yesterday's? Every vector routes to its nearest
+    * anchor cell (the q43 integer-IVF assignment: quantize to int8,
+    * argmax of exact integer anchor dots — no float ties anywhere), and
+    * the report is per-cell occupancy of snapshot A (vec_id % 10 ≠ 0,
+    * "yesterday") vs snapshot B (vec_id % 10 ≠ 1, "today") in integer
+    * ppm shares with the absolute ppm delta — the summable-to-TVD face
+    * a retrieval pipeline watches to catch topic shift, crawl-source
+    * changes, or a broken encoder BEFORE it degrades an index built on
+    * yesterday's geometry.
+    *
+    * Scale: ONE assignment pass over the corpus (each snapshot is a
+    * conditional aggregate of the same assigned rows, not a second
+    * scan); anchors broadcast; the report is |cells|-bounded. The
+    * DEFAULT anchor stride self-sizes to ≈ √n (cells ≈ √n — the q126
+    * recipe: assignment n·√n, shares statistically stable as n grows);
+    * the gate face alone pins stride = 100 to match the oracle
+    * literal. */
+  def embeddingDrift(s: SparkSession, d: String, centStride: Int = 0): DataFrame = {
+    val qe = quantizeInt8(Tables.embeddings(s, d)).select(col("vec_id"), col("q8"))
+    val stride =
+      if (centStride > 0) centStride
+      else math.max(2, math.round(math.sqrt(qe.count().toDouble)).toInt)
+    val cent = qe.where(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("cent_id").asc)
+    val assigned = qe.join(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"),
+        vecDot(col("q8"), col("cq")).cast("long").as("cdot"))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id"))
+    val cells = assigned.groupBy(col("cent_id")).agg(
+      sum(when(col("vec_id") % 10 =!= 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("vec_id") % 10 =!= 1, 1L).otherwise(0L)).as("n_b"))
+    val tot = cells.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cent_id"), col("n_a"), col("n_b"),
+        expr("(1000000 * n_a) div ta").as("share_a_ppm"),
+        expr("(1000000 * n_b) div tb").as("share_b_ppm"),
+        abs(expr("(1000000 * n_a) div ta") - expr("(1000000 * n_b) div tb"))
+          .as("abs_delta_ppm"))
+      .orderBy(col("cent_id"))
+  }
+
+  /** Oracle for [[embeddingDrift]]: quantize + integer argmax routing
+    * (the q43 CTEs) + the conditional snapshot aggregate, ppm by `//`
+    * (positive operands — floor-identical to Spark's `div`). */
+  val embeddingDriftSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | cent AS (SELECT vec_id AS cent_id, q AS cq FROM q8 WHERE vec_id % 100 = 0),
+      | assigned AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT v.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY CAST(list_dot_product(v.q, c.cq) AS BIGINT) DESC,
+      |                 c.cent_id ASC) AS rn
+      |    FROM q8 v CROSS JOIN cent c) WHERE rn = 1),
+      | cells AS (
+      |  SELECT cent_id,
+      |    CAST(sum(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN vec_id % 10 <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM assigned GROUP BY cent_id),
+      | tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+      |                CAST(sum(n_b) AS BIGINT) AS tb FROM cells)
+      |SELECT cent_id, n_a, n_b,
+      |  CAST((1000000 * n_a) // ta AS BIGINT) AS share_a_ppm,
+      |  CAST((1000000 * n_b) // tb AS BIGINT) AS share_b_ppm,
+      |  CAST(abs((1000000 * n_a) // ta - (1000000 * n_b) // tb) AS BIGINT)
+      |    AS abs_delta_ppm
+      |FROM cells CROSS JOIN tot
+      |ORDER BY cent_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q144: ANN recall audit (IVF vs exact ground truth on a probe sample)
+  // ---------------------------------------------------------------------
+
+  /** q144 — ANN RECALL AUDIT: the quality gate behind every approximate
+    * index — what fraction of the TRUE top-k does the IVF path return?
+    * Ground truth is the exact integer-dot top-k (q48's brute plan) for
+    * the bounded probe sample; the candidate is the q43 quantized-IVF
+    * top-k for the SAME probes, same k, same tie-break (dot desc, cid
+    * asc — both sides exact integers, so the boundary is deterministic
+    * and the recall is a hash-exact fraction, not a float estimate).
+    * Output per probe: truth size, hits, recall in integer ppm. Run it
+    * after index maintenance (q126) or a stride change and a recall
+    * drop names the regression before production search feels it.
+    *
+    * Scale: brute-force ground truth is bounded by the PROBE SAMPLE
+    * (this is how production audits ANN recall — exact truth for a few
+    * hundred probes is one broadcast-join scan, n·|probes| integer
+    * dots, map-side top-k via the rank window's partial sort); the IVF
+    * side is the index's own serving cost. Nothing quadratic in n. */
+  def annRecallAudit(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val truth = quantizedTopK(s, d, k).select(col("qid"), col("cid"))
+    val ann = ivfTopKQuantized(s, d, k).select(col("qid"), col("cid"))
+    val hits = truth.join(ann, Seq("qid", "cid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("qid")).agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("qid"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall_ppm", expr("(1000000 * n_hit) div n_truth"))
+      .select(col("qid"), col("n_truth"), col("n_hit"), col("recall_ppm"))
+      .orderBy(col("qid"))
+  }
+
+  /** Oracle for [[annRecallAudit]]: one quantize, the exact brute top-k
+    * and the IVF top-k side by side, intersect, ppm by `//`. */
+  val annRecallAuditSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | probes0 AS (SELECT vec_id AS qid, q AS qv FROM q8 WHERE vec_id < 5),
+      | truth AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT p.qid, v.vec_id AS cid,
+      |      row_number() OVER (PARTITION BY p.qid
+      |        ORDER BY CAST(list_dot_product(p.qv, v.q) AS BIGINT) DESC,
+      |                 v.vec_id ASC) AS rank
+      |    FROM q8 v JOIN probes0 p ON v.vec_id <> p.qid) WHERE rank <= 10),
+      | cent AS (SELECT vec_id AS cent_id, q AS cq FROM q8 WHERE vec_id % 100 = 0),
+      | assigned AS (
+      |  SELECT vec_id, q, cent_id FROM (
+      |    SELECT v.vec_id, v.q, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY CAST(list_dot_product(v.q, c.cq) AS BIGINT) DESC,
+      |                 c.cent_id ASC) AS rn
+      |    FROM q8 v CROSS JOIN cent c) WHERE rn = 1),
+      | iprobes AS (
+      |  SELECT vec_id AS qid, q AS qv, cent_id AS qcell
+      |  FROM assigned WHERE vec_id < 5),
+      | ann AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT p.qid, a.vec_id AS cid,
+      |      row_number() OVER (PARTITION BY p.qid
+      |        ORDER BY CAST(list_dot_product(p.qv, a.q) AS BIGINT) DESC,
+      |                 a.vec_id ASC) AS rank
+      |    FROM assigned a JOIN iprobes p
+      |      ON a.cent_id = p.qcell AND a.vec_id <> p.qid) WHERE rank <= 10),
+      | hits AS (
+      |  SELECT t.qid, count(*) AS n_hit
+      |  FROM truth t JOIN ann a ON t.qid = a.qid AND t.cid = a.cid
+      |  GROUP BY t.qid),
+      | per AS (
+      |  SELECT qid, count(*) AS n_truth FROM truth GROUP BY qid)
+      |SELECT per.qid, per.n_truth,
+      |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |  CAST((1000000 * coalesce(h.n_hit, 0)) // per.n_truth AS BIGINT)
+      |    AS recall_ppm
+      |FROM per LEFT JOIN hits h USING (qid)
+      |ORDER BY per.qid""".stripMargin
 }

@@ -207,6 +207,108 @@ class MaintenanceOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("dedupDelta (q142): every delta class materializes on a planted pair graph") {
+    val s = spark
+    import s.implicits._
+    // full-corpus pair table; snapshots A = id%10!=0, B = id%10!=1.
+    // Planted shapes (decile-0 ids arrive in B, decile-1 ids leave):
+    //  appeared {10,20}; vanished {11,21}; merged {2,3}+{4,5} via 30;
+    //  split {6,7,8,9,41} -> {6,7}+{8,9} (shrunk x2); grown {12,13}+40;
+    //  unchanged {14,15}; churned {16,17,51} -> {16,17,60}
+    val pairs = Seq(
+      (10L, 20L), (11L, 21L),
+      (2L, 3L), (4L, 5L), (3L, 30L), (30L, 4L),
+      (6L, 7L), (8L, 9L), (6L, 41L), (41L, 8L),
+      (12L, 13L), (13L, 40L),
+      (14L, 15L),
+      (16L, 17L), (17L, 51L), (17L, 60L)).toDF("d1", "d2")
+    val out = Dedup.dedupDeltaFromPairs(pairs, _ % 10 =!= 0, _ % 10 =!= 1)
+      .collect()
+      .map(r => (r.getAs[String]("side"), r.getAs[Long]("cluster")) ->
+        ((r.getAs[Long]("n_members"), r.getAs[Long]("n_linked"),
+          r.getAs[Long]("n_exclusive"), r.getAs[String]("delta_class"))))
+      .toMap
+    assert(out == Map(
+      ("A", 6L) -> ((5L, 2L, 1L, "split")),
+      ("A", 11L) -> ((2L, 0L, 2L, "vanished")),
+      ("B", 2L) -> ((5L, 2L, 1L, "merged")),
+      ("B", 6L) -> ((2L, 1L, 0L, "shrunk")),
+      ("B", 8L) -> ((2L, 1L, 0L, "shrunk")),
+      ("B", 10L) -> ((2L, 0L, 2L, "appeared")),
+      ("B", 12L) -> ((3L, 1L, 1L, "grown")),
+      ("B", 14L) -> ((2L, 1L, 0L, "unchanged")),
+      ("B", 16L) -> ((3L, 1L, 1L, "churned"))), s"got: $out")
+  }
+
+  test("dedupDelta (q142) gate face: invariants hold, totals reconcile with an independent closure") {
+    val out = Dedup.dedupDelta(spark, sf).collect()
+    val bClasses = Set("appeared", "merged", "grown", "churned", "shrunk", "unchanged")
+    out.foreach { r =>
+      val (side, cl, linked, cls) = (r.getAs[String]("side"),
+        r.getAs[Long]("cluster"), r.getAs[Long]("n_linked"),
+        r.getAs[String]("delta_class"))
+      // cluster id = min member id, so it must itself be in the snapshot
+      if (side == "B") {
+        assert(cl % 10 != 1 && bClasses(cls))
+        assert((cls == "appeared") == (linked == 0))
+        assert((cls == "merged") == (linked >= 2))
+      } else {
+        assert(cl % 10 != 0 && Set("vanished", "split")(cls))
+        assert(if (cls == "vanished") linked == 0 else linked >= 2)
+      }
+    }
+    // B-side members total == an independently recomputed B closure size
+    val pairsB = Dedup.minhashLshPairsShared(spark, sf)
+      .where(col("d1") % 10 =!= 1 && col("d2") % 10 =!= 1)
+      .select(col("d1"), col("d2"))
+    val nB = Dedup.connectedComponents(pairsB).count()
+    assert(out.filter(_.getAs[String]("side") == "B")
+      .map(_.getAs[Long]("n_members")).sum == nB)
+  }
+
+  test("embeddingDrift (q143): every vector routed once, shares floor-sum to 1e6, delta consistent") {
+    val out = Similarity.embeddingDrift(spark, sf, centStride = 100).collect()
+    assert(out.length > 1, "need >1 cell for a drift report")
+    val emb = Tables.embeddings(spark, sf)
+    assert(out.map(_.getAs[Long]("n_a")).sum ==
+      emb.where(col("vec_id") % 10 =!= 0).count())
+    assert(out.map(_.getAs[Long]("n_b")).sum ==
+      emb.where(col("vec_id") % 10 =!= 1).count())
+    for (side <- Seq("share_a_ppm", "share_b_ppm")) {
+      val tot = out.map(_.getAs[Long](side)).sum
+      assert(tot <= 1000000L && tot > 1000000L - out.length,
+        s"$side floor-sum out of range: $tot")
+    }
+    out.foreach { r =>
+      assert(r.getAs[Long]("abs_delta_ppm") ==
+        math.abs(r.getAs[Long]("share_a_ppm") - r.getAs[Long]("share_b_ppm")))
+    }
+    // the library DEFAULT self-sizes the anchor grid (~sqrt(n) cells)
+    val auto = Similarity.embeddingDrift(spark, sf).collect()
+    assert(auto.length > 1)
+    assert(auto.map(_.getAs[Long]("n_a")).sum ==
+      emb.where(col("vec_id") % 10 =!= 0).count())
+  }
+
+  test("annRecallAudit (q144): recall is the exact hit fraction of the true top-k") {
+    val out = Similarity.annRecallAudit(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("qid")).toSet == Set(0L, 1L, 2L, 3L, 4L))
+    out.foreach { r =>
+      val (t, h, p) = (r.getAs[Long]("n_truth"), r.getAs[Long]("n_hit"),
+        r.getAs[Long]("recall_ppm"))
+      assert(t == 10L)
+      assert(h >= 0L && h <= t)
+      assert(p == 1000000L * h / t)
+    }
+    // recompute one probe's hits from the two public faces directly
+    val truth = Similarity.quantizedTopK(spark, sf, 10)
+      .where(col("qid") === 0).collect().map(_.getAs[Long]("cid")).toSet
+    val ann = Similarity.ivfTopKQuantized(spark, sf, 10)
+      .where(col("qid") === 0).collect().map(_.getAs[Long]("cid")).toSet
+    assert(out.find(_.getAs[Long]("qid") == 0L).get.getAs[Long]("n_hit") ==
+      (truth & ann).size.toLong)
+  }
+
   test("erasureCascade (q131): counts satisfy the cascade identities") {
     val out = Reconcile.erasureCascade(spark, sf).collect()
     val m = out.map(r => r.getAs[String]("table_name") ->
