@@ -67,12 +67,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // AQE picks the reduce width from runtime stats up to this cap and
-      // coalesces small shuffles back down — sf0.1 stays ~32-wide while
-      // decade corpora get the width their volume needs (fixed-32 was
-      // the measured superlinearity in the r10 sf30/sf100 probes: q32
-      // 246 s fixed vs 159 s with 256-initial, back-to-back A/B)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", 256)
+      // AQE start width sized to the input volume: decade corpora get
+      // the 256-wide start that fixed the r10 sf30/sf100 spill
+      // superlinearity (q32 246 s fixed-32 vs 159 s, back-to-back A/B)
+      // while gate SFs keep the session width — the flat 256 was itself
+      // a measured ~1.5-2x tax on the LSH family at sf0.1 (r11 CcAB)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        Tables.aqeInitialPartitions(sfDir, cpus.toInt))
       // RocksDB state store: the r9 A/B (probe_statestore_r9.txt) had it
       // faster on every streaming face (q57/q103/q108/q111 total
       // 21.6 -> 20.3 s at sf0.1); at real state sizes the gap widens —

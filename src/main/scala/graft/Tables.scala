@@ -33,6 +33,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** AQE initial shuffle width for a session reading `sfDir`, sized to
+    * the input volume. Two MEASURED operating points (r10/r11 A/Bs):
+    * at decade corpora a 256-wide start is the fix for fixed-width
+    * spill superlinearity (sf30 q32 246 s -> 159 s, r10); at gate SFs
+    * (≤ ~20 MB parquet) the same 256 is pure map-side + cached-layout
+    * tax — it regressed the whole LSH family ~1.5-2x in the r10 bench
+    * (q107 3.4 -> 5.3 s; r11 CcAB decomposition: the 256-leg's cached
+    * pair table carries more partitions, and every CC round's join
+    * re-reads them). The 128 MB threshold separates the regimes with an
+    * order of magnitude of headroom on each side; above it the width
+    * also never drops below the session's own (a 100 TB session sets
+    * shuffle.partitions in the thousands and keeps it). */
+  def aqeInitialPartitions(sfDir: String, sessionWidth: Int): Int = {
+    def bytes(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(bytes).sum).getOrElse(0L)
+    if (bytes(new java.io.File(sfDir)) < (128L << 20)) sessionWidth
+    else math.max(256, sessionWidth)
+  }
+
   /** The logical schema each operator compiles against — the POST-
     * normalization contract. Unadjusted-UTC parquet micros surface as
     * TIMESTAMP_NTZ (orders/lineitem, matching what DuckDB's naive

@@ -14,9 +14,11 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // reduce width chosen by AQE up to this cap, coalesced back down
-      // for the tiny gate SF (the Bench/Profile r10 convention)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", 256)
+      // AQE start width sized to the input volume (r11: a flat 256 was
+      // a measured ~1.5-2x tax on the LSH family at gate SFs; decade
+      // dirs still get 256 — see Tables.aqeInitialPartitions)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        Tables.aqeInitialPartitions(sfDir, cpus.toInt))
       .config("spark.sql.session.timeZone", "UTC")
       // sketch aggregates (TypedImperativeAggregate) carry ~256B buffers;
       // the 128-group sort-fallback default defeats them

@@ -16,16 +16,13 @@ object Profile {
       // the 128-group sort-fallback default defeats them
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.adaptive.enabled", "true")
-      // AQE decides the REDUCE-side width from runtime stats, capped by
-      // this, and coalesces small inputs back down — so the gate SF
-      // still runs ~32-wide while sf30/sf100 shuffles get the width
-      // their volume needs (fixed 32-wide shuffles were the measured
-      // superlinearity in the r10 decade probes: per-partition agg
-      // state grew linearly and spill blew up, while candidate volume
-      // itself stayed exactly linear — dfstats batch). Overridable for
-      // A/B via SPARK_GRAFT_INIT_PARTS.
+      // AQE start width sized to the input volume (the r11 Bench/Verify
+      // rule — flat 256 taxed gate SFs ~1.5-2x on the LSH family while
+      // decade dirs still need it; Tables.aqeInitialPartitions).
+      // Overridable for A/B via SPARK_GRAFT_INIT_PARTS.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", "256"))
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS",
+          graft.Tables.aqeInitialPartitions(sfDir, 32).toString))
       // match the adopted Bench/Verify state store (r9 A/B) so streaming
       // probes measure the shipped configuration
       .config("spark.sql.streaming.stateStore.providerClass",
