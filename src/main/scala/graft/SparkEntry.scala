@@ -360,17 +360,25 @@ object SparkEntry {
     // bounded label-table joins
     "q142_dedup_delta" -> Dedup.dedupDelta _,
     // embedding-space drift: per-cell occupancy (integer argmax routing
-    // to fixed anchors) of snapshot A vs B in exact ppm shares - q139's
-    // TVD question asked of the vector space; ONE assignment pass,
-    // snapshots as conditional aggs. centStride pinned to the oracle
-    // literal (%100); the library DEFAULT (0) self-sizes ~sqrt(n)
-    "q143_embedding_drift" -> ((s: SparkSession, d: String) =>
-      Similarity.embeddingDrift(s, d, centStride = 100)),
+    // to a FIXED bounded anchor grid - drift audits compare runs, so
+    // the grid must not grow with n) of snapshot A vs B in exact ppm
+    // shares - q139's TVD question asked of the vector space; ONE
+    // assignment pass, snapshots as conditional aggs
+    "q143_embedding_drift" -> Similarity.embeddingDrift _,
     // ANN recall audit: IVF top-k vs exact integer-dot ground truth on
     // the probe sample - recall@k as a hash-exact ppm fraction; the
     // quality gate to run after any index maintenance or stride change
     "q144_ann_recall" -> ((s: SparkSession, d: String) =>
       Similarity.annRecallAudit(s, d)),
+    // filter kill-rate drift: q141's funnel flags on snapshot A vs B,
+    // per-filter integer-ppm fail rates + |delta| from ONE scan - the
+    // quality-gate alarm that names WHICH filter moved between crawls
+    "q146_funnel_drift" -> Curation.filterFunnelDrift _,
+    // incremental connected components: maintain q38's cluster labels
+    // under a day's new edges by label-space condensation off the
+    // persisted label artifact - oracle is q38's batch SQL VERBATIM,
+    // so incremental == from-scratch is hash-checked per run
+    "q145_incremental_components" -> Dedup.incrementalComponents _,
     "q55_jdbc_roundtrip" -> Pipelines.jdbcRoundtrip,
     "q56_double_cascade" -> Pipelines.doubleCascade,
     "q60_media_meta" -> Multimodal.mediaMeta,
@@ -580,6 +588,9 @@ object SparkEntry {
     "q142_dedup_delta" -> Dedup.dedupDeltaSql,
     "q143_embedding_drift" -> Similarity.embeddingDriftSql,
     "q144_ann_recall" -> Similarity.annRecallAuditSql,
+    // the batch closure verbatim: incremental must equal from-scratch
+    "q145_incremental_components" -> Dedup.dupClustersSql,
+    "q146_funnel_drift" -> Curation.filterFunnelDriftSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

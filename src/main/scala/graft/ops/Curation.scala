@@ -573,4 +573,90 @@ object Curation {
       |UNION ALL
       |SELECT 3, 'digit_ratio', n_docs, f_digit, u_digit, s3 FROM agg
       |ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q146: filter kill-rate drift between corpus snapshots
+  // ---------------------------------------------------------------------
+
+  /** q146 — FILTER KILL-RATE DRIFT: q141's funnel flags evaluated on
+    * two corpus snapshots (A = id%10≠0 "yesterday", B = id%10≠1
+    * "today", the q139/q142/q143 convention) and compared per filter
+    * as integer-ppm fail rates + |Δppm| — the alarm a production
+    * pipeline sets on its quality gates: a crawl-source or extraction
+    * change shifts a filter's kill rate long before anyone reads the
+    * output, and the per-filter attribution says WHICH gate moved.
+    *
+    * Shape: ONE corpus scan computes the three flags; snapshot
+    * membership is a conditional aggregate over the same rows (no
+    * second scan — the q143 discipline); the 3-row report is a
+    * generated explode. All integer math (`div`, positive operands),
+    * hash-exact. */
+  def filterFunnelDrift(s: SparkSession, d: String): DataFrame = {
+    val inA = col("doc_id") % 10 =!= 0
+    val inB = col("doc_id") % 10 =!= 1
+    val flagged = Tables.documents(s, d).select(col("doc_id"),
+      (col("n_chars") >= 100 && col("n_chars") <= 500).as("len_ok"),
+      (size(TextAnalysis.words(col("text"))) >= 30).as("words_ok"),
+      (length(regexp_replace(col("text"), "[^0-9]", "")) * 10 <
+        col("n_chars")).as("digit_ok"))
+    def cA(c: Column) = sum(when(inA && c, 1L).otherwise(0L))
+    def cB(c: Column) = sum(when(inB && c, 1L).otherwise(0L))
+    val r = flagged.agg(
+      sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(inB, 1L).otherwise(0L)).as("n_b"),
+      cA(!col("len_ok")).as("fa_len"), cB(!col("len_ok")).as("fb_len"),
+      cA(!col("words_ok")).as("fa_words"), cB(!col("words_ok")).as("fb_words"),
+      cA(!col("digit_ok")).as("fa_digit"), cB(!col("digit_ok")).as("fb_digit"))
+    r.select(explode(array(
+        struct(lit(1).as("stage"), lit("len_band").as("filter"),
+          col("fa_len").as("fa"), col("fb_len").as("fb")),
+        struct(lit(2).as("stage"), lit("min_words").as("filter"),
+          col("fa_words").as("fa"), col("fb_words").as("fb")),
+        struct(lit(3).as("stage"), lit("digit_ratio").as("filter"),
+          col("fa_digit").as("fa"), col("fb_digit").as("fb")))).as("row"),
+        col("n_a"), col("n_b"))
+      .select(col("row.stage").as("stage"), col("row.filter").as("filter"),
+        col("n_a"), col("n_b"),
+        col("row.fa").as("n_fail_a"), col("row.fb").as("n_fail_b"))
+      .withColumn("fail_a_ppm", expr("(1000000 * n_fail_a) div n_a"))
+      .withColumn("fail_b_ppm", expr("(1000000 * n_fail_b) div n_b"))
+      .withColumn("abs_delta_ppm",
+        abs(col("fail_a_ppm") - col("fail_b_ppm")))
+      .orderBy(col("stage"))
+  }
+
+  /** Oracle for [[filterFunnelDrift]]: same flags, same conditional
+    * snapshot sums, ppm by `//`. */
+  val filterFunnelDriftSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    n_chars >= 100 AND n_chars <= 500 AS len_ok,
+      |    len(regexp_extract_all(text, '[a-z0-9]+')) >= 30 AS words_ok,
+      |    length(regexp_replace(text, '[^0-9]', '', 'g')) * 10 < n_chars
+      |      AS digit_ok
+      |  FROM documents),
+      | agg AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN doc_id % 10 <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN doc_id % 10 <> 0 AND NOT len_ok THEN 1 ELSE 0 END) AS BIGINT) AS fa_len,
+      |    CAST(sum(CASE WHEN doc_id % 10 <> 1 AND NOT len_ok THEN 1 ELSE 0 END) AS BIGINT) AS fb_len,
+      |    CAST(sum(CASE WHEN doc_id % 10 <> 0 AND NOT words_ok THEN 1 ELSE 0 END) AS BIGINT) AS fa_words,
+      |    CAST(sum(CASE WHEN doc_id % 10 <> 1 AND NOT words_ok THEN 1 ELSE 0 END) AS BIGINT) AS fb_words,
+      |    CAST(sum(CASE WHEN doc_id % 10 <> 0 AND NOT digit_ok THEN 1 ELSE 0 END) AS BIGINT) AS fa_digit,
+      |    CAST(sum(CASE WHEN doc_id % 10 <> 1 AND NOT digit_ok THEN 1 ELSE 0 END) AS BIGINT) AS fb_digit
+      |  FROM f),
+      | rows3 AS (
+      |  SELECT 1 AS stage, 'len_band' AS filter, n_a, n_b,
+      |    fa_len AS n_fail_a, fb_len AS n_fail_b FROM agg
+      |  UNION ALL
+      |  SELECT 2, 'min_words', n_a, n_b, fa_words, fb_words FROM agg
+      |  UNION ALL
+      |  SELECT 3, 'digit_ratio', n_a, n_b, fa_digit, fb_digit FROM agg)
+      |SELECT stage, filter, n_a, n_b, n_fail_a, n_fail_b,
+      |  CAST((1000000 * n_fail_a) // n_a AS BIGINT) AS fail_a_ppm,
+      |  CAST((1000000 * n_fail_b) // n_b AS BIGINT) AS fail_b_ppm,
+      |  CAST(abs((1000000 * n_fail_a) // n_a - (1000000 * n_fail_b) // n_b)
+      |    AS BIGINT) AS abs_delta_ppm
+      |FROM rows3 ORDER BY stage""".stripMargin
 }

@@ -1185,6 +1185,80 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // q145: incremental connected components (maintain the dedup clusters)
+  // ---------------------------------------------------------------------
+
+  /** q145 — INCREMENTAL CONNECTED COMPONENTS: maintain q38's near-dup
+    * cluster labels under a day's new edges WITHOUT re-running the
+    * closure over the whole pair graph — the daily-ingest face of
+    * dedup clustering (q126/q127's persisted-artifact convention
+    * applied to q38). "Yesterday" = components over pairs among docs
+    * with id % 10 ≠ 0, persisted; "today's batch" = every pair with a
+    * decile-0 endpoint.
+    *
+    * The update is label-space CONDENSATION (the classic union-find
+    * compression, relationally): map each new edge's endpoints to
+    * their persisted labels (self if unlabeled), run the closure on
+    * that CONDENSED graph — nodes are prior components and new docs,
+    * orders of magnitude below the full pair graph — then compose
+    * final = closure(prior label). Labels are component-min doc ids
+    * and mins compose through merges, so the result is EXACTLY the
+    * from-scratch q38 labeling: the oracle is [[dupClustersSql]]
+    * VERBATIM (the q138 stream≡batch convention) — a drifted
+    * incremental update diverges the gate hash.
+    *
+    * Scale: the from-scratch path pays closure rounds over the whole
+    * pair graph every day; this pays one broadcast-sized join of the
+    * batch edges against the label artifact plus a closure over the
+    * condensed graph (bounded by components touched by the batch). */
+  def incrementalComponents(s: SparkSession, d: String): DataFrame = {
+    val base = {
+      val dir = new java.io.File("target/tmp/inccc_q145")
+      scala.reflect.io.Path(dir).deleteRecursively()
+      dir.getPath
+    }
+    val pairs = minhashLshPairsShared(s, d).select(col("d1"), col("d2"))
+    // the "prior run": yesterday's labels, persisted
+    connectedComponents(
+        pairs.where(col("d1") % 10 =!= 0 && col("d2") % 10 =!= 0))
+      .write.mode("overwrite").parquet(s"$base/labels")
+    val labels = s.read.parquet(s"$base/labels") // (id, comp)
+    incrementalComponentsFrom(labels,
+      pairs.where(col("d1") % 10 === 0 || col("d2") % 10 === 0))
+  }
+
+  /** The update step of [[incrementalComponents]]: persisted `labels`
+    * (id, comp) + `newEdges` (d1, d2) → the full refreshed clustering
+    * (doc_id, cluster, cluster_size), identical to the from-scratch
+    * closure over old∪new edges. */
+  private[graft] def incrementalComponentsFrom(labels: DataFrame,
+      newEdges: DataFrame): DataFrame = {
+    val l1 = labels.select(col("id").as("d1"), col("comp").as("c1"))
+    val l2 = labels.select(col("id").as("d2"), col("comp").as("c2"))
+    // condensed edge list: endpoints in label space (self if unlabeled)
+    val condensedEdges = newEdges
+      .join(l1, Seq("d1"), "left").join(l2, Seq("d2"), "left")
+      .select(coalesce(col("c1"), col("d1")).as("d1"),
+        coalesce(col("c2"), col("d2")).as("d2"))
+    val condensed = connectedComponents(condensedEdges)
+      .select(col("comp").as("fin"), col("id").as("node"))
+    // every clustered doc: previously labeled ∪ touched by new edges
+    val touched = newEdges.select(col("d1").as("id"))
+      .union(newEdges.select(col("d2").as("id"))).distinct()
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    val all = labels.select(col("id"), col("comp"))
+      .unionByName(touched).distinct()
+    val fin = all.join(condensed, col("comp") === col("node"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("fin"), col("comp")).as("cluster"))
+    val sizes = fin.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+    fin.join(sizes, "cluster")
+      .select(col("doc_id"), col("cluster"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
   // q142: cross-snapshot dedup-delta audit
   // ---------------------------------------------------------------------
 

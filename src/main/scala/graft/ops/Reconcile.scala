@@ -352,37 +352,43 @@ object Reconcile {
     * before joining facts to dims: a broken FK silently drops rows in
     * every downstream inner join.
     *
-    * Shape per edge — SIZE-ROUTED on the measured parent keyset (the
-    * q112 self-routing precedent; r10 verdict item 1 — the old code
-    * force-broadcast EVERY parent, including lineitem→orders whose
-    * keyset scales with the corpus and is unbroadcastable at 100 TB):
+    * Shape per edge — SIZE-ROUTED on the parent's RAW row count (one
+    * parquet-metadata job, no scan: the keyset is ≤ rows, so routing on
+    * rows is a conservative upper bound — the r11 decade probes showed
+    * per-edge `distinct().count()` routing jobs were themselves a
+    * material cost at sf10+; the q112 self-routing precedent, r10
+    * verdict item 1 — the old code force-broadcast EVERY parent,
+    * including lineitem→orders whose keyset scales with the corpus and
+    * is unbroadcastable at 100 TB):
     *
-    *  - parent keyset < [[FkFactMinKeys]] (all dims, and customer at
-    *    dim scale): child ROWS left-join the broadcast keyset — no
-    *    shuffle at all, partial aggregate on top. The hint is safe
-    *    here BECAUSE the route just counted the keyset.
+    *  - parent rows < [[FkFactMinKeys]] (all dims, and customer at dim
+    *    scale): child ROWS left-join the broadcast keyset — no shuffle
+    *    at all, partial aggregate on top. The hint is safe here BECAUSE
+    *    the route just bounded the keyset.
     *  - at/above (lineitem→orders from sf10 up): [[fkFactEdge]] — the
     *    child reduces to (key, count) FIRST (map-side combined, so the
-    *    shuffle carries distinct keys, not rows), a q90-style Bloom of
-    *    the parent keyset diverts definitely-orphan keys around the
-    *    join (no false negatives — a win exactly in the orphan-heavy
-    *    unvetted-ingest regime; one cheap extra pass when orphans are
-    *    rare), and the suspected-matched remainder resolves by a
-    *    CO-PARTITIONED shuffle left-join with NO broadcast hint —
-    *    Spark/AQE stays free to pick the physical join from runtime
-    *    sizes. Past [[FkBloomMaxBits]] the Bloom itself would be the
-    *    driver-side bottleneck, so the edge degrades to the plain
-    *    keyset shuffle join — the honest fundamental cost of an exact
-    *    audit at that scale. */
+    *    shuffle carries distinct keys, not rows), then a CO-PARTITIONED
+    *    shuffle left-join against the parent keyset with NO broadcast
+    *    hint — Spark/AQE stays free to pick the physical join from
+    *    runtime sizes. The optional q90-style Bloom pre-filter
+    *    (`bloom = true`) diverts definitely-orphan keys around the
+    *    join — no false negatives — which pays exactly in the
+    *    orphan-HEAVY unvetted-ingest regime; it is OFF on the audit
+    *    face because when orphans are rare (the audit's own null
+    *    hypothesis) every key passes the filter and the parent-pass
+    *    build + per-key probes are pure overhead (r11 sf10/sf30
+    *    measurement, BASELINE). Past [[FkBloomMaxBits]] the Bloom
+    *    degrades to the plain keyset join regardless — the honest
+    *    fundamental cost of an exact audit at that scale. */
   def fkAudit(s: SparkSession, d: String): DataFrame = {
     def edge(name: String, child: DataFrame, ck: String,
         parent: DataFrame, pk: String): DataFrame = {
-      val parentKeys = parent.select(col(pk).as("k")).distinct()
-      if (parentKeys.count() >= FkFactMinKeys)
+      if (parent.count() >= FkFactMinKeys)
         fkFactEdge(name, child, ck, parent, pk)
       else
         child.select(col(ck).as("k"))
-          .join(broadcast(parentKeys.withColumn("ex", lit(1))), Seq("k"), "left")
+          .join(broadcast(parent.select(col(pk).as("k")).distinct()
+            .withColumn("ex", lit(1))), Seq("k"), "left")
           .agg(count(lit(1)).as("n_child"),
             sum(when(col("ex").isNull, 1L).otherwise(0L)).as("n_orphans"),
             countDistinct(when(col("ex").isNull, col("k"))).as("n_orphan_keys"))
@@ -407,10 +413,11 @@ object Reconcile {
     edges.reduce(_ unionAll _).orderBy(col("fk"))
   }
 
-  /** Parent-keyset count at which an FK edge stops broadcasting: 2^22
+  /** Parent row count at which an FK edge stops broadcasting: 2^22
     * keys ≈ 32 MB of longs — past the point where a forced broadcast
-    * is a per-executor memory tax rather than a saving. Orders crosses
-    * it at sf10 (15M keys); the dims never do. */
+    * is a per-executor memory tax rather than a saving. (Routing reads
+    * the RAW count — metadata-only — as an upper bound on the keyset.)
+    * Orders crosses it at sf10 (15M keys); the dims never do. */
   private[graft] val FkFactMinKeys: Long = 1L << 22
 
   /** Bloom cap for the fact edge: past 2^30 bits the word array
@@ -420,15 +427,17 @@ object Reconcile {
   private[graft] val FkBloomMaxBits: Long = 1L << 30
 
   /** The fact-scale FK edge (see [[fkAudit]]): keyset-reduced child,
-    * Bloom-diverted definite orphans, hint-free shuffle left-join for
-    * the suspected-matched remainder. Output row is identical to the
-    * broadcast edge's — the q130 spec asserts both the equality and
-    * the plan shape (no BroadcastExchange with auto-broadcast off). */
+    * hint-free shuffle left-join, optionally Bloom-diverting definite
+    * orphans around the join first (`bloom` — the orphan-heavy-ingest
+    * knob; see the regime analysis on [[fkAudit]]). Output row is
+    * identical to the broadcast edge's under either setting — the q130
+    * spec asserts the equality on both paths and the plan shape (no
+    * BroadcastExchange with auto-broadcast off). */
   private[graft] def fkFactEdge(name: String, child: DataFrame, ck: String,
-      parent: DataFrame, pk: String): DataFrame = {
+      parent: DataFrame, pk: String, bloom: Boolean = false): DataFrame = {
     val childKeys = child.groupBy(col(ck).as("k")).agg(count(lit(1)).as("cnt"))
     val parentKeys = parent.select(col(pk).as("k")).distinct()
-    val m = Bloom.sizeBits(parentKeys.count())
+    val m = if (bloom) Bloom.sizeBits(parentKeys.count()) else Long.MaxValue
     val (definite, maybe) =
       if (m <= FkBloomMaxBits) {
         val bits = Bloom.buildBits(parentKeys, col("k"), Bloom.DefaultHashes, m)

@@ -453,8 +453,13 @@ object Similarity {
     * worth of candidates; at a fixed cell count the assignment cost is
     * linear in n. */
   def ivfTopKQuantized(s: SparkSession, d: String, k: Int = 10): DataFrame = {
-    val qe = quantizeInt8(Tables.embeddings(s, d)).select(col("vec_id"), col("q8"))
-    val cent = qe.where(col("vec_id") % 100 === 0)
+    val qe = quantizedEmbeddings(s, d)
+    // anchor rule is a BOUNDED literal (<= 64 anchors): at gate SFs
+    // (ids < 2000) the cap never binds, so the oracle hash is
+    // unchanged, while decade corpora keep the assignment fan-out at
+    // n x 64 instead of n x n/100 (r11 - the same cells-prop-to-n knee
+    // q126 was called on; here the fix is hash-neutral)
+    val cent = qe.where(col("vec_id") % 100 === 0 && col("vec_id") < 6400)
       .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cdot").desc, col("cent_id").asc)
@@ -486,7 +491,8 @@ object Similarity {
       |    list_transform(embedding, x -> CASE WHEN ma > 0
       |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
       |  FROM base),
-      | cent AS (SELECT vec_id AS cent_id, q AS cq FROM q8 WHERE vec_id % 100 = 0),
+      | cent AS (SELECT vec_id AS cent_id, q AS cq FROM q8
+      |         WHERE vec_id % 100 = 0 AND vec_id < 6400),
       | assigned AS (
       |  SELECT vec_id, q, cent_id FROM (
       |    SELECT v.vec_id, v.q, c.cent_id,
@@ -517,6 +523,23 @@ object Similarity {
     * vector quantizes to zeros (no 0/0). Values stay exact small
     * integers, carried as array<double> so the codegen'd [[VectorExprs]]
     * dot kernel applies. */
+  /** The int8-quantized corpus as a SHARED MATERIALIZED table per
+    * (session, dir) — the LSH pair-table convention ([[SharedPlans]])
+    * applied to the vector hot path. This is a correctness-of-scale
+    * fix, not a convenience: [[quantizeInt8]]'s `transform` HOF is
+    * CodegenFallback, and without a materialization barrier Spark
+    * collapses the quantize projection INTO the fan-out assignment
+    * join, re-evaluating the interpreted per-element lambda once per
+    * (vector × anchor) PAIR — the r11 sf1 probes measured q143 at
+    * 88-171 s and q144 at 242 s from exactly this (n·cells interpreted
+    * 64-element transforms), vs seconds once the quantized table is
+    * materialized n-sized. At 100 TB the production shape is the same
+    * idea persisted: write the quantized table as an artifact next to
+    * the index (q126's layout) instead of re-deriving it per query. */
+  def quantizedEmbeddings(s: SparkSession, d: String): DataFrame =
+    SharedPlans.cached(s, s"quantizeInt8|$d")(
+      quantizeInt8(Tables.embeddings(s, d)).select(col("vec_id"), col("q8")))
+
   def quantizeInt8(e: DataFrame): DataFrame =
     e.withColumn("_ma",
         array_max(transform(col("embedding"), x => abs(x.cast("double")))))
@@ -535,7 +558,7 @@ object Similarity {
     * the rank is fully deterministic: no FP rounding in the ORDER BY at
     * all, stronger than the rounded-cosine pattern. */
   def quantizedTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
-    val qe = quantizeInt8(Tables.embeddings(s, d)).select(col("vec_id"), col("q8"))
+    val qe = quantizedEmbeddings(s, d)
     val probes = qe.where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("q8").as("qv"))
     val sims = qe.join(broadcast(probes), col("vec_id") =!= col("qid"))
@@ -728,8 +751,7 @@ object Similarity {
   }
 
   def kmeansInt(s: SparkSession, d: String, k: Int = 8, iters: Int = 2): DataFrame =
-    kmeansIntOn(quantizeInt8(Tables.embeddings(s, d))
-      .select(col("vec_id"), col("q8")), k, iters)
+    kmeansIntOn(quantizedEmbeddings(s, d), k, iters)
 
   /** The Lloyd loop alone: trains and returns the converged centroids
     * over an already-quantized (vec_id, q8) frame; seeds are the first k
@@ -870,8 +892,7 @@ object Similarity {
     * guard) already covers that k. Output is per-vector, so downstream
     * filters join on it without recomputing. */
   def semDedup(s: SparkSession, d: String): DataFrame =
-    semDedupOn(quantizeInt8(Tables.embeddings(s, d))
-      .select(col("vec_id"), col("q8")), k = 8, iters = 2, tauNum = 2, tauDen = 5)
+    semDedupOn(quantizedEmbeddings(s, d), k = 8, iters = 2, tauNum = 2, tauDen = 5)
 
   def semDedupOn(qe: DataFrame, k: Int, iters: Int,
       tauNum: Int, tauDen: Int): DataFrame = {
@@ -1136,7 +1157,7 @@ object Similarity {
       scala.reflect.io.Path(dir).deleteRecursively()
       dir.getPath
     }
-    val qe = quantizeInt8(Tables.embeddings(s, d)).select(col("vec_id"), col("q8"))
+    val qe = quantizedEmbeddings(s, d)
     val existing = qe.where(col("vec_id") % 10 =!= 0)
     // Cell count = |existing| / stride. centStride = 0 (the DEFAULT)
     // computes stride ≈ √n from the corpus itself — the q112
@@ -1251,16 +1272,19 @@ object Similarity {
     * Scale: ONE assignment pass over the corpus (each snapshot is a
     * conditional aggregate of the same assigned rows, not a second
     * scan); anchors broadcast; the report is |cells|-bounded. The
-    * DEFAULT anchor stride self-sizes to ≈ √n (cells ≈ √n — the q126
-    * recipe: assignment n·√n, shares statistically stable as n grows);
-    * the gate face alone pins stride = 100 to match the oracle
-    * literal. */
-  def embeddingDrift(s: SparkSession, d: String, centStride: Int = 0): DataFrame = {
-    val qe = quantizeInt8(Tables.embeddings(s, d)).select(col("vec_id"), col("q8"))
-    val stride =
-      if (centStride > 0) centStride
-      else math.max(2, math.round(math.sqrt(qe.count().toDouble)).toInt)
-    val cent = qe.where(col("vec_id") % stride === 0)
+    * anchor grid is a FIXED bounded literal (≤ 64 anchors) — fixed by
+    * design, because a drift audit compares runs and a grid that grows
+    * with n would break comparability (and re-open the cells ∝ n
+    * assignment knee); the oracle replays the identical literal. */
+  def embeddingDrift(s: SparkSession, d: String): DataFrame = {
+    val qe = quantizedEmbeddings(s, d)
+    // FIXED anchor grid (the q43 bounded literal, <= 64 anchors): a
+    // drift audit wants the SAME grid on every run - a corpus-sized
+    // grid would change the cells as n grows and break cross-run
+    // comparability, and it is the cells-prop-to-n scale knee besides.
+    // At gate SFs the cap never binds (ids < 2000), so the oracle
+    // replays the identical grid.
+    val cent = qe.where(col("vec_id") % 100 === 0 && col("vec_id") < 6400)
       .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cdot").desc, col("cent_id").asc)
@@ -1296,7 +1320,8 @@ object Similarity {
       |    list_transform(embedding, x -> CASE WHEN ma > 0
       |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
       |  FROM base),
-      | cent AS (SELECT vec_id AS cent_id, q AS cq FROM q8 WHERE vec_id % 100 = 0),
+      | cent AS (SELECT vec_id AS cent_id, q AS cq FROM q8
+      |         WHERE vec_id % 100 = 0 AND vec_id < 6400),
       | assigned AS (
       |  SELECT vec_id, cent_id FROM (
       |    SELECT v.vec_id, c.cent_id,
@@ -1372,7 +1397,8 @@ object Similarity {
       |        ORDER BY CAST(list_dot_product(p.qv, v.q) AS BIGINT) DESC,
       |                 v.vec_id ASC) AS rank
       |    FROM q8 v JOIN probes0 p ON v.vec_id <> p.qid) WHERE rank <= 10),
-      | cent AS (SELECT vec_id AS cent_id, q AS cq FROM q8 WHERE vec_id % 100 = 0),
+      | cent AS (SELECT vec_id AS cent_id, q AS cq FROM q8
+      |         WHERE vec_id % 100 = 0 AND vec_id < 6400),
       | assigned AS (
       |  SELECT vec_id, q, cent_id FROM (
       |    SELECT v.vec_id, v.q, c.cent_id,

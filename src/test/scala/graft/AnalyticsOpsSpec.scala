@@ -254,6 +254,33 @@ class AnalyticsOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(chain.last + rows.values.map(_._2).sum >= n)
   }
 
+  // ---------------------------------------------------------------- q146
+
+  test("filterFunnelDrift: snapshot counts reconcile with q141's flags, ppm and delta consistent (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.ops.Curation.filterFunnelDrift(spark, sf).collect()
+    assert(rows.length == 3)
+    val docs = graft.Tables.documents(spark, sf)
+    val nA = docs.where(col("doc_id") % 10 =!= 0).count()
+    val nB = docs.where(col("doc_id") % 10 =!= 1).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_a") == nA && r.getAs[Long]("n_b") == nB)
+      for (side <- Seq("a", "b")) {
+        val f = r.getAs[Long](s"n_fail_$side")
+        val n = r.getAs[Long](s"n_$side")
+        assert(f >= 0 && f <= n)
+        assert(r.getAs[Long](s"fail_${side}_ppm") == 1000000L * f / n)
+      }
+      assert(r.getAs[Long]("abs_delta_ppm") ==
+        math.abs(r.getAs[Long]("fail_a_ppm") - r.getAs[Long]("fail_b_ppm")))
+    }
+    // cross-check one filter's snapshot-A fails against a direct count
+    val lenFailA = docs.where(col("doc_id") % 10 =!= 0 &&
+      !(col("n_chars") >= 100 && col("n_chars") <= 500)).count()
+    assert(rows.find(_.getAs[String]("filter") == "len_band").get
+      .getAs[Long]("n_fail_a") == lenFailA)
+  }
+
   test("rollingAnomaly: flag is null exactly below the full frame (sf0.001)") {
     val sf = "/root/testdata/sf0.001"
     val got = graft.ops.Relational.rollingAnomaly(spark, sf).cache()

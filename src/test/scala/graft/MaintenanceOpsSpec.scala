@@ -183,10 +183,13 @@ class MaintenanceOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val child = Seq((1L, 10L), (2L, 10L), (3L, 99L), (4L, 98L), (5L, 99L))
       .toDF("id", "fk")
     val parent = Seq(10L, 11L).toDF("pk")
-    val planted = Reconcile.fkFactEdge("t", child, "fk", parent, "pk").head
-    assert(planted.getAs[Long]("n_child") == 5L)
-    assert(planted.getAs[Long]("n_orphans") == 3L)
-    assert(planted.getAs[Long]("n_orphan_keys") == 2L)
+    for (bloom <- Seq(false, true)) {
+      val planted = Reconcile.fkFactEdge("t", child, "fk", parent, "pk",
+        bloom = bloom).head
+      assert(planted.getAs[Long]("n_child") == 5L, s"bloom=$bloom")
+      assert(planted.getAs[Long]("n_orphans") == 3L, s"bloom=$bloom")
+      assert(planted.getAs[Long]("n_orphan_keys") == 2L, s"bloom=$bloom")
+    }
     // plan shape: with auto-broadcast OFF (both planner and AQE), a
     // forced broadcast() hint would still produce a BroadcastExchange —
     // the fact edge must not have one (the r10 bug), while the audit's
@@ -266,9 +269,36 @@ class MaintenanceOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getAs[Long]("n_members")).sum == nB)
   }
 
+  test("incrementalComponents (q145): update equals from-scratch closure; planted condensation merges across prior components") {
+    // gate face: incremental off the persisted labels must equal q38's
+    // from-scratch clustering row for row
+    val inc = Dedup.incrementalComponents(spark, sf).collect().toSeq
+    val scratch = Dedup.dupClusters(spark, sf).collect().toSeq
+    assert(inc == scratch, s"incremental diverged: ${inc.take(3)} vs ${scratch.take(3)}")
+    assert(new java.io.File("target/tmp/inccc_q145/labels").exists())
+    // planted: prior comps {1,2}->1 and {5,6}->5; new edges 2-9, 9-5
+    // (merges BOTH prior comps with new doc 9) and 7-8 (fresh pair)
+    val s = spark
+    import s.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)).toDF("id", "comp")
+    val newEdges = Seq((2L, 9L), (9L, 5L), (7L, 8L)).toDF("d1", "d2")
+    val got = Dedup.incrementalComponentsFrom(labels, newEdges).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Long]("cluster_size")))).toMap
+    assert(got == Map(
+      1L -> ((1L, 5L)), 2L -> ((1L, 5L)), 5L -> ((1L, 5L)),
+      6L -> ((1L, 5L)), 9L -> ((1L, 5L)),
+      7L -> ((7L, 2L)), 8L -> ((7L, 2L))), s"got: $got")
+  }
+
   test("embeddingDrift (q143): every vector routed once, shares floor-sum to 1e6, delta consistent") {
-    val out = Similarity.embeddingDrift(spark, sf, centStride = 100).collect()
+    val out = Similarity.embeddingDrift(spark, sf).collect()
     assert(out.length > 1, "need >1 cell for a drift report")
+    // the anchor grid is the bounded literal: cells come only from the
+    // <= 64 eligible anchor ids, fixed across runs
+    assert(out.length <= 64)
+    assert(out.forall { r =>
+      val c = r.getAs[Long]("cent_id"); c % 100 == 0 && c < 6400 })
     val emb = Tables.embeddings(spark, sf)
     assert(out.map(_.getAs[Long]("n_a")).sum ==
       emb.where(col("vec_id") % 10 =!= 0).count())
@@ -283,11 +313,6 @@ class MaintenanceOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getAs[Long]("abs_delta_ppm") ==
         math.abs(r.getAs[Long]("share_a_ppm") - r.getAs[Long]("share_b_ppm")))
     }
-    // the library DEFAULT self-sizes the anchor grid (~sqrt(n) cells)
-    val auto = Similarity.embeddingDrift(spark, sf).collect()
-    assert(auto.length > 1)
-    assert(auto.map(_.getAs[Long]("n_a")).sum ==
-      emb.where(col("vec_id") % 10 =!= 0).count())
   }
 
   test("annRecallAudit (q144): recall is the exact hit fraction of the true top-k") {
