@@ -463,11 +463,15 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cdot").desc, col("cent_id").asc)
-    val assigned = qe.join(broadcast(cent))
-      .select(col("vec_id"), col("q8"), col("cent_id"),
-        vecDot(col("q8"), col("cq")).cast("long").as("cdot"))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
+    // narrow argmax + q8 re-attach (the q126 route shape): the window
+    // sorts n×anchors rows, so the 64-double array stays out of it
+    val assigned = qe.join(
+        qe.join(broadcast(cent))
+          .select(col("vec_id"), col("cent_id"),
+            vecDot(col("q8"), col("cq")).cast("long").as("cdot"))
+          .withColumn("rn", row_number().over(wAssign))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("cent_id")), "vec_id")
       .select(col("vec_id"), col("q8"), col("cent_id"))
     val probes = assigned.where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("q8").as("qv"), col("cent_id").as("qcell"))
@@ -538,7 +542,13 @@ object Similarity {
     * the index (q126's layout) instead of re-deriving it per query. */
   def quantizedEmbeddings(s: SparkSession, d: String): DataFrame =
     SharedPlans.cached(s, s"quantizeInt8|$d")(
-      quantizeInt8(Tables.embeddings(s, d)).select(col("vec_id"), col("q8")))
+      // repartition BEFORE persisting: the source is one compact
+      // parquet split, so without it the cache holds ~1 partition and
+      // every downstream N×anchors fan-out runs single-threaded (r11:
+      // q126 sf10 512 s against the 1-partition cache); the session
+      // width here is the same parallelism the scan-side plan had
+      quantizeInt8(Tables.embeddings(s, d)).select(col("vec_id"), col("q8"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt))
 
   def quantizeInt8(e: DataFrame): DataFrame =
     e.withColumn("_ma",
@@ -1175,19 +1185,29 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cdot").desc, col("cent_id").asc)
-    def route(v: DataFrame): DataFrame =
-      v.join(broadcast(cent))
-        .select(col("vec_id"), col("q8"), col("cent_id"),
+    // argmax over a NARROW (vec_id, cent_id, cdot) frame, q8 re-attached
+    // AFTER the rn = 1 filter: the assignment window sorts n×cells rows,
+    // and carrying the 64-double q8 array through that sort is ~13×
+    // the bytes of the narrow frame (r11 sf10: the wide sort spilled
+    // ~175 GB); the re-attach join is n-sized against the cached table
+    def route(v: DataFrame): DataFrame = {
+      val assign = v.join(broadcast(cent))
+        .select(col("vec_id"), col("cent_id"),
           vecDot(col("q8"), col("cq")).cast("long").as("cdot"))
         .withColumn("rn", row_number().over(wAssign))
         .where(col("rn") === 1)
-        .select(col("vec_id"), col("q8"), col("cent_id"))
+        .select(col("vec_id"), col("cent_id"))
+      v.join(assign, "vec_id").select(col("vec_id"), col("q8"), col("cent_id"))
+    }
     // the "prior run": build and persist the index artifact,
     // PARTITIONED BY CELL — "a batch touching c cells reads c cells'
     // worth of codes" must be true on disk, not just in prose (r10
     // verdict item 2): the layout is what makes the serve-path prune
-    // physical
-    route(existing).write.mode("overwrite")
+    // physical. Repartition BY CELL first: otherwise every write task
+    // opens a file in every cell directory (tasks × cells small files —
+    // the r11 sf10 probe's write blow-up); this way each cell is one
+    // task's one file.
+    route(existing).repartition(col("cent_id")).write.mode("overwrite")
       .partitionBy("cent_id").parquet(s"$base/index")
     val index = s.read.parquet(s"$base/index")
     // the "daily batch": routed off the persisted centroids, searched
