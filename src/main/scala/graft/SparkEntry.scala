@@ -370,6 +370,11 @@ object SparkEntry {
     // quality gate to run after any index maintenance or stride change
     "q144_ann_recall" -> ((s: SparkSession, d: String) =>
       Similarity.annRecallAudit(s, d)),
+    // contamination span evidence: WHERE each training doc overlaps
+    // the benchmark set - maximal token spans of shared 3-grams
+    // (coverage, longest run, first/last pos), the redact-not-drop
+    // evidence q69's doc-level flags can't give
+    "q147_contamination_spans" -> Dedup.contaminationSpans _,
     // filter kill-rate drift: q141's funnel flags on snapshot A vs B,
     // per-filter integer-ppm fail rates + |delta| from ONE scan - the
     // quality-gate alarm that names WHICH filter moved between crawls
@@ -591,6 +596,7 @@ object SparkEntry {
     // the batch closure verbatim: incremental must equal from-scratch
     "q145_incremental_components" -> Dedup.dupClustersSql,
     "q146_funnel_drift" -> Curation.filterFunnelDriftSql,
+    "q147_contamination_spans" -> Dedup.contaminationSpansSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

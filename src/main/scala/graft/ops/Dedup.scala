@@ -1185,6 +1185,115 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // q147: contamination span evidence (positional decontamination proof)
+  // ---------------------------------------------------------------------
+
+  /** q147 — CONTAMINATION SPAN EVIDENCE: q69 flags WHICH training docs
+    * share benchmark 3-grams; this reports WHERE — per contaminated
+    * doc, the maximal token spans covered by benchmark-shared 3-grams
+    * (count, token coverage, longest run, first/last position), the
+    * evidence an auditor needs to REDACT a leak rather than drop the
+    * whole document (and the difference between incidental 3-word
+    * collisions — short scattered spans — and a verbatim eval answer:
+    * one long run).
+    *
+    * Pipeline: positional train-side 3-grams (the q105 lead-window
+    * idiom, ONE sort per doc) ⨝ broadcast benchmark shingle set →
+    * matched positions → q105's gaps-and-islands merge of the
+    * [pos, pos+2] intervals → per-doc span stats + the q69 gram/doc
+    * counts off the same hit table.
+    *
+    * Scale: the benchmark side is the EVAL SET — tiny by construction,
+    * broadcast; the train corpus streams once (no shuffle of corpus
+    * text; the islands window partitions by doc over MATCHED positions
+    * only). */
+  def contaminationSpans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = 3
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val winWords = (0 until w).map(k =>
+      if (k == 0) col("word") else lead(col("word"), k).over(byPos))
+    val tr = Tables.documents(s, d).where(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", winWords: _*).as("sh"),
+        lead(col("word"), w - 1).over(byPos).as("w_last"))
+      .where(col("w_last").isNotNull)
+      .select(col("doc_id"), col("pos"), col("sh"))
+    val bench = shingles(Tables.documents(s, d).where(col("doc_id") % 50 === 0))
+      .select(col("shingle").as("sh"), col("doc_id").as("bench_doc"))
+    val hits = tr.join(broadcast(bench), "sh")
+    val gramAgg = hits.groupBy(col("doc_id")).agg(
+      countDistinct(col("sh")).as("n_shared_grams"),
+      countDistinct(col("bench_doc")).as("n_bench_docs"))
+    val isl = hits.select(col("doc_id"), col("pos")).distinct()
+      .withColumn("prev", lag(col("pos"), 1).over(byPos))
+      .withColumn("cut",
+        when(col("prev").isNull || col("pos") - col("prev") > w, 1L).otherwise(0L))
+      .withColumn("island", sum(col("cut")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = isl.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s0"), (max(col("pos")) + w - 1).as("s1"))
+    val spanAgg = spans.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("s1") - col("s0") + 1).as("covered_tokens"),
+      max(col("s1") - col("s0") + 1).cast("long").as("max_run_tokens"),
+      min(col("s0")).cast("long").as("first_pos"),
+      max(col("s1")).cast("long").as("last_pos"))
+    gramAgg.join(spanAgg, "doc_id").orderBy(col("doc_id"))
+  }
+
+  /** Oracle for [[contaminationSpans]]: positional 3-grams (0-based to
+    * match posexplode), benchmark join, islands, same stats. */
+  val contaminationSpansSql: String =
+    s"""WITH wp AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word,
+       |    generate_subscripts(regexp_extract_all(text, '[a-z0-9]+'), 1) - 1 AS pos
+       |  FROM documents WHERE doc_id % 50 <> 0),
+       | tr AS (
+       |  SELECT doc_id, pos,
+       |    word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w AS sh,
+       |    lead(word,2) OVER w AS w_last
+       |  FROM wp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       | trh AS (SELECT doc_id, pos, sh FROM tr WHERE w_last IS NOT NULL),
+       | bench AS (
+       |  SELECT shingle AS sh, doc_id AS bench_doc FROM ($shinglesSql)
+       |  WHERE doc_id % 50 = 0),
+       | hits AS (
+       |  SELECT t.doc_id, t.pos, t.sh, b.bench_doc
+       |  FROM trh t JOIN bench b USING (sh)),
+       | gram_agg AS (
+       |  SELECT doc_id, count(DISTINCT sh) AS n_shared_grams,
+       |    count(DISTINCT bench_doc) AS n_bench_docs
+       |  FROM hits GROUP BY doc_id),
+       | mpos AS (SELECT DISTINCT doc_id, pos FROM hits),
+       | isl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER dw IS NULL
+       |         OR pos - lag(pos) OVER dw > 3 THEN 1 ELSE 0 END AS cut
+       |  FROM mpos WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+       | num AS (
+       |  SELECT doc_id, pos, sum(cut) OVER (
+       |    PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM isl),
+       | spans AS (
+       |  SELECT doc_id, island, min(pos) AS s0, max(pos) + 2 AS s1
+       |  FROM num GROUP BY doc_id, island),
+       | span_agg AS (
+       |  SELECT doc_id, count(*) AS n_spans,
+       |    CAST(sum(s1 - s0 + 1) AS BIGINT) AS covered_tokens,
+       |    CAST(max(s1 - s0 + 1) AS BIGINT) AS max_run_tokens,
+       |    CAST(min(s0) AS BIGINT) AS first_pos,
+       |    CAST(max(s1) AS BIGINT) AS last_pos
+       |  FROM spans GROUP BY doc_id)
+       |SELECT g.doc_id, g.n_shared_grams, g.n_bench_docs, s.n_spans,
+       |  s.covered_tokens, s.max_run_tokens, s.first_pos, s.last_pos
+       |FROM gram_agg g JOIN span_agg s USING (doc_id)
+       |ORDER BY g.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q145: incremental connected components (maintain the dedup clusters)
   // ---------------------------------------------------------------------
 

@@ -334,6 +334,27 @@ class MaintenanceOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (truth & ann).size.toLong)
   }
 
+  test("contaminationSpans (q147): doc set and gram counts match q69; span identities hold") {
+    val spans = Dedup.contaminationSpans(spark, sf).collect()
+    val q69 = Dedup.decontaminate(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shared_grams"), r.getAs[Long]("n_bench_docs")))).toMap
+    assert(spans.nonEmpty)
+    // same contaminated-doc set, same gram/doc counts as the q69 face
+    assert(spans.map(_.getAs[Long]("doc_id")).toSet == q69.keySet)
+    spans.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert((r.getAs[Long]("n_shared_grams"), r.getAs[Long]("n_bench_docs")) == q69(id))
+      val (nSpans, cov, maxRun) = (r.getAs[Long]("n_spans"),
+        r.getAs[Long]("covered_tokens"), r.getAs[Long]("max_run_tokens"))
+      val (p0, p1) = (r.getAs[Long]("first_pos"), r.getAs[Long]("last_pos"))
+      assert(nSpans >= 1 && maxRun >= 3 && cov >= maxRun)
+      assert(p0 >= 0 && p1 >= p0 && cov <= p1 - p0 + 1)
+      // n_spans disjoint spans each of >= w tokens
+      assert(cov >= nSpans * 3)
+    }
+  }
+
   test("erasureCascade (q131): counts satisfy the cascade identities") {
     val out = Reconcile.erasureCascade(spark, sf).collect()
     val m = out.map(r => r.getAs[String]("table_name") ->
