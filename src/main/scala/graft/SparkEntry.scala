@@ -370,6 +370,11 @@ object SparkEntry {
     // quality gate to run after any index maintenance or stride change
     "q144_ann_recall" -> ((s: SparkSession, d: String) =>
       Similarity.annRecallAudit(s, d)),
+    // ingest schema-drift audit: the reference's 7-rule inference
+    // cascade run per cell on two export batches, per-column resolved
+    // type A vs B + changed flag - catches an upstream type change AT
+    // INGEST; null cells don't false-positive the resolution
+    "q148_schema_drift" -> Pipelines.schemaDrift _,
     // contamination span evidence: WHERE each training doc overlaps
     // the benchmark set - maximal token spans of shared 3-grams
     // (coverage, longest run, first/last pos), the redact-not-drop
@@ -597,6 +602,7 @@ object SparkEntry {
     "q145_incremental_components" -> Dedup.dupClustersSql,
     "q146_funnel_drift" -> Curation.filterFunnelDriftSql,
     "q147_contamination_spans" -> Dedup.contaminationSpansSql,
+    "q148_schema_drift" -> Pipelines.schemaDriftSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

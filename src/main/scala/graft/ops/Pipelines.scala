@@ -3,7 +3,7 @@ package graft.ops
 import graft.{CopyConfig, Tables}
 import graft.infer.TypeInference
 import graft.pipeline.{CopyRead, CopyWrite}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -980,4 +980,157 @@ object Pipelines {
       |  count(*) AS n
       |FROM cls GROUP BY 1, 2, 3
       |ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q148: ingest schema-drift audit (the inference cascade across batches)
+  // ---------------------------------------------------------------------
+
+  /** q148 — INGEST SCHEMA-DRIFT AUDIT: the reference's own 7-rule
+    * type-inference cascade (`write.go:206-223`, the q50 face) applied
+    * as a cross-batch production audit — did today's export change a
+    * column's inferred type? An upstream system that starts emitting
+    * 'hello' in a numeric column silently downgrades it to text at the
+    * sink; this is the gate that catches it AT INGEST, with per-column
+    * attribution, before a typed consumer breaks.
+    *
+    * Batches are the q146 snapshot deciles of a synthetic 3-column
+    * export built from orders (the q50 convention): c1 is numeric but
+    * batch B corrupts every 97th row to a word (type long→string — the
+    * drift); c2 is booleans in both; c3 is timestamps where batch B
+    * nulls every 50th row (null cells do NOT change a column's type —
+    * the audit must not false-positive on sparsity).
+    *
+    * Column-type resolution from per-cell tags: no non-null cells →
+    * 'null'; exactly one non-null tag → that tag; mixed → 'string'
+    * (the untyped-sink fallback, the reference's text behavior).
+    *
+    * Shape: ONE scan evaluates the codegen'd cascade on each (column,
+    * batch-variant) cell, one conditional aggregate reduces to tag
+    * counts (map-side partial), and the 3-row report is a generated
+    * explode — the q129/q141/q146 one-scan discipline. */
+  def schemaDrift(s: SparkSession, d: String): DataFrame = {
+    val inA = col("o_orderkey") % 10 =!= 0
+    val inB = col("o_orderkey") % 10 =!= 1
+    val longStr = col("o_orderkey").cast(StringType)
+    val ts = lit("2024-01-02 03:04:05+0000")
+    val src = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      longStr.as("c1a"),
+      when(col("o_orderkey") % 97 === 0, "hello").otherwise(longStr).as("c1b"),
+      when(col("o_orderkey") % 2 === 0, "true").otherwise("false").as("c2"),
+      ts.as("c3a"),
+      when(col("o_orderkey") % 50 === 0, "NULL").otherwise(ts).as("c3b"))
+    def tagOf(c: Column): Column =
+      TypeInference.Exprs.cell(c, lit(false), cfg).getField("tag")
+    val tagged = src.select(
+      col("o_orderkey"),
+      tagOf(col("c1a")).as("t1a"), tagOf(col("c1b")).as("t1b"),
+      tagOf(col("c2")).as("t2a"), tagOf(col("c2")).as("t2b"),
+      tagOf(col("c3a")).as("t3a"), tagOf(col("c3b")).as("t3b"))
+    val tags = Seq("null", "bool", "ts", "long", "string")
+    def cnt(side: Column, t: Column, tag: String) =
+      sum(when(side && t === tag, 1L).otherwise(0L))
+    val aggs = for {
+      (cn, ta, tb) <- Seq(("c1", "t1a", "t1b"), ("c2", "t2a", "t2b"),
+        ("c3", "t3a", "t3b"))
+      (sideName, side, t) <- Seq(("a", inA, ta), ("b", inB, tb))
+      tag <- tags
+    } yield cnt(side, col(t), tag).as(s"${cn}_${sideName}_$tag")
+    val r = tagged.agg(aggs.head, aggs.tail: _*)
+    def resolve(cn: String, sd: String): Column = {
+      def n(tag: String) = col(s"${cn}_${sd}_$tag")
+      val kinds = Seq("bool", "ts", "long", "string")
+        .map(t => when(n(t) > 0, 1).otherwise(0)).reduce(_ + _)
+      when(kinds === 0, "null")
+        .when(kinds > 1, "string")
+        .when(n("bool") > 0, "bool")
+        .when(n("ts") > 0, "ts")
+        .when(n("long") > 0, "long")
+        .otherwise("string")
+    }
+    def tot(cn: String, sd: String): Column =
+      tags.map(t => col(s"${cn}_${sd}_$t")).reduce(_ + _)
+    r.select(explode(array(Seq("c1", "c2", "c3").map(cn =>
+        struct(lit(cn).as("column_name"),
+          tot(cn, "a").as("n_a"), tot(cn, "b").as("n_b"),
+          col(s"${cn}_a_null").as("n_null_a"),
+          col(s"${cn}_b_null").as("n_null_b"),
+          resolve(cn, "a").as("type_a"), resolve(cn, "b").as("type_b"))): _*))
+        .as("row"))
+      .select(col("row.column_name").as("column_name"),
+        col("row.n_a").as("n_a"), col("row.n_b").as("n_b"),
+        col("row.n_null_a").as("n_null_a"), col("row.n_null_b").as("n_null_b"),
+        col("row.type_a").as("type_a"), col("row.type_b").as("type_b"),
+        (col("row.type_a") =!= col("row.type_b")).as("changed"))
+      .orderBy(col("column_name"))
+  }
+
+  /** Oracle for [[schemaDrift]]: the q50 tagging CASE (proven identical
+    * to the cascade) on each cell, conditional snapshot sums, the same
+    * resolution rule. */
+  val schemaDriftSql: String = {
+    val tagCase = (v: String) =>
+      s"""CASE WHEN $v = 'false' THEN 'bool' WHEN $v = 'true' THEN 'bool'
+         |         WHEN $v = 'NULL' THEN 'null'
+         |         WHEN try_strptime($v, '%Y-%m-%d %H:%M:%S%z') IS NOT NULL THEN 'ts'
+         |         WHEN regexp_matches($v, '^[+-]?[0-9]+$$')
+         |              AND TRY_CAST($v AS BIGINT) IS NOT NULL THEN 'long'
+         |         ELSE 'string' END""".stripMargin
+    val cnt = (side: String, t: String, tag: String) =>
+      s"CAST(sum(CASE WHEN $side AND $t = '$tag' THEN 1 ELSE 0 END) AS BIGINT)"
+    val cols = Seq(("c1", "t1a", "t1b"), ("c2", "t2a", "t2b"), ("c3", "t3a", "t3b"))
+    val tags = Seq("null", "bool", "ts", "long", "string")
+    val aggExprs = (for {
+      (cn, ta, tb) <- cols
+      (sd, side, t) <- Seq(("a", "o_orderkey % 10 <> 0", ta),
+        ("b", "o_orderkey % 10 <> 1", tb))
+      tag <- tags
+    } yield s"${cnt(side, t, tag)} AS ${cn}_${sd}_$tag").mkString(",\n    ")
+    val resolve = (cn: String, sd: String) => {
+      val n = (t: String) => s"${cn}_${sd}_$t"
+      val kinds = Seq("bool", "ts", "long", "string")
+        .map(t => s"CASE WHEN ${n(t)} > 0 THEN 1 ELSE 0 END").mkString(" + ")
+      s"""CASE WHEN ($kinds) = 0 THEN 'null'
+         |      WHEN ($kinds) > 1 THEN 'string'
+         |      WHEN ${n("bool")} > 0 THEN 'bool'
+         |      WHEN ${n("ts")} > 0 THEN 'ts'
+         |      WHEN ${n("long")} > 0 THEN 'long'
+         |      ELSE 'string' END""".stripMargin
+    }
+    val tot = (cn: String, sd: String) =>
+      tags.map(t => s"${cn}_${sd}_$t").mkString(" + ")
+    val rows = cols.map { case (cn, _, _) =>
+      s"""SELECT '$cn' AS column_name, ${tot(cn, "a")} AS n_a, ${tot(cn, "b")} AS n_b,
+         |  ${cn}_a_null AS n_null_a, ${cn}_b_null AS n_null_b,
+         |  ${resolve(cn, "a")} AS type_a, ${resolve(cn, "b")} AS type_b FROM agg""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH src AS (
+       |  SELECT o_orderkey,
+       |    CAST(o_orderkey AS VARCHAR) AS c1a,
+       |    CASE WHEN o_orderkey % 97 = 0 THEN 'hello'
+       |         ELSE CAST(o_orderkey AS VARCHAR) END AS c1b,
+       |    CASE WHEN o_orderkey % 2 = 0 THEN 'true' ELSE 'false' END AS c2,
+       |    '2024-01-02 03:04:05+0000' AS c3a,
+       |    CASE WHEN o_orderkey % 50 = 0 THEN 'NULL'
+       |         ELSE '2024-01-02 03:04:05+0000' END AS c3b
+       |  FROM orders),
+       | tagged AS (
+       |  SELECT o_orderkey,
+       |    ${tagCase("c1a")} AS t1a,
+       |    ${tagCase("c1b")} AS t1b,
+       |    ${tagCase("c2")} AS t2a,
+       |    ${tagCase("c2")} AS t2b,
+       |    ${tagCase("c3a")} AS t3a,
+       |    ${tagCase("c3b")} AS t3b
+       |  FROM src),
+       | agg AS (
+       |  SELECT
+       |    $aggExprs
+       |  FROM tagged),
+       | rows3 AS (
+       |  $rows)
+       |SELECT column_name, n_a, n_b, n_null_a, n_null_b, type_a, type_b,
+       |  type_a <> type_b AS changed
+       |FROM rows3 ORDER BY column_name""".stripMargin
+  }
 }

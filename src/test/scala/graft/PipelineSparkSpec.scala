@@ -542,4 +542,32 @@ class PipelineSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tight = Dedup.jaccardPairs(spark, sf, maxDf = 1).collect()
     assert(tight.length <= capped.size)
   }
+
+  test("schemaDrift (q148): corrupted numeric column flips long->string, nulls don't flip the ts column") {
+    val rows = graft.ops.Pipelines.schemaDrift(spark, sf).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(rows.keySet == Set("c1", "c2", "c3"))
+    val orders = graft.Tables.orders(spark, sf)
+    val nA = orders.where(
+      org.apache.spark.sql.functions.col("o_orderkey") % 10 =!= 0).count()
+    val nB = orders.where(
+      org.apache.spark.sql.functions.col("o_orderkey") % 10 =!= 1).count()
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_a") == nA && r.getAs[Long]("n_b") == nB)
+    }
+    // the drift: batch B's every-97th 'hello' downgrades c1 to string
+    assert(rows("c1").getAs[String]("type_a") == "long")
+    assert(rows("c1").getAs[String]("type_b") == "string")
+    assert(rows("c1").getAs[Boolean]("changed"))
+    // booleans unchanged
+    assert(rows("c2").getAs[String]("type_a") == "bool")
+    assert(rows("c2").getAs[String]("type_b") == "bool")
+    assert(!rows("c2").getAs[Boolean]("changed"))
+    // NULL cells appear in c3's batch B but must NOT flip its type
+    assert(rows("c3").getAs[Long]("n_null_b") > 0)
+    assert(rows("c3").getAs[Long]("n_null_a") == 0)
+    assert(rows("c3").getAs[String]("type_a") == "ts")
+    assert(rows("c3").getAs[String]("type_b") == "ts")
+    assert(!rows("c3").getAs[Boolean]("changed"))
+  }
 }
