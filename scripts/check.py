@@ -134,7 +134,9 @@ def bench_diff(argv):
         batch = [q for q in shared if q not in STREAMING_QUERIES]
         for label, qs in (("streaming (latency-floor)", stream),
                           ("batch (data-bound)", batch)):
-            if qs:
+            # so > 0 guard matches tot_old's (r11 advice: a subtotal
+            # whose old times sum to 0 raised ZeroDivisionError)
+            if qs and sum(old[q] for q in qs) > 0:
                 so, sn = sum(old[q] for q in qs), sum(new[q] for q in qs)
                 print(f"    {label:26s} {len(qs):3d}q: {so:.1f}s -> {sn:.1f}s "
                       f"({(sn - so) / so * 100:+.1f}%)")

@@ -49,7 +49,13 @@ object Tables {
     def bytes(f: java.io.File): Long =
       if (f.isFile) f.length()
       else Option(f.listFiles()).map(_.map(bytes).sum).getOrElse(0L)
-    if (bytes(new java.io.File(sfDir)) < (128L << 20)) sessionWidth
+    val root = new java.io.File(sfDir)
+    // A dir this java.io.File probe can't see (non-local FS, typo'd
+    // path) must NOT read as "tiny input": take the CONSERVATIVE wide
+    // branch — at decade scale dropping the 256 floor is the expensive
+    // mistake, while an unnecessarily wide start on small data AQE
+    // mostly coalesces away (r11 advice).
+    if (root.exists() && bytes(root) < (128L << 20)) sessionWidth
     else math.max(256, sessionWidth)
   }
 
@@ -146,6 +152,26 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Content fingerprint of one source table's parquet, for KEYING
+    * derived on-disk artifacts (BPE model, quantized embeddings): MD5
+    * over the CANONICAL path plus every file's (relative name, length,
+    * mtime). Two properties the old sanitized-dir-name key lacked (r11
+    * advice): distinct dirs can never collide (the full canonical path
+    * is hashed, not lossy-sanitized), and regenerated data at the SAME
+    * path changes the key (mtime/size move), so a stale artifact is
+    * never served — it is simply never looked up again. Footer-free and
+    * metadata-only: listing a parquet dir is O(files), no data read. */
+  def sourceFingerprint(d: String, table: String): String = {
+    val root = new java.io.File(s"$d/$table.parquet")
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isFile) Seq(s"${f.getName}|${f.length()}|${f.lastModified()}")
+      else Option(f.listFiles()).map(_.sortBy(_.getName).toSeq.flatMap(walk))
+        .getOrElse(Seq.empty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val payload = (root.getCanonicalPath +: walk(root)).mkString("\n")
+    md.digest(payload.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+  }
 
   /** Streaming scan over the same events table with the same schema
     * normalization as [[events]] — the single shared seam, so batch and

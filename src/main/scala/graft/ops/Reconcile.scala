@@ -352,9 +352,13 @@ object Reconcile {
     * before joining facts to dims: a broken FK silently drops rows in
     * every downstream inner join.
     *
-    * Shape per edge — SIZE-ROUTED on the parent's RAW row count (one
-    * parquet-metadata job, no scan: the keyset is ≤ rows, so routing on
-    * rows is a conservative upper bound — the r11 decade probes showed
+    * Shape per edge — SIZE-ROUTED on the parent's RAW row count (a
+    * `count()` Spark usually serves from parquet footers — cheap, but
+    * not guaranteed scan-free — MEMOIZED per (session, dir, table) via
+    * [[SharedPlans.cachedCount]] so constructing the audit costs the
+    * routing jobs once per session, not once per DataFrame build (r11
+    * advice). The keyset is ≤ rows, so routing on rows is a
+    * conservative upper bound — the r11 decade probes showed
     * per-edge `distinct().count()` routing jobs were themselves a
     * material cost at sf10+; the q112 self-routing precedent, r10
     * verdict item 1 — the old code force-broadcast EVERY parent,
@@ -383,7 +387,11 @@ object Reconcile {
   def fkAudit(s: SparkSession, d: String): DataFrame = {
     def edge(name: String, child: DataFrame, ck: String,
         parent: DataFrame, pk: String): DataFrame = {
-      if (parent.count() >= FkFactMinKeys)
+      // keyed by the PARENT table (pk's prefix), not the edge: nation
+      // parents two edges — one count serves both
+      val parentRows = SharedPlans.cachedCount(s, s"fkParentRows|$d|$pk")(
+        parent.count())
+      if (parentRows >= FkFactMinKeys)
         fkFactEdge(name, child, ck, parent, pk)
       else
         child.select(col(ck).as("k"))

@@ -537,18 +537,45 @@ object Similarity {
     * (vector × anchor) PAIR — the r11 sf1 probes measured q143 at
     * 88-171 s and q144 at 242 s from exactly this (n·cells interpreted
     * 64-element transforms), vs seconds once the quantized table is
-    * materialized n-sized. At 100 TB the production shape is the same
-    * idea persisted: write the quantized table as an artifact next to
-    * the index (q126's layout) instead of re-deriving it per query. */
+    * materialized n-sized.
+    *
+    * r12 (r11 verdict item 1): the table is now the PERSISTED artifact
+    * the r11 doc promised — quantized ONCE per source content
+    * (fingerprint-keyed like the BPE model, so regenerated testdata
+    * keys a fresh artifact) and written to parquet; every vector-family
+    * consumer (q40-q48, q106, q115, q120, q126, q143, q144) reads the
+    * artifact. The session-level [[SharedPlans]] persist now wraps a
+    * plain parquet SCAN, so a cleared cache costs one cheap re-read,
+    * never a re-quantize — and the int-valued doubles round-trip
+    * parquet exactly, so the gate hashes prove the disk leg lossless
+    * (the q51/q126 artifact convention). At 100 TB this IS the
+    * production shape: the quantized corpus lives next to the IVF index
+    * and the daily batch never re-encodes it. */
   def quantizedEmbeddings(s: SparkSession, d: String): DataFrame =
     SharedPlans.cached(s, s"quantizeInt8|$d")(
-      // repartition BEFORE persisting: the source is one compact
-      // parquet split, so without it the cache holds ~1 partition and
-      // every downstream N×anchors fan-out runs single-threaded (r11:
-      // q126 sf10 512 s against the 1-partition cache); the session
-      // width here is the same parallelism the scan-side plan had
-      quantizeInt8(Tables.embeddings(s, d)).select(col("vec_id"), col("q8"))
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt))
+      s.read.parquet(quantizedArtifact(s, d)))
+
+  /** Build-once path of [[quantizedEmbeddings]]: returns the artifact
+    * dir, writing it first if this source content has never been
+    * quantized (`_OK` commits the write — a crashed half-write never
+    * serves). The repartition BEFORE the write matters twice over: the
+    * source is one compact parquet split, so without it the artifact
+    * would be one file and every downstream scan single-threaded (r11:
+    * q126 sf10 512 s against a 1-partition cache); with it the artifact
+    * carries session-width files and scans parallel. */
+  private def quantizedArtifact(s: SparkSession, d: String): String =
+    synchronized {
+      val dir = new java.io.File(
+        s"target/tmp/quant8_${Tables.sourceFingerprint(d, "embeddings")}")
+      if (!new java.io.File(dir, "_OK").exists()) {
+        scala.reflect.io.Path(dir).deleteRecursively()
+        quantizeInt8(Tables.embeddings(s, d)).select(col("vec_id"), col("q8"))
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+          .write.mode("overwrite").parquet(s"$dir/q8")
+        new java.io.File(dir, "_OK").createNewFile()
+      }
+      s"${dir.getPath}/q8"
+    }
 
   def quantizeInt8(e: DataFrame): DataFrame =
     e.withColumn("_ma",
@@ -1210,23 +1237,35 @@ object Similarity {
     route(existing).repartition(col("cent_id")).write.mode("overwrite")
       .partitionBy("cent_id").parquet(s"$base/index")
     val index = s.read.parquet(s"$base/index")
-    // the "daily batch": routed off the persisted centroids, searched
-    // against the persisted index only
-    val batch = route(qe.where(col("vec_id") % 10 === 0))
+    // the "daily batch": routed off the persisted centroids and
+    // PERSISTED next to the index — the artifact a serve replica
+    // actually reads — then searched against the persisted index only
+    route(qe.where(col("vec_id") % 10 === 0))
       .select(col("vec_id").as("qid"), col("q8").as("qv"),
         col("cent_id").as("qcell"))
-      .cache()
-    // static partition pruning on the touched cells: the collect is
-    // BOUNDED by the cell count (≈ √n under the default stride — ~10⁵
-    // ids at n = 10¹⁰), deterministic where dynamic pruning depends on
-    // planner thresholds. The scan's PartitionFilters carries the
-    // in-list; the q126 spec asserts it.
-    val cells = batch.select(col("qcell")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val served = index.where(col("cent_id").isin(cells: _*))
+      .write.mode("overwrite").parquet(s"$base/batch")
+    // Touched-cell pruning is DYNAMIC (r11 verdict item 2): the
+    // broadcast join on the partition column lets Spark's DPP insert a
+    // dynamicpruning subquery on the index scan — reusing the batch
+    // broadcast, so the prune costs nothing extra — where the old code
+    // collected the touched cells and planned them as isin LITERALS
+    // (bounded by √n cells, but ~10⁵ plan literals at n = 10¹⁰ is a
+    // real planner/parse tax, and the collect forced a batch cache the
+    // r11 advice flagged as never unpersisted). Serving off the batch
+    // ARTIFACT rather than the routed plan is what makes DPP reliable:
+    // PartitionPruning needs a realistic size estimate on the
+    // filtering side (the routed plan's join-product estimate blocked
+    // it) and a selective predicate above the scan — the re-asserted
+    // batch-membership rule below is total on this artifact (the
+    // router wrote only batch rows), so it changes nothing and
+    // documents what the artifact may contain. The q126 spec asserts
+    // both the dynamicpruning expression in the plan and that the
+    // executed scan physically read fewer files than the index holds.
+    val batch = s.read.parquet(s"$base/batch")
+      .where(col("qid") % 10 === 0)
     val wTop = Window.partitionBy(col("qid"))
       .orderBy(col("dot").desc, col("cid").asc)
-    served.join(broadcast(batch), col("cent_id") === col("qcell"))
+    index.join(broadcast(batch), col("cent_id") === col("qcell"))
       .select(col("qid"), col("vec_id").as("cid"),
         vecDot(col("qv"), col("q8")).cast("long").as("dot"))
       .withColumn("rank", row_number().over(wTop))

@@ -164,6 +164,25 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("quantizedEmbeddings: served off a fingerprint-keyed on-disk artifact, lossless, multi-file (r11 verdict item 1)") {
+    val served = Similarity.quantizedEmbeddings(spark, sf)
+    val dir = new java.io.File(
+      s"target/tmp/quant8_${Tables.sourceFingerprint(sf, "embeddings")}")
+    // the artifact physically exists, is committed, and carries enough
+    // files that a downstream scan parallelizes (the r11 1-partition
+    // cache lesson)
+    assert(new java.io.File(dir, "_OK").exists(), s"no committed artifact at $dir")
+    val parts = new java.io.File(dir, "q8").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(parts > 1, s"artifact is $parts file(s) — downstream scans would serialize")
+    // the disk leg is LOSSLESS: artifact contents == a live quantize
+    val live = Similarity.quantizeInt8(Tables.embeddings(spark, sf))
+      .select(col("vec_id"), col("q8")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val disk = served.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(disk == live)
+  }
+
   test("zero vector quantizes to zeros (no 0/0)") {
     val s = spark
     import s.implicits._
