@@ -375,6 +375,15 @@ object SparkEntry {
     // type A vs B + changed flag - catches an upstream type change AT
     // INGEST; null cells don't false-positive the resolution
     "q148_schema_drift" -> Pipelines.schemaDrift _,
+    // streaming delta-dedup admission (11th streaming class): q127's
+    // screening as a 3-wave stream against the persisted corpus index,
+    // with parquet-appended admitted state - a doc admitted in an
+    // earlier wave rejects its near-dup in a later one
+    "q149_stream_admission" -> Pipelines.streamDedupAdmission _,
+    // filter calibration audit: reliability diagram + integer ECE of
+    // the q122 quality score - does the thresholded score read as a
+    // probability, or just rank (q122's question)?
+    "q150_calibration" -> TextAnalysis.calibrationAudit _,
     // contamination span evidence: WHERE each training doc overlaps
     // the benchmark set - maximal token spans of shared 3-grams
     // (coverage, longest run, first/last pos), the redact-not-drop
@@ -603,6 +612,9 @@ object SparkEntry {
     "q146_funnel_drift" -> Curation.filterFunnelDriftSql,
     "q147_contamination_spans" -> Dedup.contaminationSpansSql,
     "q148_schema_drift" -> Pipelines.schemaDriftSql,
+    // stream == batch: the three waves unrolled in SQL
+    "q149_stream_admission" -> Pipelines.streamDedupAdmissionSql,
+    "q150_calibration" -> TextAnalysis.calibrationSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

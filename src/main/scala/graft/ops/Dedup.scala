@@ -768,6 +768,46 @@ object Dedup {
        |WHERE est_jaccard >= 0.5 ORDER BY train_doc, bench_doc""".stripMargin
   }
 
+  /** q33's portable MinHash signature per document — (doc_id,
+    * sig: array<long>[ [[K]] ]) — extracted from q127 so the streaming
+    * admission face (q149) signs its micro-batches with the IDENTICAL
+    * pipeline: shingle (dup-insensitive — min doesn't care), md5-derived
+    * 60-bit base hash, K affine rehashes, per-doc column mins. */
+  private[graft] def minhashSig(part: DataFrame): DataFrame = {
+    val sh = shingles(part, dedup = false)
+      .select(col("doc_id"), baseHash(col("shingle")).as("h"))
+    val aggs = (0 until K).map(i => min(affineHash(i, col("h"))).as(s"mh$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until K).map(i => col(s"mh$i")): _*).as("sig"))
+  }
+
+  /** Banded LSH buckets of a [[minhashSig]] table: (doc_id, band,
+    * bandhash) — [[BANDS]] rows per signed doc, bands derived from the
+    * signature COLUMNS (no re-read of the corpus). */
+  private[graft] def sigBands(sig: DataFrame): DataFrame = {
+    val bucketOf: Int => Column = b => concat_ws(",",
+      (0 until ROWS_PER_BAND).map(r => col("sig")(b * ROWS_PER_BAND + r).cast("string")): _*)
+    sig.select(col("doc_id"),
+      posexplode(array((0 until BANDS).map(bucketOf): _*)).as(Seq("band", "bandhash")))
+  }
+
+  /** SQL fragments of the portable signature pipeline, shared by the
+    * q127 and q149 oracles so the DuckDB replay can never drift from
+    * the one definition of the affine constants / banding layout. */
+  private[graft] def sigSqlCols: String = (0 until K).map { i =>
+    val (a, b) = affineConsts(i)
+    s"min(($a * h + $b) % $AffineP) AS mh$i"
+  }.mkString(",\n  ")
+  private[graft] def bandSelectsSql: String = (0 until BANDS).map { b =>
+    val vals = (0 until ROWS_PER_BAND).map(r => s"mh${b * ROWS_PER_BAND + r}").mkString(", ")
+    s"SELECT doc_id, $b AS band, concat_ws(',', $vals) AS bucket FROM sig"
+  }.mkString("\n  UNION ALL ")
+  private[graft] def sigEqSql(l: String, r: String): String =
+    (0 until K).map(i => s"CASE WHEN $l.mh$i = $r.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+  private[graft] def shinglesSqlCte: String = shinglesSql
+
   /** q127 — INCREMENTAL (delta) DEDUP against a PERSISTED signature
     * index: the dedup face of the daily-ingest shape (q126 is the ANN
     * face). The existing corpus (doc_id % 7 ≠ 0) is signed once — q33's
@@ -799,29 +839,17 @@ object Dedup {
       dir.getPath
     }
     val docs = Tables.documents(s, d)
-    def sigOf(part: DataFrame): DataFrame = {
-      val sh = shingles(part, dedup = false) // min is dup-insensitive
-        .select(col("doc_id"), baseHash(col("shingle")).as("h"))
-      val aggs = (0 until K).map(i => min(affineHash(i, col("h"))).as(s"mh$i"))
-      sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-        .select(col("doc_id"),
-          array((0 until K).map(i => col(s"mh$i")): _*).as("sig"))
-    }
-    val bucketOf: Int => Column = b => concat_ws(",",
-      (0 until ROWS_PER_BAND).map(r => col("sig")(b * ROWS_PER_BAND + r).cast("string")): _*)
-    def bandsOf(sig: DataFrame): DataFrame = sig.select(col("doc_id"),
-      posexplode(array((0 until BANDS).map(bucketOf): _*)).as(Seq("band", "bandhash")))
     // the "prior run": sign the corpus, persist sig; derive + persist
     // bands FROM THE PERSISTED SIGS (one corpus scan total)
-    sigOf(docs.where(col("doc_id") % 7 =!= 0))
+    minhashSig(docs.where(col("doc_id") % 7 =!= 0))
       .write.mode("overwrite").parquet(s"$base/sig")
     val idxSig = s.read.parquet(s"$base/sig")
-    bandsOf(idxSig).write.mode("overwrite").parquet(s"$base/bands")
+    sigBands(idxSig).write.mode("overwrite").parquet(s"$base/bands")
     val idxBands = s.read.parquet(s"$base/bands")
     // the "daily batch": fresh signatures for the new docs only
     val newDocs = docs.where(col("doc_id") % 7 === 0)
-    val newSig = sigOf(newDocs).cache() // batch-sized: k longs per new doc
-    val newBands = bandsOf(newSig)
+    val newSig = minhashSig(newDocs).cache() // batch-sized: k longs per new doc
+    val newBands = sigBands(newSig)
       .select(col("doc_id").as("new_doc"), col("band"), col("bandhash"))
     val cand = idxBands
       .select(col("doc_id").as("corpus_doc"), col("band"), col("bandhash"))
@@ -850,16 +878,9 @@ object Dedup {
     * directional candidate join, est-Jaccard verify, per-new-doc
     * admission roll-up. */
   def deltaDedupSql: String = {
-    val sigCols = (0 until K).map { i =>
-      val (a, b) = affineConsts(i)
-      s"min(($a * h + $b) % $AffineP) AS mh$i"
-    }.mkString(",\n  ")
-    val bandSelects = (0 until BANDS).map { b =>
-      val vals = (0 until ROWS_PER_BAND).map(r => s"mh${b * ROWS_PER_BAND + r}").mkString(", ")
-      s"SELECT doc_id, $b AS band, concat_ws(',', $vals) AS bucket FROM sig"
-    }.mkString("\n  UNION ALL ")
-    val eq = (0 until K).map(i => s"CASE WHEN s1.mh$i = s2.mh$i THEN 1 ELSE 0 END")
-      .mkString(" + ")
+    val sigCols = sigSqlCols
+    val bandSelects = bandSelectsSql
+    val eq = sigEqSql("s1", "s2")
     s"""WITH s AS ($shinglesSql),
        | hs AS (SELECT doc_id,
        |   CAST('0x' || substr(md5(shingle), 1, 10) AS BIGINT) AS h FROM s),

@@ -1133,4 +1133,205 @@ object Pipelines {
        |  type_a <> type_b AS changed
        |FROM rows3 ORDER BY column_name""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q149: streaming delta-dedup admission (11th streaming class)
+  // ---------------------------------------------------------------------
+
+  private val SdaName = "sda_q149"
+  /** Where [[streamDedupAdmission]] stages its delivery files — exposed
+    * for the q149 spec's multi-batch assertion (the q111 convention). */
+  private[graft] def streamDedupAdmissionInputDir: java.io.File =
+    new java.io.File(s"target/tmp/$SdaName/in")
+  /** The admitted-state artifacts, exposed for the spec's state growth
+    * assertion. */
+  private[graft] def streamDedupAdmissionStateDirs: Seq[java.io.File] =
+    Seq(new java.io.File(s"target/tmp/$SdaName/adm_sig"),
+      new java.io.File(s"target/tmp/$SdaName/adm_bands"))
+
+  /** q149 — STREAMING DELTA-DEDUP ADMISSION (11th streaming class):
+    * q127's admission screening run as a real multi-batch stream. New
+    * documents arrive in three waves (doc_id mod 3, the q103/q111/q121
+    * file-delivery trick, strictly increasing mtimes so wave ORDER is
+    * physical); each micro-batch signs its docs with q127's exact
+    * MinHash pipeline ([[Dedup.minhashSig]]), band-joins them against
+    * the PERSISTED corpus index, est-Jaccard-verifies, and emits a
+    * per-doc admit/reject verdict — plus the CROSS-BATCH leg q127's
+    * one-shot face never runs: each doc is also screened against every
+    * doc ADMITTED IN AN EARLIER WAVE, so a doc admitted in wave 1
+    * rejects its near-dup arriving in wave 3. State is load-bearing:
+    * lose it and the wave-3 dup sails through (the spec plants exactly
+    * that scenario).
+    *
+    * State shape: the admitted set's signatures + band buckets are
+    * PARQUET-APPENDED state artifacts, not state-store rows, on
+    * purpose — at corpus scale the admitted index is a TABLE (it IS
+    * tomorrow's corpus index), far past any per-key state store, and
+    * the idiomatic Spark form for table-sized streaming state is
+    * foreachBatch + an appended/upserted table (the Delta-merge shape).
+    * Each micro-batch stages its signatures and verdicts to immutable
+    * per-batch artifacts FIRST, then appends state — so no plan ever
+    * reads a table its own batch is mutating (write-then-read, never
+    * read-while-writing), and a recomputed plan can't see its own
+    * admissions.
+    *
+    * Intra-wave near-dups are BOTH admitted by design (neither can see
+    * the other's verdict mid-batch — the oracle encodes the same rule);
+    * production compacts them at the next index rebuild. Scale: per
+    * batch the corpus-sized tables STREAM through broadcast joins
+    * against the (small) batch signatures — the corpus is never
+    * re-shingled — and the admitted state grows by at most the batch,
+    * exactly q127's per-batch cost model.
+    *
+    * Oracle: the full two-phase pipeline replayed in DuckDB with the
+    * three waves UNROLLED (adm0 → adm1 → adm01) — stream ≡ batch, the
+    * q138 convention; a verdict that leaked across the wrong wave
+    * boundary, double-counted a dup, or lost state diverges the hash. */
+  def streamDedupAdmission(s: SparkSession, d: String): DataFrame = {
+    val base = freshTmp(SdaName)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // the "prior run": corpus signed once, index persisted (q127)
+    Dedup.minhashSig(docs.where(col("doc_id") % 7 =!= 0))
+      .write.mode("overwrite").parquet(s"$base/sig")
+    val idxSig = s.read.parquet(s"$base/sig")
+    Dedup.sigBands(idxSig).write.mode("overwrite").parquet(s"$base/bands")
+    // admitted-state artifacts start EMPTY with a committed schema
+    idxSig.limit(0).write.mode("overwrite").parquet(s"$base/adm_sig")
+    Dedup.sigBands(idxSig.limit(0)).write.mode("overwrite")
+      .parquet(s"$base/adm_bands")
+    // wave delivery, mtimes strictly increasing (the q121 r9-advice fix:
+    // the file source orders by modification time and sequential appends
+    // can tie within stamp granularity)
+    val inDir = streamDedupAdmissionInputDir
+    val stamped = scala.collection.mutable.HashSet[String]()
+    (0 until 3).foreach { i =>
+      docs.where(col("doc_id") % 7 === 0 && pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      val waveT = 1700000000000L + i * 600000L
+      inDir.listFiles().foreach(f => if (stamped.add(f.getName)) f.setLastModified(waveT))
+    }
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    runStream(s) {
+      stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bs = batch.sparkSession
+        // stage this batch's signatures to an IMMUTABLE artifact and
+        // work off the staged copy — everything downstream (verdicts,
+        // state appends) derives from disk, so cache eviction can never
+        // replan a read against state this batch already appended
+        Dedup.minhashSig(batch).write.mode("overwrite")
+          .parquet(s"$base/stage/sig_$batchId")
+        val bsig = bs.read.parquet(s"$base/stage/sig_$batchId")
+        val bbands = Dedup.sigBands(bsig)
+          .select(col("doc_id").as("new_doc"), col("band"), col("bandhash"))
+        // dup counts for the batch against one (sig, bands) table pair:
+        // band-bucket candidates (corpus table STREAMS against the
+        // broadcast batch), est-Jaccard verify, per-doc roll-up
+        def dupCounts(sig2: DataFrame, bands2: DataFrame, out: String): DataFrame =
+          bands2.select(col("doc_id").as("other"), col("band"),
+              col("bandhash"))
+            .join(broadcast(bbands), Seq("band", "bandhash"))
+            .select(col("new_doc"), col("other")).distinct()
+            .join(broadcast(bsig.select(col("doc_id").as("new_doc"),
+              col("sig").as("nsig"))), "new_doc")
+            .join(sig2.select(col("doc_id").as("other"), col("sig").as("osig")),
+              "other")
+            .withColumn("est", round(
+              aggregate(zip_with(col("nsig"), col("osig"),
+                  (x, y) => when(x === y, 1).otherwise(0)),
+                lit(0), (acc, v) => acc + v).cast("double") / Dedup.K, 4))
+            .where(col("est") >= 0.5)
+            .groupBy(col("new_doc")).agg(count(lit(1)).as(out))
+        val vsCorpus = dupCounts(bs.read.parquet(s"$base/sig"),
+          bs.read.parquet(s"$base/bands"), "n_corpus_dups")
+        val vsAdmitted = dupCounts(bs.read.parquet(s"$base/adm_sig"),
+          bs.read.parquet(s"$base/adm_bands"), "n_admitted_dups")
+        // verdicts for EVERY batch doc, not just signed ones — a doc too
+        // short to shingle has no signature (and so can't match
+        // anything) but still gets its admit verdict, like q127
+        batch.select(col("doc_id").as("new_doc"))
+          .join(vsCorpus, Seq("new_doc"), "left")
+          .join(vsAdmitted, Seq("new_doc"), "left")
+          .select(col("new_doc"),
+            coalesce(col("n_corpus_dups"), lit(0L)).as("n_corpus_dups"),
+            coalesce(col("n_admitted_dups"), lit(0L)).as("n_admitted_dups"))
+          .withColumn("admitted",
+            col("n_corpus_dups") === 0 && col("n_admitted_dups") === 0)
+          .write.mode("overwrite").parquet(s"$base/stage/verdicts_$batchId")
+        val verdicts = bs.read.parquet(s"$base/stage/verdicts_$batchId")
+        verdicts.write.mode("append").parquet(s"$base/out")
+        // state update LAST: admitted docs join the admitted index
+        val admSig = bsig.join(verdicts.where(col("admitted"))
+          .select(col("new_doc").as("doc_id")), "doc_id")
+          .select(col("doc_id"), col("sig"))
+        admSig.write.mode("append").parquet(s"$base/adm_sig")
+        Dedup.sigBands(admSig).write.mode("append").parquet(s"$base/adm_bands")
+        ()
+      }.option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    }
+    s.read.parquet(s"$base/out")
+      .select(col("new_doc"), (col("new_doc") % 3).as("wave"),
+        col("n_corpus_dups"), col("n_admitted_dups"), col("admitted"))
+      .orderBy(col("new_doc"))
+  }
+
+  /** Oracle for q149: the identical two-phase pipeline in DuckDB with
+    * the three waves unrolled. `cand` keeps only pairs a wave is ALLOWED
+    * to see (corpus, or strictly earlier waves), so one `dup` relation
+    * serves both verdict legs: `cdup` (vs corpus) and `ad` (vs the
+    * admitted prefix adm0 ∪ adm1 — an x of wave w can only ever pair
+    * with admitted y of waves < w by construction). */
+  def streamDedupAdmissionSql: String = {
+    val sigCols = Dedup.sigSqlCols
+    val bandSelects = Dedup.bandSelectsSql
+    val eq = Dedup.sigEqSql("s1", "s2")
+    s"""WITH s AS (${Dedup.shinglesSqlCte}),
+       | hs AS (SELECT doc_id,
+       |   CAST('0x' || substr(md5(shingle), 1, 10) AS BIGINT) AS h FROM s),
+       | sig AS (SELECT doc_id,
+       |  $sigCols
+       |  FROM hs GROUP BY doc_id),
+       | bands AS (
+       |  $bandSelects),
+       | cand AS (
+       |  SELECT DISTINCT n.doc_id AS x, c.doc_id AS y
+       |  FROM bands n JOIN bands c ON n.band = c.band AND n.bucket = c.bucket
+       |  WHERE n.doc_id % 7 = 0
+       |    AND (c.doc_id % 7 <> 0
+       |         OR (c.doc_id % 7 = 0 AND c.doc_id % 3 < n.doc_id % 3))),
+       | dup AS (
+       |  SELECT x, y FROM cand
+       |  JOIN sig s1 ON x = s1.doc_id
+       |  JOIN sig s2 ON y = s2.doc_id
+       |  WHERE round(($eq) / ${Dedup.K}.0, 4) >= 0.5),
+       | cdup AS (
+       |  SELECT x, count(*) AS n FROM dup WHERE y % 7 <> 0 GROUP BY x),
+       | adm0 AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE doc_id % 7 = 0 AND doc_id % 3 = 0
+       |    AND doc_id NOT IN (SELECT x FROM cdup)),
+       | ad1 AS (
+       |  SELECT DISTINCT x FROM dup WHERE y IN (SELECT doc_id FROM adm0)),
+       | adm1 AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE doc_id % 7 = 0 AND doc_id % 3 = 1
+       |    AND doc_id NOT IN (SELECT x FROM cdup)
+       |    AND doc_id NOT IN (SELECT x FROM ad1)),
+       | adm01 AS (
+       |  SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1),
+       | ad AS (
+       |  SELECT x, count(*) AS n FROM dup
+       |  WHERE y IN (SELECT doc_id FROM adm01) GROUP BY x)
+       |SELECT d.doc_id AS new_doc,
+       |  CAST(d.doc_id % 3 AS BIGINT) AS wave,
+       |  CAST(coalesce(cdup.n, 0) AS BIGINT) AS n_corpus_dups,
+       |  CAST(coalesce(ad.n, 0) AS BIGINT) AS n_admitted_dups,
+       |  coalesce(cdup.n, 0) = 0 AND coalesce(ad.n, 0) = 0 AS admitted
+       |FROM documents d
+       |LEFT JOIN cdup ON d.doc_id = cdup.x
+       |LEFT JOIN ad ON d.doc_id = ad.x
+       |WHERE d.doc_id % 7 = 0
+       |ORDER BY new_doc""".stripMargin
+  }
 }

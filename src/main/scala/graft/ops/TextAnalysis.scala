@@ -237,15 +237,32 @@ object TextAnalysis {
     * argument) — then one ordered pass over that bounded table. The
     * unpartitioned window runs over ≤ 10001 rows, never the corpus.
     * The corpus is scanned once, shuffled never. */
-  def aucEval(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = Tables.documents(s, d)
+  /** The (score_bp, pos) evaluation frame shared by q122 (AUC — does
+    * the score RANK?) and q150 (calibration — is the thresholded score
+    * a PROBABILITY?): stopword-ratio score in integer basis points
+    * against the lang='en' weak label. ONE definition so the two
+    * audits can never evaluate different scores. */
+  private[graft] def stopwordScored(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("lang"),
         size(words(col("text"))).as("nw"),
         size(regexp_extract_all(col("text"), lit(stopPat), lit(0))).as("nstop"))
       .where(col("nw") > 0)
       .select(expr("nstop * 10000 div nw").as("score_bp"),
         (col("lang") === "en").cast("long").as("pos"))
+
+  private[graft] val stopwordScoredSql: String =
+    """SELECT (nstop * 10000) // nw AS score_bp,
+      |   CAST(lang = 'en' AS BIGINT) AS pos
+      | FROM (SELECT lang,
+      |         len(regexp_extract_all(text, '[a-z0-9]+')) AS nw,
+      |         len(regexp_extract_all(text, '\b(the|a|of|and|in|to|is)\b')) AS nstop
+      |       FROM documents)
+      | WHERE nw > 0""".stripMargin
+
+  def aucEval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = stopwordScored(s, d)
     val per = scored.groupBy(col("score_bp"))
       .agg(sum(col("pos")).as("np"),
         (count(lit(1)) - sum(col("pos"))).as("nn"))
@@ -290,6 +307,74 @@ object TextAnalysis {
       |         // (2 * sum(np) * sum(nn)) AS BIGINT)
       |    ELSE NULL END AS auc_ppm
       |FROM cum""".stripMargin
+
+  /** q150 — FILTER CALIBRATION AUDIT (reliability diagram + ECE): the
+    * production question AFTER q122's AUC. AUC says the quality score
+    * RANKS English docs above non-English; a pipeline that then
+    * THRESHOLDS the score ("keep everything scoring ≥ 0.6") is treating
+    * it as a probability — this audit says whether that reading is
+    * honest. The bounded score domain (basis points, 0–10000) buckets
+    * into 11 fixed bins; per bin the audit emits the observed positive
+    * rate vs the bin's mean predicted score (both integer ppm — the
+    * q117/q122 histogram discipline: integer everywhere, so DuckDB
+    * replays bit-for-bit), their gap, and the n-weighted expected
+    * calibration error over all bins. A perfectly calibrated score has
+    * obs ≈ conf in every bin (gap → 0); the stopword score is expected
+    * to be DIRECTIONAL but miscalibrated — which is exactly the finding
+    * that tells a pipeline to recalibrate before thresholding.
+    *
+    * Scale: ONE corpus scan into a ≤11-group hash aggregate (map-side
+    * combined); the reliability table is O(bins) forever. The ece_ppm
+    * total rides the usual bounded crossJoin(broadcast) totals
+    * pattern. Overflow note: sum(n·gap) stays under 2^63 until
+    * n·10⁶ ≈ 9·10¹⁸ — ~10¹² docs; past that, rescale gap to per-mille. */
+  def calibrationAudit(s: SparkSession, d: String): DataFrame =
+    calibrationOn(stopwordScored(s, d))
+
+  /** The audit over any (score_bp ∈ [0,10000], pos ∈ {0,1}) frame —
+    * fixture-testable separately from the corpus face. */
+  private[graft] def calibrationOn(scored: DataFrame): DataFrame = {
+    val per = scored
+      .select(expr("score_bp div 1000").as("bin"), col("score_bp"), col("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        sum(col("score_bp")).as("sbp"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("(1000000 * n_pos) div n").as("obs_ppm"),
+        // mean predicted score in ppm (bp → ppm is ×100): ECE's
+        // per-bin confidence, sharper than the bin midpoint
+        expr("(100 * sbp) div n").as("conf_ppm"))
+      .withColumn("gap_ppm", abs(col("obs_ppm") - col("conf_ppm")))
+    val tot = per.agg(expr("sum(n * gap_ppm) div sum(n)").as("ece_ppm"))
+    per.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"), col("obs_ppm"),
+        col("conf_ppm"), col("gap_ppm"), col("ece_ppm"))
+      .orderBy(col("bin"))
+  }
+
+  val calibrationSql: String =
+    s"""WITH sc AS ($stopwordScoredSql),
+      | per AS (
+      |  SELECT score_bp // 1000 AS bin,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(pos) AS BIGINT) AS n_pos,
+      |    CAST(sum(score_bp) AS BIGINT) AS sbp
+      |  FROM sc GROUP BY 1),
+      | b AS (
+      |  SELECT bin, n, n_pos,
+      |    CAST((1000000 * n_pos) // n AS BIGINT) AS obs_ppm,
+      |    CAST((100 * sbp) // n AS BIGINT) AS conf_ppm
+      |  FROM per),
+      | g AS (
+      |  SELECT bin, n, n_pos, obs_ppm, conf_ppm,
+      |    CAST(abs(obs_ppm - conf_ppm) AS BIGINT) AS gap_ppm
+      |  FROM b),
+      | tot AS (
+      |  SELECT CAST(sum(n * gap_ppm) // sum(n) AS BIGINT) AS ece_ppm FROM g)
+      |SELECT g.bin AS bin, g.n, g.n_pos, g.obs_ppm, g.conf_ppm, g.gap_ppm,
+      |  tot.ece_ppm
+      |FROM g, tot
+      |ORDER BY bin""".stripMargin
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
     * w-word shingle (rolling window over the words array), then keep the
@@ -716,11 +801,18 @@ object TextAnalysis {
     }.reduce(_ unionByName _)
 
   /** Persisted-model dir for the q109/q114/q140 tokenizer family, keyed
-    * by input dir (the q51 artifact-name convention). Verify wipes
-    * `target/tmp` at startup, so a gate run trains exactly once and
-    * every later face of the same run serves off the artifact. */
+    * by a CONTENT FINGERPRINT of the documents source (path + per-file
+    * length/mtime, [[graft.Tables.sourceFingerprint]]) — not the
+    * sanitized dir name, which (r11 advice) could both collide two
+    * distinct dirs onto one artifact and keep serving a stale model
+    * after the harness regenerates testdata at the same path. Verify
+    * wipes `target/tmp` at startup, so a gate run trains exactly once
+    * and every later face of the same run serves off the artifact;
+    * Bench/Profile never wipe, and with the fingerprint key they don't
+    * need to — regenerated data simply keys a fresh artifact. */
   private[graft] def bpeModelDir(d: String): java.io.File =
-    new java.io.File(s"target/tmp/bpe_model_${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+    new java.io.File(
+      s"target/tmp/bpe_model_${graft.Tables.sourceFingerprint(d, "documents")}")
 
   /** Train on `d`'s documents and persist the model: `merges` (ord, p1,
     * p2, cnt) + `vocab` (word, n, seq — the encoder). `_OK` commits the

@@ -72,6 +72,65 @@ class AucSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(auc(items, 1) == auc(items, 7)) // layout independence
   }
 
+  // --- q150 calibration (reliability diagram + ECE) -------------------
+
+  private def calib(rows: Seq[(Long, Long)]) = {
+    val s = spark; import s.implicits._
+    graft.ops.TextAnalysis.calibrationOn(rows.toDF("score_bp", "pos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+  }
+
+  test("calibration: a perfectly calibrated frame has zero gaps and zero ECE") {
+    // bin 2: 10 rows at score 2000 bp, exactly 2 positive -> obs = conf
+    // bin 7: 10 rows at score 7000 bp, exactly 7 positive
+    val rows = (0 until 10).map(i => (2000L, if (i < 2) 1L else 0L)) ++
+      (0 until 10).map(i => (7000L, if (i < 7) 1L else 0L))
+    val out = calib(rows)
+    assert(out.map(_._1).toSeq == Seq(2L, 7L))
+    out.foreach { case (_, n, _, obs, conf, gap, ece) =>
+      assert(n == 10L && obs == conf && gap == 0L && ece == 0L)
+    }
+    assert(out.map(_._4).toSeq == Seq(200000L, 700000L))
+  }
+
+  test("calibration: anti-calibrated frame — hand-computed gaps and weighted ECE") {
+    // bin 9: all negative at score 9000 (gap 900000)
+    // bin 1: all positive at score 1000 (gap 900000), 3x the rows
+    val rows = (0 until 10).map(_ => (9000L, 0L)) ++
+      (0 until 30).map(_ => (1000L, 1L))
+    val out = calib(rows).sortBy(_._1)
+    assert(out(0) == ((1L, 30L, 30L, 1000000L, 100000L, 900000L, 900000L)))
+    assert(out(1) == ((9L, 10L, 0L, 0L, 900000L, 900000L, 900000L)))
+  }
+
+  test("calibration: mixed bins — ECE is the n-weighted mean of gaps (integer div)") {
+    // bin 0: 4 rows score 500, 2 pos -> obs 500000, conf 50000, gap 450000
+    // bin 8: 12 rows score 8000, 12 pos -> obs 1000000, conf 800000, gap 200000
+    // ece = (4*450000 + 12*200000) div 16 = 262500
+    val rows = (0 until 4).map(i => (500L, if (i < 2) 1L else 0L)) ++
+      (0 until 12).map(_ => (8000L, 1L))
+    val out = calib(rows).sortBy(_._1)
+    assert(out(0) == ((0L, 4L, 2L, 500000L, 50000L, 450000L, 262500L)))
+    assert(out(1) == ((8L, 12L, 12L, 1000000L, 800000L, 200000L, 262500L)))
+  }
+
+  test("calibration face at sf0.001: bins partition the corpus, ppm values in range") {
+    val out = graft.ops.TextAnalysis.calibrationAudit(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    val scoredN = graft.ops.TextAnalysis
+      .stopwordScored(spark, "/root/testdata/sf0.001").count()
+    assert(out.map(_.getLong(1)).sum == scoredN) // bins partition the frame
+    out.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 10)
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L)
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000L)
+      assert(r.getLong(6) >= 0 && r.getLong(6) <= 1000000L)
+    }
+  }
+
   test("face at sf0.001: both classes present, counts conserve, AUC in range") {
     // the synthetic corpus sprinkles stopwords uniformly across langs, so
     // the MEASURED AUC is ≈ chance (0.44–0.53 across SFs — verified in
