@@ -384,6 +384,14 @@ object SparkEntry {
     // the q122 quality score - does the thresholded score read as a
     // probability, or just rank (q122's question)?
     "q150_calibration" -> TextAnalysis.calibrationAudit _,
+    // LSH precision/recall vs exact sample Jaccard (q144's discipline
+    // for the dedup family): truth = integer inequality 2|I| >= |A|+|B|-|I|
+    // on a bounded doc sample; LSH side = the ONE shared pair table
+    "q151_lsh_quality" -> Dedup.lshQualityAudit _,
+    // IVF cell-occupancy balance: skew headline + rebalance work-list
+    // sizes off one assignment pass (pinned stride for oracle parity)
+    "q152_ivf_balance" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfBalanceAudit(s, d, centStride = 100)),
     // contamination span evidence: WHERE each training doc overlaps
     // the benchmark set - maximal token spans of shared 3-grams
     // (coverage, longest run, first/last pos), the redact-not-drop
@@ -615,6 +623,8 @@ object SparkEntry {
     // stream == batch: the three waves unrolled in SQL
     "q149_stream_admission" -> Pipelines.streamDedupAdmissionSql,
     "q150_calibration" -> TextAnalysis.calibrationSql,
+    "q151_lsh_quality" -> Dedup.lshQualityAuditSql,
+    "q152_ivf_balance" -> Similarity.ivfBalanceAuditSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -553,6 +553,110 @@ object Dedup {
        |WHERE est_jaccard >= 0.5 ORDER BY d1, d2""".stripMargin
   }
 
+  /** q151 — LSH QUALITY AUDIT (precision/recall vs exact ground truth):
+    * q144's discipline (audit the approximation against exact truth on
+    * a bounded probe set) applied to the DEDUP family. The MinHash-LSH
+    * pair table (q34) can err in both directions — banding can MISS a
+    * true near-dup pair (recall) and the 32-hash est-Jaccard can ACCEPT
+    * a pair whose exact Jaccard is below threshold (precision) — and a
+    * production pipeline re-tunes bands/rows on exactly this audit.
+    * Ground truth: exact shingle-set Jaccard ≥ 1/2 over a deterministic
+    * doc sample (doc_id % [[LshAuditMod]] = 0), evaluated with the
+    * INTEGER inequality 2·|∩| ≥ |A|+|B|−|∩| — no float thresholds, so
+    * the boundary is engine-exact. LSH verdicts come from the ONE
+    * shared pair table ([[minhashLshPairsShared]]) restricted to
+    * sample×sample — band candidacy is pairwise, so full-corpus banding
+    * restricted to the sample equals sample-only banding (the oracle
+    * exploits this to replay sample-only).
+    *
+    * Scale: truth is |sample|²-bounded by construction (the q144 probe
+    * discipline — recall NEEDS truth the index didn't find, and exact
+    * truth at corpus scale is the O(n²) this audit must never run);
+    * the shingle equi-join only pairs co-occurring shingles. The LSH
+    * side reuses the already-materialized pair table. */
+  private[graft] val LshAuditMod = 29
+
+  def lshQualityAudit(s: SparkSession, d: String): DataFrame = {
+    val mod = LshAuditMod
+    val samp = shingles(
+      Tables.documents(s, d).where(col("doc_id") % mod === 0), dedup = true)
+    val sizes = samp.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val truth = samp.as("a")
+      .join(samp.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("ninter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+      .where(lit(2) * col("ninter") >= col("sz1") + col("sz2") - col("ninter"))
+      .select(col("d1"), col("d2"))
+    val lsh = minhashLshPairsShared(s, d)
+      .where(col("d1") % mod === 0 && col("d2") % mod === 0)
+      .select(col("d1"), col("d2"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
+    val nHit = truth.join(lsh, Seq("d1", "d2")).agg(count(lit(1)).as("n_hit"))
+    nTruth.crossJoin(nLsh).crossJoin(nHit)
+      .select(col("n_truth"), col("n_lsh"), col("n_hit"),
+        // empty-denominator guard, the q122 convention: emit NULL, not
+        // an engine-specific div-by-zero
+        when(col("n_lsh") > 0,
+          expr("(1000000 * n_hit) div n_lsh")).as("precision_ppm"),
+        when(col("n_truth") > 0,
+          expr("(1000000 * n_hit) div n_truth")).as("recall_ppm"))
+  }
+
+  /** Oracle for [[lshQualityAudit]]: exact sample Jaccard via the
+    * integer inequality + the portable LSH replay over SAMPLE docs only
+    * (pairwise band equality makes that identical to full-corpus
+    * banding filtered to the sample). */
+  def lshQualityAuditSql: String = {
+    val mod = LshAuditMod
+    s"""WITH s AS ($shinglesSql),
+       | samp AS (SELECT doc_id, shingle FROM s WHERE doc_id % $mod = 0),
+       | sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+       |        FROM samp GROUP BY doc_id),
+       | inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS ninter
+       |  FROM samp a JOIN samp b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       | truth AS (
+       |  SELECT d1, d2 FROM inter
+       |  JOIN sz z1 ON d1 = z1.doc_id
+       |  JOIN sz z2 ON d2 = z2.doc_id
+       |  WHERE 2 * ninter >= z1.sz + z2.sz - ninter),
+       | hs AS (SELECT doc_id,
+       |   CAST('0x' || substr(md5(shingle), 1, 10) AS BIGINT) AS h
+       |   FROM samp),
+       | sig AS (SELECT doc_id,
+       |  $sigSqlCols
+       |  FROM hs GROUP BY doc_id),
+       | bands AS (
+       |  $bandSelectsSql),
+       | cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       | lsh AS (
+       |  SELECT d1, d2 FROM cand
+       |  JOIN sig s1 ON d1 = s1.doc_id
+       |  JOIN sig s2 ON d2 = s2.doc_id
+       |  WHERE round((${sigEqSql("s1", "s2")}) / $K.0, 4) >= 0.5),
+       | c AS (
+       |  SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       |    CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+       |    CAST((SELECT count(*) FROM truth JOIN lsh USING (d1, d2)) AS BIGINT) AS n_hit)
+       |SELECT n_truth, n_lsh, n_hit,
+       |  CASE WHEN n_lsh > 0
+       |    THEN CAST((1000000 * n_hit) // n_lsh AS BIGINT) ELSE NULL END
+       |    AS precision_ppm,
+       |  CASE WHEN n_truth > 0
+       |    THEN CAST((1000000 * n_hit) // n_truth AS BIGINT) ELSE NULL END
+       |    AS recall_ppm
+       |FROM c""".stripMargin
+  }
+
   /** SimHash (64-bit) per document: sign-sum of per-word hash bits weighted
     * by term frequency; near-dups differ in few bits. Hamming-distance
     * pairs are found by pigeonhole banding (16-bit chunks) — same LSH

@@ -49,6 +49,24 @@ object Graph {
     *    plan's whole-graph re-sorts. Skewed in-degree lands in the
     *    partial agg, not a sort. Fixed iteration count, no driver-side
     *    data loop. */
+  /** Session-conf-driven width of the edge cache (and the scoped-width
+    * floor below): `graft.graph.parts` if set, else the session's
+    * shuffle width — a literal here would silently degrade the
+    * co-partitioning trick on a cluster configured wider than the dev
+    * box. Exposed for the spec that pins exactly that contract. */
+  private[graft] def graphParts(conf: org.apache.spark.sql.RuntimeConfig): Int =
+    conf.getOption("graft.graph.parts").map(_.toInt)
+      .getOrElse(conf.get("spark.sql.shuffle.partitions").toInt)
+
+  /** The ONE |E|-sized state: edge list repartitioned by src at an
+    * explicit session-derived count and cached in that layout (an
+    * explicit-N repartition atop the cache is what EnsureRequirements
+    * actually recognizes). Extracted so the spec can assert the layout
+    * directly — [[pageRankInt]]'s checkpointed result no longer carries
+    * the repartition exchange in its lineage. */
+  private[graft] def edgeCache(edges: DataFrame): DataFrame =
+    edges.repartition(graphParts(edges.sparkSession.conf), col("src")).persist()
+
   def pageRankInt(edges: DataFrame, iters: Int): DataFrame = {
     // ONE edge build, cached src-partitioned — the only |E|-sized state;
     // deg and r0 derive from the cache co-partitioned (no exchange).
@@ -58,9 +76,8 @@ object Graph {
     // literal here would silently degrade the whole trick on a real
     // cluster configured wider than the dev box.
     val conf = edges.sparkSession.conf
-    val parts = conf.getOption("graft.graph.parts").map(_.toInt)
-      .getOrElse(conf.get("spark.sql.shuffle.partitions").toInt)
-    val e = edges.repartition(parts, col("src")).persist()
+    val parts = graphParts(conf)
+    val e = edgeCache(edges)
     // deg is referenced 4× in the unrolled DAG (r0 + one dd per round);
     // caching the |V|-row table keeps the fused plan from re-aggregating
     // the |E|-row cache each time
@@ -70,17 +87,43 @@ object Graph {
     // computed from the cache), so name-unique keys avoid self-join
     // ambiguity while aliases keep the partitioning propagating
     val dd = deg.select(col("src").as("dnode"), col("deg"))
-    val rN = (1 to iters).foldLeft(r0) { (r, _) =>
-      // per-node contribution FIRST: a |V|⋈|V| co-partitioned join, so
-      // the |E|-row side only ever joins a pre-reduced |V|-row build side
-      val contrib = r.join(dd.hint("shuffle_hash"), col("node") === col("dnode"))
-        .select(col("dnode").as("csrc"), expr("r div deg").as("cr"))
-      e.join(contrib.hint("shuffle_hash"), col("src") === col("csrc"))
-        .groupBy(col("dst"))
-        .agg(sum(col("cr")).as("c"))
-        .select(col("dst").as("node"),
-          (lit(150000L) + expr("(85 * c) div 100")).as("r"))
-    }
+    // PER-OPERATOR AQE width override (r11 verdict item 3): the
+    // iterative join/agg rounds want a WIDE shuffle start — q98 was the
+    // ONE query the r10 flat-256 session width helped (3.37 s vs 4.49
+    // at session width; the r12 A/B reproduced ~0.7 s warm) — but
+    // re-widening the whole session re-taxes the LSH family ~2× (the
+    // r11 CcAB decomposition). A scoped conf set around a LAZY plan is
+    // a known no-op here (execution happens after the restore), so each
+    // round is made EAGER with localCheckpoint: the iteration executes
+    // inside the scoped width, its |V|-row result is materialized (also
+    // truncating the unrolled lineage — standard iterative-graph
+    // hygiene), and the restored conf governs only the cheap final
+    // projection. The override never NARROWS: at decade SFs, where the
+    // input-volume rule already starts at ≥256, it is a no-op.
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val prev = conf.getOption(key)
+    conf.set(key, math.max(256, prev.map(_.toInt).getOrElse(parts)).toString)
+    val rN =
+      try {
+        (1 to iters).foldLeft(r0) { (r, _) =>
+          // per-node contribution FIRST: a |V|⋈|V| co-partitioned join, so
+          // the |E|-row side only ever joins a pre-reduced |V|-row build side
+          val contrib = r.join(dd.hint("shuffle_hash"), col("node") === col("dnode"))
+            .select(col("dnode").as("csrc"), expr("r div deg").as("cr"))
+          e.join(contrib.hint("shuffle_hash"), col("src") === col("csrc"))
+            .groupBy(col("dst"))
+            .agg(sum(col("cr")).as("c"))
+            .select(col("dst").as("node"),
+              (lit(150000L) + expr("(85 * c) div 100")).as("r"))
+            .localCheckpoint(true)
+        }
+      } finally prev match {
+        case Some(v) => conf.set(key, v)
+        case None => conf.unset(key)
+      }
+    // the checkpointed rN no longer references e/deg lineage — release
+    // the |E|-sized cache instead of leaking it across gate queries
+    e.unpersist(); deg.unpersist()
     rN
   }
 

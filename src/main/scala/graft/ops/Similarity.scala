@@ -1313,6 +1313,90 @@ object Similarity {
       |ORDER BY qid, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q152: IVF index balance audit (cell-occupancy skew + rebalance flags)
+  // ---------------------------------------------------------------------
+
+  /** q152 — IVF BALANCE AUDIT: the maintenance question between q126
+    * (increment the index) and q144 (is recall still good?): is the
+    * index GEOMETRY still balanced? IVF serve cost is driven by the
+    * occupancy of the cells a query touches; incremental ingest
+    * (q126's daily batches) drifts occupancy until hot cells dominate
+    * tail latency and cold cells waste routing work — the production
+    * trigger for a cell split/merge or a centroid re-train. One
+    * assignment pass (the q43/q126 integer argmax over broadcast
+    * centroids, narrow frame), one |cells|-bounded occupancy aggregate,
+    * and a single-row report: cell/vector counts, min/max occupancy,
+    * max/mean in integer ppm (the skew headline), and how many cells
+    * sit above 2× / below ½× the mean — the rebalance work-list size.
+    * All integer math; DuckDB replays bit-for-bit.
+    *
+    * The gate face pins `centStride` = 100 for oracle parity (the q126
+    * convention); `centStride` = 0 self-sizes to ≈ √n — the audit runs
+    * on whatever geometry the index actually has. */
+  def ivfBalanceAudit(s: SparkSession, d: String, centStride: Int = 0): DataFrame = {
+    val qe = quantizedEmbeddings(s, d)
+    val stride =
+      if (centStride > 0) centStride
+      else math.max(2, math.round(math.sqrt(
+        SharedPlans.cachedCount(s, s"embCount|$d")(qe.count()).toDouble)).toInt)
+    val cent = qe.where(col("vec_id") % stride === 1)
+      .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("cent_id").asc)
+    val occ = qe.join(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"),
+        vecDot(col("q8"), col("cq")).cast("long").as("cdot"))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .groupBy(col("cent_id")).agg(count(lit(1)).as("occ"))
+    val tot = occ.agg(count(lit(1)).as("n_cells"), sum(col("occ")).as("n_vecs"))
+    occ.crossJoin(broadcast(tot))
+      .groupBy(col("n_cells"), col("n_vecs"))
+      .agg(min(col("occ")).as("min_occ"), max(col("occ")).as("max_occ"),
+        sum(when(col("occ") * col("n_cells") > lit(2) * col("n_vecs"), 1L)
+          .otherwise(0L)).as("n_cells_over2x"),
+        sum(when(lit(2) * col("occ") * col("n_cells") < col("n_vecs"), 1L)
+          .otherwise(0L)).as("n_cells_under_half"))
+      .select(col("n_cells"), col("n_vecs"), col("min_occ"), col("max_occ"),
+        expr("(1000000 * max_occ * n_cells) div n_vecs").as("max_over_mean_ppm"),
+        col("n_cells_over2x"), col("n_cells_under_half"))
+  }
+
+  /** Oracle for the pinned-stride gate face of [[ivfBalanceAudit]]. */
+  val ivfBalanceAuditSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | cent AS (SELECT vec_id AS cent_id, q AS cq FROM q8 WHERE vec_id % 100 = 1),
+      | assign AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT e.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY CAST(list_dot_product(e.q, c.cq) AS BIGINT) DESC,
+      |                 c.cent_id ASC) AS rn
+      |    FROM q8 e CROSS JOIN cent c) WHERE rn = 1),
+      | occ AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS occ
+      |         FROM assign GROUP BY 1),
+      | tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+      |                CAST(sum(occ) AS BIGINT) AS n_vecs FROM occ)
+      |SELECT tot.n_cells, tot.n_vecs,
+      |  CAST(min(occ) AS BIGINT) AS min_occ,
+      |  CAST(max(occ) AS BIGINT) AS max_occ,
+      |  CAST((1000000 * max(occ) * tot.n_cells) // tot.n_vecs AS BIGINT)
+      |    AS max_over_mean_ppm,
+      |  CAST(sum(CASE WHEN occ * tot.n_cells > 2 * tot.n_vecs
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_cells_over2x,
+      |  CAST(sum(CASE WHEN 2 * occ * tot.n_cells < tot.n_vecs
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_cells_under_half
+      |FROM occ, tot GROUP BY tot.n_cells, tot.n_vecs""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q143: embedding-space drift audit (cell-occupancy TVD)
   // ---------------------------------------------------------------------
 

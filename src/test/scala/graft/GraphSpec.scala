@@ -58,19 +58,16 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     import s.implicits._
     val pairs = Seq(("c1", "s1"), ("c1", "s2"), ("c2", "s1"))
     val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
-    def cachePartitioning(df: org.apache.spark.sql.DataFrame): String = {
-      val plan = df.queryExecution.executedPlan.toString
-      // the edge cache's repartition(N, src) is the only REPARTITION_BY_NUM
-      // exchange in the lineage (the join exchanges are ENSURE_REQUIREMENTS)
-      plan.linesIterator.find(l =>
-        l.contains("Exchange hashpartitioning(src") &&
-          l.contains("REPARTITION_BY_NUM")).getOrElse("")
-    }
     try {
       spark.conf.set("graft.graph.parts", "7")
+      // the r12 per-iteration checkpoint truncates the result's lineage,
+      // so assert the layout on the edge cache pageRankInt actually
+      // builds (extracted as Graph.edgeCache for exactly this spec)
+      val e = Graph.edgeCache(edges)
+      assert(e.rdd.getNumPartitions == 7,
+        s"expected 7-way edge cache, got ${e.rdd.getNumPartitions}")
+      e.unpersist()
       val got = Graph.pageRankInt(edges, iters = 1)
-      assert(cachePartitioning(got).contains(", 7)"),
-        s"expected 7-way src partitioning in:\n${cachePartitioning(got)}")
       // and the ranks are unchanged by the layout
       assert(got.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
         Map("c1" -> 1425000L, "c2" -> 575000L, "s1" -> 1425000L, "s2" -> 575000L))

@@ -390,4 +390,58 @@ class MaintenanceOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m("orders")._2 == expOrders)
     assert(m("customer")._2 == subj.count())
   }
+
+  test("lshQualityAudit (q151): planted exact dup is found by both sides; bounds hold at the face") {
+    val s = spark
+    import s.implicits._
+    // sample membership = doc_id % 29 == 0; 29/58 are identical (truth
+    // AND lsh must both find them), 87 is unique, 1/2 are non-sample
+    def txt(seed: Int): String =
+      (0 until 24).map(i => s"v${(seed * 37 + i * 11) % 9973}y$i").mkString(" ")
+    val docs = Seq(
+      (29L, txt(1)), (58L, txt(1)), (87L, txt(2)), (1L, txt(3)), (2L, txt(4)))
+      .map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = "target/tmp/lshq_spec"
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Dedup.lshQualityAudit(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 1L, 1L)),
+      s"expected exactly the planted pair on both sides, got $r")
+    assert(r.getLong(3) == 1000000L && r.getLong(4) == 1000000L)
+    // face bounds at sf0.001: hits never exceed either side; ppm in range
+    val f = Dedup.lshQualityAudit(spark, sf).collect().head
+    val (nt, nl, nh) = (f.getLong(0), f.getLong(1), f.getLong(2))
+    assert(nh <= math.min(nt, nl))
+    if (nl > 0) assert(f.getLong(3) >= 0 && f.getLong(3) <= 1000000L)
+    else assert(f.isNullAt(3))
+    if (nt > 0) assert(f.getLong(4) >= 0 && f.getLong(4) <= 1000000L)
+    else assert(f.isNullAt(4))
+  }
+
+  test("ivfBalanceAudit (q152): hand-fixture skew flags exactly the hot/cold cells; face identities hold") {
+    val s = spark
+    import s.implicits._
+    // 3 centroids under the pinned stride (ids ≡ 1 mod 100): axis-exact
+    // vectors make every assignment unambiguous (no dot ties)
+    val rows =
+      (1L to 13L).map(id => (id, Seq(1.0f, 0.0f), 0)) ++
+        Seq((101L, Seq(0.0f, 1.0f), 0), (102L, Seq(0.0f, 1.0f), 0),
+          (201L, Seq(-1.0f, -1.0f), 0))
+    val dir = "target/tmp/ivfbal_spec"
+    rows.toDF("vec_id", "embedding", "label").coalesce(2)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = Similarity.ivfBalanceAudit(spark, dir, centStride = 100).collect().head
+    // occupancies 13 / 2 / 1 over 16 vectors, mean 5.33:
+    //   max/mean ppm = (1e6·13·3) div 16 = 2437500
+    //   over-2x: 13·3 > 32 → the one hot cell; under-half: 2·occ·3 < 16 → occ ∈ {1,2}
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((3L, 16L, 1L, 13L, 2437500L, 1L, 2L)))
+    // face identities at sf0.001 (pinned gate stride)
+    val f = Similarity.ivfBalanceAudit(spark, sf, centStride = 100).collect().head
+    assert(f.getLong(1) == Tables.embeddings(spark, sf).count()) // every vector assigned once
+    assert(f.getLong(2) <= f.getLong(3))
+    assert(f.getLong(4) >= 1000000L) // max >= mean by construction
+    assert(f.getLong(5) + f.getLong(6) <= f.getLong(0))
+  }
 }
