@@ -392,6 +392,12 @@ object SparkEntry {
     // sizes off one assignment pass (pinned stride for oracle parity)
     "q152_ivf_balance" -> ((s: SparkSession, d: String) =>
       Similarity.ivfBalanceAudit(s, d, centStride = 100)),
+    // embedding validation: the ingest gate before any index build -
+    // dup ids, ragged dims, zero vectors, NaN/Inf components, one scan
+    "q153_embedding_validation" -> Similarity.embeddingValidation _,
+    // intra-doc repetition spans: WHERE the boilerplate sits (q83 flags
+    // the doc; this emits the cut list) - positional grams + islands
+    "q154_intra_doc_repetition" -> Dedup.intraDocRepetition _,
     // contamination span evidence: WHERE each training doc overlaps
     // the benchmark set - maximal token spans of shared 3-grams
     // (coverage, longest run, first/last pos), the redact-not-drop
@@ -625,6 +631,8 @@ object SparkEntry {
     "q150_calibration" -> TextAnalysis.calibrationSql,
     "q151_lsh_quality" -> Dedup.lshQualityAuditSql,
     "q152_ivf_balance" -> Similarity.ivfBalanceAuditSql,
+    "q153_embedding_validation" -> Similarity.embeddingValidationSql,
+    "q154_intra_doc_repetition" -> Dedup.intraDocRepetitionSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

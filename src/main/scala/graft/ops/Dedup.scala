@@ -1419,6 +1419,124 @@ object Dedup {
        |ORDER BY g.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q154: intra-document repetition spans (WHERE the boilerplate is)
+  // ---------------------------------------------------------------------
+
+  /** q154 — INTRA-DOCUMENT REPETITION SPANS: q83's Gopher repetition
+    * rules FLAG a document whose duplicate-3-gram fraction is high;
+    * this emits WHERE the repeated material sits — the surgical cut
+    * list (the q147 redact-don't-drop stance turned inward). A position
+    * is "repeated material" when its 3-gram occurs AGAIN in the same
+    * document (navigation boilerplate, scraped templates, decoder
+    * loops); marked positions merge into maximal spans by the q105/q147
+    * gaps-and-islands rule (gap ≤ w bridges). Per affected doc: how
+    * many repeated grams, how many spans, tokens covered, the longest
+    * run, and coverage in integer ppm of the doc's words — clean docs
+    * emit nothing.
+    *
+    * Scale: positional grams are the one explode (narrow, per-doc
+    * bounded); the repeat mark is a count over (doc_id, gram) — a
+    * hash-partitioned window, no corpus-wide state; islands sort
+    * per-doc only. The q147 cost model with the benchmark join removed. */
+  def intraDocRepetition(s: SparkSession, d: String): DataFrame =
+    intraDocRepetitionOn(Tables.documents(s, d))
+
+  /** The span miner over any (doc_id, text) frame — fixture-testable. */
+  private[graft] def intraDocRepetitionOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = 3
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val byGram = Window.partitionBy(col("doc_id"), col("sh"))
+    val winWords = (0 until w).map(k =>
+      if (k == 0) col("word") else lead(col("word"), k).over(byPos))
+    val wp = docs
+      .select(col("doc_id"), words(col("text")).as("warr"))
+      .select(col("doc_id"), size(col("warr")).as("n_words"),
+        posexplode(col("warr")).as(Seq("pos", "word")))
+    val grams = wp
+      .select(col("doc_id"), col("n_words"), col("pos"),
+        concat_ws(" ", winWords: _*).as("sh"),
+        lead(col("word"), w - 1).over(byPos).as("w_last"))
+      .where(col("w_last").isNotNull)
+    val marked = grams
+      .withColumn("cnt", count(lit(1)).over(byGram))
+      .where(col("cnt") >= 2)
+    val gramAgg = marked.groupBy(col("doc_id")).agg(
+      countDistinct(col("sh")).as("n_rep_grams"),
+      max(col("n_words")).cast("long").as("n_words"))
+    val isl = marked.select(col("doc_id"), col("pos")).distinct()
+      .withColumn("prev", lag(col("pos"), 1).over(byPos))
+      .withColumn("cut",
+        when(col("prev").isNull || col("pos") - col("prev") > w, 1L).otherwise(0L))
+      .withColumn("island", sum(col("cut")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = isl.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s0"), (max(col("pos")) + w - 1).as("s1"))
+    val spanAgg = spans.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("s1") - col("s0") + 1).as("covered_tokens"),
+      max(col("s1") - col("s0") + 1).cast("long").as("max_run_tokens"))
+    gramAgg.join(spanAgg, "doc_id")
+      .select(col("doc_id"), col("n_rep_grams"), col("n_spans"),
+        col("covered_tokens"), col("max_run_tokens"), col("n_words"),
+        expr("(1000000 * covered_tokens) div n_words").as("rep_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for [[intraDocRepetition]]: positional 3-grams (0-based),
+    * per-(doc, gram) repeat mark, islands, identical stats. */
+  val intraDocRepetitionSql: String =
+    """WITH wp AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word,
+      |    generate_subscripts(regexp_extract_all(text, '[a-z0-9]+'), 1) - 1 AS pos
+      |  FROM documents),
+      | nw AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_words
+      |  FROM documents),
+      | g AS (
+      |  SELECT doc_id, pos,
+      |    word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w AS sh,
+      |    lead(word,2) OVER w AS w_last
+      |  FROM wp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      | gh AS (SELECT doc_id, pos, sh FROM g WHERE w_last IS NOT NULL),
+      | rep AS (
+      |  SELECT doc_id, pos, sh FROM (
+      |    SELECT doc_id, pos, sh,
+      |      count(*) OVER (PARTITION BY doc_id, sh) AS cnt FROM gh)
+      |  WHERE cnt >= 2),
+      | gram_agg AS (
+      |  SELECT doc_id, CAST(count(DISTINCT sh) AS BIGINT) AS n_rep_grams
+      |  FROM rep GROUP BY doc_id),
+      | mpos AS (SELECT DISTINCT doc_id, pos FROM rep),
+      | isl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN lag(pos) OVER dw IS NULL
+      |         OR pos - lag(pos) OVER dw > 3 THEN 1 ELSE 0 END AS cut
+      |  FROM mpos WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+      | num AS (
+      |  SELECT doc_id, pos, sum(cut) OVER (
+      |    PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM isl),
+      | spans AS (
+      |  SELECT doc_id, island, min(pos) AS s0, max(pos) + 2 AS s1
+      |  FROM num GROUP BY doc_id, island),
+      | span_agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |    CAST(sum(s1 - s0 + 1) AS BIGINT) AS covered_tokens,
+      |    CAST(max(s1 - s0 + 1) AS BIGINT) AS max_run_tokens
+      |  FROM spans GROUP BY doc_id)
+      |SELECT g.doc_id, g.n_rep_grams, s.n_spans, s.covered_tokens,
+      |  s.max_run_tokens, nw.n_words,
+      |  CAST((1000000 * s.covered_tokens) // nw.n_words AS BIGINT) AS rep_ppm
+      |FROM gram_agg g
+      |JOIN span_agg s USING (doc_id)
+      |JOIN nw USING (doc_id)
+      |ORDER BY g.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q145: incremental connected components (maintain the dedup clusters)
   // ---------------------------------------------------------------------
 

@@ -544,16 +544,20 @@ object Similarity {
     * (fingerprint-keyed like the BPE model, so regenerated testdata
     * keys a fresh artifact) and written to parquet; every vector-family
     * consumer (q40-q48, q106, q115, q120, q126, q143, q144) reads the
-    * artifact. The session-level [[SharedPlans]] persist now wraps a
-    * plain parquet SCAN, so a cleared cache costs one cheap re-read,
-    * never a re-quantize — and the int-valued doubles round-trip
-    * parquet exactly, so the gate hashes prove the disk leg lossless
-    * (the q51/q126 artifact convention). At 100 TB this IS the
-    * production shape: the quantized corpus lives next to the IVF index
-    * and the daily batch never re-encodes it. */
+    * artifact as a PLAIN SCAN — deliberately NOT [[SharedPlans]]-cached
+    * anymore: the r11 persist existed to keep the CodegenFallback
+    * quantize HOF from re-running per consumer, but the artifact
+    * already holds materialized q8 arrays, so a codegen'd
+    * column-pruned parquet scan beats paying cache materialization
+    * every time the bench/verify pass boundary clears the cache (the
+    * r12 mid-round bench measured exactly that residue on q115). The
+    * int-valued doubles round-trip parquet exactly, so the gate hashes
+    * prove the disk leg lossless (the q51/q126 artifact convention).
+    * At 100 TB this IS the production shape: the quantized corpus
+    * lives next to the IVF index and the daily batch never re-encodes
+    * it. */
   def quantizedEmbeddings(s: SparkSession, d: String): DataFrame =
-    SharedPlans.cached(s, s"quantizeInt8|$d")(
-      s.read.parquet(quantizedArtifact(s, d)))
+    s.read.parquet(quantizedArtifact(s, d))
 
   /** Build-once path of [[quantizedEmbeddings]]: returns the artifact
     * dir, writing it first if this source content has never been
@@ -1311,6 +1315,60 @@ object Similarity {
       |  FROM dots)
       |SELECT qid, cid, dot, rank FROM ranked WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q153: embedding validation audit (the ingest gate before indexing)
+  // ---------------------------------------------------------------------
+
+  /** q153 — EMBEDDING VALIDATION AUDIT: the data-quality gate a vector
+    * pipeline runs BEFORE building or incrementing an index (q43/q126)
+    * — the q130-FK-audit discipline applied to the embedding table. One
+    * scan, one row: vector and distinct-id counts (duplicate ids break
+    * upsert semantics), dimension uniformity (min/max/#distinct dims —
+    * a ragged table breaks every dot kernel), all-zero vectors (cosine
+    * is undefined; they route arbitrarily), and non-finite components
+    * (one NaN poisons every dot product it touches — the classic broken
+    * encoder symptom). All counts integer; DuckDB replays bit-for-bit
+    * (the isnan/infinity predicates agree across engines on float →
+    * double widening).
+    *
+    * Scale: ONE scan, map-side-combined conditional aggregates; the two
+    * countDistincts plan a bounded Expand (the q129 accounting). */
+  def embeddingValidation(s: SparkSession, d: String): DataFrame =
+    embeddingValidationOn(Tables.embeddings(s, d))
+
+  /** The audit over any (vec_id, embedding) frame — fixture-testable. */
+  private[graft] def embeddingValidationOn(emb: DataFrame): DataFrame = {
+    val xd = (x: Column) => x.cast("double")
+    val e = emb.select(
+      col("vec_id"),
+      size(col("embedding")).as("dims"),
+      array_max(transform(col("embedding"), x => abs(xd(x)))).as("ma"),
+      exists(col("embedding"), x =>
+        isnan(xd(x)) || abs(xd(x)) > lit(Double.MaxValue)).as("bad"))
+    e.agg(
+      count(lit(1)).as("n_vecs"),
+      countDistinct(col("vec_id")).as("n_unique_ids"),
+      min(col("dims")).cast("long").as("min_dims"),
+      max(col("dims")).cast("long").as("max_dims"),
+      countDistinct(col("dims")).as("n_dim_values"),
+      sum(when(col("ma") === 0.0, 1L).otherwise(0L)).as("n_zero_vecs"),
+      sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite_vecs"))
+  }
+
+  val embeddingValidationSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(count(DISTINCT vec_id) AS BIGINT) AS n_unique_ids,
+      |  CAST(min(len(embedding)) AS BIGINT) AS min_dims,
+      |  CAST(max(len(embedding)) AS BIGINT) AS max_dims,
+      |  CAST(count(DISTINCT len(embedding)) AS BIGINT) AS n_dim_values,
+      |  CAST(sum(CASE WHEN list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_zero_vecs,
+      |  CAST(sum(CASE WHEN len(list_filter(embedding,
+      |      x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite_vecs
+      |FROM embeddings""".stripMargin
 
   // ---------------------------------------------------------------------
   // q152: IVF index balance audit (cell-occupancy skew + rebalance flags)

@@ -101,6 +101,26 @@ class DupSpansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(routed3 == b3, "routed t=0.3 diverges from the pinned prefix plan")
   }
 
+  test("intraDocRepetition (q154): planted boilerplate spans hand-computed; clean doc absent") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // "a b c" repeats at pos 0/5, "b c d" at 1/6 -> islands {0,1} and
+      // {5,6} (gap 4 > 3 cuts) -> spans [0,3] and [5,8]: 8 of 10 tokens
+      1L -> "a b c d e a b c d f",
+      2L -> "x1 x2 x3 x4 x5 x6 x7 x8", // clean: no row
+      // "a b c"/"b c d" repeat with gap 3 <= w: ONE whole-doc span
+      3L -> "a b c d a b c d").toDF("doc_id", "text")
+    val got = graft.ops.Dedup.intraDocRepetitionOn(docs.repartition(3))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.keySet == Set(1L, 3L))
+    // (n_rep_grams, n_spans, covered, max_run, n_words, rep_ppm)
+    assert(got(1L) == ((2L, 2L, 8L, 4L, 10L, 800000L)))
+    assert(got(3L) == ((2L, 1L, 8L, 8L, 8L, 1000000L)))
+  }
+
   test("gate face at sf0.001: some duplicated spans exist, totals bounded") {
     val rows = Dedup.dupSpansGate(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)

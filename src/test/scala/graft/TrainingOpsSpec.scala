@@ -183,6 +183,28 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(disk == live)
   }
 
+  test("embeddingValidation (q153): planted dup-id/ragged/zero/NaN/Inf fixture counts exact; clean face all-green") {
+    val s = spark
+    import s.implicits._
+    val fix = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(0.5f, -1.0f)), (3L, Seq(2.0f, 2.0f)),
+      (4L, Seq(1.0f, 1.0f)), (4L, Seq(3.0f, 3.0f)), // duplicate id
+      (6L, Seq(1.0f, 2.0f, 3.0f)), // ragged (3 dims)
+      (7L, Seq(0.0f, 0.0f)), // zero vector
+      (8L, Seq(Float.NaN, 1.0f)), // NaN component
+      (9L, Seq(Float.PositiveInfinity, 1.0f))) // Inf component
+      .toDF("vec_id", "embedding")
+    val r = Similarity.embeddingValidationOn(fix.repartition(3)).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((9L, 8L, 2L, 3L, 2L, 1L, 2L)))
+    // the real table is clean: unique ids, uniform dims, no zero/NaN/Inf
+    val f = Similarity.embeddingValidation(spark, sf).collect().head
+    assert(f.getLong(0) == f.getLong(1)) // ids unique
+    assert(f.getLong(2) == f.getLong(3) && f.getLong(4) == 1L) // uniform dims
+    assert(f.getLong(5) == 0L && f.getLong(6) == 0L)
+  }
+
   test("zero vector quantizes to zeros (no 0/0)") {
     val s = spark
     import s.implicits._
