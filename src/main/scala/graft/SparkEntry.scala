@@ -387,7 +387,8 @@ object SparkEntry {
     // LSH precision/recall vs exact sample Jaccard (q144's discipline
     // for the dedup family): truth = integer inequality 2|I| >= |A|+|B|-|I|
     // on a bounded doc sample; LSH side = the ONE shared pair table
-    "q151_lsh_quality" -> Dedup.lshQualityAudit _,
+    "q151_lsh_quality" -> ((s: SparkSession, d: String) =>
+      Dedup.lshQualityAudit(s, d, mod = 29)),
     // IVF cell-occupancy balance: skew headline + rebalance work-list
     // sizes off one assignment pass (pinned stride for oracle parity)
     "q152_ivf_balance" -> ((s: SparkSession, d: String) =>

@@ -560,75 +560,97 @@ object Dedup {
     * true near-dup pair (recall) and the 32-hash est-Jaccard can ACCEPT
     * a pair whose exact Jaccard is below threshold (precision) — and a
     * production pipeline re-tunes bands/rows on exactly this audit.
-    * Ground truth: exact shingle-set Jaccard ≥ 1/2 over a deterministic
-    * doc sample (doc_id % [[LshAuditMod]] = 0), evaluated with the
-    * INTEGER inequality 2·|∩| ≥ |A|+|B|−|∩| — no float thresholds, so
-    * the boundary is engine-exact. LSH verdicts come from the ONE
-    * shared pair table ([[minhashLshPairsShared]]) restricted to
-    * sample×sample — band candidacy is pairwise, so full-corpus banding
-    * restricted to the sample equals sample-only banding (the oracle
-    * exploits this to replay sample-only).
+    * All thresholds are the INTEGER inequality 2·|∩| ≥ |A|+|B|−|∩|
+    * (exact Jaccard ≥ 1/2 with no float anywhere), so the boundary is
+    * engine-exact.
     *
-    * Scale: truth is |sample|²-bounded by construction (the q144 probe
-    * discipline — recall NEEDS truth the index didn't find, and exact
-    * truth at corpus scale is the O(n²) this audit must never run);
-    * the shingle equi-join only pairs co-occurring shingles. The LSH
-    * side reuses the already-materialized pair table. */
+    * The two legs are shaped by what each direction can afford:
+    *  - PRECISION verifies EVERY pair the index emitted — the pair
+    *    table is the small output of the LSH pipeline, so exact
+    *    verification is |pairs|-bounded and needs no sampling. (The r12
+    *    decade probe of the sampled-precision first cut measured WHY:
+    *    at dup rate ~10⁻⁴ a random sample contains no pairs at all —
+    *    null precision. Verifying the emitted pairs is both cheaper
+    *    and the number a re-tuner actually wants.)
+    *  - RECALL needs truth the index DIDN'T find, and exact truth at
+    *    corpus scale is the O(n²) this audit must never run — so it is
+    *    measured on a deterministic doc sample bounded in ABSOLUTE
+    *    terms: `mod` = 0 (default) self-sizes to
+    *    max(29, n/[[LshAuditSample]]) so the sample stays
+    *    ≈ [[LshAuditSample]] docs at ANY corpus size (a fixed modulus
+    *    would grow the sample ∝ n and re-open the quadratic — the q126
+    *    stride lesson). A sparse-dup corpus can yield zero sampled
+    *    truth → recall NULL, the honest answer (production plants
+    *    canary dup pairs to make this leg informative). Sample-side
+    *    LSH verdicts come from the ONE shared pair table restricted to
+    *    sample×sample — band candidacy is pairwise, so full-corpus
+    *    banding filtered to the sample equals sample-only banding (the
+    *    oracle replays sample-only). The gate face pins mod = 29 to
+    *    match the oracle literal (the self-sizer picks 29 at gate SFs
+    *    anyway). */
   private[graft] val LshAuditMod = 29
+  private[graft] val LshAuditSample = 512L
 
-  def lshQualityAudit(s: SparkSession, d: String): DataFrame = {
-    val mod = LshAuditMod
-    val samp = shingles(
-      Tables.documents(s, d).where(col("doc_id") % mod === 0), dedup = true)
-    val sizes = samp.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val truth = samp.as("a")
-      .join(samp.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("ninter"))
-      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
-      .where(lit(2) * col("ninter") >= col("sz1") + col("sz2") - col("ninter"))
-      .select(col("d1"), col("d2"))
-    val lsh = minhashLshPairsShared(s, d)
-      .where(col("d1") % mod === 0 && col("d2") % mod === 0)
-      .select(col("d1"), col("d2"))
-    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
-    val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
-    val nHit = truth.join(lsh, Seq("d1", "d2")).agg(count(lit(1)).as("n_hit"))
-    nTruth.crossJoin(nLsh).crossJoin(nHit)
-      .select(col("n_truth"), col("n_lsh"), col("n_hit"),
+  def lshQualityAudit(s: SparkSession, d: String, mod: Int = 0): DataFrame = {
+    val m =
+      if (mod > 0) mod
+      else {
+        val n = SharedPlans.cachedCount(s, s"docCount|$d")(
+          Tables.documents(s, d).count())
+        math.max(LshAuditMod.toLong, n / LshAuditSample).toInt
+      }
+    // exact-Jaccard verdicts (d1, d2, is_true) for every co-occurring
+    // pair within `docs` — both legs share this shape
+    def exactPairs(docs: DataFrame): DataFrame = {
+      val sh = shingles(docs, dedup = true)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      sh.as("a")
+        .join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("ninter"))
+        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+        .where(lit(2) * col("ninter") >= col("sz1") + col("sz2") - col("ninter"))
+        .select(col("d1"), col("d2"))
+    }
+    val lshAll = minhashLshPairsShared(s, d).select(col("d1"), col("d2"))
+    // precision leg: exact-verify ALL emitted pairs — restrict the
+    // shingle work to pair-involved docs (bounded by 2·|pairs|)
+    val pairDocs = lshAll.select(col("d1").as("doc_id"))
+      .unionAll(lshAll.select(col("d2").as("doc_id"))).distinct()
+    val pairTrue = exactPairs(
+        Tables.documents(s, d).join(broadcast(pairDocs), Seq("doc_id"), "left_semi"))
+      .join(lshAll, Seq("d1", "d2"), "left_semi")
+    // recall leg: exact truth on the bounded sample vs the sample's
+    // LSH verdicts
+    val truth = exactPairs(Tables.documents(s, d).where(col("doc_id") % m === 0))
+    val lshSamp = lshAll.where(col("d1") % m === 0 && col("d2") % m === 0)
+    val nLsh = lshAll.agg(count(lit(1)).as("n_lsh"))
+    val nLshTrue = pairTrue.agg(count(lit(1)).as("n_lsh_true"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth_sample"))
+    val nHit = truth.join(lshSamp, Seq("d1", "d2")).agg(count(lit(1)).as("n_hit_sample"))
+    nLsh.crossJoin(nLshTrue).crossJoin(nTruth).crossJoin(nHit)
+      .select(col("n_lsh"), col("n_lsh_true"), col("n_truth_sample"),
+        col("n_hit_sample"),
         // empty-denominator guard, the q122 convention: emit NULL, not
         // an engine-specific div-by-zero
         when(col("n_lsh") > 0,
-          expr("(1000000 * n_hit) div n_lsh")).as("precision_ppm"),
-        when(col("n_truth") > 0,
-          expr("(1000000 * n_hit) div n_truth")).as("recall_ppm"))
+          expr("(1000000 * n_lsh_true) div n_lsh")).as("precision_ppm"),
+        when(col("n_truth_sample") > 0,
+          expr("(1000000 * n_hit_sample) div n_truth_sample")).as("recall_ppm"))
   }
 
-  /** Oracle for [[lshQualityAudit]]: exact sample Jaccard via the
-    * integer inequality + the portable LSH replay over SAMPLE docs only
-    * (pairwise band equality makes that identical to full-corpus
-    * banding filtered to the sample). */
+  /** Oracle for [[lshQualityAudit]]: the full-corpus portable LSH
+    * replay (q34's CTEs), exact Jaccard via the integer inequality —
+    * over pair-involved docs for the precision leg, over the sample
+    * for the recall leg. */
   def lshQualityAuditSql: String = {
     val mod = LshAuditMod
     s"""WITH s AS ($shinglesSql),
-       | samp AS (SELECT doc_id, shingle FROM s WHERE doc_id % $mod = 0),
-       | sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
-       |        FROM samp GROUP BY doc_id),
-       | inter AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS ninter
-       |  FROM samp a JOIN samp b
-       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       | truth AS (
-       |  SELECT d1, d2 FROM inter
-       |  JOIN sz z1 ON d1 = z1.doc_id
-       |  JOIN sz z2 ON d2 = z2.doc_id
-       |  WHERE 2 * ninter >= z1.sz + z2.sz - ninter),
        | hs AS (SELECT doc_id,
        |   CAST('0x' || substr(md5(shingle), 1, 10) AS BIGINT) AS h
-       |   FROM samp),
+       |   FROM s),
        | sig AS (SELECT doc_id,
        |  $sigSqlCols
        |  FROM hs GROUP BY doc_id),
@@ -643,17 +665,45 @@ object Dedup {
        |  JOIN sig s1 ON d1 = s1.doc_id
        |  JOIN sig s2 ON d2 = s2.doc_id
        |  WHERE round((${sigEqSql("s1", "s2")}) / $K.0, 4) >= 0.5),
+       | sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+       |        FROM s GROUP BY doc_id),
+       | pdocs AS (SELECT d1 AS doc_id FROM lsh UNION SELECT d2 FROM lsh),
+       | psh AS (SELECT s.doc_id, s.shingle FROM s JOIN pdocs USING (doc_id)),
+       | pinter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS ninter
+       |  FROM psh a JOIN psh b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       | lsh_true AS (
+       |  SELECT l.d1, l.d2 FROM lsh l
+       |  JOIN pinter i ON l.d1 = i.d1 AND l.d2 = i.d2
+       |  JOIN sz z1 ON l.d1 = z1.doc_id
+       |  JOIN sz z2 ON l.d2 = z2.doc_id
+       |  WHERE 2 * i.ninter >= z1.sz + z2.sz - i.ninter),
+       | samp AS (SELECT doc_id, shingle FROM s WHERE doc_id % $mod = 0),
+       | sinter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS ninter
+       |  FROM samp a JOIN samp b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       | truth AS (
+       |  SELECT d1, d2 FROM sinter
+       |  JOIN sz z1 ON d1 = z1.doc_id
+       |  JOIN sz z2 ON d2 = z2.doc_id
+       |  WHERE 2 * ninter >= z1.sz + z2.sz - ninter),
        | c AS (
-       |  SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
-       |    CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
-       |    CAST((SELECT count(*) FROM truth JOIN lsh USING (d1, d2)) AS BIGINT) AS n_hit)
-       |SELECT n_truth, n_lsh, n_hit,
+       |  SELECT CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+       |    CAST((SELECT count(*) FROM lsh_true) AS BIGINT) AS n_lsh_true,
+       |    CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth_sample,
+       |    CAST((SELECT count(*) FROM truth JOIN lsh USING (d1, d2)) AS BIGINT)
+       |      AS n_hit_sample)
+       |SELECT n_lsh, n_lsh_true, n_truth_sample, n_hit_sample,
        |  CASE WHEN n_lsh > 0
-       |    THEN CAST((1000000 * n_hit) // n_lsh AS BIGINT) ELSE NULL END
+       |    THEN CAST((1000000 * n_lsh_true) // n_lsh AS BIGINT) ELSE NULL END
        |    AS precision_ppm,
-       |  CASE WHEN n_truth > 0
-       |    THEN CAST((1000000 * n_hit) // n_truth AS BIGINT) ELSE NULL END
-       |    AS recall_ppm
+       |  CASE WHEN n_truth_sample > 0
+       |    THEN CAST((1000000 * n_hit_sample) // n_truth_sample AS BIGINT)
+       |    ELSE NULL END AS recall_ppm
        |FROM c""".stripMargin
   }
 

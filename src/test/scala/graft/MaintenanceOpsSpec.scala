@@ -404,18 +404,22 @@ class MaintenanceOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val dir = "target/tmp/lshq_spec"
     docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // columns: n_lsh, n_lsh_true, n_truth_sample, n_hit_sample,
+    //          precision_ppm, recall_ppm
     val r = Dedup.lshQualityAudit(spark, dir).collect().head
-    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 1L, 1L)),
-      s"expected exactly the planted pair on both sides, got $r")
-    assert(r.getLong(3) == 1000000L && r.getLong(4) == 1000000L)
-    // face bounds at sf0.001: hits never exceed either side; ppm in range
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((1L, 1L, 1L, 1L)),
+      s"expected exactly the planted pair on all legs, got $r")
+    assert(r.getLong(4) == 1000000L && r.getLong(5) == 1000000L)
+    // face bounds at sf0.001: verified pairs never exceed emitted pairs,
+    // sample hits never exceed sampled truth; ppm in range or NULL
     val f = Dedup.lshQualityAudit(spark, sf).collect().head
-    val (nt, nl, nh) = (f.getLong(0), f.getLong(1), f.getLong(2))
-    assert(nh <= math.min(nt, nl))
-    if (nl > 0) assert(f.getLong(3) >= 0 && f.getLong(3) <= 1000000L)
-    else assert(f.isNullAt(3))
-    if (nt > 0) assert(f.getLong(4) >= 0 && f.getLong(4) <= 1000000L)
+    val (nl, nlt, nt, nh) = (f.getLong(0), f.getLong(1), f.getLong(2), f.getLong(3))
+    assert(nlt <= nl && nh <= nt)
+    if (nl > 0) assert(f.getLong(4) >= 0 && f.getLong(4) <= 1000000L)
     else assert(f.isNullAt(4))
+    if (nt > 0) assert(f.getLong(5) >= 0 && f.getLong(5) <= 1000000L)
+    else assert(f.isNullAt(5))
   }
 
   test("ivfBalanceAudit (q152): hand-fixture skew flags exactly the hot/cold cells; face identities hold") {
