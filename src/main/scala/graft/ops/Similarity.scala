@@ -403,13 +403,15 @@ object Similarity {
     * result). */
   def ivfTopK(s: SparkSession, d: String, refineIters: Int = 1): DataFrame = {
     val e = withNorm(s, d)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id").asc)
+    // argmax as a hash aggregate over a NARROW frame, wide columns
+    // re-attached after (the r11 narrow-argmax rule + r12 [[argmaxCell]])
     def assign(cent: DataFrame): DataFrame =
-      e.join(broadcast(cent))
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
-          (vecDot(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm"))).as("csim"))
-        .withColumn("rn", row_number().over(wAssign))
-        .where(col("rn") === 1)
+      e.join(
+        argmaxCell(
+          e.join(broadcast(cent))
+            .select(col("vec_id"), col("cent_id"),
+              (vecDot(col("embedding"), col("cvec")) / (col("nrm") * col("cnrm"))).as("csim")),
+          col("csim")), "vec_id")
         .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
     var cent = e.where(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"), col("nrm").as("cnrm"))
@@ -461,17 +463,14 @@ object Similarity {
     // q126 was called on; here the fix is hash-neutral)
     val cent = qe.where(col("vec_id") % 100 === 0 && col("vec_id") < 6400)
       .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdot").desc, col("cent_id").asc)
-    // narrow argmax + q8 re-attach (the q126 route shape): the window
-    // sorts n×anchors rows, so the 64-double array stays out of it
+    // narrow argmax hash-agg + q8 re-attach (the q126 route shape; r12
+    // [[argmaxCell]] — the 64-double array stays out of the aggregate)
     val assigned = qe.join(
-        qe.join(broadcast(cent))
-          .select(col("vec_id"), col("cent_id"),
-            vecDot(col("q8"), col("cq")).cast("long").as("cdot"))
-          .withColumn("rn", row_number().over(wAssign))
-          .where(col("rn") === 1)
-          .select(col("vec_id"), col("cent_id")), "vec_id")
+        argmaxCell(
+          qe.join(broadcast(cent))
+            .select(col("vec_id"), col("cent_id"),
+              vecDot(col("q8"), col("cq")).cast("long").as("cdot")),
+          col("cdot")), "vec_id")
       .select(col("vec_id"), col("q8"), col("cent_id"))
     val probes = assigned.where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("q8").as("qv"), col("cent_id").as("qcell"))
@@ -580,6 +579,23 @@ object Similarity {
       }
       s"${dir.getPath}/q8"
     }
+
+  /** Deterministic per-vector argmax over an assignment fan-out — the
+    * (vec_id, cent_id) maximizing (score, −cent_id), i.e. highest score
+    * with ties to the SMALLEST cent_id: exactly the old
+    * `row_number over (partition by vec_id order by score desc,
+    * cent_id asc) = 1`, but as a HASH AGGREGATE (`max_by` on an ordered
+    * struct) instead of a window. The difference is the execution
+    * model, not the answer: the fan-out join emits n×cells rows, and a
+    * window must SORT them (Spark's WindowGroupLimit prunes rows but
+    * only after a full local sort), while max_by partial-aggregates
+    * each partition down to ≤ one row per vec BEFORE the exchange — the
+    * shuffle carries ~n rows instead of n×cells. Measured (r12): the
+    * q152 sf30 assignment (600k vecs × 774 cells = 464M rows) ran 123 s
+    * through the window sort and seconds through this. */
+  private def argmaxCell(fanout: DataFrame, score: Column): DataFrame =
+    fanout.groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(score, -col("cent_id"))).as("cent_id"))
 
   def quantizeInt8(e: DataFrame): DataFrame =
     e.withColumn("_ma",
@@ -1214,22 +1230,20 @@ object Similarity {
       else math.max(2, math.round(math.sqrt(existing.count().toDouble)).toInt)
     val cent = existing.where(col("vec_id") % stride === 1)
       .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdot").desc, col("cent_id").asc)
     // argmax over a NARROW (vec_id, cent_id, cdot) frame, q8 re-attached
-    // AFTER the rn = 1 filter: the assignment window sorts n×cells rows,
-    // and carrying the 64-double q8 array through that sort is ~13×
+    // AFTER: carrying the 64-double q8 array through the argmax is ~13×
     // the bytes of the narrow frame (r11 sf10: the wide sort spilled
-    // ~175 GB); the re-attach join is n-sized against the cached table
-    def route(v: DataFrame): DataFrame = {
-      val assign = v.join(broadcast(cent))
-        .select(col("vec_id"), col("cent_id"),
-          vecDot(col("q8"), col("cq")).cast("long").as("cdot"))
-        .withColumn("rn", row_number().over(wAssign))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("cent_id"))
-      v.join(assign, "vec_id").select(col("vec_id"), col("q8"), col("cent_id"))
-    }
+    // ~175 GB). r12: the argmax itself is now a hash aggregate
+    // ([[argmaxCell]]) — the n×cells fan-out partial-aggregates before
+    // the exchange instead of sorting through a window.
+    def route(v: DataFrame): DataFrame =
+      v.join(
+        argmaxCell(
+          v.join(broadcast(cent))
+            .select(col("vec_id"), col("cent_id"),
+              vecDot(col("q8"), col("cq")).cast("long").as("cdot")),
+          col("cdot")), "vec_id")
+        .select(col("vec_id"), col("q8"), col("cent_id"))
     // the "prior run": build and persist the index artifact,
     // PARTITIONED BY CELL — "a batch touching c cells reads c cells'
     // worth of codes" must be true on disk, not just in prose (r10
@@ -1399,13 +1413,11 @@ object Similarity {
         SharedPlans.cachedCount(s, s"embCount|$d")(qe.count()).toDouble)).toInt)
     val cent = qe.where(col("vec_id") % stride === 1)
       .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdot").desc, col("cent_id").asc)
-    val occ = qe.join(broadcast(cent))
-      .select(col("vec_id"), col("cent_id"),
-        vecDot(col("q8"), col("cq")).cast("long").as("cdot"))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
+    val occ = argmaxCell(
+        qe.join(broadcast(cent))
+          .select(col("vec_id"), col("cent_id"),
+            vecDot(col("q8"), col("cq")).cast("long").as("cdot")),
+        col("cdot"))
       .groupBy(col("cent_id")).agg(count(lit(1)).as("occ"))
     val tot = occ.agg(count(lit(1)).as("n_cells"), sum(col("occ")).as("n_vecs"))
     occ.crossJoin(broadcast(tot))
@@ -1487,14 +1499,11 @@ object Similarity {
     // replays the identical grid.
     val cent = qe.where(col("vec_id") % 100 === 0 && col("vec_id") < 6400)
       .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdot").desc, col("cent_id").asc)
-    val assigned = qe.join(broadcast(cent))
-      .select(col("vec_id"), col("cent_id"),
-        vecDot(col("q8"), col("cq")).cast("long").as("cdot"))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id"))
+    val assigned = argmaxCell(
+      qe.join(broadcast(cent))
+        .select(col("vec_id"), col("cent_id"),
+          vecDot(col("q8"), col("cq")).cast("long").as("cdot")),
+      col("cdot"))
     val cells = assigned.groupBy(col("cent_id")).agg(
       sum(when(col("vec_id") % 10 =!= 0, 1L).otherwise(0L)).as("n_a"),
       sum(when(col("vec_id") % 10 =!= 1, 1L).otherwise(0L)).as("n_b"))
