@@ -3,6 +3,9 @@
 # Usage: scripts/run-tool.sh <mainClass> [args...]
 CLS="$1"; shift
 CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+# probe-only extra jars (e.g. duckdb_jdbc for the second-store ingest
+# probe) — never a build dependency
+[ -n "$EXTRA_CP" ] && CP="$CP:$EXTRA_CP"
 OPENS=""
 for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect \
          java.base/java.io java.base/java.net java.base/java.nio java.base/java.util \

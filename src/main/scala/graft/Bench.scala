@@ -166,14 +166,33 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    // 2-decimal values with trailing zeros trimmed ("0.70"→"0.7",
+    // "4.00"→"4") — ~110 chars back on a 156-query line whose budget
+    // is the driver's 2000-char tail; full precision stays in the
+    // detail file
+    def num(v: Double): String = {
+      val s = f"$v%.2f"
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    }
     val shortMedians = stats
-      .map(t => "\"" + t._1.takeWhile(_ != '_') + "\":" + f"${t._2}%.2f")
+      .map(t => "\"" + t._1.takeWhile(_ != '_') + "\":" + num(t._2))
       .mkString("{", ",", "}")
     // stop Spark BEFORE the contract line so no executor/shutdown logging
     // can print after it — the driver parses the LAST stdout line as JSON
     spark.stop()
     System.out.flush(); System.err.flush()
-    println(f"""{"metric":"total","value":${tot(_._2)}%.3f,"unit":"sec","queries":$shortMedians,"n_samples":$passes,"failed_passes":$failedPasses,"stat":"median","forced_eval":"noop_sink","load_avg":$loadJson,"detail":"bench_detail.json","sf":"$sfDir"}""")
+    // r13 (r12 verdict item 2): the driver keeps only the LAST ~2000
+    // stdout chars, and at 153 queries the r12 line measured 1939 —
+    // adding queries costs ~12 chars each, so the line sheds the
+    // static provenance fields ("stat"/"forced_eval" live in
+    // bench_detail.json, sf shrinks to its basename) and gains
+    // "total_min": the pooled min-of-passes headline, the robust
+    // cross-window stat, lands in the GOVERNING record itself instead
+    // of only the detail file (per-query mins stay in queries_min
+    // there — a second per-query object would blow the tail budget).
+    val sfShort = sfDir.split('/').last
+    println(f"""{"metric":"total","value":${tot(_._2)}%.3f,"total_min":${tot(_._3)}%.3f,"queries":$shortMedians,"n_samples":$passes,"failed_passes":$failedPasses,"load_avg":$loadJson,"detail":"bench_detail.json","sf":"$sfShort"}""")
     System.out.flush()
   }
 }

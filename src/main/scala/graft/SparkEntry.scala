@@ -399,6 +399,18 @@ object SparkEntry {
     // intra-doc repetition spans: WHERE the boilerplate sits (q83 flags
     // the doc; this emits the cut list) - positional grams + islands
     "q154_intra_doc_repetition" -> Dedup.intraDocRepetition _,
+    // span APPLY: splice q154's cut lists out of the text - the
+    // redact-don't-drop step a pipeline actually executes (r12 item 5)
+    "q155_apply_spans" -> Curation.applyRepetitionSpans _,
+    // index coverage audit: corpus ids absent from the persisted IVF
+    // index + which cells are stale - the crash-between-batches hole
+    // (q126 increments, q144 recall, q152 balance; this closes coverage)
+    "q156_index_coverage" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfCoverageAudit(s, d, centStride = 100)),
+    // canary-planted LSH audit: deterministic 70%-prefix near-dups in
+    // the sample stratum make q151's recall leg load-bearing (non-NULL)
+    "q157_lsh_canary" -> ((s: SparkSession, d: String) =>
+      Dedup.lshQualityAuditCanaried(s, d, mod = Dedup.LshAuditMod)),
     // contamination span evidence: WHERE each training doc overlaps
     // the benchmark set - maximal token spans of shared 3-grams
     // (coverage, longest run, first/last pos), the redact-not-drop
@@ -634,6 +646,9 @@ object SparkEntry {
     "q152_ivf_balance" -> Similarity.ivfBalanceAuditSql,
     "q153_embedding_validation" -> Similarity.embeddingValidationSql,
     "q154_intra_doc_repetition" -> Dedup.intraDocRepetitionSql,
+    "q155_apply_spans" -> Curation.applyRepetitionSpansSql,
+    "q156_index_coverage" -> Similarity.ivfCoverageAuditSql,
+    "q157_lsh_canary" -> Dedup.lshQualityAuditCanariedSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

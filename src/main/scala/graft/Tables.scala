@@ -164,6 +164,15 @@ object Tables {
     * metadata-only: listing a parquet dir is O(files), no data read. */
   def sourceFingerprint(d: String, table: String): String = {
     val root = new java.io.File(s"$d/$table.parquet")
+    // r12 advice: a source java.io.File cannot see (non-local FS, typo'd
+    // path) must FAIL here, not silently key on the path alone — a
+    // path-only key would keep serving a stale artifact after the data
+    // at that path was regenerated, the exact staleness this
+    // fingerprint exists to prevent. (The sibling aqeInitialPartitions
+    // heuristic may degrade gracefully; artifact KEYING may not.)
+    require(root.exists(),
+      s"sourceFingerprint: $root not visible to local file APIs — " +
+        "cannot key derived artifacts safely (stale-artifact risk)")
     def walk(f: java.io.File): Seq[String] =
       if (f.isFile) Seq(s"${f.getName}|${f.length()}|${f.lastModified()}")
       else Option(f.listFiles()).map(_.sortBy(_.getName).toSeq.flatMap(walk))

@@ -659,4 +659,81 @@ object Curation {
       |  CAST(abs((1000000 * n_fail_a) // n_a - (1000000 * n_fail_b) // n_b)
       |    AS BIGINT) AS abs_delta_ppm
       |FROM rows3 ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q155: apply repetition cut lists (the splice step)
+  // ---------------------------------------------------------------------
+
+  /** q155 — SPAN APPLY: the APPLY step of the redact-don't-drop family
+    * (r12 verdict item 5). q147 and q154 emit token-positional CUT
+    * LISTS — spans of contamination / repeated boilerplate — but until
+    * now nothing consumed them; this operator performs the splice:
+    * re-tokenize each document exactly as the miner did, drop every
+    * position covered by a span, and re-join the survivors — emitting
+    * (doc_id, cleaned_text, n_tokens_removed, n_words). Clean docs pass
+    * through with zero removed; a fully-covered doc emits an empty
+    * string (kept, auditable — dropping it would silently change corpus
+    * counts). The gate face applies q154's own intra-doc repetition
+    * spans, so the span algebra provably round-trips: mine → splice →
+    * the flagged material is gone.
+    *
+    * Scale: one words-explode per doc (narrow, the q154 cost model), a
+    * per-doc-keyed LEFT ANTI range join against the span list (spans
+    * per doc are few and bounded — the equi key is doc_id, so this is
+    * a hash join, never a cartesian), and a per-doc sort_array over the
+    * survivors — every stage is hash-partitioned by doc_id, nothing
+    * corpus-wide, the shape that survives any corpus size. */
+  def applyRepetitionSpans(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    applySpansOn(docs, Dedup.repSpansOf(Dedup.repMarked(docs)))
+  }
+
+  /** The splice over any (doc_id, text) frame and (doc_id, s0, s1) span
+    * list — fixture-testable; spans may overlap (covered-ness is the
+    * predicate, not span arithmetic). */
+  private[graft] def applySpansOn(docs: DataFrame, spans: DataFrame): DataFrame = {
+    import graft.ops.TextAnalysis.words
+    val wp = docs
+      .select(col("doc_id"), words(col("text")).as("warr"))
+      .select(col("doc_id"), posexplode(col("warr")).as(Seq("pos", "word")))
+    val kept = wp.join(
+      spans.select(col("doc_id").as("sdoc"), col("s0"), col("s1")),
+      col("doc_id") === col("sdoc") &&
+        col("pos") >= col("s0") && col("pos") <= col("s1"),
+      "left_anti")
+    val cleaned = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      // per-doc ordered re-join: struct sorts by its FIRST field (pos)
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("word")))),
+        p => p.getField("word")), " ").as("cleaned_text"))
+    docs.select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_words"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_tokens_removed"),
+        col("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for [[applyRepetitionSpans]]: the q154 span CTEs verbatim
+    * ([[Dedup.repSpanCtesSql]] — one definition, two oracles), then the
+    * anti-range splice and an ordered string_agg re-join. */
+  def applyRepetitionSpansSql: String =
+    s"""WITH ${Dedup.repSpanCtesSql},
+      | kept AS (
+      |  SELECT wp.doc_id, wp.pos, wp.word FROM wp
+      |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+      |    WHERE sp.doc_id = wp.doc_id AND wp.pos BETWEEN sp.s0 AND sp.s1)),
+      | cl AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(word, ' ' ORDER BY pos) AS cleaned_text
+      |  FROM kept GROUP BY doc_id)
+      |SELECT nw.doc_id, coalesce(cl.cleaned_text, '') AS cleaned_text,
+      |  CAST(nw.n_words - coalesce(cl.n_kept, 0) AS BIGINT) AS n_tokens_removed,
+      |  nw.n_words
+      |FROM nw LEFT JOIN cl USING (doc_id)
+      |ORDER BY nw.doc_id""".stripMargin
 }

@@ -472,12 +472,17 @@ object Dedup {
     * hash anywhere), making the entire LSH pipeline reproducible in
     * DuckDB — the gate runs that variant so q34 is hash-checked
     * end-to-end, not rows-only. */
-  def minhashLshPairs(s: SparkSession, d: String, portable: Boolean = false): DataFrame = {
+  def minhashLshPairs(s: SparkSession, d: String, portable: Boolean = false): DataFrame =
+    minhashLshPairsOn(Tables.documents(s, d), portable)
+
+  /** [[minhashLshPairs]] over any (doc_id, text) frame — the q157
+    * canary face runs it over an augmented corpus. */
+  private[graft] def minhashLshPairsOn(docs: DataFrame, portable: Boolean): DataFrame = {
     // k codegen'd min(xxhash64) aggs measured faster cold than the
     // one-pass TypedImperativeAggregate (graft.functions.MinHashAgg,
     // kept for large-k/sketch-merge uses) — interpreted update loops
     // lose to whole-stage codegen at k=32
-    val sh0 = shingles(Tables.documents(s, d), dedup = false) // min is dup-insensitive
+    val sh0 = shingles(docs, dedup = false) // min is dup-insensitive
     val sh =
       if (portable) sh0.select(col("doc_id"), baseHash(col("shingle")).as("h"))
       else sh0.select(col("doc_id"), col("shingle"))
@@ -599,6 +604,16 @@ object Dedup {
           Tables.documents(s, d).count())
         math.max(LshAuditMod.toLong, n / LshAuditSample).toInt
       }
+    lshQualityLegsOn(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      minhashLshPairsShared(s, d).select(col("d1"), col("d2")), m)
+  }
+
+  /** The two audit legs over any (doc_id, text) corpus and its LSH pair
+    * table — extracted (r13) so the canary face (q157) runs the
+    * IDENTICAL legs over an augmented corpus. */
+  private def lshQualityLegsOn(corpus: DataFrame, lshAll: DataFrame,
+      m: Int): DataFrame = {
     // exact-Jaccard verdicts (d1, d2, is_true) for every co-occurring
     // pair within `docs` — both legs share this shape
     def exactPairs(docs: DataFrame): DataFrame = {
@@ -614,17 +629,21 @@ object Dedup {
         .where(lit(2) * col("ninter") >= col("sz1") + col("sz2") - col("ninter"))
         .select(col("d1"), col("d2"))
     }
-    val lshAll = minhashLshPairsShared(s, d).select(col("d1"), col("d2"))
     // precision leg: exact-verify ALL emitted pairs — restrict the
     // shingle work to pair-involved docs (bounded by 2·|pairs|)
     val pairDocs = lshAll.select(col("d1").as("doc_id"))
       .unionAll(lshAll.select(col("d2").as("doc_id"))).distinct()
+    // NO broadcast hint on pairDocs (r12 advice): its size is
+    // data-dependent (2·|LSH pairs|, unbounded on a high-dup corpus at
+    // decade scale) — the planner size-routes the semi-join instead,
+    // falling back to a shuffle join past the broadcast threshold. The
+    // recall leg's sample stays absolutely bounded by construction.
     val pairTrue = exactPairs(
-        Tables.documents(s, d).join(broadcast(pairDocs), Seq("doc_id"), "left_semi"))
+        corpus.join(pairDocs, Seq("doc_id"), "left_semi"))
       .join(lshAll, Seq("d1", "d2"), "left_semi")
     // recall leg: exact truth on the bounded sample vs the sample's
     // LSH verdicts
-    val truth = exactPairs(Tables.documents(s, d).where(col("doc_id") % m === 0))
+    val truth = exactPairs(corpus.where(col("doc_id") % m === 0))
     val lshSamp = lshAll.where(col("d1") % m === 0 && col("d2") % m === 0)
     val nLsh = lshAll.agg(count(lit(1)).as("n_lsh"))
     val nLshTrue = pairTrue.agg(count(lit(1)).as("n_lsh_true"))
@@ -639,6 +658,54 @@ object Dedup {
           expr("(1000000 * n_lsh_true) div n_lsh")).as("precision_ppm"),
         when(col("n_truth_sample") > 0,
           expr("(1000000 * n_hit_sample) div n_truth_sample")).as("recall_ppm"))
+  }
+
+  /** q157 — LSH QUALITY AUDIT WITH PLANTED CANARIES: q151's recall leg
+    * has never produced a number on gate data — the corpus's dup rate
+    * leaves the bounded sample empty, recall NULL (the honest answer,
+    * measured at three SFs). This face closes the loop with the
+    * production practice q151's own scaladoc names: PLANT deterministic
+    * near-dup canaries in the sample stratum so the recall leg is
+    * load-bearing. For every sampled doc (doc_id % m = 0) a canary is
+    * synthesized at id −(doc_id) − m (negative — disjoint from all real
+    * ids, and still ≡ 0 mod m, so the pair lands INSIDE the sample
+    * stratum) whose text is the first ⌈70%⌉ of the doc's words — its
+    * shingle set is a subset of the source's, putting exact Jaccard
+    * near 0.7: above the ½ truth threshold but close enough to the
+    * 32-hash estimator's noise floor that recall is a REAL measurement,
+    * not a tautology. Both legs then run UNCHANGED over the augmented
+    * corpus ([[lshQualityLegsOn]] — one definition); recall_ppm is
+    * non-NULL by construction and a drop names a banding regression.
+    *
+    * Scale: canaries are sample-sized (≈ [[LshAuditSample]] docs at any
+    * corpus size — the stratum is absolutely bounded), so planting adds
+    * one scan of the sampled docs; the augmented LSH pipeline costs the
+    * same banding joins as q34 plus the canaries' signatures. */
+  def lshQualityAuditCanaried(s: SparkSession, d: String, mod: Int = 0): DataFrame = {
+    val m =
+      if (mod > 0) mod
+      else {
+        val n = SharedPlans.cachedCount(s, s"docCount|$d")(
+          Tables.documents(s, d).count())
+        math.max(LshAuditMod.toLong, n / LshAuditSample).toInt
+      }
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // ⌈70%⌉ by integer math ((7n+9) div 10 = ceil(7n/10)) — engine-exact
+    // in both engines, no float anywhere in the splice
+    val canaries = docs.where(col("doc_id") % m === 0)
+      .select(col("doc_id"), words(col("text")).as("warr"))
+      .select((-col("doc_id") - m).as("doc_id"),
+        array_join(slice(col("warr"), lit(1),
+          greatest(expr("(size(warr) * 7 + 9) div 10"), lit(3))), " ")
+          .as("text"))
+    val docs2 = docs.unionAll(canaries)
+    val lshAll = minhashLshPairsOn(docs2, portable = true)
+      .select(col("d1"), col("d2"))
+    lshQualityLegsOn(docs2, lshAll, m)
+      .crossJoin(broadcast(canaries.agg(count(lit(1)).as("n_canaries"))))
+      .select(col("n_canaries"), col("n_lsh"), col("n_lsh_true"),
+        col("n_truth_sample"), col("n_hit_sample"),
+        col("precision_ppm"), col("recall_ppm"))
   }
 
   /** Oracle for [[lshQualityAudit]]: the full-corpus portable LSH
@@ -698,6 +765,82 @@ object Dedup {
        |    CAST((SELECT count(*) FROM truth JOIN lsh USING (d1, d2)) AS BIGINT)
        |      AS n_hit_sample)
        |SELECT n_lsh, n_lsh_true, n_truth_sample, n_hit_sample,
+       |  CASE WHEN n_lsh > 0
+       |    THEN CAST((1000000 * n_lsh_true) // n_lsh AS BIGINT) ELSE NULL END
+       |    AS precision_ppm,
+       |  CASE WHEN n_truth_sample > 0
+       |    THEN CAST((1000000 * n_hit_sample) // n_truth_sample AS BIGINT)
+       |    ELSE NULL END AS recall_ppm
+       |FROM c""".stripMargin
+  }
+
+  /** Oracle for [[lshQualityAuditCanaried]]: the q151 oracle with the
+    * corpus augmented by the deterministic canary CTE (same integer
+    * 70%-prefix splice) — every downstream CTE reads docs2. */
+  def lshQualityAuditCanariedSql: String = {
+    val mod = LshAuditMod
+    s"""WITH docs2 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT -(doc_id) - $mod AS doc_id,
+       |    array_to_string(list_slice(regexp_extract_all(text, '[a-z0-9]+'), 1,
+       |      greatest((len(regexp_extract_all(text, '[a-z0-9]+')) * 7 + 9) // 10,
+       |        3)), ' ') AS text
+       |  FROM documents WHERE doc_id % $mod = 0),
+       | s AS (${shinglesSqlFrom("docs2")}),
+       | hs AS (SELECT doc_id,
+       |   CAST('0x' || substr(md5(shingle), 1, 10) AS BIGINT) AS h
+       |   FROM s),
+       | sig AS (SELECT doc_id,
+       |  $sigSqlCols
+       |  FROM hs GROUP BY doc_id),
+       | bands AS (
+       |  $bandSelectsSql),
+       | cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       | lsh AS (
+       |  SELECT d1, d2 FROM cand
+       |  JOIN sig s1 ON d1 = s1.doc_id
+       |  JOIN sig s2 ON d2 = s2.doc_id
+       |  WHERE round((${sigEqSql("s1", "s2")}) / $K.0, 4) >= 0.5),
+       | sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+       |        FROM s GROUP BY doc_id),
+       | pdocs AS (SELECT d1 AS doc_id FROM lsh UNION SELECT d2 FROM lsh),
+       | psh AS (SELECT s.doc_id, s.shingle FROM s JOIN pdocs USING (doc_id)),
+       | pinter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS ninter
+       |  FROM psh a JOIN psh b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       | lsh_true AS (
+       |  SELECT l.d1, l.d2 FROM lsh l
+       |  JOIN pinter i ON l.d1 = i.d1 AND l.d2 = i.d2
+       |  JOIN sz z1 ON l.d1 = z1.doc_id
+       |  JOIN sz z2 ON l.d2 = z2.doc_id
+       |  WHERE 2 * i.ninter >= z1.sz + z2.sz - i.ninter),
+       | samp AS (SELECT doc_id, shingle FROM s WHERE doc_id % $mod = 0),
+       | sinter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS ninter
+       |  FROM samp a JOIN samp b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       | truth AS (
+       |  SELECT d1, d2 FROM sinter
+       |  JOIN sz z1 ON d1 = z1.doc_id
+       |  JOIN sz z2 ON d2 = z2.doc_id
+       |  WHERE 2 * ninter >= z1.sz + z2.sz - ninter),
+       | c AS (
+       |  SELECT
+       |    CAST((SELECT count(*) FROM documents WHERE doc_id % $mod = 0)
+       |      AS BIGINT) AS n_canaries,
+       |    CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+       |    CAST((SELECT count(*) FROM lsh_true) AS BIGINT) AS n_lsh_true,
+       |    CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth_sample,
+       |    CAST((SELECT count(*) FROM truth JOIN lsh USING (d1, d2)) AS BIGINT)
+       |      AS n_hit_sample)
+       |SELECT n_canaries, n_lsh, n_lsh_true, n_truth_sample, n_hit_sample,
        |  CASE WHEN n_lsh > 0
        |    THEN CAST((1000000 * n_lsh_true) // n_lsh AS BIGINT) ELSE NULL END
        |    AS precision_ppm,
@@ -961,6 +1104,11 @@ object Dedup {
     (0 until K).map(i => s"CASE WHEN $l.mh$i = $r.mh$i THEN 1 ELSE 0 END")
       .mkString(" + ")
   private[graft] def shinglesSqlCte: String = shinglesSql
+
+  /** [[shinglesSql]] reading from another relation (the q157 oracle's
+    * augmented docs2 CTE) — same text, different FROM. */
+  private def shinglesSqlFrom(table: String): String =
+    shinglesSql.replace("FROM documents)", s"FROM $table)")
 
   /** q127 — INCREMENTAL (delta) DEDUP against a PERSISTED signature
     * index: the dedup face of the daily-ingest shape (q126 is the ANN
@@ -1491,10 +1639,17 @@ object Dedup {
   def intraDocRepetition(s: SparkSession, d: String): DataFrame =
     intraDocRepetitionOn(Tables.documents(s, d))
 
-  /** The span miner over any (doc_id, text) frame — fixture-testable. */
-  private[graft] def intraDocRepetitionOn(docs: DataFrame): DataFrame = {
+  /** Repeated-gram window width shared by the q154 miner and the q155
+    * applier (the gap-bridge and the span end-extension both use it). */
+  private[graft] val RepW = 3
+
+  /** The marked positions of the q154 miner: every (doc_id, pos) whose
+    * 3-gram occurs again in the same doc, with the gram and the doc's
+    * word count. Split out (r13) so the span list has ONE definition
+    * shared by the stats face (q154) and the splice applier (q155). */
+  private[graft] def repMarked(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = 3
+    val w = RepW
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val byGram = Window.partitionBy(col("doc_id"), col("sh"))
     val winWords = (0 until w).map(k =>
@@ -1508,21 +1663,35 @@ object Dedup {
         concat_ws(" ", winWords: _*).as("sh"),
         lead(col("word"), w - 1).over(byPos).as("w_last"))
       .where(col("w_last").isNotNull)
-    val marked = grams
+    grams
       .withColumn("cnt", count(lit(1)).over(byGram))
       .where(col("cnt") >= 2)
-    val gramAgg = marked.groupBy(col("doc_id")).agg(
-      countDistinct(col("sh")).as("n_rep_grams"),
-      max(col("n_words")).cast("long").as("n_words"))
+  }
+
+  /** Maximal repeated-material spans (doc_id, s0, s1) of a
+    * [[repMarked]] frame — the q105/q147 gaps-and-islands rule (gap ≤ w
+    * bridges), span end extended by w−1 to cover the gram's tail. */
+  private[graft] def repSpansOf(marked: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = RepW
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val isl = marked.select(col("doc_id"), col("pos")).distinct()
       .withColumn("prev", lag(col("pos"), 1).over(byPos))
       .withColumn("cut",
         when(col("prev").isNull || col("pos") - col("prev") > w, 1L).otherwise(0L))
       .withColumn("island", sum(col("cut")).over(
         byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val spans = isl.groupBy(col("doc_id"), col("island"))
+    isl.groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).as("s0"), (max(col("pos")) + w - 1).as("s1"))
-    val spanAgg = spans.groupBy(col("doc_id")).agg(
+  }
+
+  /** The span miner over any (doc_id, text) frame — fixture-testable. */
+  private[graft] def intraDocRepetitionOn(docs: DataFrame): DataFrame = {
+    val marked = repMarked(docs)
+    val gramAgg = marked.groupBy(col("doc_id")).agg(
+      countDistinct(col("sh")).as("n_rep_grams"),
+      max(col("n_words")).cast("long").as("n_words"))
+    val spanAgg = repSpansOf(marked).groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_spans"),
       sum(col("s1") - col("s0") + 1).as("covered_tokens"),
       max(col("s1") - col("s0") + 1).cast("long").as("max_run_tokens"))
@@ -1533,10 +1702,12 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Oracle for [[intraDocRepetition]]: positional 3-grams (0-based),
-    * per-(doc, gram) repeat mark, islands, identical stats. */
-  val intraDocRepetitionSql: String =
-    """WITH wp AS (
+  /** The q154 miner's CTE block (positional 3-grams → repeat mark →
+    * islands → spans), shared verbatim by the q154 and q155 oracles so
+    * the DuckDB replay of the span list can never drift between the
+    * stats face and the splice applier. */
+  private[graft] val repSpanCtesSql: String =
+    """wp AS (
       |  SELECT doc_id,
       |    unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word,
       |    generate_subscripts(regexp_extract_all(text, '[a-z0-9]+'), 1) - 1 AS pos
@@ -1556,9 +1727,6 @@ object Dedup {
       |    SELECT doc_id, pos, sh,
       |      count(*) OVER (PARTITION BY doc_id, sh) AS cnt FROM gh)
       |  WHERE cnt >= 2),
-      | gram_agg AS (
-      |  SELECT doc_id, CAST(count(DISTINCT sh) AS BIGINT) AS n_rep_grams
-      |  FROM rep GROUP BY doc_id),
       | mpos AS (SELECT DISTINCT doc_id, pos FROM rep),
       | isl AS (
       |  SELECT doc_id, pos,
@@ -1572,7 +1740,15 @@ object Dedup {
       |  FROM isl),
       | spans AS (
       |  SELECT doc_id, island, min(pos) AS s0, max(pos) + 2 AS s1
-      |  FROM num GROUP BY doc_id, island),
+      |  FROM num GROUP BY doc_id, island)""".stripMargin
+
+  /** Oracle for [[intraDocRepetition]]: positional 3-grams (0-based),
+    * per-(doc, gram) repeat mark, islands, identical stats. */
+  val intraDocRepetitionSql: String =
+    s"""WITH $repSpanCtesSql,
+      | gram_agg AS (
+      |  SELECT doc_id, CAST(count(DISTINCT sh) AS BIGINT) AS n_rep_grams
+      |  FROM rep GROUP BY doc_id),
       | span_agg AS (
       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
       |    CAST(sum(s1 - s0 + 1) AS BIGINT) AS covered_tokens,

@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Serializes the scoped AQE-width override in [[pageRankInt]] (r12
+    * advice: overlapping scoped-conf calls can interleave so the
+    * temporary width outlives both scopes). */
+  private val widthLock = new Object
+
   /** `iters` rounds of PageRank over a directed edge list (src, dst),
     * damping 0.85, all arithmetic in scaled integers:
     *
@@ -100,10 +105,19 @@ object Graph {
     // hygiene), and the restored conf governs only the cheap final
     // projection. The override never NARROWS: at decade SFs, where the
     // input-volume rule already starts at ≥256, it is a no-op.
+    // r12 advice: the scoped override is serialized under a module lock
+    // (two overlapping pageRankInt calls could interleave set/restore so
+    // the temporary width outlived both scopes) and restored
+    // COMPARE-AND-SET — only undone if the key still holds OUR value, so
+    // a concurrent writer's setting is never clobbered. A concurrent
+    // UNRELATED query in the same session still plans under the widened
+    // value for the duration (session confs are global); that is the
+    // documented cost of the per-operator width trick.
     val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val rN = Graph.widthLock.synchronized {
     val prev = conf.getOption(key)
-    conf.set(key, math.max(256, prev.map(_.toInt).getOrElse(parts)).toString)
-    val rN =
+    val mine = math.max(256, prev.map(_.toInt).getOrElse(parts)).toString
+    conf.set(key, mine)
       try {
         (1 to iters).foldLeft(r0) { (r, _) =>
           // per-node contribution FIRST: a |V|⋈|V| co-partitioned join, so
@@ -117,10 +131,13 @@ object Graph {
               (lit(150000L) + expr("(85 * c) div 100")).as("r"))
             .localCheckpoint(true)
         }
-      } finally prev match {
-        case Some(v) => conf.set(key, v)
-        case None => conf.unset(key)
+      } finally {
+        if (conf.getOption(key).contains(mine)) prev match {
+          case Some(v) => conf.set(key, v)
+          case None => conf.unset(key)
+        }
       }
+    }
     // the checkpointed rN no longer references e/deg lineage — release
     // the |E|-sized cache instead of leaking it across gate queries
     e.unpersist(); deg.unpersist()

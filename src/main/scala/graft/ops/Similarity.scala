@@ -463,14 +463,9 @@ object Similarity {
     // q126 was called on; here the fix is hash-neutral)
     val cent = qe.where(col("vec_id") % 100 === 0 && col("vec_id") < 6400)
       .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
-    // narrow argmax hash-agg + q8 re-attach (the q126 route shape; r12
-    // [[argmaxCell]] — the 64-double array stays out of the aggregate)
-    val assigned = qe.join(
-        argmaxCell(
-          qe.join(broadcast(cent))
-            .select(col("vec_id"), col("cent_id"),
-              vecDot(col("q8"), col("cq")).cast("long").as("cdot")),
-          col("cdot")), "vec_id")
+    // r13: assignment is a broadcast-argmax MAP over the corpus scan
+    // ([[assignCells]]) — no n×cells fan-out, no join, no aggregate
+    val assigned = assignCells(s, qe, cent)
       .select(col("vec_id"), col("q8"), col("cent_id"))
     val probes = assigned.where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("q8").as("qv"), col("cent_id").as("qcell"))
@@ -596,6 +591,43 @@ object Similarity {
   private def argmaxCell(fanout: DataFrame, score: Column): DataFrame =
     fanout.groupBy(col("vec_id"))
       .agg(max_by(col("cent_id"), struct(score, -col("cent_id"))).as("cent_id"))
+
+  /** r13 (r12 verdict item 1): quantized-corpus cell assignment WITHOUT
+    * the n×cells fan-out. Collects the centroid table once (bounded —
+    * every caller's grid is ≤ 64 anchors or ≈ √n stride rows, the same
+    * table those callers already broadcast into the join), ships it as
+    * a broadcast-variable-backed [[graft.functions.CentroidMatrix]],
+    * and appends `cent_id` via the codegen'd
+    * [[graft.functions.ArgmaxExprs.ArgmaxDotCell]] — a pure map over
+    * the corpus scan: n rows in, n rows out, no join, no aggregate, no
+    * exchange, no sort. The r12 `max_by` shape still materialized (and
+    * partial-SORT-aggregated) n×cells rows; with cells ∝ √n that is
+    * n^1.5 rows — this is the shape that stays linear at 100 TB.
+    * Bit-exact vs the fan-out argmax: integer dots, ties to smallest
+    * cent_id (ids sorted ascending + strict `>`). `cent` must have
+    * columns (cent_id: long, cq: array<double>); rows are collected
+    * driver-side, so callers keep grids bounded (they already must, to
+    * broadcast-join them). */
+  private def assignCells(s: SparkSession, qe: DataFrame, cent: DataFrame): DataFrame = {
+    val rows = cent.select(col("cent_id"), col("cq")).collect()
+    require(rows.nonEmpty, "assignCells: empty centroid table")
+    val sorted = rows.sortBy(_.getLong(0))
+    val dims = sorted.map(_.getSeq[Double](1).length).max
+    val ids = sorted.map(_.getLong(0))
+    val flat = new Array[Double](sorted.length * dims)
+    var c = 0
+    while (c < sorted.length) {
+      val v = sorted(c).getSeq[Double](1)
+      var j = 0
+      while (j < v.length) { flat(c * dims + j) = v(j); j += 1 }
+      c += 1
+    }
+    val bc = s.sparkContext.broadcast(
+      graft.functions.CentroidMatrix(ids, flat, dims))
+    qe.withColumn("cent_id", org.apache.spark.sql.GraftBridge.column(
+      graft.functions.ArgmaxExprs.ArgmaxDotCell(
+        org.apache.spark.sql.GraftBridge.expression(col("q8")), bc)))
+  }
 
   def quantizeInt8(e: DataFrame): DataFrame =
     e.withColumn("_ma",
@@ -1230,20 +1262,13 @@ object Similarity {
       else math.max(2, math.round(math.sqrt(existing.count().toDouble)).toInt)
     val cent = existing.where(col("vec_id") % stride === 1)
       .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
-    // argmax over a NARROW (vec_id, cent_id, cdot) frame, q8 re-attached
-    // AFTER: carrying the 64-double q8 array through the argmax is ~13×
-    // the bytes of the narrow frame (r11 sf10: the wide sort spilled
-    // ~175 GB). r12: the argmax itself is now a hash aggregate
-    // ([[argmaxCell]]) — the n×cells fan-out partial-aggregates before
-    // the exchange instead of sorting through a window.
+    // r13: routing is a broadcast-argmax MAP ([[assignCells]]) — the
+    // r11/r12 narrow-frame discipline existed to keep the 64-double q8
+    // array out of an n×cells argmax (the wide sort spilled ~175 GB at
+    // sf10); now there IS no n×cells frame: cent_id is computed in the
+    // scan's own project, q8 never leaves the row.
     def route(v: DataFrame): DataFrame =
-      v.join(
-        argmaxCell(
-          v.join(broadcast(cent))
-            .select(col("vec_id"), col("cent_id"),
-              vecDot(col("q8"), col("cq")).cast("long").as("cdot")),
-          col("cdot")), "vec_id")
-        .select(col("vec_id"), col("q8"), col("cent_id"))
+      assignCells(s, v, cent).select(col("vec_id"), col("q8"), col("cent_id"))
     // the "prior run": build and persist the index artifact,
     // PARTITIONED BY CELL — "a batch touching c cells reads c cells'
     // worth of codes" must be true on disk, not just in prose (r10
@@ -1413,11 +1438,9 @@ object Similarity {
         SharedPlans.cachedCount(s, s"embCount|$d")(qe.count()).toDouble)).toInt)
     val cent = qe.where(col("vec_id") % stride === 1)
       .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
-    val occ = argmaxCell(
-        qe.join(broadcast(cent))
-          .select(col("vec_id"), col("cent_id"),
-            vecDot(col("q8"), col("cq")).cast("long").as("cdot")),
-        col("cdot"))
+    // r13: one scan, cent_id computed in-row ([[assignCells]]); the
+    // only shuffle left is the |cells|-bounded occupancy aggregate
+    val occ = assignCells(s, qe, cent)
       .groupBy(col("cent_id")).agg(count(lit(1)).as("occ"))
     val tot = occ.agg(count(lit(1)).as("n_cells"), sum(col("occ")).as("n_vecs"))
     occ.crossJoin(broadcast(tot))
@@ -1428,7 +1451,16 @@ object Similarity {
         sum(when(lit(2) * col("occ") * col("n_cells") < col("n_vecs"), 1L)
           .otherwise(0L)).as("n_cells_under_half"))
       .select(col("n_cells"), col("n_vecs"), col("min_occ"), col("max_occ"),
-        expr("(1000000 * max_occ * n_cells) div n_vecs").as("max_over_mean_ppm"),
+        // r12 advice: the naive (1000000 * max_occ * n_cells) div n_vecs
+        // wraps Int64 once max_occ·n_cells > 9.2e12 (heavy skew at decade
+        // scale). Quotient/remainder split — identical value, since
+        // floor(A·c/m) = (A div m)·c + ((A mod m)·c) div m for A =
+        // 1000000·max_occ — widens the envelope to n_cells·n_vecs <
+        // 9.2e18, i.e. safe to ~4e12 vectors at cells ≈ √n. Beyond that:
+        // documented limit, like q150's calibration envelope.
+        expr("((1000000 * max_occ) div n_vecs) * n_cells + " +
+          "(((1000000 * max_occ) % n_vecs) * n_cells) div n_vecs")
+          .as("max_over_mean_ppm"),
         col("n_cells_over2x"), col("n_cells_under_half"))
   }
 
@@ -1499,11 +1531,7 @@ object Similarity {
     // replays the identical grid.
     val cent = qe.where(col("vec_id") % 100 === 0 && col("vec_id") < 6400)
       .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
-    val assigned = argmaxCell(
-      qe.join(broadcast(cent))
-        .select(col("vec_id"), col("cent_id"),
-          vecDot(col("q8"), col("cq")).cast("long").as("cdot")),
-      col("cdot"))
+    val assigned = assignCells(s, qe, cent)
     val cells = assigned.groupBy(col("cent_id")).agg(
       sum(when(col("vec_id") % 10 =!= 0, 1L).otherwise(0L)).as("n_a"),
       sum(when(col("vec_id") % 10 =!= 1, 1L).otherwise(0L)).as("n_b"))
@@ -1639,4 +1667,114 @@ object Similarity {
       |    AS recall_ppm
       |FROM per LEFT JOIN hits h USING (qid)
       |ORDER BY per.qid""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q156: IVF index coverage / staleness audit
+  // ---------------------------------------------------------------------
+
+  /** Per-cell missing counts of `corpus` vectors absent from `index` —
+    * the detail face of [[ivfCoverageAudit]], exposed for the spec that
+    * deletes one cell's files and must see exactly that cell reported.
+    * The anti-join on vec_id is the ONE corpus-sized comparison (ids
+    * only — both sides column-pruned to a long); the missing set is
+    * then routed through the broadcast-argmax map ([[assignCells]]) to
+    * name the stale cells, and the report is |cells|-bounded. */
+  private[graft] def ivfCoverageByCell(s: SparkSession, corpus: DataFrame,
+      cent: DataFrame, index: DataFrame): DataFrame =
+    assignCells(s,
+      corpus.join(index.select(col("vec_id")), Seq("vec_id"), "left_anti"),
+      cent)
+      .groupBy(col("cent_id")).agg(count(lit(1)).as("n_missing"))
+
+  /** q156 — INDEX COVERAGE AUDIT (r12 verdict item 8): the third leg of
+    * the index-maintenance triangle. q126 increments the IVF index,
+    * q144 audits its recall, q152 its balance — nothing checked
+    * COVERAGE: vectors present in the corpus but absent from the
+    * persisted index, the hole a crash between the corpus commit and
+    * the index commit leaves behind (serving silently returns nothing
+    * for them). One id-level anti-join of corpus vs index, the missing
+    * set routed to its would-be cells, one summary row: corpus size,
+    * indexed size, missing count, how many cells are stale, and the
+    * worst cell's deficit — the work-list a repair job needs.
+    *
+    * The gate face builds the index from the q126 "prior run" slice
+    * (vec_id % 10 ≠ 0, cell-partitioned artifact), so the un-indexed
+    * daily batch (% 10 = 0) IS the planted coverage hole and the oracle
+    * replays it exactly. `indexDir` lets the spec audit a DAMAGED
+    * artifact (one cell's files deleted) instead.
+    *
+    * Scale: the anti-join ships ids only (a long per row, broadcast or
+    * shuffle as the planner sizes it); routing the (small) missing set
+    * is the n-rows broadcast map; everything else is |cells|-bounded.
+    * No corpus re-encode, no fan-out — safe at any corpus size. */
+  def ivfCoverageAudit(s: SparkSession, d: String, centStride: Int = 0,
+      indexDir: String = ""): DataFrame = {
+    val qe = quantizedEmbeddings(s, d)
+    // stride self-sizes to ≈ √n by default (the q126/q152 rule); the
+    // gate face pins 100 for oracle parity
+    val stride =
+      if (centStride > 0) centStride
+      else math.max(2, math.round(math.sqrt(
+        SharedPlans.cachedCount(s, s"embCount|$d")(qe.count()).toDouble)).toInt)
+    val cent = qe.where(col("vec_id") % stride === 1)
+      .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
+    val idxPath =
+      if (indexDir.nonEmpty) indexDir
+      else {
+        val base = new java.io.File("target/tmp/ivf_q156")
+        scala.reflect.io.Path(base).deleteRecursively()
+        // the q126 layout discipline: repartition BY CELL before the
+        // partitioned write (one file per cell, not tasks × cells)
+        assignCells(s, qe.where(col("vec_id") % 10 =!= 0), cent)
+          .select(col("vec_id"), col("cent_id"))
+          .repartition(col("cent_id")).write.mode("overwrite")
+          .partitionBy("cent_id").parquet(s"${base.getPath}/index")
+        s"${base.getPath}/index"
+      }
+    val index = s.read.parquet(idxPath)
+    val perCell = ivfCoverageByCell(s, qe, cent, index)
+    val tot = qe.agg(count(lit(1)).as("n_corpus"))
+    val idxTot = index.agg(count(lit(1)).as("n_indexed"))
+    val missAgg = perCell.agg(
+      coalesce(sum(col("n_missing")), lit(0L)).as("n_missing"),
+      count(lit(1)).as("n_stale_cells"),
+      coalesce(max(col("n_missing")), lit(0L)).as("max_cell_missing"))
+    tot.crossJoin(idxTot).crossJoin(missAgg)
+      .select(col("n_corpus"), col("n_indexed"), col("n_missing"),
+        col("n_stale_cells"), col("max_cell_missing"))
+  }
+
+  /** Oracle for the pinned-stride gate face of [[ivfCoverageAudit]]:
+    * quantize, the stride-100 grid, the % 10 split, row_number argmax
+    * routing of the missing slice, integer roll-up. */
+  val ivfCoverageAuditSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | cent AS (SELECT vec_id AS cent_id, q AS cq FROM q8 WHERE vec_id % 100 = 1),
+      | missing AS (SELECT vec_id, q FROM q8 WHERE vec_id % 10 = 0),
+      | assigned AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT m.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY m.vec_id
+      |        ORDER BY CAST(list_dot_product(m.q, c.cq) AS BIGINT) DESC,
+      |                 c.cent_id ASC) AS rn
+      |    FROM missing m CROSS JOIN cent c) WHERE rn = 1),
+      | per AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n_missing
+      |         FROM assigned GROUP BY 1)
+      |SELECT
+      |  CAST((SELECT count(*) FROM q8) AS BIGINT) AS n_corpus,
+      |  CAST((SELECT count(*) FROM q8 WHERE vec_id % 10 <> 0) AS BIGINT)
+      |    AS n_indexed,
+      |  CAST(coalesce((SELECT sum(n_missing) FROM per), 0) AS BIGINT)
+      |    AS n_missing,
+      |  CAST((SELECT count(*) FROM per) AS BIGINT) AS n_stale_cells,
+      |  CAST(coalesce((SELECT max(n_missing) FROM per), 0) AS BIGINT)
+      |    AS max_cell_missing""".stripMargin
 }

@@ -42,6 +42,17 @@ object JdbcBackend {
     s"jdbc:derby:$dbDir;create=true"
   }
 
+  /** Embedded-DuckDB URL (probe-only second store, r12 verdict item 6:
+    * the Derby prepared-INSERT number is Derby-bound, so a faster
+    * embedded store behind the SAME sink separates sink architecture
+    * from store ceiling). The duckdb_jdbc jar is supplied on the PROBE
+    * classpath only (`EXTRA_CP` in scripts/run-tool.sh) — it is not a
+    * build dependency and nothing in the library requires it. */
+  def duckdbUrl(dbDir: String): String = {
+    new java.io.File(dbDir).mkdirs()
+    s"jdbc:duckdb:$dbDir/duck.db"
+  }
+
   private def sqlType(dt: DataType): String = dt match {
     case LongType => "BIGINT"
     case IntegerType => "INTEGER"

@@ -121,6 +121,54 @@ class DupSpansSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L) == ((2L, 1L, 8L, 8L, 8L, 1000000L)))
   }
 
+  test("applyRepetitionSpans (q155): the splice removes every flagged repeated 3-gram on the fixture") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      1L -> "a b c d e a b c d f", // spans [0,3],[5,8] -> keeps "e f"
+      2L -> "x1 x2 x3 x4 x5 x6 x7 x8", // clean: passthrough, 0 removed
+      3L -> "a b c d a b c d") // whole-doc span -> empty, all removed
+      .toDF("doc_id", "text")
+    val spans = graft.ops.Dedup.repSpansOf(graft.ops.Dedup.repMarked(docs))
+    val got = graft.ops.Curation.applySpansOn(docs.repartition(3), spans)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == (("e f", 8L, 10L)))
+    assert(got(2L) == (("x1 x2 x3 x4 x5 x6 x7 x8", 0L, 8L)))
+    assert(got(3L) == (("", 8L, 8L)))
+    // every flagged repeated gram is GONE from its doc's cleaned text
+    val flagged = graft.ops.Dedup.repMarked(docs)
+      .select("doc_id", "sh").distinct().collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    flagged.foreach { case (id, gram) =>
+      assert(!got(id)._1.contains(gram),
+        s"flagged gram '$gram' survived the splice in doc $id")
+    }
+  }
+
+  test("q155 gate face at sf0.001: removal reconciles with q154's covered_tokens per doc") {
+    val sf = "/root/testdata/sf0.001"
+    val applied = graft.ops.Curation.applyRepetitionSpans(spark, sf)
+    val stats = Dedup.intraDocRepetition(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("covered_tokens"))
+    // flagged docs: n_tokens_removed == covered_tokens (the span lists
+    // are the same by construction — this pins the two consumers to it)
+    val joined = applied.join(stats, Seq("doc_id"), "left").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val removed = r.getAs[Long]("n_tokens_removed")
+      val covered = Option(r.getAs[java.lang.Long]("covered_tokens"))
+        .map(_.longValue).getOrElse(0L)
+      assert(removed == covered,
+        s"doc ${r.getLong(0)}: removed $removed != covered $covered")
+      assert(removed <= r.getAs[Long]("n_words"))
+    }
+    assert(joined.exists(_.getAs[Long]("n_tokens_removed") > 0),
+      "no doc had anything spliced — fixture corpus should have boilerplate")
+  }
+
   test("gate face at sf0.001: some duplicated spans exist, totals bounded") {
     val rows = Dedup.dupSpansGate(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)

@@ -422,6 +422,27 @@ class MaintenanceOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     else assert(f.isNullAt(5))
   }
 
+  test("lshQualityAuditCanaried (q157): recall leg is load-bearing — non-NULL, canary truth floor, bounds") {
+    // columns: n_canaries, n_lsh, n_lsh_true, n_truth_sample,
+    //          n_hit_sample, precision_ppm, recall_ppm
+    val f = Dedup.lshQualityAuditCanaried(spark, sf, mod = 29).collect().head
+    val nCan = f.getLong(0)
+    assert(nCan > 0, "no canaries planted — sample stratum empty?")
+    // every 70%-prefix canary of a shingle-able sampled doc forms a
+    // truth pair with its source INSIDE the stratum — the recall
+    // denominator is non-zero by construction
+    val nTruth = f.getLong(3)
+    assert(nTruth > 0, "canaries planted but no sampled truth — leg still dead")
+    assert(!f.isNullAt(6), "recall_ppm NULL despite planted canaries")
+    assert(f.getLong(6) >= 0 && f.getLong(6) <= 1000000L)
+    assert(f.getLong(2) <= f.getLong(1) && f.getLong(4) <= nTruth)
+    // canary ids are negative and disjoint: corpus counts unchanged —
+    // q151 on the same dir must still see its own (canary-free) legs
+    val base = Dedup.lshQualityAudit(spark, sf).collect().head
+    assert(base.getLong(2) <= nTruth,
+      "augmented truth cannot be smaller than the canary-free truth")
+  }
+
   test("ivfBalanceAudit (q152): hand-fixture skew flags exactly the hot/cold cells; face identities hold") {
     val s = spark
     import s.implicits._
@@ -447,5 +468,38 @@ class MaintenanceOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f.getLong(2) <= f.getLong(3))
     assert(f.getLong(4) >= 1000000L) // max >= mean by construction
     assert(f.getLong(5) + f.getLong(6) <= f.getLong(0))
+  }
+
+  test("ivfCoverageAudit (q156): gate identities; deleting one cell's files reports exactly that cell") {
+    // gate face: the un-indexed daily batch (% 10 == 0) is the planted hole
+    val out = Similarity.ivfCoverageAudit(spark, sf, centStride = 100)
+      .collect().head
+    val nCorpus = out.getAs[Long]("n_corpus")
+    val nIndexed = out.getAs[Long]("n_indexed")
+    val nMissing = out.getAs[Long]("n_missing")
+    assert(nCorpus == Tables.embeddings(spark, sf).count())
+    assert(nCorpus == nIndexed + nMissing, "gate split must reconcile exactly")
+    assert(nMissing > 0 && out.getAs[Long]("n_stale_cells") > 0)
+    assert(out.getAs[Long]("max_cell_missing") <= nMissing)
+    // damage the artifact the face just built: delete ONE cell's files
+    val idxDir = new java.io.File("target/tmp/ivf_q156/index")
+    val cells = idxDir.listFiles().filter(_.getName.startsWith("cent_id="))
+    assert(cells.length > 1, "need >=2 cells to test per-cell reporting")
+    val victim = cells.minBy(_.getName)
+    val victimCell = victim.getName.stripPrefix("cent_id=").toLong
+    val nVictim = spark.read.parquet(victim.getPath).count()
+    assert(nVictim > 0)
+    scala.reflect.io.Path(victim).deleteRecursively()
+    // audit the INDEXED slice against the damaged artifact: the missing
+    // set must be exactly the victim cell's vectors, routed to it
+    val qe = Similarity.quantizedEmbeddings(spark, sf)
+    val cent = qe.where(col("vec_id") % 100 === 1)
+      .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
+    val perCell = Similarity.ivfCoverageByCell(spark,
+      qe.where(col("vec_id") % 10 =!= 0), cent,
+      spark.read.parquet(idxDir.getPath)).collect()
+    assert(perCell.length == 1, s"expected 1 stale cell, got ${perCell.length}")
+    assert(perCell.head.getLong(0) == victimCell)
+    assert(perCell.head.getAs[Long]("n_missing") == nVictim)
   }
 }
