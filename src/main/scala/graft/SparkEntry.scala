@@ -411,6 +411,13 @@ object SparkEntry {
     // the sample stratum make q151's recall leg load-bearing (non-NULL)
     "q157_lsh_canary" -> ((s: SparkSession, d: String) =>
       Dedup.lshQualityAuditCanaried(s, d, mod = Dedup.LshAuditMod)),
+    // decontamination splice: excise q147's benchmark-overlap spans
+    // from the training docs - the redact-don't-drop APPLY, 2nd producer
+    "q158_apply_contamination" -> Curation.applyContaminationSpans _,
+    // coverage repair: route ONLY the missing vectors and append them
+    // under their cells; re-audit off disk - the q156 audit's APPLY
+    "q159_coverage_repair" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfCoverageRepair(s, d, centStride = 100)),
     // contamination span evidence: WHERE each training doc overlaps
     // the benchmark set - maximal token spans of shared 3-grams
     // (coverage, longest run, first/last pos), the redact-not-drop
@@ -649,6 +656,8 @@ object SparkEntry {
     "q155_apply_spans" -> Curation.applyRepetitionSpansSql,
     "q156_index_coverage" -> Similarity.ivfCoverageAuditSql,
     "q157_lsh_canary" -> Dedup.lshQualityAuditCanariedSql,
+    "q158_apply_contamination" -> Curation.applyContaminationSpansSql,
+    "q159_coverage_repair" -> Similarity.ivfCoverageRepairSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

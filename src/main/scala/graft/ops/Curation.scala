@@ -690,33 +690,84 @@ object Curation {
 
   /** The splice over any (doc_id, text) frame and (doc_id, s0, s1) span
     * list — fixture-testable; spans may overlap (covered-ness is the
-    * predicate, not span arithmetic). */
+    * predicate, not span arithmetic).
+    *
+    * Shape (r13, measured): the first cut exploded every word, LEFT
+    * ANTI range-joined positions against spans, and re-assembled via
+    * `collect_list` + `array_sort` per doc — at sf10 (600k docs) the
+    * 120M-row explode shuffle plus the aggregate's sort-based fallback
+    * (doc count ≫ the 65k hash-group threshold) measured 77 s warm,
+    * 25× on 10× data. This shape never explodes: the span list
+    * aggregates to a per-doc ARRAY (few rows per doc — the only
+    * shuffle, span-sized not word-sized), and the splice happens
+    * IN-ROW with index-aware `filter` + `exists` over the words array.
+    * The HOFs are interpreted, but words×spans per doc is small and
+    * the join is 1:1 (no fan-out — the q143 HOF-collapse pitfall needs
+    * a join multiplying lambda evaluations; there is none here). */
   private[graft] def applySpansOn(docs: DataFrame, spans: DataFrame): DataFrame = {
     import graft.ops.TextAnalysis.words
-    val wp = docs
+    val spanArr = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s0"), col("s1"))).as("sps"))
+    docs
       .select(col("doc_id"), words(col("text")).as("warr"))
-      .select(col("doc_id"), posexplode(col("warr")).as(Seq("pos", "word")))
-    val kept = wp.join(
-      spans.select(col("doc_id").as("sdoc"), col("s0"), col("s1")),
-      col("doc_id") === col("sdoc") &&
-        col("pos") >= col("s0") && col("pos") <= col("s1"),
-      "left_anti")
-    val cleaned = kept.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n_kept"),
-      // per-doc ordered re-join: struct sorts by its FIRST field (pos)
-      array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("word")))),
-        p => p.getField("word")), " ").as("cleaned_text"))
-    docs.select(col("doc_id"),
-        size(words(col("text"))).cast("long").as("n_words"))
-      .join(cleaned, Seq("doc_id"), "left")
+      .join(spanArr, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("warr"),
+        coalesce(col("sps"), array()).as("sps"))
       .select(col("doc_id"),
-        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
-        (col("n_words") - coalesce(col("n_kept"), lit(0L)))
+        filter(col("warr"), (w, i) =>
+          !exists(col("sps"), sp =>
+            i.cast("long") >= sp.getField("s0") &&
+              i.cast("long") <= sp.getField("s1"))).as("kept"),
+        size(col("warr")).cast("long").as("n_words"))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("cleaned_text"),
+        (col("n_words") - size(col("kept")).cast("long"))
           .as("n_tokens_removed"),
         col("n_words"))
       .orderBy(col("doc_id"))
   }
+
+  /** q158 — DECONTAMINATION SPLICE: [[applyRepetitionSpans]]'s twin for
+    * the OTHER cut list. q147 mines WHERE each training doc overlaps the
+    * benchmark slice; this excises exactly those spans from the training
+    * docs (doc_id % 50 ≠ 0 — the q147 split), emitting the same
+    * (doc_id, cleaned_text, n_tokens_removed, n_words) shape. Together
+    * with q155 the span algebra now has two independent producers
+    * (repetition, contamination) feeding ONE splice definition
+    * ([[applySpansOn]]) — the redact-don't-drop pipeline end to end:
+    * a contaminated doc keeps its clean prose and loses only the
+    * benchmark overlap, instead of q69's drop-the-document verdict.
+    *
+    * Scale: the q147 miner's cost (benchmark broadcast into one train
+    * scan) plus the q155 splice cost (per-doc hash-partitioned ops) —
+    * nothing new shuffles corpus-wide. */
+  def applyContaminationSpans(s: SparkSession, d: String): DataFrame = {
+    val train = Tables.documents(s, d).where(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("text"))
+    applySpansOn(train, Dedup.repSpansOf(Dedup.contaminationHits(s, d)))
+  }
+
+  /** Oracle for [[applyContaminationSpans]]: the q147 span CTEs
+    * verbatim ([[Dedup.contamSpanCtesSql]]) + the q155 splice. */
+  def applyContaminationSpansSql: String =
+    s"""WITH ${Dedup.contamSpanCtesSql},
+      | nw AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_words
+      |  FROM documents WHERE doc_id % 50 <> 0),
+      | kept AS (
+      |  SELECT wp.doc_id, wp.pos, wp.word FROM wp
+      |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+      |    WHERE sp.doc_id = wp.doc_id AND wp.pos BETWEEN sp.s0 AND sp.s1)),
+      | cl AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(word, ' ' ORDER BY pos) AS cleaned_text
+      |  FROM kept GROUP BY doc_id)
+      |SELECT nw.doc_id, coalesce(cl.cleaned_text, '') AS cleaned_text,
+      |  CAST(nw.n_words - coalesce(cl.n_kept, 0) AS BIGINT) AS n_tokens_removed,
+      |  nw.n_words
+      |FROM nw LEFT JOIN cl USING (doc_id)
+      |ORDER BY nw.doc_id""".stripMargin
 
   /** Oracle for [[applyRepetitionSpans]]: the q154 span CTEs verbatim
     * ([[Dedup.repSpanCtesSql]] — one definition, two oracles), then the

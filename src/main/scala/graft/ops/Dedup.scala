@@ -1531,8 +1531,30 @@ object Dedup {
     * text; the islands window partitions by doc over MATCHED positions
     * only). */
   def contaminationSpans(s: SparkSession, d: String): DataFrame = {
+    val hits = contaminationHits(s, d)
+    val gramAgg = hits.groupBy(col("doc_id")).agg(
+      countDistinct(col("sh")).as("n_shared_grams"),
+      countDistinct(col("bench_doc")).as("n_bench_docs"))
+    // r13: the islands step is the ONE shared definition ([[repSpansOf]]
+    // — same w, same gap rule, same end extension), so q147's spans and
+    // the q158 splice can never drift
+    val spanAgg = repSpansOf(hits).groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("s1") - col("s0") + 1).as("covered_tokens"),
+      max(col("s1") - col("s0") + 1).cast("long").as("max_run_tokens"),
+      min(col("s0")).cast("long").as("first_pos"),
+      max(col("s1")).cast("long").as("last_pos"))
+    gramAgg.join(spanAgg, "doc_id").orderBy(col("doc_id"))
+  }
+
+  /** The contamination hit positions behind q147/q158: every (doc_id,
+    * pos, sh, bench_doc) where a training doc's positional 3-gram also
+    * occurs in the benchmark slice. Split out (r13) so the span list
+    * has one definition for the stats face (q147) and the splice
+    * (q158). */
+  private[graft] def contaminationHits(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = 3
+    val w = RepW
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val winWords = (0 until w).map(k =>
       if (k == 0) col("word") else lead(col("word"), k).over(byPos))
@@ -1545,31 +1567,14 @@ object Dedup {
       .select(col("doc_id"), col("pos"), col("sh"))
     val bench = shingles(Tables.documents(s, d).where(col("doc_id") % 50 === 0))
       .select(col("shingle").as("sh"), col("doc_id").as("bench_doc"))
-    val hits = tr.join(broadcast(bench), "sh")
-    val gramAgg = hits.groupBy(col("doc_id")).agg(
-      countDistinct(col("sh")).as("n_shared_grams"),
-      countDistinct(col("bench_doc")).as("n_bench_docs"))
-    val isl = hits.select(col("doc_id"), col("pos")).distinct()
-      .withColumn("prev", lag(col("pos"), 1).over(byPos))
-      .withColumn("cut",
-        when(col("prev").isNull || col("pos") - col("prev") > w, 1L).otherwise(0L))
-      .withColumn("island", sum(col("cut")).over(
-        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val spans = isl.groupBy(col("doc_id"), col("island"))
-      .agg(min(col("pos")).as("s0"), (max(col("pos")) + w - 1).as("s1"))
-    val spanAgg = spans.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n_spans"),
-      sum(col("s1") - col("s0") + 1).as("covered_tokens"),
-      max(col("s1") - col("s0") + 1).cast("long").as("max_run_tokens"),
-      min(col("s0")).cast("long").as("first_pos"),
-      max(col("s1")).cast("long").as("last_pos"))
-    gramAgg.join(spanAgg, "doc_id").orderBy(col("doc_id"))
+    tr.join(broadcast(bench), "sh")
   }
 
-  /** Oracle for [[contaminationSpans]]: positional 3-grams (0-based to
-    * match posexplode), benchmark join, islands, same stats. */
-  val contaminationSpansSql: String =
-    s"""WITH wp AS (
+  /** The q147 miner's CTE block (train positional grams → benchmark
+    * join → islands → spans), shared verbatim by the q147 and q158
+    * oracles — the q154/q155 `repSpanCtesSql` convention. */
+  private[graft] val contamSpanCtesSql: String =
+    s"""wp AS (
        |  SELECT doc_id,
        |    unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word,
        |    generate_subscripts(regexp_extract_all(text, '[a-z0-9]+'), 1) - 1 AS pos
@@ -1586,10 +1591,6 @@ object Dedup {
        | hits AS (
        |  SELECT t.doc_id, t.pos, t.sh, b.bench_doc
        |  FROM trh t JOIN bench b USING (sh)),
-       | gram_agg AS (
-       |  SELECT doc_id, count(DISTINCT sh) AS n_shared_grams,
-       |    count(DISTINCT bench_doc) AS n_bench_docs
-       |  FROM hits GROUP BY doc_id),
        | mpos AS (SELECT DISTINCT doc_id, pos FROM hits),
        | isl AS (
        |  SELECT doc_id, pos,
@@ -1603,7 +1604,16 @@ object Dedup {
        |  FROM isl),
        | spans AS (
        |  SELECT doc_id, island, min(pos) AS s0, max(pos) + 2 AS s1
-       |  FROM num GROUP BY doc_id, island),
+       |  FROM num GROUP BY doc_id, island)""".stripMargin
+
+  /** Oracle for [[contaminationSpans]]: positional 3-grams (0-based to
+    * match posexplode), benchmark join, islands, same stats. */
+  val contaminationSpansSql: String =
+    s"""WITH $contamSpanCtesSql,
+       | gram_agg AS (
+       |  SELECT doc_id, count(DISTINCT sh) AS n_shared_grams,
+       |    count(DISTINCT bench_doc) AS n_bench_docs
+       |  FROM hits GROUP BY doc_id),
        | span_agg AS (
        |  SELECT doc_id, count(*) AS n_spans,
        |    CAST(sum(s1 - s0 + 1) AS BIGINT) AS covered_tokens,

@@ -1777,4 +1777,104 @@ object Similarity {
       |  CAST((SELECT count(*) FROM per) AS BIGINT) AS n_stale_cells,
       |  CAST(coalesce((SELECT max(n_missing) FROM per), 0) AS BIGINT)
       |    AS max_cell_missing""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q159: IVF coverage repair (close the hole q156 reports)
+  // ---------------------------------------------------------------------
+
+  /** q159 — COVERAGE REPAIR: the APPLY step behind [[ivfCoverageAudit]]
+    * (the q155/q158 stance for the index family — an audit that only
+    * reports is half an operator). Routes EXACTLY the missing vectors
+    * (the q156 anti-join) through the broadcast-argmax map and APPENDS
+    * them to the persisted index under their cells — `partitionBy`
+    * append touches only the stale cells' directories, never rewrites
+    * healthy cells — then re-audits off the repaired artifact. The
+    * output row is the repair receipt a maintenance job logs:
+    * missing-before, rows repaired, cells touched, missing-after
+    * (re-measured from disk, not assumed), and the repaired index size.
+    *
+    * Scale: the repair writes |missing| rows (a crashed batch, not a
+    * corpus) into |touched| cell files; the before/after audits are the
+    * q156 id-only anti-joins. At 100 TB this is the nightly
+    * crash-recovery job: cost ∝ the hole, not the index. */
+  def ivfCoverageRepair(s: SparkSession, d: String, centStride: Int = 0): DataFrame = {
+    val qe = quantizedEmbeddings(s, d)
+    // default self-sizes to ≈ √n (the q126/q152/q156 rule); the gate
+    // face pins 100 for oracle parity
+    val stride =
+      if (centStride > 0) centStride
+      else math.max(2, math.round(math.sqrt(
+        SharedPlans.cachedCount(s, s"embCount|$d")(qe.count()).toDouble)).toInt)
+    val cent = qe.where(col("vec_id") % stride === 1)
+      .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
+    // the damaged state (gate face): index = the q126 "prior run" slice
+    val base = new java.io.File("target/tmp/ivf_q159")
+    scala.reflect.io.Path(base).deleteRecursively()
+    val idx = s"${base.getPath}/index"
+    assignCells(s, qe.where(col("vec_id") % 10 =!= 0), cent)
+      .select(col("vec_id"), col("cent_id"))
+      .repartition(col("cent_id")).write.mode("overwrite")
+      .partitionBy("cent_id").parquet(idx)
+    // EAGER legs, one index GENERATION per executed plan (measured
+    // hazard: two scans of the same path canonicalize equal, so a plan
+    // holding both the pre- and post-append read gets the post-leg's
+    // exchange REUSED from the pre-leg — n_missing_after came back as
+    // the before value while a non-reusable count in the same plan saw
+    // the appended files). Each leg collects a bounded scalar; the
+    // receipt row is assembled from the measured values.
+    val beforeAgg = ivfCoverageByCell(s, qe, cent, s.read.parquet(idx))
+      .agg(coalesce(sum(col("n_missing")), lit(0L)), count(lit(1)))
+      .collect().head
+    val nMissingBefore = beforeAgg.getLong(0)
+    val nCellsTouched = beforeAgg.getLong(1)
+    // the repair: route ONLY the hole, append under its cells
+    val missing = qe.join(s.read.parquet(idx).select(col("vec_id")),
+      Seq("vec_id"), "left_anti")
+    val routed = assignCells(s, missing, cent).select(col("vec_id"), col("cent_id"))
+    routed.repartition(col("cent_id")).write.mode("append")
+      .partitionBy("cent_id").parquet(idx)
+    val nRepaired = routed.count() // pre-append snapshot relation: the written rows
+    // re-audit OFF DISK: fresh read, fresh listing — the receipt states
+    // what the artifact now holds, not what the repair assumes
+    val repaired = s.read.parquet(idx)
+    val nIndexedAfter = repaired.count()
+    val nMissingAfter = ivfCoverageByCell(s, qe, cent, repaired)
+      .agg(coalesce(sum(col("n_missing")), lit(0L))).collect().head.getLong(0)
+    s.range(1).select(
+      lit(nMissingBefore).as("n_missing_before"),
+      lit(nRepaired).as("n_repaired"),
+      lit(nCellsTouched).as("n_cells_touched"),
+      lit(nMissingAfter).as("n_missing_after"),
+      lit(nIndexedAfter).as("n_indexed_after"))
+  }
+
+  /** Oracle for the pinned-stride gate face of [[ivfCoverageRepair]]:
+    * the q156 routing CTEs; after a correct repair the after-audit is
+    * identically zero and the index holds the whole corpus. */
+  val ivfCoverageRepairSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | cent AS (SELECT vec_id AS cent_id, q AS cq FROM q8 WHERE vec_id % 100 = 1),
+      | missing AS (SELECT vec_id, q FROM q8 WHERE vec_id % 10 = 0),
+      | assigned AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT m.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY m.vec_id
+      |        ORDER BY CAST(list_dot_product(m.q, c.cq) AS BIGINT) DESC,
+      |                 c.cent_id ASC) AS rn
+      |    FROM missing m CROSS JOIN cent c) WHERE rn = 1)
+      |SELECT
+      |  CAST((SELECT count(*) FROM missing) AS BIGINT) AS n_missing_before,
+      |  CAST((SELECT count(*) FROM missing) AS BIGINT) AS n_repaired,
+      |  CAST((SELECT count(DISTINCT cent_id) FROM assigned) AS BIGINT)
+      |    AS n_cells_touched,
+      |  CAST(0 AS BIGINT) AS n_missing_after,
+      |  CAST((SELECT count(*) FROM q8) AS BIGINT) AS n_indexed_after""".stripMargin
 }

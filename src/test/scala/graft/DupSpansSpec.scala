@@ -169,6 +169,30 @@ class DupSpansSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no doc had anything spliced — fixture corpus should have boilerplate")
   }
 
+  test("applyContaminationSpans (q158): benchmark overlap excised, clean train docs pass through") {
+    val s = spark
+    import s.implicits._
+    val bench = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (50L, bench), // benchmark slice (doc_id % 50 == 0)
+      (1L, s"intro words here $bench closing words"), // contaminated
+      (2L, "totally clean text with unique words")) // clean train doc
+      .map { case (id, t) => (id, t, "en", "srcA", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = "target/tmp/contam_apply_spec"
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.Curation.applyContaminationSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L)) // benchmark doc is not train output
+    assert(got(2L) == (("totally clean text with unique words", 0L, 6L)))
+    // span [3,7] excised: the 5 benchmark words are gone, prose kept
+    assert(got(1L) == (("intro words here closing words", 5L, 10L)))
+    bench.split(" ").sliding(3).map(_.mkString(" ")).foreach { g =>
+      assert(!got(1L)._1.contains(g), s"benchmark gram '$g' survived the splice")
+    }
+  }
+
   test("gate face at sf0.001: some duplicated spans exist, totals bounded") {
     val rows = Dedup.dupSpansGate(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)

@@ -502,4 +502,25 @@ class MaintenanceOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(perCell.head.getLong(0) == victimCell)
     assert(perCell.head.getAs[Long]("n_missing") == nVictim)
   }
+
+  test("ivfCoverageRepair (q159): hole closed on disk, receipt reconciles, only stale cells gain files") {
+    val r = Similarity.ivfCoverageRepair(spark, sf, centStride = 100).collect().head
+    assert(r.getAs[Long]("n_missing_after") == 0L)
+    assert(r.getAs[Long]("n_missing_before") == r.getAs[Long]("n_repaired"))
+    val qe = Similarity.quantizedEmbeddings(spark, sf)
+    val idx = spark.read.parquet("target/tmp/ivf_q159/index")
+    assert(idx.count() == qe.count() && r.getAs[Long]("n_indexed_after") == qe.count())
+    // the artifact's own per-cell audit agrees it is whole
+    val cent = qe.where(col("vec_id") % 100 === 1)
+      .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
+    assert(Similarity.ivfCoverageByCell(spark, qe, cent, idx).isEmpty)
+    // append semantics: exactly the stale cells gained a second file —
+    // healthy cells keep their single build-time file (never rewritten)
+    val cellDirs = new java.io.File("target/tmp/ivf_q159/index")
+      .listFiles().filter(_.getName.startsWith("cent_id="))
+    val gained = cellDirs.count(
+      _.listFiles().count(_.getName.startsWith("part-")) > 1)
+    assert(gained == r.getAs[Long]("n_cells_touched"),
+      s"$gained cells gained files, receipt says ${r.getAs[Long]("n_cells_touched")}")
+  }
 }
