@@ -90,9 +90,13 @@ object JdbcBackend {
       val st = conn.createStatement()
       try st.executeUpdate(s"DROP TABLE $table")
       catch { case _: java.sql.SQLException => () } // no DROP IF EXISTS in Derby
+      // some engines (DuckDB JDBC) close the Statement when a statement
+      // errors — the failed DROP on a fresh database must not poison
+      // the CREATE
+      val st2 = if (st.isClosed) conn.createStatement() else st
       val cols = schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
-      st.executeUpdate(s"CREATE TABLE $table ($cols)")
-      st.close()
+      st2.executeUpdate(s"CREATE TABLE $table ($cols)")
+      st2.close()
     } finally conn.close()
   }
 
@@ -150,10 +154,15 @@ object JdbcBackend {
   def readTable(s: SparkSession, url: String, table: String,
       partitionColumn: Option[String] = None,
       lowerBound: Long = 0L, upperBound: Long = 0L, numPartitions: Int = 8): DataFrame = {
+    // driver class by URL scheme: Derby is the default backend, DuckDB
+    // the probe-only second store (its jar rides EXTRA_CP)
+    val driver =
+      if (url.startsWith("jdbc:duckdb:")) "org.duckdb.DuckDBDriver"
+      else DriverClass
     val base = s.read.format("jdbc")
       .option("url", url)
       .option("dbtable", table)
-      .option("driver", DriverClass)
+      .option("driver", driver)
     partitionColumn match {
       case Some(c) => base
         .option("partitionColumn", c)

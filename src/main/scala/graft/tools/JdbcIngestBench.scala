@@ -28,8 +28,12 @@ object JdbcIngestBench {
     // against an embedded columnar store with a faster write path —
     // the delta vs Derby is pure store ceiling, not sink architecture
     val backend = if (args.length > 1) args(1) else "derby"
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+    // worker-scaling leg (r13): vary the sink's parallelism to show
+    // throughput tracks workers until the STORE saturates — the
+    // sink-vs-store separation the r12 verdict asked for
+    val workers = if (args.length > 2) args(2).toInt else 8
+    val spark = SparkSession.builder().master(s"local[${math.max(8, workers)}]")
+      .config("spark.sql.shuffle.partitions", math.max(8, workers))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -57,11 +61,11 @@ object JdbcIngestBench {
     val t0 = System.nanoTime()
     val (typed, _) = CopyWrite.read(spark, s"$base/csv",
       schema.fieldNames.toSeq, cfg, Some(schema))
-    JdbcBackend.writeTable(typed.repartition(8), url, "ingest_bench", cfg)
+    JdbcBackend.writeTable(typed.repartition(workers), url, "ingest_bench", cfg)
     val secs = (System.nanoTime() - t0) / 1e9
     val written = JdbcBackend.readTable(spark, url, "ingest_bench").count()
     require(written == n, s"row loss: $written != $n")
-    println(f"""{"metric":"jdbc_ingest_rows_per_sec","value":${n / secs}%.0f,"rows":$n,"sec":$secs%.2f,"workers":8,"sink":"$backend prepared-INSERT"}""")
+    println(f"""{"metric":"jdbc_ingest_rows_per_sec","value":${n / secs}%.0f,"rows":$n,"sec":$secs%.2f,"workers":$workers,"sink":"$backend prepared-INSERT"}""")
     spark.stop()
   }
 }
