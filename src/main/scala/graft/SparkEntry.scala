@@ -418,6 +418,14 @@ object SparkEntry {
     // under their cells; re-audit off disk - the q156 audit's APPLY
     "q159_coverage_repair" -> ((s: SparkSession, d: String) =>
       Similarity.ivfCoverageRepair(s, d, centStride = 100)),
+    // hybrid retrieval: dense (integer-dot) + lexical (shared-shingle)
+    // legs fused per query by integer reciprocal-rank fusion
+    "q160_hybrid_rrf" -> ((s: SparkSession, d: String) =>
+      Similarity.hybridRetrievalRrf(s, d)),
+    // streaming ANN index maintenance (12th streaming class): per-wave
+    // broadcast-argmax routing into the cell-partitioned index with an
+    // off-disk coverage receipt per micro-batch
+    "q161_stream_index" -> Pipelines.streamIndexMaintenance _,
     // contamination span evidence: WHERE each training doc overlaps
     // the benchmark set - maximal token spans of shared 3-grams
     // (coverage, longest run, first/last pos), the redact-not-drop
@@ -658,6 +666,8 @@ object SparkEntry {
     "q157_lsh_canary" -> Dedup.lshQualityAuditCanariedSql,
     "q158_apply_contamination" -> Curation.applyContaminationSpansSql,
     "q159_coverage_repair" -> Similarity.ivfCoverageRepairSql,
+    "q160_hybrid_rrf" -> Similarity.hybridRetrievalRrfSql,
+    "q161_stream_index" -> Pipelines.streamIndexMaintenanceSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -1361,4 +1361,137 @@ object Pipelines {
        |WHERE d.doc_id % 7 = 0
        |ORDER BY new_doc""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q161: streaming ANN index maintenance (12th streaming class)
+  // ---------------------------------------------------------------------
+
+  private val SimName = "sim_q161"
+  /** Where [[streamIndexMaintenance]] stages its delivery files —
+    * exposed for the spec's multi-batch assertion. */
+  private[graft] def streamIndexMaintenanceInputDir: java.io.File =
+    new java.io.File(s"target/tmp/$SimName/in")
+
+  /** q161 — STREAMING ANN INDEX MAINTENANCE (12th streaming class):
+    * q126's daily-batch increment run as a real multi-batch stream, the
+    * vector-family sibling of q149 (dedup: batch q127 / stream q149;
+    * ANN: batch q126 / stream q161). New vectors arrive in three waves;
+    * each micro-batch routes its vectors through the broadcast-argmax
+    * map ([[Similarity.assignCells]] — no fan-out, no shuffle) and
+    * commits them to the persisted cell-partitioned index, then writes
+    * a per-wave RECEIPT measured OFF DISK: batch size, cells touched,
+    * index size after, and the q156 coverage check (vectors of the
+    * corpus-so-far missing from the index — 0 is the invariant a
+    * monitor alerts on; this is q159's after-leg as a continuous
+    * property of the stream).
+    *
+    * State discipline is q149's r13 shape end-to-end: the index is a
+    * two-level `batch=N/cent_id=M` partition layout, every batch-side
+    * write a per-batch OVERWRITE (idempotent under foreachBatch's
+    * at-least-once replay), batches staged immutable before any state
+    * write, receipts staged per batch and unioned at the end. Scale:
+    * per wave the work is |batch| routed rows + one id-only anti-join
+    * against the index — cost ∝ the wave, never the corpus; the
+    * centroid grid is the q143 bounded-anchor literal. */
+  def streamIndexMaintenance(s: SparkSession, d: String): DataFrame = {
+    val base = freshTmp(SimName)
+    val qe = Similarity.quantizedEmbeddings(s, d)
+    val existing = qe.where(col("vec_id") % 10 =!= 0)
+    val cent = qe.where(col("vec_id") % 100 === 0 && col("vec_id") < 6400)
+      .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
+    // the "prior run": existing corpus routed + persisted by cell
+    Similarity.assignCells(s, existing, cent)
+      .select(col("vec_id"), col("cent_id"))
+      .repartition(col("cent_id")).write.mode("overwrite")
+      .partitionBy("cent_id").parquet(s"$base/index/batch=-1")
+    // wave delivery (the q149 mtime trick: file-source order is mtime)
+    val newVecs = qe.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("q8"))
+    val inDir = streamIndexMaintenanceInputDir
+    val stamped = scala.collection.mutable.HashSet[String]()
+    (0 until 3).foreach { i =>
+      newVecs.where(pmod(col("vec_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      val waveT = 1700000000000L + i * 600000L
+      inDir.listFiles().foreach(f => if (stamped.add(f.getName)) f.setLastModified(waveT))
+    }
+    val stream = s.readStream.schema(newVecs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    runStream(s) {
+      stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bs = batch.sparkSession
+        batch.write.mode("overwrite").parquet(s"$base/stage/b_$batchId")
+        val b = bs.read.parquet(s"$base/stage/b_$batchId")
+        Similarity.assignCells(bs, b, cent)
+          .select(col("vec_id"), col("cent_id"))
+          .repartition(col("cent_id")).write.mode("overwrite")
+          .partitionBy("cent_id").parquet(s"$base/index/batch=$batchId")
+        // receipt legs, each its own eager plan (one path generation
+        // per executed plan — the q159 exchange-reuse lesson)
+        val nBatch = b.count()
+        val touched = bs.read.parquet(s"$base/index/batch=$batchId")
+          .select(col("cent_id")).distinct().count()
+        val idx = bs.read.parquet(s"$base/index")
+        val nIdx = idx.count()
+        // corpus-so-far = existing ∪ staged waves ≤ this batch (the
+        // staged artifacts ARE the arrival record)
+        val stagedDirs = (0L to batchId)
+          .map(i => s"$base/stage/b_$i")
+          .filter(p => new java.io.File(p).exists())
+        val prefix = stagedDirs
+          .map(p => bs.read.parquet(p).select(col("vec_id")))
+          .foldLeft(existing.select(col("vec_id")))(_ unionAll _)
+        val nMissing = prefix
+          .join(idx.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
+        bs.range(1).select(
+          lit(batchId).as("wave"), lit(nBatch).as("n_batch"),
+          lit(touched).as("n_cells_touched"),
+          lit(nIdx).as("n_indexed_after"),
+          lit(nMissing).as("n_missing_after"))
+          .write.mode("overwrite").parquet(s"$base/stage/receipt_$batchId")
+        ()
+      }.option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    }
+    val receiptDirs = new java.io.File(s"$base/stage").listFiles()
+      .filter(_.getName.startsWith("receipt_")).map(_.getPath).sorted
+    s.read.parquet(receiptDirs.toIndexedSeq: _*).orderBy(col("wave"))
+  }
+
+  /** Oracle for [[streamIndexMaintenance]]: the three waves unrolled in
+    * SQL — per-wave size, distinct argmax cells (the q143 grid), the
+    * cumulative index size, and the zero-missing invariant. */
+  def streamIndexMaintenanceSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | cent AS (SELECT vec_id AS cent_id, q AS cq FROM q8
+      |          WHERE vec_id % 100 = 0 AND vec_id < 6400),
+      | waves AS (SELECT vec_id, q, vec_id % 3 AS wave FROM q8
+      |           WHERE vec_id % 10 = 0),
+      | assigned AS (
+      |  SELECT wave, vec_id, cent_id FROM (
+      |    SELECT w.wave, w.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY w.vec_id
+      |        ORDER BY CAST(list_dot_product(w.q, c.cq) AS BIGINT) DESC,
+      |                 c.cent_id ASC) AS rn
+      |    FROM waves w CROSS JOIN cent c) WHERE rn = 1),
+      | per AS (
+      |  SELECT wave, CAST(count(*) AS BIGINT) AS n_batch,
+      |    CAST(count(DISTINCT cent_id) AS BIGINT) AS n_cells_touched
+      |  FROM assigned GROUP BY wave),
+      | ex AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q8 WHERE vec_id % 10 <> 0)
+      |SELECT per.wave, per.n_batch, per.n_cells_touched,
+      |  CAST(ex.n + sum(per.n_batch) OVER (ORDER BY per.wave
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS n_indexed_after,
+      |  CAST(0 AS BIGINT) AS n_missing_after
+      |FROM per CROSS JOIN ex
+      |ORDER BY per.wave""".stripMargin
 }

@@ -608,7 +608,7 @@ object Similarity {
     * columns (cent_id: long, cq: array<double>); rows are collected
     * driver-side, so callers keep grids bounded (they already must, to
     * broadcast-join them). */
-  private def assignCells(s: SparkSession, qe: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def assignCells(s: SparkSession, qe: DataFrame, cent: DataFrame): DataFrame = {
     val rows = cent.select(col("cent_id"), col("cq")).collect()
     require(rows.nonEmpty, "assignCells: empty centroid table")
     val sorted = rows.sortBy(_.getLong(0))
@@ -1777,6 +1777,123 @@ object Similarity {
       |  CAST((SELECT count(*) FROM per) AS BIGINT) AS n_stale_cells,
       |  CAST(coalesce((SELECT max(n_missing) FROM per), 0) AS BIGINT)
       |    AS max_cell_missing""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q160: hybrid retrieval (vector ⊕ lexical, reciprocal-rank fusion)
+  // ---------------------------------------------------------------------
+
+  /** q160 — HYBRID RETRIEVAL with RECIPROCAL-RANK FUSION: the shape
+    * every production retrieval stack converges on — a dense leg (the
+    * q48 exact integer-dot top-k over the quantized corpus) and a
+    * lexical leg (shared-3-gram overlap counts, the q151 truth
+    * machinery turned into a ranker), fused per query by RRF:
+    * `Σ 1000000 div (60 + rank)` over the legs that returned the
+    * candidate (the standard RRF k=60, scaled to integer ppm so the
+    * fusion is engine-exact — no float anywhere: integer dots rank the
+    * dense leg, integer intersection counts rank the lexical leg, and
+    * the fused score is a sum of integer quotients). A candidate found
+    * by only one leg keeps that leg's contribution; ties break to the
+    * smaller cid. Documents and embeddings share the id space, so the
+    * legs join on (qid, cid).
+    *
+    * Scale: both legs are probe-bounded — the dense leg is one corpus
+    * scan against broadcast probes (n·|probes| integer dots, map-side
+    * top-k), the lexical leg one shingle scan against broadcast probe
+    * shingles; the fusion joins two ≤ |probes|·k tables. Nothing
+    * quadratic, nothing corpus-wide after the scans. */
+  def hybridRetrievalRrf(s: SparkSession, d: String, k: Int = 20,
+      topK: Int = 10): DataFrame = {
+    val qe = quantizedEmbeddings(s, d)
+    val probesV = qe.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q8").as("qv"))
+    val wV = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("cid").asc)
+    val vec = qe.join(broadcast(probesV), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        vecDot(col("qv"), col("q8")).cast("long").as("dot"))
+      .withColumn("rank_vec", row_number().over(wV))
+      .where(col("rank_vec") <= k)
+      .select(col("qid"), col("cid"), col("rank_vec"))
+    val sh = Dedup.shingles(Tables.documents(s, d))
+    val probeSh = sh.where(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("shingle"))
+    val wL = Window.partitionBy(col("qid"))
+      .orderBy(col("ninter").desc, col("cid").asc)
+    val lex = sh.join(broadcast(probeSh), "shingle")
+      .where(col("doc_id") =!= col("qid"))
+      .select(col("qid"), col("doc_id").as("cid"))
+      .groupBy(col("qid"), col("cid")).agg(count(lit(1)).as("ninter"))
+      .withColumn("rank_lex", row_number().over(wL))
+      .where(col("rank_lex") <= k)
+      .select(col("qid"), col("cid"), col("rank_lex"))
+    val wF = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_ppm").desc, col("cid").asc)
+    vec.join(lex, Seq("qid", "cid"), "full_outer")
+      .withColumn("rrf_ppm",
+        coalesce(expr("1000000 div (60 + rank_vec)"), lit(0)).cast("long") +
+          coalesce(expr("1000000 div (60 + rank_lex)"), lit(0)).cast("long"))
+      .withColumn("fused_rank", row_number().over(wF))
+      .where(col("fused_rank") <= topK)
+      .select(col("qid"), col("cid"), col("rank_vec"), col("rank_lex"),
+        col("rrf_ppm"), col("fused_rank"))
+      .orderBy(col("qid"), col("fused_rank"))
+  }
+
+  /** Oracle for [[hybridRetrievalRrf]]: quantize + integer-dot rank
+    * (the q48 CTEs), shingle-intersection rank, full-outer fusion with
+    * the identical integer RRF. */
+  val hybridRetrievalRrfSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | probes AS (SELECT vec_id AS qid, q AS qv FROM q8 WHERE vec_id < 5),
+      | vec AS (
+      |  SELECT qid, cid, rank_vec FROM (
+      |    SELECT p.qid, v.vec_id AS cid,
+      |      row_number() OVER (PARTITION BY p.qid
+      |        ORDER BY CAST(list_dot_product(p.qv, v.q) AS BIGINT) DESC,
+      |                 v.vec_id ASC) AS rank_vec
+      |    FROM q8 v JOIN probes p ON v.vec_id <> p.qid)
+      |  WHERE rank_vec <= 20),
+      | s AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |      word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w AS shingle
+      |    FROM (
+      |      SELECT doc_id,
+      |        unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word,
+      |        generate_subscripts(regexp_extract_all(text, '[a-z0-9]+'), 1) AS pos
+      |      FROM documents)
+      |    WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      |  WHERE shingle IS NOT NULL),
+      | psh AS (SELECT doc_id AS qid, shingle FROM s WHERE doc_id < 5),
+      | lexc AS (
+      |  SELECT p.qid, s2.doc_id AS cid, CAST(count(*) AS BIGINT) AS ninter
+      |  FROM s s2 JOIN psh p USING (shingle)
+      |  WHERE s2.doc_id <> p.qid GROUP BY 1, 2),
+      | lex AS (
+      |  SELECT qid, cid, rank_lex FROM (
+      |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+      |      ORDER BY ninter DESC, cid ASC) AS rank_lex FROM lexc)
+      |  WHERE rank_lex <= 20),
+      | fused AS (
+      |  SELECT coalesce(v.qid, l.qid) AS qid, coalesce(v.cid, l.cid) AS cid,
+      |    v.rank_vec, l.rank_lex,
+      |    CAST(coalesce(1000000 // (60 + v.rank_vec), 0)
+      |       + coalesce(1000000 // (60 + l.rank_lex), 0) AS BIGINT) AS rrf_ppm
+      |  FROM vec v FULL JOIN lex l ON v.qid = l.qid AND v.cid = l.cid),
+      | ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY rrf_ppm DESC, cid ASC) AS fused_rank FROM fused)
+      |SELECT qid, cid, rank_vec, rank_lex, rrf_ppm, fused_rank
+      |FROM ranked WHERE fused_rank <= 10
+      |ORDER BY qid, fused_rank""".stripMargin
 
   // ---------------------------------------------------------------------
   // q159: IVF coverage repair (close the hole q156 reports)

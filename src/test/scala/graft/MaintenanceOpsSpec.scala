@@ -523,4 +523,26 @@ class MaintenanceOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gained == r.getAs[Long]("n_cells_touched"),
       s"$gained cells gained files, receipt says ${r.getAs[Long]("n_cells_touched")}")
   }
+
+  test("hybridRetrievalRrf (q160): rrf recomputed from ranks; per-query contiguity and ordering") {
+    val rows = Similarity.hybridRetrievalRrf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def optRank(r: org.apache.spark.sql.Row, i: Int): Option[Int] =
+      if (r.isNullAt(i)) None else Some(r.getInt(i))
+    rows.foreach { r =>
+      val (rv, rl) = (optRank(r, 2), optRank(r, 3))
+      assert(rv.isDefined || rl.isDefined, "candidate in neither leg")
+      val expect = rv.map(x => 1000000L / (60 + x)).getOrElse(0L) +
+        rl.map(x => 1000000L / (60 + x)).getOrElse(0L)
+      assert(r.getLong(4) == expect, s"rrf mismatch: $r")
+      assert(rv.forall(x => x >= 1 && x <= 20) && rl.forall(x => x >= 1 && x <= 20))
+    }
+    rows.groupBy(_.getLong(0)).values.foreach { qs =>
+      val sorted = qs.sortBy(_.getInt(5))
+      assert(sorted.map(_.getInt(5)).toSeq == (1 to sorted.length)) // contiguous
+      val scores = sorted.map(_.getLong(4))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        "fused score must be non-increasing in fused_rank")
+    }
+  }
 }

@@ -85,4 +85,26 @@ class StreamAdmissionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.where(col("wave") =!= col("new_doc") % 3).count() == 0)
     out.unpersist()
   }
+
+  test("streamIndexMaintenance (q161): receipts monotone and whole; final index holds exactly the corpus ids") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.ops.Pipelines.streamIndexMaintenance(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 3, s"expected 3 wave receipts, got ${rows.length}")
+    // zero-missing invariant per wave; index strictly grows by the batch
+    rows.foreach(r => assert(r.getLong(4) == 0L, s"coverage hole: $r"))
+    val sizes = rows.map(_.getLong(3))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => b > a })
+    rows.foreach(r => assert(r.getLong(2) >= 1L))
+    // delivery really was multi-batch
+    val inFiles = graft.ops.Pipelines.streamIndexMaintenanceInputDir
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(inFiles >= 3)
+    // the persisted index holds exactly the corpus id set
+    val qe = graft.ops.Similarity.quantizedEmbeddings(spark, sf)
+    val idxIds = spark.read.parquet("target/tmp/sim_q161/index")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val corpusIds = qe.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(idxIds == corpusIds)
+  }
 }
