@@ -166,12 +166,14 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    // 2-decimal values with trailing zeros trimmed ("0.70"→"0.7",
-    // "4.00"→"4") — ~110 chars back on a 156-query line whose budget
-    // is the driver's 2000-char tail; full precision stays in the
-    // detail file
+    // 1-decimal values with the trailing ".0" trimmed ("0.7", "4",
+    // "12.3") — the 160-query line measured 1980 of the driver's
+    // 2000-char tail at 2 decimals, i.e. NO headroom for new queries;
+    // one decimal buys ~160 chars per round. Full 3-decimal stats stay
+    // in the detail file; bench-diff's thresholds (>25% and >0.2 s)
+    // tolerate the ±0.05 rounding.
     def num(v: Double): String = {
-      val s = f"$v%.2f"
+      val s = f"$v%.1f"
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }

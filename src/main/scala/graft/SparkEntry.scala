@@ -426,6 +426,12 @@ object SparkEntry {
     // broadcast-argmax routing into the cell-partitioned index with an
     // off-disk coverage receipt per micro-batch
     "q161_stream_index" -> Pipelines.streamIndexMaintenance _,
+    // fusion diagnostics: leg agreement + fused-set provenance per probe
+    "q162_fusion_diag" -> ((s: SparkSession, d: String) =>
+      Similarity.fusionDiagnostics(s, d)),
+    // corpus accounting: per-source raw/unique/filtered ledger with
+    // integer-ppm drop rates - the release-time governance ledger
+    "q163_corpus_accounting" -> Curation.corpusAccounting _,
     // contamination span evidence: WHERE each training doc overlaps
     // the benchmark set - maximal token spans of shared 3-grams
     // (coverage, longest run, first/last pos), the redact-not-drop
@@ -668,6 +674,8 @@ object SparkEntry {
     "q159_coverage_repair" -> Similarity.ivfCoverageRepairSql,
     "q160_hybrid_rrf" -> Similarity.hybridRetrievalRrfSql,
     "q161_stream_index" -> Pipelines.streamIndexMaintenanceSql,
+    "q162_fusion_diag" -> Similarity.fusionDiagnosticsSql,
+    "q163_corpus_accounting" -> Curation.corpusAccountingSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

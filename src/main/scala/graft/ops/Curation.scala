@@ -769,6 +769,78 @@ object Curation {
       |FROM nw LEFT JOIN cl USING (doc_id)
       |ORDER BY nw.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q163: corpus accounting by source (the governance reconciliation)
+  // ---------------------------------------------------------------------
+
+  /** q163 — CORPUS ACCOUNTING: per source, the counts a data-governance
+    * review reconciles — raw documents, exact-dedup survivors (q30's
+    * min-doc_id-per-fingerprint keep rule), and quality-filter
+    * survivors (q141's three rules, conjoined), with integer-ppm drop
+    * rates per stage. This is the "where did my documents go" ledger a
+    * 100 TB pipeline publishes with every corpus release: a source
+    * whose dedup drop jumps is being scraped twice; one whose filter
+    * drop jumps changed upstream. A source can legitimately show
+    * n_unique = 0 (every doc a dup of an earlier doc in ANOTHER
+    * source) — its filter-drop ppm is NULL then, the q122 empty-
+    * denominator convention.
+    *
+    * Scale: one fingerprint group-by (the q30 shuffle), one id join
+    * back, one per-source aggregate — all map-side combined; the
+    * ledger is |sources|-bounded. */
+  def corpusAccounting(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val keep = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("is_keeper"))
+    docs
+      .join(keep, Seq("doc_id"), "left")
+      .select(col("source"),
+        coalesce(col("is_keeper"), lit(0L)).as("is_keeper"),
+        ((col("n_chars") >= 100 && col("n_chars") <= 500) &&
+          (size(TextAnalysis.words(col("text"))) >= 30) &&
+          (length(regexp_replace(col("text"), "[^0-9]", "")) * 10 <
+            col("n_chars"))).as("passes"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_raw"),
+        sum(col("is_keeper")).as("n_unique"),
+        sum(when(col("is_keeper") === 1L && col("passes"), 1L)
+          .otherwise(0L)).as("n_final"))
+      .select(col("source"), col("n_raw"), col("n_unique"), col("n_final"),
+        expr("(1000000 * (n_raw - n_unique)) div n_raw").as("dedup_drop_ppm"),
+        when(col("n_unique") > 0,
+          expr("(1000000 * (n_unique - n_final)) div n_unique"))
+          .as("filter_drop_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle for [[corpusAccounting]]: fingerprint keepers + the q141
+    * flag conjunction + per-source integer roll-up. */
+  val corpusAccountingSql: String =
+    """WITH keep AS (
+      |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      | f AS (
+      |  SELECT d.source,
+      |    CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_keeper,
+      |    (d.n_chars >= 100 AND d.n_chars <= 500
+      |      AND len(regexp_extract_all(d.text, '[a-z0-9]+')) >= 30
+      |      AND length(regexp_replace(d.text, '[^0-9]', '', 'g')) * 10
+      |        < d.n_chars) AS passes
+      |  FROM documents d LEFT JOIN keep k ON d.doc_id = k.doc_id),
+      | agg AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_raw,
+      |    CAST(sum(is_keeper) AS BIGINT) AS n_unique,
+      |    CAST(sum(CASE WHEN is_keeper = 1 AND passes THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_final
+      |  FROM f GROUP BY source)
+      |SELECT source, n_raw, n_unique, n_final,
+      |  CAST((1000000 * (n_raw - n_unique)) // n_raw AS BIGINT)
+      |    AS dedup_drop_ppm,
+      |  CASE WHEN n_unique > 0
+      |    THEN CAST((1000000 * (n_unique - n_final)) // n_unique AS BIGINT)
+      |    ELSE NULL END AS filter_drop_ppm
+      |FROM agg ORDER BY source""".stripMargin
+
   /** Oracle for [[applyRepetitionSpans]]: the q154 span CTEs verbatim
     * ([[Dedup.repSpanCtesSql]] — one definition, two oracles), then the
     * anti-range splice and an ordered string_agg re-join. */

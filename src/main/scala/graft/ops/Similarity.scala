@@ -1803,6 +1803,24 @@ object Similarity {
     * quadratic, nothing corpus-wide after the scans. */
   def hybridRetrievalRrf(s: SparkSession, d: String, k: Int = 20,
       topK: Int = 10): DataFrame = {
+    val (vec, lex) = retrievalLegs(s, d, k)
+    val wF = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_ppm").desc, col("cid").asc)
+    vec.join(lex, Seq("qid", "cid"), "full_outer")
+      .withColumn("rrf_ppm",
+        coalesce(expr("1000000 div (60 + rank_vec)"), lit(0)).cast("long") +
+          coalesce(expr("1000000 div (60 + rank_lex)"), lit(0)).cast("long"))
+      .withColumn("fused_rank", row_number().over(wF))
+      .where(col("fused_rank") <= topK)
+      .select(col("qid"), col("cid"), col("rank_vec"), col("rank_lex"),
+        col("rrf_ppm"), col("fused_rank"))
+      .orderBy(col("qid"), col("fused_rank"))
+  }
+
+  /** The two ranked legs behind q160/q162 — dense (qid, cid, rank_vec)
+    * and lexical (qid, cid, rank_lex), both top-k per probe with the
+    * identical deterministic tie-break. */
+  private def retrievalLegs(s: SparkSession, d: String, k: Int): (DataFrame, DataFrame) = {
     val qe = quantizedEmbeddings(s, d)
     val probesV = qe.where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("q8").as("qv"))
@@ -1826,18 +1844,112 @@ object Similarity {
       .withColumn("rank_lex", row_number().over(wL))
       .where(col("rank_lex") <= k)
       .select(col("qid"), col("cid"), col("rank_lex"))
-    val wF = Window.partitionBy(col("qid"))
-      .orderBy(col("rrf_ppm").desc, col("cid").asc)
-    vec.join(lex, Seq("qid", "cid"), "full_outer")
-      .withColumn("rrf_ppm",
-        coalesce(expr("1000000 div (60 + rank_vec)"), lit(0)).cast("long") +
-          coalesce(expr("1000000 div (60 + rank_lex)"), lit(0)).cast("long"))
-      .withColumn("fused_rank", row_number().over(wF))
-      .where(col("fused_rank") <= topK)
-      .select(col("qid"), col("cid"), col("rank_vec"), col("rank_lex"),
-        col("rrf_ppm"), col("fused_rank"))
-      .orderBy(col("qid"), col("fused_rank"))
+    (vec, lex)
   }
+
+  /** q162 — FUSION DIAGNOSTICS: the audit behind q160 (the q144/q152
+    * stance — every retrieval surface ships with the panel that says
+    * whether it is WORKING). Per probe: how much the two legs' top-10s
+    * agree (`n_leg_overlap` — low agreement is WHY fusion helps), and
+    * where the fused top-10 came from (both legs / dense only / lexical
+    * only) — the mix a retrieval team watches to catch a dead leg (a
+    * leg contributing 0 across probes is broken or mis-weighted) or a
+    * redundant one (overlap ≈ k ⇒ fusion is a no-op). All counts over
+    * the same deterministic integer rankings as q160 — hash-exact.
+    *
+    * Scale: the q160 legs (probe-bounded scans) + aggregates over
+    * ≤|probes|·k rows. */
+  def fusionDiagnostics(s: SparkSession, d: String): DataFrame = {
+    val (vec, lex) = retrievalLegs(s, d, 10)
+    val legOverlap = vec.join(lex, Seq("qid", "cid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_leg_overlap"))
+    val fusedSrc = hybridRetrievalRrf(s, d, 10, 10)
+      .groupBy(col("qid")).agg(
+        sum(when(col("rank_vec").isNotNull && col("rank_lex").isNotNull, 1L)
+          .otherwise(0L)).as("n_fused_both"),
+        sum(when(col("rank_vec").isNotNull && col("rank_lex").isNull, 1L)
+          .otherwise(0L)).as("n_fused_dense_only"),
+        sum(when(col("rank_vec").isNull && col("rank_lex").isNotNull, 1L)
+          .otherwise(0L)).as("n_fused_lex_only"))
+    fusedSrc.join(legOverlap, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_leg_overlap"), lit(0L)).as("n_leg_overlap"),
+        col("n_fused_both"), col("n_fused_dense_only"),
+        col("n_fused_lex_only"))
+      .orderBy(col("qid"))
+  }
+
+  /** Oracle for [[fusionDiagnostics]]: the q160 CTEs at k = 10 plus the
+    * membership aggregates. */
+  val fusionDiagnosticsSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | probes AS (SELECT vec_id AS qid, q AS qv FROM q8 WHERE vec_id < 5),
+      | vec AS (
+      |  SELECT qid, cid, rank_vec FROM (
+      |    SELECT p.qid, v.vec_id AS cid,
+      |      row_number() OVER (PARTITION BY p.qid
+      |        ORDER BY CAST(list_dot_product(p.qv, v.q) AS BIGINT) DESC,
+      |                 v.vec_id ASC) AS rank_vec
+      |    FROM q8 v JOIN probes p ON v.vec_id <> p.qid)
+      |  WHERE rank_vec <= 10),
+      | s AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |      word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w AS shingle
+      |    FROM (
+      |      SELECT doc_id,
+      |        unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word,
+      |        generate_subscripts(regexp_extract_all(text, '[a-z0-9]+'), 1) AS pos
+      |      FROM documents)
+      |    WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      |  WHERE shingle IS NOT NULL),
+      | psh AS (SELECT doc_id AS qid, shingle FROM s WHERE doc_id < 5),
+      | lexc AS (
+      |  SELECT p.qid, s2.doc_id AS cid, CAST(count(*) AS BIGINT) AS ninter
+      |  FROM s s2 JOIN psh p USING (shingle)
+      |  WHERE s2.doc_id <> p.qid GROUP BY 1, 2),
+      | lex AS (
+      |  SELECT qid, cid, rank_lex FROM (
+      |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+      |      ORDER BY ninter DESC, cid ASC) AS rank_lex FROM lexc)
+      |  WHERE rank_lex <= 10),
+      | fused AS (
+      |  SELECT coalesce(v.qid, l.qid) AS qid, coalesce(v.cid, l.cid) AS cid,
+      |    v.rank_vec, l.rank_lex,
+      |    CAST(coalesce(1000000 // (60 + v.rank_vec), 0)
+      |       + coalesce(1000000 // (60 + l.rank_lex), 0) AS BIGINT) AS rrf_ppm
+      |  FROM vec v FULL JOIN lex l ON v.qid = l.qid AND v.cid = l.cid),
+      | top AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY qid
+      |      ORDER BY rrf_ppm DESC, cid ASC) AS fused_rank FROM fused)
+      |  WHERE fused_rank <= 10),
+      | ov AS (
+      |  SELECT v.qid, CAST(count(*) AS BIGINT) AS n_leg_overlap
+      |  FROM vec v JOIN lex l ON v.qid = l.qid AND v.cid = l.cid
+      |  GROUP BY v.qid),
+      | mix AS (
+      |  SELECT qid,
+      |    CAST(sum(CASE WHEN rank_vec IS NOT NULL AND rank_lex IS NOT NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_fused_both,
+      |    CAST(sum(CASE WHEN rank_vec IS NOT NULL AND rank_lex IS NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_fused_dense_only,
+      |    CAST(sum(CASE WHEN rank_vec IS NULL AND rank_lex IS NOT NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_fused_lex_only
+      |  FROM top GROUP BY qid)
+      |SELECT mix.qid, CAST(coalesce(ov.n_leg_overlap, 0) AS BIGINT)
+      |    AS n_leg_overlap,
+      |  mix.n_fused_both, mix.n_fused_dense_only, mix.n_fused_lex_only
+      |FROM mix LEFT JOIN ov USING (qid)
+      |ORDER BY mix.qid""".stripMargin
 
   /** Oracle for [[hybridRetrievalRrf]]: quantize + integer-dot rank
     * (the q48 CTEs), shingle-intersection rank, full-outer fusion with

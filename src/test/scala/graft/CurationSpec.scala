@@ -367,6 +367,39 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count(_._1 == "cold") == 2)  // under-cap group intact
   }
 
+  test("corpusAccounting (q163): planted cross-source dup ledger hand-computed; totals reconcile") {
+    val s = spark
+    import s.implicits._
+    // 40 alphabetic words, 119 chars: inside the len band, >=30 words,
+    // zero digits - passes all three q141 filters
+    val longTxt = (0 until 40).map(i => "w" + "abcdefgh"(i % 8)).mkString(" ")
+    val shortTxt = "too short" // fails len/words
+    val rows = Seq(
+      (1L, longTxt, "srcA"),   // unique keeper, passes
+      (2L, longTxt, "srcB"),   // dup of 1 -> srcB loses it to srcA
+      (3L, shortTxt, "srcA"),  // unique keeper, fails filters
+      (4L, longTxt + " wx", "srcB")) // unique keeper, passes
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = "target/tmp/acct_spec"
+    rows.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.corpusAccounting(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // srcA: raw 2 (docs 1,3), unique 2, final 1 (doc 3 fails)
+    // srcB: raw 2 (docs 2,4), unique 1 (doc 2 is a dup of 1), final 1
+    assert(got("srcA") == ((2L, 2L, 1L)))
+    assert(got("srcB") == ((2L, 1L, 1L)))
+    // face identities at sf0.001
+    val f = Curation.corpusAccounting(spark, "/root/testdata/sf0.001").collect()
+    assert(f.map(_.getLong(1)).sum ==
+      Tables.documents(spark, "/root/testdata/sf0.001").count())
+    f.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000L)
+    }
+  }
+
   test("sourceCap: layout-independent (bounded merges commute)") {
     val s = spark
     import s.implicits._

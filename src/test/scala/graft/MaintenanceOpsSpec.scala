@@ -545,4 +545,19 @@ class MaintenanceOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         "fused score must be non-increasing in fused_rank")
     }
   }
+
+  test("fusionDiagnostics (q162): both-leg members always outrank single-leg — n_fused_both = min(overlap, 10); rows reconcile") {
+    val rows = Similarity.fusionDiagnostics(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ov, both, dOnly, lOnly) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // RRF arithmetic: worst both-leg score (rank 10+10) = 2·10⁶/70 >
+      // best single-leg score 10⁶/61 — so every overlap member lands in
+      // the fused top-10 until the 10 slots fill
+      assert(both == math.min(ov, 10L), s"both=$both overlap=$ov")
+      assert(both + dOnly + lOnly <= 10L)
+      assert(Seq(ov, both, dOnly, lOnly).forall(x => x >= 0 && x <= 10))
+    }
+  }
 }
