@@ -604,31 +604,45 @@ object Dedup {
           Tables.documents(s, d).count())
         math.max(LshAuditMod.toLong, n / LshAuditSample).toInt
       }
-    lshQualityLegsOn(
-      Tables.documents(s, d).select(col("doc_id"), col("text")),
-      minhashLshPairsShared(s, d).select(col("d1"), col("d2")), m)
+    // behind SharedPlans: the q157 canary face consumes the identical
+    // row as its corpus-pairs base, so within a pass the legs are paid
+    // once (keyed by m — the self-sizer and a pinned mod can differ at
+    // decade SFs)
+    SharedPlans.cached(s, s"lshQualityLegs|$d|$m")(
+      lshQualityLegsOn(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        minhashLshPairsShared(s, d).select(col("d1"), col("d2")), m))
   }
 
   /** The two audit legs over any (doc_id, text) corpus and its LSH pair
     * table — extracted (r13) so the canary face (q157) runs the
     * IDENTICAL legs over an augmented corpus. */
+  /** Exact-Jaccard verdict pairs (d1, d2) for every co-occurring pair
+    * within `docs` — the ≥ ½ integer inequality; shared by the q151
+    * legs and the q157 canary delta. */
+  private def exactPairs(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs, dedup = true)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("ninter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+      .where(lit(2) * col("ninter") >= col("sz1") + col("sz2") - col("ninter"))
+      .select(col("d1"), col("d2"))
+  }
+
+  /** The portable corpus signature table behind [[SharedPlans]] — one
+    * computation per (session, dir), shared by the q157 canary delta
+    * (and available to any future sig consumer). */
+  private[graft] def minhashSigShared(s: SparkSession, d: String): DataFrame =
+    SharedPlans.cached(s, s"minhashSigPortable|$d")(
+      minhashSig(Tables.documents(s, d).select(col("doc_id"), col("text"))))
+
   private def lshQualityLegsOn(corpus: DataFrame, lshAll: DataFrame,
       m: Int): DataFrame = {
-    // exact-Jaccard verdicts (d1, d2, is_true) for every co-occurring
-    // pair within `docs` — both legs share this shape
-    def exactPairs(docs: DataFrame): DataFrame = {
-      val sh = shingles(docs, dedup = true)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      sh.as("a")
-        .join(sh.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("ninter"))
-        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
-        .where(lit(2) * col("ninter") >= col("sz1") + col("sz2") - col("ninter"))
-        .select(col("d1"), col("d2"))
-    }
     // precision leg: exact-verify ALL emitted pairs — restrict the
     // shingle work to pair-involved docs (bounded by 2·|pairs|)
     val pairDocs = lshAll.select(col("d1").as("doc_id"))
@@ -699,13 +713,66 @@ object Dedup {
           greatest(expr("(size(warr) * 7 + 9) div 10"), lit(3))), " ")
           .as("text"))
     val docs2 = docs.unionAll(canaries)
-    val lshAll = minhashLshPairsOn(docs2, portable = true)
+    // DELTA formulation (r13, measured 12.3 s → the q151 base + a
+    // canary-sized increment): band candidacy and est-Jaccard are
+    // PAIRWISE, so pairs(docs ∪ canaries) partitions exactly into
+    // pairs(docs) — the q151 legs, one cached row shared with q151's
+    // own gate face — and the canary-involved pairs, which cost
+    // |canaries| signatures + a broadcast band probe + exact
+    // verification of the canary pairs alone. This is also the honest
+    // production shape: planting canaries must never re-mine the
+    // corpus. Canary ids are negative, corpus ids non-negative, so the
+    // two pair sets are provably disjoint.
+    val base = lshQualityAudit(s, d, m)
+      .select(col("n_lsh").as("base_lsh"), col("n_lsh_true").as("base_true"))
+    val sigC = minhashSig(canaries)
+    val sigAll = minhashSigShared(s, d).unionAll(sigC)
+    val bandsC = sigBands(sigC)
+      .select(col("doc_id").as("cdoc"), col("band"), col("bandhash"))
+    val cand = sigBands(sigAll)
+      .join(broadcast(bandsC), Seq("band", "bandhash"))
+      .where(col("doc_id") =!= col("cdoc"))
+      .select(least(col("doc_id"), col("cdoc")).as("d1"),
+        greatest(col("doc_id"), col("cdoc")).as("d2"))
+      .distinct()
+    // cached: this tiny pair table feeds THREE aggregate subtrees
+    // (count, exact verification, sample hits) — uncached, each one
+    // re-ran the full-corpus band probe (measured 19 s warm vs 5 s)
+    val canaryPairs = cand
+      .join(sigAll.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .join(sigAll.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
+      .where(round(aggregate(zip_with(col("sig1"), col("sig2"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / K, 4) >= 0.5)
       .select(col("d1"), col("d2"))
-    lshQualityLegsOn(docs2, lshAll, m)
+      .cache()
+    val cpDocs = canaryPairs.select(col("d1").as("doc_id"))
+      .unionAll(canaryPairs.select(col("d2").as("doc_id"))).distinct()
+    val cTrue = exactPairs(docs2.join(cpDocs, Seq("doc_id"), "left_semi"))
+      .join(canaryPairs, Seq("d1", "d2"), "left_semi")
+    // sample legs over the augmented corpus (absolutely bounded);
+    // cached — feeds the truth count and the hit join
+    val truth2 = exactPairs(docs2.where(col("doc_id") % m === 0)).cache()
+    val lshSamp = minhashLshPairsShared(s, d).select(col("d1"), col("d2"))
+      .where(col("d1") % m === 0 && col("d2") % m === 0)
+      .unionAll(canaryPairs.where(col("d1") % m === 0 && col("d2") % m === 0))
+    base
       .crossJoin(broadcast(canaries.agg(count(lit(1)).as("n_canaries"))))
+      .crossJoin(broadcast(canaryPairs.agg(count(lit(1)).as("n_cp"))))
+      .crossJoin(broadcast(cTrue.agg(count(lit(1)).as("n_ct"))))
+      .crossJoin(broadcast(truth2.agg(count(lit(1)).as("n_truth_sample"))))
+      .crossJoin(broadcast(truth2.join(lshSamp, Seq("d1", "d2"))
+        .agg(count(lit(1)).as("n_hit_sample"))))
+      .select(col("n_canaries"),
+        (col("base_lsh") + col("n_cp")).as("n_lsh"),
+        (col("base_true") + col("n_ct")).as("n_lsh_true"),
+        col("n_truth_sample"), col("n_hit_sample"))
       .select(col("n_canaries"), col("n_lsh"), col("n_lsh_true"),
         col("n_truth_sample"), col("n_hit_sample"),
-        col("precision_ppm"), col("recall_ppm"))
+        when(col("n_lsh") > 0,
+          expr("(1000000 * n_lsh_true) div n_lsh")).as("precision_ppm"),
+        when(col("n_truth_sample") > 0,
+          expr("(1000000 * n_hit_sample) div n_truth_sample")).as("recall_ppm"))
   }
 
   /** Oracle for [[lshQualityAudit]]: the full-corpus portable LSH
