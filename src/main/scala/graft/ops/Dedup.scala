@@ -639,7 +639,13 @@ object Dedup {
     * (and available to any future sig consumer). */
   private[graft] def minhashSigShared(s: SparkSession, d: String): DataFrame =
     SharedPlans.cached(s, s"minhashSigPortable|$d")(
-      minhashSig(Tables.documents(s, d).select(col("doc_id"), col("text"))))
+      // session-width repartition before persisting (the r11 SharedPlans
+      // rule): a cached plan's frozen partitioning must match what AQE
+      // plans around it — without this, a codegen'd join zipping the
+      // cached side against a live side failed at sf10 with
+      // "Can't zip RDDs with unequal numbers of partitions: 256 vs 512"
+      minhashSig(Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt))
 
   private def lshQualityLegsOn(corpus: DataFrame, lshAll: DataFrame,
       m: Int): DataFrame = {
@@ -726,7 +732,12 @@ object Dedup {
     val base = lshQualityAudit(s, d, m)
       .select(col("n_lsh").as("base_lsh"), col("n_lsh_true").as("base_true"))
     val sigC = minhashSig(canaries)
-    val sigAll = minhashSigShared(s, d).unionAll(sigC)
+    // eager localCheckpoint: the cached-corpus ∪ live-canary union feeds
+    // three joins, and mixing a persisted subtree's frozen partitioning
+    // with live AQE stages made a codegen'd join zip 256-vs-512
+    // partition inputs at sf10; checkpointing materializes the union
+    // once with ONE uniform layout every consumer scans
+    val sigAll = minhashSigShared(s, d).unionAll(sigC).localCheckpoint(true)
     val bandsC = sigBands(sigC)
       .select(col("doc_id").as("cdoc"), col("band"), col("bandhash"))
     val cand = sigBands(sigAll)
@@ -745,14 +756,15 @@ object Dedup {
           (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v).cast("double") / K, 4) >= 0.5)
       .select(col("d1"), col("d2"))
-      .cache()
+      .localCheckpoint(true)
     val cpDocs = canaryPairs.select(col("d1").as("doc_id"))
       .unionAll(canaryPairs.select(col("d2").as("doc_id"))).distinct()
     val cTrue = exactPairs(docs2.join(cpDocs, Seq("doc_id"), "left_semi"))
       .join(canaryPairs, Seq("d1", "d2"), "left_semi")
     // sample legs over the augmented corpus (absolutely bounded);
     // cached — feeds the truth count and the hit join
-    val truth2 = exactPairs(docs2.where(col("doc_id") % m === 0)).cache()
+    val truth2 = exactPairs(docs2.where(col("doc_id") % m === 0))
+      .localCheckpoint(true)
     val lshSamp = minhashLshPairsShared(s, d).select(col("d1"), col("d2"))
       .where(col("d1") % m === 0 && col("d2") % m === 0)
       .unionAll(canaryPairs.where(col("d1") % m === 0 && col("d2") % m === 0))
