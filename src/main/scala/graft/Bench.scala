@@ -193,8 +193,11 @@ object Bench {
     // cross-window stat, lands in the GOVERNING record itself instead
     // of only the detail file (per-query mins stay in queries_min
     // there — a second per-query object would blow the tail budget).
+    // r14 (r13 verdict item 6): load_avg moves to the detail file too
+    // (~28 chars back), keeping the projected line at 170 queries under
+    // the 1900-char budget.
     val sfShort = sfDir.split('/').last
-    println(f"""{"metric":"total","value":${tot(_._2)}%.3f,"total_min":${tot(_._3)}%.3f,"queries":$shortMedians,"n_samples":$passes,"failed_passes":$failedPasses,"load_avg":$loadJson,"detail":"bench_detail.json","sf":"$sfShort"}""")
+    println(f"""{"metric":"total","value":${tot(_._2)}%.3f,"total_min":${tot(_._3)}%.3f,"queries":$shortMedians,"n_samples":$passes,"failed_passes":$failedPasses,"detail":"bench_detail.json","sf":"$sfShort"}""")
     System.out.flush()
   }
 }

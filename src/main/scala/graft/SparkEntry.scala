@@ -432,6 +432,19 @@ object SparkEntry {
     // corpus accounting: per-source raw/unique/filtered ledger with
     // integer-ppm drop rates - the release-time governance ledger
     "q163_corpus_accounting" -> Curation.corpusAccounting _,
+    // multi-probe IVF retrieval (nprobe=3): each query searches its
+    // top-3 cells - the recall-vs-cost lever behind q144's audit; index
+    // assignment unchanged, only the query side widens (r13 item 1)
+    "q164_ivf_multiprobe" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfTopKMultiProbe(s, d)),
+    // index compaction: fold the q161 stream's accreted batch=N
+    // generations into one generation per cell, receipt off disk -
+    // rows conserved, files |gens·cells| -> |cells| (r13 item 3)
+    "q165_ivf_compaction" -> Similarity.ivfCompactGate _,
+    // vector-family erasure: remove a subject's rows from the persisted
+    // quantized store, IVF index, and signature state, rewriting ONLY
+    // the affected partitions; zero-residual audit off disk (r13 item 5)
+    "q166_vector_erasure" -> Similarity.vectorErasure _,
     // contamination span evidence: WHERE each training doc overlaps
     // the benchmark set - maximal token spans of shared 3-grams
     // (coverage, longest run, first/last pos), the redact-not-drop
@@ -676,6 +689,9 @@ object SparkEntry {
     "q161_stream_index" -> Pipelines.streamIndexMaintenanceSql,
     "q162_fusion_diag" -> Similarity.fusionDiagnosticsSql,
     "q163_corpus_accounting" -> Curation.corpusAccountingSql,
+    "q164_ivf_multiprobe" -> Similarity.ivfTopKMultiProbeSql,
+    "q165_ivf_compaction" -> Similarity.ivfCompactGateSql,
+    "q166_vector_erasure" -> Similarity.vectorErasureSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

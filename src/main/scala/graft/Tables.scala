@@ -163,23 +163,41 @@ object Tables {
     * never served — it is simply never looked up again. Footer-free and
     * metadata-only: listing a parquet dir is O(files), no data read. */
   def sourceFingerprint(d: String, table: String): String = {
-    val root = new java.io.File(s"$d/$table.parquet")
-    // r12 advice: a source java.io.File cannot see (non-local FS, typo'd
-    // path) must FAIL here, not silently key on the path alone — a
-    // path-only key would keep serving a stale artifact after the data
-    // at that path was regenerated, the exact staleness this
-    // fingerprint exists to prevent. (The sibling aqeInitialPartitions
-    // heuristic may degrade gracefully; artifact KEYING may not.)
-    require(root.exists(),
-      s"sourceFingerprint: $root not visible to local file APIs — " +
-        "cannot key derived artifacts safely (stale-artifact risk)")
-    def walk(f: java.io.File): Seq[String] =
-      if (f.isFile) Seq(s"${f.getName}|${f.length()}|${f.lastModified()}")
-      else Option(f.listFiles()).map(_.sortBy(_.getName).toSeq.flatMap(walk))
-        .getOrElse(Seq.empty)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val payload = (root.getCanonicalPath +: walk(root)).mkString("\n")
-    md.digest(payload.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    // r13 advice: resolve the listing through Hadoop FileSystem, not
+    // java.io.File — the r12 hard-fail on java.io invisibility made
+    // every artifact consumer (quant8, BPE model, the q156/q159 index
+    // fixture) THROW for any non-local data dir (hdfs://, s3://)
+    // instead of merely losing reuse. Hadoop FS fingerprints remote
+    // paths correctly; a path that EXISTS but drifted still re-keys
+    // (length/mtime move). Only when the filesystem itself is
+    // unreachable do we degrade to a NO-REUSE key (fresh unique
+    // artifact, never a stale one) — a missing path on a reachable FS
+    // stays a hard error, since keying blind is the staleness hazard
+    // the fingerprint exists to prevent.
+    try {
+      val path = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
+      val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      require(fs.exists(path),
+        s"sourceFingerprint: $path not found — cannot key derived " +
+          "artifacts safely (stale-artifact risk)")
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(path, true)
+      while (it.hasNext) {
+        val f = it.next()
+        entries += s"${f.getPath.getName}|${f.getLen}|${f.getModificationTime}"
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val payload =
+        (fs.makeQualified(path).toString +: entries.sorted.toSeq).mkString("\n")
+      md.digest(payload.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    } catch {
+      case e: java.io.IOException =>
+        val k = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"sourceFingerprint: filesystem for $d unreachable (${e.getMessage}) — " +
+            s"degrading to no-reuse key $k (fresh artifact, no stale risk)")
+        k
+    }
   }
 
   /** Streaming scan over the same events table with the same schema

@@ -118,4 +118,116 @@ object ArgmaxExprs {
     override protected def withNewChildInternal(newChild: Expression): ArgmaxDotCell =
       copy(child = newChild)
   }
+
+  /** `top_p_dot_cells(q8)` — the `p` cent_ids whose broadcast centroids
+    * have the highest integer dots with the input, ordered by
+    * (dot desc, cent_id asc): the multi-probe generalization of
+    * [[ArgmaxDotCell]] (r13 verdict item 1 — `nprobe` is the standard
+    * recall-vs-cost lever a production IVF stack reaches for first, and
+    * p = 1 degenerates to the argmax exactly). Same execution shape —
+    * a pure codegen'd map over the corpus scan against the broadcast
+    * flat matrix, n rows in, n rows out — and the same bit-exactness:
+    * integer dots compared as longs, ties to the smallest cent_id
+    * (ids ride ascending; insertion uses strict `<` displacement, so an
+    * equal-dot later id files BEHIND the earlier one), so DuckDB
+    * replays the ranking verbatim with `row_number ... rn <= p`.
+    * Returns fewer than `p` entries only when the grid itself has fewer
+    * cells. The top-p insertion is O(cells·p) with p a small constant
+    * (2–4) — still linear in cells, no sort, no heap. */
+  final case class TopPDotCells(child: Expression, cents: Broadcast[CentroidMatrix], p: Int)
+      extends UnaryExpression {
+    require(p >= 1, s"top_p_dot_cells: p must be >= 1, got $p")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "top_p_dot_cells"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double> input, got ${dt.sql}")
+    }
+
+    override def nullSafeEval(in: Any): Any = {
+      val v = in.asInstanceOf[ArrayData]
+      val m = cents.value
+      val n = math.min(m.dims, v.numElements())
+      val topDots = new Array[Long](p)
+      val topIds = new Array[Long](p)
+      var filled = 0
+      var c = 0
+      while (c < m.ids.length) {
+        val base = c * m.dims
+        var s = 0.0
+        var j = 0
+        while (j < n) { s += m.flat(base + j) * v.getDouble(j); j += 1 }
+        val d = s.toLong
+        // insert position: strictly-greater dots stay ahead; equal dots
+        // keep the earlier (smaller) id ahead — ids iterate ascending
+        var pos = filled
+        while (pos > 0 && topDots(pos - 1) < d) pos -= 1
+        if (pos < p) {
+          var k = math.min(filled, p - 1)
+          while (k > pos) {
+            topDots(k) = topDots(k - 1); topIds(k) = topIds(k - 1); k -= 1
+          }
+          topDots(pos) = d; topIds(pos) = m.ids(c)
+          if (filled < p) filled += 1
+        }
+        c += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        java.util.Arrays.copyOf(topIds, filled))
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val bc = ctx.addReferenceObj("centMatrix", cents,
+          "org.apache.spark.broadcast.Broadcast")
+        val ids = ctx.addMutableState("long[]", "centIds",
+          v => s"$v = ((graft.functions.CentroidMatrix) $bc.value()).ids();")
+        val flat = ctx.addMutableState("double[]", "centFlat",
+          v => s"$v = ((graft.functions.CentroidMatrix) $bc.value()).flat();")
+        val dims = ctx.addMutableState("int", "centDims",
+          v => s"$v = ((graft.functions.CentroidMatrix) $bc.value()).dims();")
+        val n = ctx.freshName("n")
+        val c = ctx.freshName("c")
+        val j = ctx.freshName("j")
+        val k = ctx.freshName("k")
+        val base = ctx.freshName("base")
+        val s = ctx.freshName("s")
+        val d = ctx.freshName("d")
+        val pos = ctx.freshName("pos")
+        val filled = ctx.freshName("filled")
+        val topDots = ctx.freshName("topDots")
+        val topIds = ctx.freshName("topIds")
+        s"""
+           |int $n = java.lang.Math.min($dims, $a.numElements());
+           |long[] $topDots = new long[$p];
+           |long[] $topIds = new long[$p];
+           |int $filled = 0;
+           |for (int $c = 0; $c < $ids.length; $c++) {
+           |  int $base = $c * $dims;
+           |  double $s = 0.0;
+           |  for (int $j = 0; $j < $n; $j++) {
+           |    $s += $flat[$base + $j] * $a.getDouble($j);
+           |  }
+           |  long $d = (long) $s;
+           |  int $pos = $filled;
+           |  while ($pos > 0 && $topDots[$pos - 1] < $d) $pos--;
+           |  if ($pos < $p) {
+           |    for (int $k = java.lang.Math.min($filled, $p - 1); $k > $pos; $k--) {
+           |      $topDots[$k] = $topDots[$k - 1]; $topIds[$k] = $topIds[$k - 1];
+           |    }
+           |    $topDots[$pos] = $d; $topIds[$pos] = $ids[$c];
+           |    if ($filled < $p) $filled++;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  java.util.Arrays.copyOf($topIds, $filled));
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): TopPDotCells =
+      copy(child = newChild)
+  }
 }

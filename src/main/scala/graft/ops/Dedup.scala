@@ -634,18 +634,65 @@ object Dedup {
       .select(col("d1"), col("d2"))
   }
 
-  /** The portable corpus signature table behind [[SharedPlans]] — one
-    * computation per (session, dir), shared by the q157 canary delta
-    * (and available to any future sig consumer). */
+  /** Build-once path of [[minhashSigShared]]: the portable corpus
+    * signature table as a PERSISTED fingerprint-keyed artifact — the
+    * quant8 convention ([[Similarity.quantizedEmbeddings]]) applied to
+    * the dedup family's hot path (r13 verdict item 2). FIVE consumers
+    * ride this table (q34's pair mining, q127/q149's admission index,
+    * q151/q157's audit legs) and the r13 session-cache version re-signed
+    * the corpus once per session — q157's isolated decade cost was
+    * 125–172 s at sf10, mostly this base. Signed ONCE per source
+    * content (fingerprint-keyed, so regenerated testdata keys a fresh
+    * artifact), written as session-width parquet (parallel scans), and
+    * every consumer reads a PLAIN SCAN — signatures are exact longs, so
+    * the disk round-trip is lossless and all gate hashes are unchanged.
+    * At 100 TB this is the production shape: the signature table lives
+    * next to the corpus and the daily batch never re-shingles it. */
+  private def sigArtifactDir(s: SparkSession, d: String): String =
+    synchronized {
+      val dir = new java.io.File(
+        s"target/tmp/mhsig_${Tables.sourceFingerprint(d, "documents")}")
+      if (!new java.io.File(dir, "_OK").exists()) {
+        scala.reflect.io.Path(dir).deleteRecursively()
+        minhashSig(Tables.documents(s, d).select(col("doc_id"), col("text")))
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+          .write.mode("overwrite").parquet(s"$dir/sig")
+        new java.io.File(dir, "_OK").createNewFile()
+      }
+      s"${dir.getPath}/sig"
+    }
+
+  /** The portable corpus signature table — a plain scan of the
+    * fingerprint-keyed artifact (see [[sigArtifactDir]]). Signatures are
+    * per-document, so consumers needing a corpus SLICE (q127/q149's
+    * `% 7 ≠ 0` index) filter this table — filter commutes with the
+    * per-doc aggregation, identical rows. */
   private[graft] def minhashSigShared(s: SparkSession, d: String): DataFrame =
-    SharedPlans.cached(s, s"minhashSigPortable|$d")(
-      // session-width repartition before persisting (the r11 SharedPlans
-      // rule): a cached plan's frozen partitioning must match what AQE
-      // plans around it — without this, a codegen'd join zipping the
-      // cached side against a live side failed at sf10 with
-      // "Can't zip RDDs with unequal numbers of partitions: 256 vs 512"
-      minhashSig(Tables.documents(s, d).select(col("doc_id"), col("text")))
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt))
+    s.read.parquet(sigArtifactDir(s, d))
+
+  /** LSH pair mining from an existing signature table: banding,
+    * candidate dedup, est-Jaccard verify — [[minhashLshPairsOn]]'s
+    * portable tail without the signing head, so artifact-backed
+    * consumers never re-shingle. Identical values by construction
+    * ([[sigBands]]' value-keyed buckets are the portable bucketOf). */
+  private[graft] def pairsFromSig(sig: DataFrame): DataFrame = {
+    val banded = sigBands(sig)
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bandhash") === col("b.bandhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .join(sig.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
+      .withColumn("est_jaccard", round(
+        aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / K, 4))
+      .where(col("est_jaccard") >= 0.5)
+      .select(col("d1"), col("d2"), col("est_jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
 
   private def lshQualityLegsOn(corpus: DataFrame, lshAll: DataFrame,
       m: Int): DataFrame = {
@@ -1220,9 +1267,11 @@ object Dedup {
       dir.getPath
     }
     val docs = Tables.documents(s, d)
-    // the "prior run": sign the corpus, persist sig; derive + persist
-    // bands FROM THE PERSISTED SIGS (one corpus scan total)
-    minhashSig(docs.where(col("doc_id") % 7 =!= 0))
+    // the "prior run": the corpus slice's signatures come from the
+    // persisted signature ARTIFACT (r14 — filter commutes with the
+    // per-doc signing, identical rows), then land in this operator's
+    // own index artifact so the gate still proves ITS disk round-trip
+    minhashSigShared(s, d).where(col("doc_id") % 7 =!= 0)
       .write.mode("overwrite").parquet(s"$base/sig")
     val idxSig = s.read.parquet(s"$base/sig")
     sigBands(idxSig).write.mode("overwrite").parquet(s"$base/bands")
@@ -1293,10 +1342,13 @@ object Dedup {
 
   /** [[minhashLshPairs]] (portable variant) behind [[SharedPlans]]: the
     * pair table feeds q34 AND the cluster query q38 — one LSH pipeline
-    * per (session, dir), the honest materialize-once pipeline shape. */
+    * per (session, dir), the honest materialize-once pipeline shape.
+    * r14: sourced from the persisted signature ARTIFACT
+    * ([[minhashSigShared]]) — the pair mining is banding + verify over
+    * the artifact scan, never a corpus re-shingle. */
   def minhashLshPairsShared(s: SparkSession, d: String): DataFrame =
     SharedPlans.cached(s, s"minhashLshPairsPortable|$d")(
-      minhashLshPairs(s, d, portable = true))
+      pairsFromSig(minhashSigShared(s, d)))
 
   /** Connected components over an undirected edge list by min-label
     * propagation: every node starts labeled with its own id; each round

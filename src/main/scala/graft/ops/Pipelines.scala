@@ -1198,8 +1198,9 @@ object Pipelines {
   def streamDedupAdmission(s: SparkSession, d: String): DataFrame = {
     val base = freshTmp(SdaName)
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    // the "prior run": corpus signed once, index persisted (q127)
-    Dedup.minhashSig(docs.where(col("doc_id") % 7 =!= 0))
+    // the "prior run": corpus signatures from the persisted artifact
+    // (r14, the q127 convention — filter commutes with per-doc signing)
+    Dedup.minhashSigShared(s, d).where(col("doc_id") % 7 =!= 0)
       .write.mode("overwrite").parquet(s"$base/sig")
     val idxSig = s.read.parquet(s"$base/sig")
     Dedup.sigBands(idxSig).write.mode("overwrite").parquet(s"$base/bands")
@@ -1228,79 +1229,100 @@ object Pipelines {
       .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
     runStream(s) {
       stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val bs = batch.sparkSession
-        // stage this batch's signatures to an IMMUTABLE artifact and
-        // work off the staged copy — everything downstream (verdicts,
-        // state appends) derives from disk, so cache eviction can never
-        // replan a read against state this batch already appended
-        Dedup.minhashSig(batch).write.mode("overwrite")
-          .parquet(s"$base/stage/sig_$batchId")
-        val bsig = bs.read.parquet(s"$base/stage/sig_$batchId")
-        val bbands = Dedup.sigBands(bsig)
-          .select(col("doc_id").as("new_doc"), col("band"), col("bandhash"))
-        // dup counts for the batch against one (sig, bands) table pair:
-        // band-bucket candidates (corpus table STREAMS against the
-        // broadcast batch), est-Jaccard verify, per-doc roll-up
-        def dupCounts(sig2: DataFrame, bands2: DataFrame, out: String): DataFrame =
-          bands2.select(col("doc_id").as("other"), col("band"),
-              col("bandhash"))
-            .join(broadcast(bbands), Seq("band", "bandhash"))
-            .select(col("new_doc"), col("other")).distinct()
-            .join(broadcast(bsig.select(col("doc_id").as("new_doc"),
-              col("sig").as("nsig"))), "new_doc")
-            .join(sig2.select(col("doc_id").as("other"), col("sig").as("osig")),
-              "other")
-            .withColumn("est", round(
-              aggregate(zip_with(col("nsig"), col("osig"),
-                  (x, y) => when(x === y, 1).otherwise(0)),
-                lit(0), (acc, v) => acc + v).cast("double") / Dedup.K, 4))
-            .where(col("est") >= 0.5)
-            .groupBy(col("new_doc")).agg(count(lit(1)).as(out))
-        val vsCorpus = dupCounts(bs.read.parquet(s"$base/sig"),
-          bs.read.parquet(s"$base/bands"), "n_corpus_dups")
-        // admitted state: strictly-earlier batches only (partition
-        // prune on the layout's batch column) — on a checkpoint REPLAY
-        // this batch's own half-written admissions are invisible, so
-        // the replayed verdicts are identical to the originals; bands
-        // derive from the signatures in-plan (one state artifact, one
-        // commit per batch — half the q149 commit floor)
-        val admitted = bs.read.parquet(s"$base/adm_sig")
-          .where(col("batch") < batchId).select(col("doc_id"), col("sig"))
-        val vsAdmitted = dupCounts(admitted, Dedup.sigBands(admitted),
-          "n_admitted_dups")
-        // verdicts for EVERY batch doc, not just signed ones — a doc too
-        // short to shingle has no signature (and so can't match
-        // anything) but still gets its admit verdict, like q127
-        batch.select(col("doc_id").as("new_doc"))
-          .join(vsCorpus, Seq("new_doc"), "left")
-          .join(vsAdmitted, Seq("new_doc"), "left")
-          .select(col("new_doc"),
-            coalesce(col("n_corpus_dups"), lit(0L)).as("n_corpus_dups"),
-            coalesce(col("n_admitted_dups"), lit(0L)).as("n_admitted_dups"))
-          .withColumn("admitted",
-            col("n_corpus_dups") === 0 && col("n_admitted_dups") === 0)
-          .write.mode("overwrite").parquet(s"$base/stage/verdicts_$batchId")
-        val verdicts = bs.read.parquet(s"$base/stage/verdicts_$batchId")
-        // state update LAST: admitted docs join the admitted index.
-        // The staged verdicts artifact IS the output (no separate out
-        // append), and the state write is a per-batch overwrite — both
-        // idempotent under foreachBatch's at-least-once replay.
-        val admSig = bsig.join(verdicts.where(col("admitted"))
-          .select(col("new_doc").as("doc_id")), "doc_id")
-          .select(col("doc_id"), col("sig"))
-        admSig.write.mode("overwrite").parquet(s"$base/adm_sig/batch=$batchId")
-        ()
+        sdaProcessBatch(base, batch, batchId)
       }.option("checkpointLocation", s"$base/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     }
     // explicit dir list, not a glob: DataFrameReader probes a glob path
-    // for streaming-sink metadata and logs a scary (benign) trace
-    val verdictDirs = new java.io.File(s"$base/stage").listFiles()
+    // for streaming-sink metadata and logs a scary (benign) trace.
+    // Null-guarded (r13 advice): listFiles() returns null when no
+    // micro-batch ever committed — fail with the REAL story, not an NPE
+    val verdictDirs = Option(new java.io.File(s"$base/stage").listFiles())
+      .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.startsWith("verdicts_")).map(_.getPath).sorted
+    require(verdictDirs.nonEmpty,
+      "streamDedupAdmission: stream produced no staged verdict batches — " +
+        "empty input or a silently failed stream")
     s.read.parquet(verdictDirs.toIndexedSeq: _*)
       .select(col("new_doc"), (col("new_doc") % 3).as("wave"),
         col("n_corpus_dups"), col("n_admitted_dups"), col("admitted"))
       .orderBy(col("new_doc"))
+  }
+
+  /** ONE micro-batch of [[streamDedupAdmission]] — extracted (r14,
+    * r13 verdict item 4) so the crash-replay spec can RE-EXECUTE a batch
+    * directly: foreachBatch is at-least-once, so this body must be
+    * idempotent — calling it twice for the same (batch, batchId),
+    * including after the first call fully committed state, must leave
+    * verdicts and admitted state bit-identical. The two properties that
+    * make it so: every write is a per-batch OVERWRITE (a replay
+    * reproduces, never appends), and the admitted-state serve read
+    * prunes `batch < batchId` (a replay never sees its own prior
+    * attempt's admissions). StreamReplaySpec exercises exactly this. */
+  private[graft] def sdaProcessBatch(base: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    val bs = batch.sparkSession
+    // stage this batch's signatures to an IMMUTABLE artifact and
+    // work off the staged copy — everything downstream (verdicts,
+    // state appends) derives from disk, so cache eviction can never
+    // replan a read against state this batch already appended
+    Dedup.minhashSig(batch).write.mode("overwrite")
+      .parquet(s"$base/stage/sig_$batchId")
+    val bsig = bs.read.parquet(s"$base/stage/sig_$batchId")
+    val bbands = Dedup.sigBands(bsig)
+      .select(col("doc_id").as("new_doc"), col("band"), col("bandhash"))
+    // dup counts for the batch against one (sig, bands) table pair:
+    // band-bucket candidates (corpus table STREAMS against the
+    // broadcast batch), est-Jaccard verify, per-doc roll-up
+    def dupCounts(sig2: DataFrame, bands2: DataFrame, out: String): DataFrame =
+      bands2.select(col("doc_id").as("other"), col("band"),
+          col("bandhash"))
+        .join(broadcast(bbands), Seq("band", "bandhash"))
+        .select(col("new_doc"), col("other")).distinct()
+        .join(broadcast(bsig.select(col("doc_id").as("new_doc"),
+          col("sig").as("nsig"))), "new_doc")
+        .join(sig2.select(col("doc_id").as("other"), col("sig").as("osig")),
+          "other")
+        .withColumn("est", round(
+          aggregate(zip_with(col("nsig"), col("osig"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / Dedup.K, 4))
+        .where(col("est") >= 0.5)
+        .groupBy(col("new_doc")).agg(count(lit(1)).as(out))
+    val vsCorpus = dupCounts(bs.read.parquet(s"$base/sig"),
+      bs.read.parquet(s"$base/bands"), "n_corpus_dups")
+    // admitted state: strictly-earlier batches only (partition
+    // prune on the layout's batch column) — on a checkpoint REPLAY
+    // this batch's own half-written admissions are invisible, so
+    // the replayed verdicts are identical to the originals; bands
+    // derive from the signatures in-plan (one state artifact, one
+    // commit per batch — half the r12 commit floor)
+    val admitted = bs.read.parquet(s"$base/adm_sig")
+      .where(col("batch") < batchId).select(col("doc_id"), col("sig"))
+    val vsAdmitted = dupCounts(admitted, Dedup.sigBands(admitted),
+      "n_admitted_dups")
+    // verdicts for EVERY batch doc, not just signed ones — a doc too
+    // short to shingle has no signature (and so can't match
+    // anything) but still gets its admit verdict, like q127
+    batch.select(col("doc_id").as("new_doc"))
+      .join(vsCorpus, Seq("new_doc"), "left")
+      .join(vsAdmitted, Seq("new_doc"), "left")
+      .select(col("new_doc"),
+        coalesce(col("n_corpus_dups"), lit(0L)).as("n_corpus_dups"),
+        coalesce(col("n_admitted_dups"), lit(0L)).as("n_admitted_dups"))
+      .withColumn("admitted",
+        col("n_corpus_dups") === 0 && col("n_admitted_dups") === 0)
+      .write.mode("overwrite").parquet(s"$base/stage/verdicts_$batchId")
+    val verdicts = bs.read.parquet(s"$base/stage/verdicts_$batchId")
+    // state update LAST: admitted docs join the admitted index.
+    // The staged verdicts artifact IS the output (no separate out
+    // append), and the state write is a per-batch overwrite — both
+    // idempotent under foreachBatch's at-least-once replay.
+    val admSig = bsig.join(verdicts.where(col("admitted"))
+      .select(col("new_doc").as("doc_id")), "doc_id")
+      .select(col("doc_id"), col("sig"))
+    admSig.write.mode("overwrite").parquet(s"$base/adm_sig/batch=$batchId")
+    ()
   }
 
   /** Oracle for q149: the identical two-phase pipeline in DuckDB with
@@ -1419,43 +1441,65 @@ object Pipelines {
       .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
     runStream(s) {
       stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val bs = batch.sparkSession
-        batch.write.mode("overwrite").parquet(s"$base/stage/b_$batchId")
-        val b = bs.read.parquet(s"$base/stage/b_$batchId")
-        Similarity.assignCells(bs, b, cent)
-          .select(col("vec_id"), col("cent_id"))
-          .repartition(col("cent_id")).write.mode("overwrite")
-          .partitionBy("cent_id").parquet(s"$base/index/batch=$batchId")
-        // receipt legs, each its own eager plan (one path generation
-        // per executed plan — the q159 exchange-reuse lesson)
-        val nBatch = b.count()
-        val touched = bs.read.parquet(s"$base/index/batch=$batchId")
-          .select(col("cent_id")).distinct().count()
-        val idx = bs.read.parquet(s"$base/index")
-        val nIdx = idx.count()
-        // corpus-so-far = existing ∪ staged waves ≤ this batch (the
-        // staged artifacts ARE the arrival record)
-        val stagedDirs = (0L to batchId)
-          .map(i => s"$base/stage/b_$i")
-          .filter(p => new java.io.File(p).exists())
-        val prefix = stagedDirs
-          .map(p => bs.read.parquet(p).select(col("vec_id")))
-          .foldLeft(existing.select(col("vec_id")))(_ unionAll _)
-        val nMissing = prefix
-          .join(idx.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
-        bs.range(1).select(
-          lit(batchId).as("wave"), lit(nBatch).as("n_batch"),
-          lit(touched).as("n_cells_touched"),
-          lit(nIdx).as("n_indexed_after"),
-          lit(nMissing).as("n_missing_after"))
-          .write.mode("overwrite").parquet(s"$base/stage/receipt_$batchId")
-        ()
+        simProcessBatch(base, cent, existing, batch, batchId)
       }.option("checkpointLocation", s"$base/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     }
-    val receiptDirs = new java.io.File(s"$base/stage").listFiles()
+    // null-guarded like q149's verdict list (r13 advice)
+    val receiptDirs = Option(new java.io.File(s"$base/stage").listFiles())
+      .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.startsWith("receipt_")).map(_.getPath).sorted
+    require(receiptDirs.nonEmpty,
+      "streamIndexMaintenance: stream produced no staged receipts — " +
+        "empty input or a silently failed stream")
     s.read.parquet(receiptDirs.toIndexedSeq: _*).orderBy(col("wave"))
+  }
+
+  /** ONE micro-batch of [[streamIndexMaintenance]] — extracted (r14,
+    * r13 verdict item 4) for the crash-replay spec, like
+    * [[sdaProcessBatch]]. Idempotence: the index commit and receipt are
+    * per-batch OVERWRITEs, and every receipt leg is a pure function of
+    * state ≤ batchId — the index read prunes `batch <= batchId`
+    * (r14: previously it read all generations, which was identical
+    * mid-stream but made a replayed batch's receipt depend on whether
+    * later batches had already landed — the replay must reproduce the
+    * ORIGINAL receipt bit-for-bit). */
+  private[graft] def simProcessBatch(base: String, cent: DataFrame,
+      existing: DataFrame, batch: DataFrame, batchId: Long): Unit = {
+    val bs = batch.sparkSession
+    batch.write.mode("overwrite").parquet(s"$base/stage/b_$batchId")
+    val b = bs.read.parquet(s"$base/stage/b_$batchId")
+    Similarity.assignCells(bs, b, cent)
+      .select(col("vec_id"), col("cent_id"))
+      .repartition(col("cent_id")).write.mode("overwrite")
+      .partitionBy("cent_id").parquet(s"$base/index/batch=$batchId")
+    // receipt legs, each its own eager plan (one path generation
+    // per executed plan — the q159 exchange-reuse lesson)
+    val nBatch = b.count()
+    val touched = bs.read.parquet(s"$base/index/batch=$batchId")
+      .select(col("cent_id")).distinct().count()
+    // state ≤ this batch only: mid-stream the prune is a no-op (later
+    // generations don't exist yet); on a replay it hides them, making
+    // the receipt a pure function of the batch prefix
+    val idx = bs.read.parquet(s"$base/index").where(col("batch") <= batchId)
+    val nIdx = idx.count()
+    // corpus-so-far = existing ∪ staged waves ≤ this batch (the
+    // staged artifacts ARE the arrival record)
+    val stagedDirs = (0L to batchId)
+      .map(i => s"$base/stage/b_$i")
+      .filter(p => new java.io.File(p).exists())
+    val prefix = stagedDirs
+      .map(p => bs.read.parquet(p).select(col("vec_id")))
+      .foldLeft(existing.select(col("vec_id")))(_ unionAll _)
+    val nMissing = prefix
+      .join(idx.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
+    bs.range(1).select(
+      lit(batchId).as("wave"), lit(nBatch).as("n_batch"),
+      lit(touched).as("n_cells_touched"),
+      lit(nIdx).as("n_indexed_after"),
+      lit(nMissing).as("n_missing_after"))
+      .write.mode("overwrite").parquet(s"$base/stage/receipt_$batchId")
+    ()
   }
 
   /** Oracle for [[streamIndexMaintenance]]: the three waves unrolled in

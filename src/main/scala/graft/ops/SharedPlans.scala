@@ -37,6 +37,7 @@ object SharedPlans {
   private final class Entry {
     val plans = scala.collection.mutable.Map.empty[String, WeakReference[DataFrame]]
     val counts = scala.collection.mutable.Map.empty[String, Long]
+    val bcasts = scala.collection.mutable.Map.empty[String, org.apache.spark.broadcast.Broadcast[_]]
   }
   private val bySession = new java.util.WeakHashMap[SparkSession, Entry]()
 
@@ -68,5 +69,21 @@ object SharedPlans {
   def cachedCount(s: SparkSession, key: String)(compute: => Long): Long =
     synchronized {
       entryFor(s).counts.getOrElseUpdate(key, compute)
+    }
+
+  /** Memoized Broadcast per (session, content key) — for driver-built
+    * broadcast VARIABLES (e.g. the [[Similarity.assignCells]] centroid
+    * matrix), which unlike broadcast JOINS are not tracked by Spark's
+    * CacheManager. Creating a fresh broadcast per call leaked one
+    * BlockManager entry per invocation across a session's lifetime (r13
+    * advice: q161's per-wave routing + repeated bench passes accumulate
+    * them); content-keying bounds the live set at the number of DISTINCT
+    * grids a session ever builds (a handful), so nothing needs explicit
+    * destroy — the session's stop() reclaims the bounded set. */
+  def cachedBroadcast[T](s: SparkSession, key: String)(
+      make: => org.apache.spark.broadcast.Broadcast[T]): org.apache.spark.broadcast.Broadcast[T] =
+    synchronized {
+      entryFor(s).bcasts.getOrElseUpdate(key, make)
+        .asInstanceOf[org.apache.spark.broadcast.Broadcast[T]]
     }
 }

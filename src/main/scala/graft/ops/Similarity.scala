@@ -400,7 +400,17 @@ object Similarity {
     * avg → re-assembled array. The explode shuffles |corpus|·dims rows
     * once per iteration — the standard distributed k-means cost, run
     * once here ("training" IVF lists is a batch job; routing reuses the
-    * result). */
+    * result).
+    *
+    * TRAINING/SPEC VARIANT — NOT A SERVE PATH (r13 verdict item 8): this
+    * float-cosine Lloyd variant exists as the engine-internal comparison
+    * target for the quantized gate face (its one caller is
+    * PipelineSparkSpec's IVF-vs-exact comparison). Its assignment still
+    * routes through the n×cells fan-out ([[argmaxCell]]) because float
+    * scores can't ride [[ArgmaxExprs.ArgmaxDotCell]]'s integer-exact
+    * broadcast argmax; every SERVE path (q43/q126/q152/q143/q156/q159/
+    * q161/q164) uses the quantized [[assignCells]] map instead. Do not
+    * wire this into a gate face or a production route. */
   def ivfTopK(s: SparkSession, d: String, refineIters: Int = 1): DataFrame = {
     val e = withNorm(s, d)
     // argmax as a hash aggregate over a NARROW frame, wide columns
@@ -513,6 +523,93 @@ object Similarity {
       |SELECT qid, cid, dot, rank FROM ranked WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin
 
+  /** q164 — MULTI-PROBE IVF RETRIEVAL (`nprobe`, r13 verdict item 1):
+    * the standard recall-vs-cost lever the single-cell search
+    * ([[ivfTopKQuantized]]) lacked. When q144's recall audit sags, a
+    * production vector stack widens each query to its top-`nprobe`
+    * cells instead of re-training the index — candidates grow ∝ nprobe
+    * (each extra probe adds one more cell's occupancy, ~n/|cells|
+    * rows), recall recovers the near-boundary neighbors that routed to
+    * a runner-up cell. Index assignment is UNCHANGED (each corpus
+    * vector lives in exactly ONE cell — the artifact q126/q159/q161
+    * maintain); only the QUERY side widens, which is what makes nprobe
+    * a free knob: no index rebuild, no storage change.
+    *
+    * Everything stays exact-integer (the q43 regime): probe cells come
+    * from the codegen'd [[graft.functions.ArgmaxExprs.TopPDotCells]]
+    * ranking (dot desc, cent_id asc — no float ties), in-cell ranking
+    * is the integer-dot window. A candidate meets a query at most once
+    * (its one cell matches at most one of the query's distinct probe
+    * cells), so no dedup step is needed and DuckDB replays the whole
+    * pipeline verbatim — hash-checked, not rows-only.
+    *
+    * Scale: the corpus side is ONE broadcast-argmax map (n rows in, n
+    * out, zero exchanges); the probe side is |probes|·nprobe rows
+    * broadcast into the cell-partitioned candidates. Per query the
+    * serve cost is nprobe cells' occupancy — the production cost model,
+    * linear in nprobe, measured per decade in probe_r14.txt. */
+  def ivfTopKMultiProbe(s: SparkSession, d: String, k: Int = 10,
+      nprobe: Int = 3): DataFrame = {
+    val qe = quantizedEmbeddings(s, d)
+    // the q43/q143 bounded anchor grid — same cells as the single-probe
+    // face, so recall deltas are attributable to nprobe alone
+    val cent = qe.where(col("vec_id") % 100 === 0 && col("vec_id") < 6400)
+      .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
+    val assigned = assignCells(s, qe, cent)
+      .select(col("vec_id"), col("q8"), col("cent_id"))
+    val probes = assignCellsTopP(s, qe.where(col("vec_id") < 5), cent, nprobe)
+      .select(col("vec_id").as("qid"), col("q8").as("qv"),
+        explode(col("probe_cells")).as("qcell"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid").asc)
+    assigned.join(broadcast(probes),
+        col("cent_id") === col("qcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        vecDot(col("qv"), col("q8")).cast("long").as("dot"))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Oracle for [[ivfTopKMultiProbe]] at nprobe = 3: the q43 CTEs with
+    * the probe routing widened to `rn <= 3`. */
+  val ivfTopKMultiProbeSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | cent AS (SELECT vec_id AS cent_id, q AS cq FROM q8
+      |         WHERE vec_id % 100 = 0 AND vec_id < 6400),
+      | assigned AS (
+      |  SELECT vec_id, q, cent_id FROM (
+      |    SELECT v.vec_id, v.q, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY CAST(list_dot_product(v.q, c.cq) AS BIGINT) DESC,
+      |                 c.cent_id ASC) AS rn
+      |    FROM q8 v CROSS JOIN cent c) WHERE rn = 1),
+      | probes AS (
+      |  SELECT vec_id AS qid, q AS qv, cent_id AS qcell FROM (
+      |    SELECT v.vec_id, v.q, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY CAST(list_dot_product(v.q, c.cq) AS BIGINT) DESC,
+      |                 c.cent_id ASC) AS rn
+      |    FROM q8 v CROSS JOIN cent c WHERE v.vec_id < 5) WHERE rn <= 3),
+      | dots AS (
+      |  SELECT p.qid, a.vec_id AS cid,
+      |    CAST(list_dot_product(p.qv, a.q) AS BIGINT) AS dot
+      |  FROM assigned a JOIN probes p
+      |    ON a.cent_id = p.qcell AND a.vec_id <> p.qid),
+      | ranked AS (
+      |  SELECT qid, cid, dot,
+      |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid ASC) AS rank
+      |  FROM dots)
+      |SELECT qid, cid, dot, rank FROM ranked WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin
+
   /** Int8 symmetric quantization of the embedding column: per-vector
     * scale 127/max|x|, q_i = floor(x_i·127/max|x| + 0.5). `floor(+0.5)`,
     * NOT `round()`: Spark rounds HALF_UP and DuckDB HALF_EVEN, so an
@@ -608,13 +705,34 @@ object Similarity {
     * columns (cent_id: long, cq: array<double>); rows are collected
     * driver-side, so callers keep grids bounded (they already must, to
     * broadcast-join them). */
-  private[graft] def assignCells(s: SparkSession, qe: DataFrame, cent: DataFrame): DataFrame = {
+  /** Centroid-count ceiling for the broadcast grid: every caller's grid
+    * is ≤ 64 anchors or ≈ √n stride rows, so 2²⁰ cells (≈ 512 MB of
+    * 64-dim doubles — the broadcast budget, and n ≈ 10¹² at cells = √n)
+    * is far above any intended geometry; a grid past it means a caller
+    * lost its bound and should use the join-regime assignment instead.
+    * The guard also keeps `cells × dims` safely inside Int for the flat
+    * array allocation and the `c * dims` index arithmetic. */
+  val MaxBroadcastCells: Int = 1 << 20
+
+  /** Collect + flatten + broadcast one centroid grid, MEMOIZED per
+    * (session, content) via [[SharedPlans.cachedBroadcast]] — r13
+    * advice: a fresh broadcast per call is a BlockManager leak across
+    * q161's waves and repeated bench passes; content-keying (MD5 over
+    * ids + dims + flat values) bounds live broadcasts at the number of
+    * distinct grids a session ever builds. */
+  private def centroidBroadcast(s: SparkSession, cent: DataFrame)
+      : org.apache.spark.broadcast.Broadcast[graft.functions.CentroidMatrix] = {
     val rows = cent.select(col("cent_id"), col("cq")).collect()
     require(rows.nonEmpty, "assignCells: empty centroid table")
+    require(rows.length <= MaxBroadcastCells,
+      s"assignCells: ${rows.length} centroids exceeds the broadcast-grid " +
+        s"ceiling ($MaxBroadcastCells) — use a bounded/√n grid or the " +
+        "join-regime assignment (kmeansAssign viaJoin) for grids this large")
     val sorted = rows.sortBy(_.getLong(0))
     val dims = sorted.map(_.getSeq[Double](1).length).max
+    val flatLen = math.multiplyExact(sorted.length, dims) // overflow-guarded
     val ids = sorted.map(_.getLong(0))
-    val flat = new Array[Double](sorted.length * dims)
+    val flat = new Array[Double](flatLen)
     var c = 0
     while (c < sorted.length) {
       val v = sorted(c).getSeq[Double](1)
@@ -622,11 +740,34 @@ object Similarity {
       while (j < v.length) { flat(c * dims + j) = v(j); j += 1 }
       c += 1
     }
-    val bc = s.sparkContext.broadcast(
-      graft.functions.CentroidMatrix(ids, flat, dims))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(8 * (ids.length + flat.length) + 4)
+    bb.putInt(dims); ids.foreach(bb.putLong); flat.foreach(bb.putDouble)
+    val key = "centMatrix|" + md.digest(bb.array())
+      .map("%02x".format(_)).mkString
+    SharedPlans.cachedBroadcast(s, key)(
+      s.sparkContext.broadcast(graft.functions.CentroidMatrix(ids, flat, dims)))
+  }
+
+  private[graft] def assignCells(s: SparkSession, qe: DataFrame, cent: DataFrame): DataFrame = {
+    val bc = centroidBroadcast(s, cent)
     qe.withColumn("cent_id", org.apache.spark.sql.GraftBridge.column(
       graft.functions.ArgmaxExprs.ArgmaxDotCell(
         org.apache.spark.sql.GraftBridge.expression(col("q8")), bc)))
+  }
+
+  /** Multi-probe routing (r13 verdict item 1): appends `probe_cells` —
+    * the top-`p` cent_ids by integer dot, ordered (dot desc, cent_id
+    * asc) — via the codegen'd
+    * [[graft.functions.ArgmaxExprs.TopPDotCells]] map. Same zero-fanout
+    * shape as [[assignCells]] (p = 1 degenerates to it exactly); the
+    * probe side explodes to p rows per QUERY, never per corpus vector. */
+  private[graft] def assignCellsTopP(s: SparkSession, qe: DataFrame,
+      cent: DataFrame, p: Int): DataFrame = {
+    val bc = centroidBroadcast(s, cent)
+    qe.withColumn("probe_cells", org.apache.spark.sql.GraftBridge.column(
+      graft.functions.ArgmaxExprs.TopPDotCells(
+        org.apache.spark.sql.GraftBridge.expression(col("q8")), bc, p)))
   }
 
   def quantizeInt8(e: DataFrame): DataFrame =
@@ -1720,17 +1861,7 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
     val idxPath =
       if (indexDir.nonEmpty) indexDir
-      else {
-        val base = new java.io.File("target/tmp/ivf_q156")
-        scala.reflect.io.Path(base).deleteRecursively()
-        // the q126 layout discipline: repartition BY CELL before the
-        // partitioned write (one file per cell, not tasks × cells)
-        assignCells(s, qe.where(col("vec_id") % 10 =!= 0), cent)
-          .select(col("vec_id"), col("cent_id"))
-          .repartition(col("cent_id")).write.mode("overwrite")
-          .partitionBy("cent_id").parquet(s"${base.getPath}/index")
-        s"${base.getPath}/index"
-      }
+      else damagedIndexArtifact(s, d, stride, cent)
     val index = s.read.parquet(idxPath)
     val perCell = ivfCoverageByCell(s, qe, cent, index)
     val tot = qe.agg(count(lit(1)).as("n_corpus"))
@@ -2011,6 +2142,50 @@ object Similarity {
   // q159: IVF coverage repair (close the hole q156 reports)
   // ---------------------------------------------------------------------
 
+  /** The pristine "damaged" index fixture q156 audits and q159 repairs:
+    * the q126 "prior run" slice (vec_id % 10 ≠ 0) routed and persisted
+    * by cell, so the un-indexed daily batch IS the planted coverage
+    * hole. Fingerprint-keyed and built ONCE per (source content,
+    * stride) — the quant8 convention (r13 advice): the old fixed
+    * `target/tmp/ivf_q156`/`ivf_q159` paths were delete-and-rebuilt on
+    * every invocation, so two concurrent sessions on one checkout
+    * corrupted each other's index mid-audit, and every bench pass
+    * re-paid the full index build inside the measured query. q156
+    * audits the artifact IN PLACE (read-only); q159 copies it to a
+    * private work dir first (repair mutates — see [[ivfCoverageRepair]]). */
+  private def damagedIndexArtifact(s: SparkSession, d: String, stride: Int,
+      cent: DataFrame): String = synchronized {
+    val dir = new java.io.File(
+      s"target/tmp/ivfdmg_${stride}_${Tables.sourceFingerprint(d, "embeddings")}")
+    if (!new java.io.File(dir, "_OK").exists()) {
+      scala.reflect.io.Path(dir).deleteRecursively()
+      // the q126 layout discipline: repartition BY CELL before the
+      // partitioned write (one file per cell, not tasks × cells)
+      assignCells(s, quantizedEmbeddings(s, d).where(col("vec_id") % 10 =!= 0), cent)
+        .select(col("vec_id"), col("cent_id"))
+        .repartition(col("cent_id")).write.mode("overwrite")
+        .partitionBy("cent_id").parquet(s"${dir.getPath}/index")
+      new java.io.File(dir, "_OK").createNewFile()
+    }
+    s"${dir.getPath}/index"
+  }
+
+  /** Recursive local-dir copy (the q159/q166 work-copy seam: mutating
+    * operators clone the pristine fixture instead of rebuilding it). */
+  private[graft] def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+    val sp = src.toPath; val dp = dst.toPath
+    val walk = java.nio.file.Files.walk(sp)
+    try walk.forEach { p =>
+      val t = dp.resolve(sp.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else {
+        java.nio.file.Files.createDirectories(t.getParent)
+        java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally walk.close()
+  }
+
   /** q159 — COVERAGE REPAIR: the APPLY step behind [[ivfCoverageAudit]]
     * (the q155/q158 stance for the index family — an audit that only
     * reports is half an operator). Routes EXACTLY the missing vectors
@@ -2036,45 +2211,56 @@ object Similarity {
         SharedPlans.cachedCount(s, s"embCount|$d")(qe.count()).toDouble)).toInt)
     val cent = qe.where(col("vec_id") % stride === 1)
       .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
-    // the damaged state (gate face): index = the q126 "prior run" slice
-    val base = new java.io.File("target/tmp/ivf_q159")
-    scala.reflect.io.Path(base).deleteRecursively()
-    val idx = s"${base.getPath}/index"
-    assignCells(s, qe.where(col("vec_id") % 10 =!= 0), cent)
-      .select(col("vec_id"), col("cent_id"))
-      .repartition(col("cent_id")).write.mode("overwrite")
-      .partitionBy("cent_id").parquet(idx)
-    // EAGER legs, one index GENERATION per executed plan (measured
-    // hazard: two scans of the same path canonicalize equal, so a plan
-    // holding both the pre- and post-append read gets the post-leg's
-    // exchange REUSED from the pre-leg — n_missing_after came back as
-    // the before value while a non-reusable count in the same plan saw
-    // the appended files). Each leg collects a bounded scalar; the
-    // receipt row is assembled from the measured values.
-    val beforeAgg = ivfCoverageByCell(s, qe, cent, s.read.parquet(idx))
-      .agg(coalesce(sum(col("n_missing")), lit(0L)), count(lit(1)))
-      .collect().head
-    val nMissingBefore = beforeAgg.getLong(0)
-    val nCellsTouched = beforeAgg.getLong(1)
-    // the repair: route ONLY the hole, append under its cells
-    val missing = qe.join(s.read.parquet(idx).select(col("vec_id")),
-      Seq("vec_id"), "left_anti")
-    val routed = assignCells(s, missing, cent).select(col("vec_id"), col("cent_id"))
-    routed.repartition(col("cent_id")).write.mode("append")
-      .partitionBy("cent_id").parquet(idx)
-    val nRepaired = routed.count() // pre-append snapshot relation: the written rows
-    // re-audit OFF DISK: fresh read, fresh listing — the receipt states
-    // what the artifact now holds, not what the repair assumes
-    val repaired = s.read.parquet(idx)
-    val nIndexedAfter = repaired.count()
-    val nMissingAfter = ivfCoverageByCell(s, qe, cent, repaired)
-      .agg(coalesce(sum(col("n_missing")), lit(0L))).collect().head.getLong(0)
-    s.range(1).select(
-      lit(nMissingBefore).as("n_missing_before"),
-      lit(nRepaired).as("n_repaired"),
-      lit(nCellsTouched).as("n_cells_touched"),
-      lit(nMissingAfter).as("n_missing_after"),
-      lit(nIndexedAfter).as("n_indexed_after"))
+    // the damaged state (gate face): the shared pristine fixture COPIED
+    // to a private work dir — repair mutates, so each invocation gets
+    // its own clone (concurrency-safe) while the corpus-sized build is
+    // paid once per source content, outside the measured repair (r13
+    // advice on the fixed delete-and-rebuild paths)
+    val pristine = damagedIndexArtifact(s, d, stride, cent)
+    val work = new java.io.File(
+      s"target/tmp/ivfq159_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val idx = s"${work.getPath}/index"
+      copyDir(new java.io.File(pristine), new java.io.File(idx))
+      // EAGER legs, one index GENERATION per executed plan (measured
+      // hazard: two scans of the same path canonicalize equal, so a plan
+      // holding both the pre- and post-append read gets the post-leg's
+      // exchange REUSED from the pre-leg — n_missing_after came back as
+      // the before value while a non-reusable count in the same plan saw
+      // the appended files). Each leg collects a bounded scalar; the
+      // receipt row is assembled from the measured values.
+      val beforeAgg = ivfCoverageByCell(s, qe, cent, s.read.parquet(idx))
+        .agg(coalesce(sum(col("n_missing")), lit(0L)), count(lit(1)))
+        .collect().head
+      val nMissingBefore = beforeAgg.getLong(0)
+      val nCellsTouched = beforeAgg.getLong(1)
+      // the repair: route ONLY the hole, append under its cells. The
+      // routed set is persisted and COUNTED BEFORE the append (r13
+      // advice): counting after relied on the earlier read having
+      // eagerly snapshotted the file listing — true of
+      // InMemoryFileIndex today, but a listing-laziness change would
+      // silently double-count the appended rows into the anti-join.
+      val missing = qe.join(s.read.parquet(idx).select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+      val routed = assignCells(s, missing, cent)
+        .select(col("vec_id"), col("cent_id")).persist()
+      val nRepaired = routed.count()
+      routed.repartition(col("cent_id")).write.mode("append")
+        .partitionBy("cent_id").parquet(idx)
+      routed.unpersist()
+      // re-audit OFF DISK: fresh read, fresh listing — the receipt states
+      // what the artifact now holds, not what the repair assumes
+      val repaired = s.read.parquet(idx)
+      val nIndexedAfter = repaired.count()
+      val nMissingAfter = ivfCoverageByCell(s, qe, cent, repaired)
+        .agg(coalesce(sum(col("n_missing")), lit(0L))).collect().head.getLong(0)
+      s.range(1).select(
+        lit(nMissingBefore).as("n_missing_before"),
+        lit(nRepaired).as("n_repaired"),
+        lit(nCellsTouched).as("n_cells_touched"),
+        lit(nMissingAfter).as("n_missing_after"),
+        lit(nIndexedAfter).as("n_indexed_after"))
+    } finally scala.reflect.io.Path(work).deleteRecursively()
   }
 
   /** Oracle for the pinned-stride gate face of [[ivfCoverageRepair]]:
@@ -2106,4 +2292,327 @@ object Similarity {
       |    AS n_cells_touched,
       |  CAST(0 AS BIGINT) AS n_missing_after,
       |  CAST((SELECT count(*) FROM q8) AS BIGINT) AS n_indexed_after""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q165: IVF index compaction (merge accreted batch generations)
+  // ---------------------------------------------------------------------
+
+  /** Count of parquet data files under a dir (recursive) — the physical
+    * read-amplification number a compaction receipt reports. */
+  private[graft] def parquetFileCount(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) { if (f.getName.endsWith(".parquet")) 1L else 0L }
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    walk(new java.io.File(dir))
+  }
+
+  /** Rewrite a `batch=N/cent_id=M` accreted index into ONE generation —
+    * the missing maintenance verb behind [[ivfCompactGate]]; exposed for
+    * the spec, which compacts a real q161-shaped stream layout and
+    * asserts file count = |cells| and id-set equality. Returns the
+    * compacted path (under `workDir`). */
+  private[graft] def ivfCompactDir(s: SparkSession, idxDir: String,
+      outDir: String): Unit = {
+    // one exchange keyed by cell, then the partitioned write lands each
+    // cell as ONE file (the q126 layout rule) — generation column gone
+    s.read.parquet(idxDir).select(col("vec_id"), col("cent_id"))
+      .repartition(col("cent_id")).write.mode("overwrite")
+      .partitionBy("cent_id").parquet(outDir)
+  }
+
+  /** q165 — INDEX COMPACTION (r13 verdict item 3): the q161 stream
+    * accretes one `batch=N` generation per wave FOREVER — read
+    * amplification grows with batch count (every serve/audit scan opens
+    * |generations| files per cell) and nothing rewrote the layout. This
+    * operator closes the index family's last lifecycle hole (increment
+    * q126, recall q144, balance q152, coverage q156, repair q159,
+    * stream q161): rewrite every `batch=N/cent_id=M` generation into ONE
+    * generation per cell and emit the receipt a maintenance job logs — rows conserved
+    * (before = after, the invariant that makes compaction safe to
+    * schedule), generations folded, cells, physical files before/after
+    * (the read-amplification win), and the q156 zero-missing re-audit
+    * measured OFF the compacted artifact, not assumed.
+    *
+    * The gate face builds the accreted state the q161 stream leaves
+    * behind — existing corpus at `batch=-1` plus three waves at
+    * `batch=0..2`, each generation cell-partitioned — then compacts it.
+    * File counts are deterministic by the layout discipline: each
+    * generation's repartition-by-cell write lands exactly one file per
+    * touched cell, so files_before = Σ_gen |cells touched| and
+    * files_after = |cells| — which is why the oracle can replay even
+    * the PHYSICAL numbers from pure relational algebra.
+    *
+    * Scale: compaction is one shuffle of the index (ids + cell — narrow
+    * rows, never the vectors at this grain) keyed by cell; at 100 TB it
+    * runs per-cell-range as a background job, and the receipt's
+    * rows-conserved + zero-missing checks are the promotion gate before
+    * the compacted generation replaces the accreted one. */
+  def ivfCompactGate(s: SparkSession, d: String): DataFrame = {
+    val qe = quantizedEmbeddings(s, d)
+    val cent = qe.where(col("vec_id") % 100 === 0 && col("vec_id") < 6400)
+      .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
+    val work = new java.io.File(
+      s"target/tmp/ivfq165_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val idx = s"${work.getPath}/index"
+      // the accreted state q161 leaves behind: existing at batch=-1,
+      // three waves at batch=0..2, each generation cell-partitioned
+      def writeGen(rows: DataFrame, gen: Int): Unit =
+        assignCells(s, rows, cent).select(col("vec_id"), col("cent_id"))
+          .repartition(col("cent_id")).write.mode("overwrite")
+          .partitionBy("cent_id").parquet(s"$idx/batch=$gen")
+      writeGen(qe.where(col("vec_id") % 10 =!= 0), -1)
+      (0 until 3).foreach(i =>
+        writeGen(qe.where(col("vec_id") % 10 === 0 &&
+          pmod(col("vec_id"), lit(3)) === i), i))
+      // receipt legs, each eager (one path generation per executed plan)
+      val before = s.read.parquet(idx)
+      val beforeAgg = before.agg(count(lit(1)),
+        countDistinct(col("batch")), countDistinct(col("cent_id"))).collect().head
+      val nRowsBefore = beforeAgg.getLong(0)
+      val nGenerations = beforeAgg.getLong(1)
+      val nCells = beforeAgg.getLong(2)
+      val nFilesBefore = parquetFileCount(idx)
+      val compacted = s"${work.getPath}/compacted"
+      ivfCompactDir(s, idx, compacted)
+      // re-audit OFF DISK: fresh read of the compacted artifact
+      val after = s.read.parquet(compacted)
+      val afterAgg = after.agg(count(lit(1)),
+        countDistinct(col("cent_id"))).collect().head
+      val nRowsAfter = afterAgg.getLong(0)
+      val nCellsAfter = afterAgg.getLong(1)
+      val nFilesAfter = parquetFileCount(compacted)
+      val nMissingAfter = qe.select(col("vec_id"))
+        .join(after.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
+      s.range(1).select(
+        lit(nRowsBefore).as("n_rows_before"),
+        lit(nRowsAfter).as("n_rows_after"),
+        lit(nGenerations).as("n_generations_before"),
+        lit(nCells).as("n_cells"),
+        lit(nCellsAfter).as("n_cells_after"),
+        lit(nFilesBefore).as("n_files_before"),
+        lit(nFilesAfter).as("n_files_after"),
+        lit(nMissingAfter).as("n_missing_after"))
+    } finally scala.reflect.io.Path(work).deleteRecursively()
+  }
+
+  /** Oracle for [[ivfCompactGate]]: the q43 routing CTEs; generations
+    * replay as the `% 10` / `pmod 3` slices, physical file counts
+    * replay from the one-file-per-(generation, touched-cell) layout
+    * discipline. */
+  val ivfCompactGateSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | cent AS (SELECT vec_id AS cent_id, q AS cq FROM q8
+      |         WHERE vec_id % 100 = 0 AND vec_id < 6400),
+      | assigned AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT v.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY CAST(list_dot_product(v.q, c.cq) AS BIGINT) DESC,
+      |                 c.cent_id ASC) AS rn
+      |    FROM q8 v CROSS JOIN cent c) WHERE rn = 1),
+      | gens AS (
+      |  SELECT vec_id, cent_id,
+      |    CASE WHEN vec_id % 10 <> 0 THEN -1
+      |         ELSE CAST(vec_id % 3 AS INT) END AS gen
+      |  FROM assigned),
+      | files_b AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM (
+      |    SELECT DISTINCT gen, cent_id FROM gens))
+      |SELECT
+      |  CAST((SELECT count(*) FROM gens) AS BIGINT) AS n_rows_before,
+      |  CAST((SELECT count(*) FROM gens) AS BIGINT) AS n_rows_after,
+      |  CAST((SELECT count(DISTINCT gen) FROM gens) AS BIGINT)
+      |    AS n_generations_before,
+      |  CAST((SELECT count(DISTINCT cent_id) FROM gens) AS BIGINT) AS n_cells,
+      |  CAST((SELECT count(DISTINCT cent_id) FROM gens) AS BIGINT)
+      |    AS n_cells_after,
+      |  CAST((SELECT n FROM files_b) AS BIGINT) AS n_files_before,
+      |  CAST((SELECT count(DISTINCT cent_id) FROM gens) AS BIGINT)
+      |    AS n_files_after,
+      |  CAST(0 AS BIGINT) AS n_missing_after""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q166: vector-family erasure (right-to-be-forgotten for the index tier)
+  // ---------------------------------------------------------------------
+
+  /** Run `body` with dynamic partition-overwrite mode, restoring the
+    * session's prior setting — the erasure writes must rewrite ONLY the
+    * partitions present in the surviving data (q159's touch-only-stale
+    * discipline), never truncate the whole table. */
+  private def withDynamicOverwrite[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "dynamic")
+    try body
+    finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  /** Erase every row matching `victim` from a partition-laid-out parquet
+    * store, rewriting ONLY the affected partitions: survivors of those
+    * partitions are dynamic-overwritten in place; a partition whose
+    * every row was erased (dynamic overwrite cannot express "now
+    * empty") has its directory deleted explicitly. Returns
+    * (rows erased, partitions touched). */
+  private[graft] def eraseFromStore(s: SparkSession, path: String,
+      partCol: String, victim: Column): (Long, Long) = {
+    val store = s.read.parquet(path)
+    val victims = store.where(victim)
+    val parts = victims.select(col(partCol)).distinct().collect()
+      .map(_.get(0))
+    val nErased = victims.count()
+    if (parts.nonEmpty) {
+      val affected = store.where(col(partCol).isin(parts.toIndexedSeq: _*))
+      val survivors = affected.where(!victim)
+      val survivorParts = survivors.select(col(partCol)).distinct()
+        .collect().map(_.get(0)).toSet
+      withDynamicOverwrite(s) {
+        survivors.repartition(col(partCol)).write.mode("overwrite")
+          .partitionBy(partCol).parquet(path)
+      }
+      parts.filterNot(survivorParts).foreach(p =>
+        scala.reflect.io.Path(
+          new java.io.File(s"$path/$partCol=$p")).deleteRecursively())
+    }
+    (nErased, parts.length.toLong)
+  }
+
+  /** The pristine persisted-state fixture q166 erases from — the three
+    * artifact tiers a production vector pipeline accumulates: the
+    * quantized store (bucket-partitioned by `pmod(vec_id, 16)`), the
+    * full-corpus IVF index (cell-partitioned), and the dedup signature
+    * store (bucket-partitioned by doc). Fingerprint-keyed and built once
+    * (the q156/q159 convention); each q166 invocation works on a COPY. */
+  private def erasureFixture(s: SparkSession, d: String, cent: DataFrame): String =
+    synchronized {
+      val dir = new java.io.File(
+        s"target/tmp/erasefix_${Tables.sourceFingerprint(d, "embeddings")}" +
+          s"_${Tables.sourceFingerprint(d, "documents")}")
+      if (!new java.io.File(dir, "_OK").exists()) {
+        scala.reflect.io.Path(dir).deleteRecursively()
+        val qe = quantizedEmbeddings(s, d)
+        qe.withColumn("bkt", pmod(col("vec_id"), lit(16)).cast("int"))
+          .repartition(col("bkt")).write.mode("overwrite")
+          .partitionBy("bkt").parquet(s"$dir/store")
+        assignCells(s, qe, cent).select(col("vec_id"), col("cent_id"))
+          .repartition(col("cent_id")).write.mode("overwrite")
+          .partitionBy("cent_id").parquet(s"$dir/index")
+        Dedup.minhashSigShared(s, d)
+          .withColumn("bkt", pmod(col("doc_id"), lit(16)).cast("int"))
+          .repartition(col("bkt")).write.mode("overwrite")
+          .partitionBy("bkt").parquet(s"$dir/sig")
+        new java.io.File(dir, "_OK").createNewFile()
+      }
+      dir.getPath
+    }
+
+  /** q166 — VECTOR-FAMILY ERASURE (r13 verdict item 5): the
+    * right-to-be-forgotten path for the index tier. q131's relational
+    * erasure cascade removes a subject from the TABLES; nothing erased
+    * them from the PERSISTED DERIVED ARTIFACTS — the quantized store,
+    * the IVF index, the admitted-dedup signature state — which at
+    * 100 TB are long-lived tables a compliance audit reads directly.
+    * The erase list is the deterministic subject rule `id % 97 = 3`
+    * (documents and embeddings share the id space — the q160
+    * convention). Each store is rewritten under q159's
+    * touch-only-affected discipline: victims name their partitions
+    * (bucket / cell), ONLY those partitions are dynamic-overwritten
+    * with their survivors, a fully-erased partition's directory is
+    * removed, and untouched partitions' files are never opened for
+    * write (the spec asserts their mtimes are unchanged). The receipt
+    * is the compliance log line: per-tier erased counts and partitions
+    * touched, plus a q156-style residual audit measured OFF the
+    * repaired artifacts — zero residual ids, fresh reads, not assumed.
+    *
+    * Scale: cost ∝ the affected partitions' occupancy (|victims| ×
+    * mean partition size), never the store — the same cost model as
+    * q159's repair. All counts integer; DuckDB replays the routing,
+    * bucketing, and signature-existence legs exactly. */
+  def vectorErasure(s: SparkSession, d: String): DataFrame = {
+    val qe = quantizedEmbeddings(s, d)
+    val cent = qe.where(col("vec_id") % 100 === 0 && col("vec_id") < 6400)
+      .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
+    val fix = erasureFixture(s, d, cent)
+    val work = new java.io.File(
+      s"target/tmp/eraseq166_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      Seq("store", "index", "sig").foreach(t =>
+        copyDir(new java.io.File(s"$fix/$t"), new java.io.File(s"$work/$t")))
+      val victimVec = pmod(col("vec_id"), lit(97)) === 3
+      val victimDoc = pmod(col("doc_id"), lit(97)) === 3
+      val (nStoreErased, nStoreBkts) =
+        eraseFromStore(s, s"$work/store", "bkt", victimVec)
+      val (nIndexErased, nCells) =
+        eraseFromStore(s, s"$work/index", "cent_id", victimVec)
+      val (nSigErased, nSigBkts) =
+        eraseFromStore(s, s"$work/sig", "bkt", victimDoc)
+      // residual audit OFF DISK: fresh reads of the repaired artifacts
+      val residual =
+        s.read.parquet(s"$work/store").where(victimVec).count() +
+          s.read.parquet(s"$work/index").where(victimVec).count() +
+          s.read.parquet(s"$work/sig").where(victimDoc).count()
+      val nIndexAfter = s.read.parquet(s"$work/index").count()
+      s.range(1).select(
+        lit(nStoreErased).as("n_store_erased"),
+        lit(nStoreBkts).as("n_store_buckets"),
+        lit(nIndexErased).as("n_index_erased"),
+        lit(nCells).as("n_cells_touched"),
+        lit(nSigErased).as("n_sig_erased"),
+        lit(nSigBkts).as("n_sig_buckets"),
+        lit(residual).as("n_residual_after"),
+        lit(nIndexAfter).as("n_index_after"))
+    } finally scala.reflect.io.Path(work).deleteRecursively()
+  }
+
+  /** Oracle for [[vectorErasure]]: the erase rule, bucketing, q43 cell
+    * routing, and signature existence (≥ 1 shingle) replayed
+    * relationally; residual is identically zero after a correct
+    * erasure. */
+  def vectorErasureSql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+       |  FROM embeddings),
+       | q8 AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CASE WHEN ma > 0
+       |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+       |  FROM base),
+       | cent AS (SELECT vec_id AS cent_id, q AS cq FROM q8
+       |         WHERE vec_id % 100 = 0 AND vec_id < 6400),
+       | victims AS (SELECT vec_id, q FROM q8 WHERE vec_id % 97 = 3),
+       | vcells AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT v.vec_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY CAST(list_dot_product(v.q, c.cq) AS BIGINT) DESC,
+       |                 c.cent_id ASC) AS rn
+       |    FROM victims v CROSS JOIN cent c) WHERE rn = 1),
+       | sh AS (${graft.ops.Dedup.shinglesSqlCte}),
+       | signed AS (SELECT DISTINCT doc_id FROM sh),
+       | sigvic AS (SELECT doc_id FROM signed WHERE doc_id % 97 = 3)
+       |SELECT
+       |  CAST((SELECT count(*) FROM victims) AS BIGINT) AS n_store_erased,
+       |  CAST((SELECT count(DISTINCT vec_id % 16) FROM victims) AS BIGINT)
+       |    AS n_store_buckets,
+       |  CAST((SELECT count(*) FROM victims) AS BIGINT) AS n_index_erased,
+       |  CAST((SELECT count(DISTINCT cent_id) FROM vcells) AS BIGINT)
+       |    AS n_cells_touched,
+       |  CAST((SELECT count(*) FROM sigvic) AS BIGINT) AS n_sig_erased,
+       |  CAST((SELECT count(DISTINCT doc_id % 16) FROM sigvic) AS BIGINT)
+       |    AS n_sig_buckets,
+       |  CAST(0 AS BIGINT) AS n_residual_after,
+       |  CAST((SELECT count(*) FROM q8) -
+       |       (SELECT count(*) FROM victims) AS BIGINT) AS n_index_after""".stripMargin
 }

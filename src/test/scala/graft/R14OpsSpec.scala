@@ -1,0 +1,220 @@
+package graft
+
+import graft.functions.{ArgmaxExprs, CentroidMatrix}
+import graft.ops.Similarity
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 operators: multi-probe IVF retrieval (q164), index
+  * compaction (q165), vector-family erasure (q166).
+  *
+  * The load-bearing assertions the r13 verdict prescribed:
+  *  - recall@k(nprobe=3) ≥ recall@k(nprobe=1) on the q144 probe set —
+  *    nprobe is only a lever if widening provably buys recall back;
+  *  - post-compaction file count = |cells| and id-set equality with the
+  *    pre-compaction index — compaction must change PHYSICS, not data;
+  *  - erasure touches ONLY affected partitions (untouched partition
+  *    files bit-unmoved by mtime+length) and leaves zero residual ids.
+  */
+class R14OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("graft-r14-ops-test")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def topPCol(c: Column, m: CentroidMatrix, p: Int): Column =
+    GraftBridge.column(ArgmaxExprs.TopPDotCells(
+      GraftBridge.expression(c), spark.sparkContext.broadcast(m), p))
+
+  private def gridOf(qe: DataFrame): CentroidMatrix = {
+    val centRows = qe.where(col("vec_id") % 100 === 1)
+      .select(col("vec_id"), col("q8")).collect().sortBy(_.getLong(0))
+    val dims = centRows.head.getSeq[Double](1).length
+    CentroidMatrix(centRows.map(_.getLong(0)),
+      centRows.flatMap(_.getSeq[Double](1)), dims)
+  }
+
+  // -------------------------------------------------------------------
+  // q164: TopPDotCells + multi-probe retrieval
+  // -------------------------------------------------------------------
+
+  test("TopPDotCells at p=1 degenerates to ArgmaxDotCell exactly") {
+    val qe = Similarity.quantizedEmbeddings(spark, sf)
+    val m = gridOf(qe)
+    val both = qe.select(
+      GraftBridge.column(ArgmaxExprs.ArgmaxDotCell(
+        GraftBridge.expression(col("q8")),
+        spark.sparkContext.broadcast(m))).as("argmax"),
+      topPCol(col("q8"), m, 1).as("top1"))
+    assert(both.where(col("top1")(0) =!= col("argmax")).count() == 0)
+    assert(both.where(size(col("top1")) =!= 1).count() == 0)
+  }
+
+  test("TopPDotCells matches the fan-out row_number ranking at p=3") {
+    val qe = Similarity.quantizedEmbeddings(spark, sf)
+    val m = gridOf(qe)
+    val got = qe.select(col("vec_id"),
+        posexplode(topPCol(col("q8"), m, 3)).as(Seq("r", "cent_id")))
+      .select(col("vec_id"), (col("r") + 1).as("rn"), col("cent_id"))
+    // reference: the n×cells fan-out ranked by (dot desc, cent_id asc)
+    val cent = qe.where(col("vec_id") % 100 === 1)
+      .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("cent_id").asc)
+    val want = qe.join(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"),
+        graft.functions.VectorExprs.vecDot(col("q8"), col("cq"))
+          .cast("long").as("cdot"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .where(col("rn") <= 3)
+      .select(col("vec_id"), col("rn"), col("cent_id"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("TopPDotCells breaks exact-dot ties to the smallest cent_id, in order") {
+    val s2 = spark
+    import s2.implicits._
+    val v = Seq((1L, Array(1.0, 2.0))).toDF("vec_id", "q8")
+    // centroids 9 and 7 identical (tie), 3 strictly worse
+    val m = CentroidMatrix(Array(3L, 7L, 9L),
+      Array(-1.0, -1.0, 1.0, 1.0, 1.0, 1.0), 2)
+    val out = v.select(topPCol(col("q8"), m, 3).as("cells"))
+      .collect().head.getSeq[Long](0)
+    assert(out == Seq(7L, 9L, 3L))
+  }
+
+  test("TopPDotCells returns fewer than p entries only when the grid is smaller") {
+    val s2 = spark
+    import s2.implicits._
+    val v = Seq((1L, Array(1.0, 2.0))).toDF("vec_id", "q8")
+    val m = CentroidMatrix(Array(5L, 8L), Array(1.0, 0.0, 0.0, 1.0), 2)
+    val out = v.select(topPCol(col("q8"), m, 4).as("cells"))
+      .collect().head.getSeq[Long](0)
+    assert(out.length == 2 && out.toSet == Set(5L, 8L))
+  }
+
+  test("multi-probe recall at nprobe=3 >= recall at nprobe=1 on the q144 probes") {
+    def recall(nprobe: Int): Long = {
+      val truth = Similarity.quantizedTopK(spark, sf, 10)
+        .select(col("qid"), col("cid"))
+      val ann = Similarity.ivfTopKMultiProbe(spark, sf, 10, nprobe)
+        .select(col("qid"), col("cid"))
+      truth.join(ann, Seq("qid", "cid")).count()
+    }
+    val r1 = recall(1)
+    val r3 = recall(3)
+    assert(r3 >= r1, s"recall hits at nprobe=3 ($r3) < nprobe=1 ($r1)")
+    // and nprobe=1 must agree with the single-probe gate face exactly
+    val single = Similarity.ivfTopKQuantized(spark, sf, 10)
+      .select(col("qid"), col("cid"), col("dot"), col("rank"))
+    val multi1 = Similarity.ivfTopKMultiProbe(spark, sf, 10, 1)
+      .select(col("qid"), col("cid"), col("dot"), col("rank"))
+    assert(single.except(multi1).isEmpty && multi1.except(single).isEmpty)
+  }
+
+  // -------------------------------------------------------------------
+  // q165: compaction — physical file count + id-set equality
+  // -------------------------------------------------------------------
+
+  test("ivfCompactDir: file count collapses to |cells|, id set unchanged") {
+    val qe = Similarity.quantizedEmbeddings(spark, sf)
+    val cent = qe.where(col("vec_id") % 100 === 1)
+      .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
+    val work = new java.io.File(
+      s"target/tmp/r14spec_compact_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val idx = s"${work.getPath}/index"
+      def writeGen(rows: DataFrame, gen: Int): Unit =
+        Similarity.assignCells(spark, rows, cent)
+          .select(col("vec_id"), col("cent_id"))
+          .repartition(col("cent_id")).write.mode("overwrite")
+          .partitionBy("cent_id").parquet(s"$idx/batch=$gen")
+      writeGen(qe.where(col("vec_id") % 2 === 0), -1)
+      writeGen(qe.where(col("vec_id") % 2 === 1), 0)
+      val before = spark.read.parquet(idx)
+      val idsBefore = before.select(col("vec_id")).collect()
+        .map(_.getLong(0)).sorted.toSeq
+      val filesBefore = Similarity.parquetFileCount(idx)
+      val out = s"${work.getPath}/compacted"
+      Similarity.ivfCompactDir(spark, idx, out)
+      val after = spark.read.parquet(out)
+      val idsAfter = after.select(col("vec_id")).collect()
+        .map(_.getLong(0)).sorted.toSeq
+      val nCells = after.select(col("cent_id")).distinct().count()
+      assert(idsAfter == idsBefore, "compaction must conserve the id set")
+      assert(Similarity.parquetFileCount(out) == nCells,
+        "post-compaction file count must equal |cells|")
+      assert(filesBefore > nCells,
+        "fixture must actually be accreted (more files than cells)")
+      // per-(vec, cell) routing unchanged, not just the ids
+      assert(before.select(col("vec_id"), col("cent_id"))
+        .except(after.select(col("vec_id"), col("cent_id"))).isEmpty)
+    } finally scala.reflect.io.Path(work).deleteRecursively()
+  }
+
+  // -------------------------------------------------------------------
+  // q166: erasure — partition-touch discipline + zero residual
+  // -------------------------------------------------------------------
+
+  test("eraseFromStore rewrites only affected partitions and leaves zero residual") {
+    val s2 = spark
+    import s2.implicits._
+    // 4 buckets; victims live only in buckets 0 and 2; bucket 2 is
+    // FULLY erased (its dir must be deleted, not left stale)
+    val rows = Seq(
+      (0L, "a", 0), (4L, "b", 0), (8L, "c", 0), // bucket 0: erase 0, 8
+      (1L, "d", 1), (5L, "e", 1),               // bucket 1: untouched
+      (2L, "f", 2),                             // bucket 2: fully erased
+      (3L, "g", 3), (7L, "h", 3))               // bucket 3: untouched
+    val victims = Set(0L, 8L, 2L)
+    val work = new java.io.File(
+      s"target/tmp/r14spec_erase_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val path = s"${work.getPath}/store"
+      rows.toDF("id", "payload", "bkt")
+        .repartition(col("bkt")).write.mode("overwrite")
+        .partitionBy("bkt").parquet(path)
+      def fileStamps(b: Int): Map[String, (Long, Long)] =
+        Option(new java.io.File(s"$path/bkt=$b").listFiles())
+          .getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> (f.lastModified(), f.length())).toMap
+      val untouched1 = fileStamps(1)
+      val untouched3 = fileStamps(3)
+      assert(untouched1.nonEmpty && untouched3.nonEmpty)
+      val (nErased, nParts) = Similarity.eraseFromStore(
+        spark, path, "bkt", col("id").isin(victims.toSeq: _*))
+      assert(nErased == 3 && nParts == 2)
+      // untouched partitions: identical files, never reopened for write
+      assert(fileStamps(1) == untouched1)
+      assert(fileStamps(3) == untouched3)
+      // fully-erased partition dir removed
+      assert(!new java.io.File(s"$path/bkt=2").exists())
+      // survivors intact, victims gone — fresh read off disk
+      val left = spark.read.parquet(path).select(col("id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(left == Set(4L, 1L, 5L, 3L, 7L))
+    } finally scala.reflect.io.Path(work).deleteRecursively()
+  }
+
+  test("vectorErasure receipt: zero residual and conserved index size") {
+    val r = Similarity.vectorErasure(spark, sf).collect().head
+    assert(r.getAs[Long]("n_residual_after") == 0L)
+    val n = Similarity.quantizedEmbeddings(spark, sf).count()
+    assert(r.getAs[Long]("n_index_after") ==
+      n - r.getAs[Long]("n_index_erased"))
+    assert(r.getAs[Long]("n_store_erased") == r.getAs[Long]("n_index_erased"))
+  }
+}
