@@ -445,6 +445,33 @@ object SparkEntry {
     // quantized store, IVF index, and signature state, rewriting ONLY
     // the affected partitions; zero-residual audit off disk (r13 item 5)
     "q166_vector_erasure" -> Similarity.vectorErasure _,
+    // IVF rebalance: split the cells q152's audit flags as hot - two
+    // deterministic sub-cells (min/max-id member seeds, negative ids),
+    // only the split cells' dirs touched; gate pins 1.1x mean so the
+    // split path is exercised at gate SF (natural skew ~1.16x)
+    "q167_ivf_rebalance" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfRebalanceSplit(s, d, thresholdPpm = 1100000L)),
+    // nprobe auto-select: measure the recall/cost curve at nprobe=1..3
+    // against exact truth, choose the cheapest probe width meeting the
+    // target - the control loop closing q144 (audit) -> q164 (knob)
+    "q168_nprobe_select" -> ((s: SparkSession, d: String) =>
+      Similarity.nprobeSelect(s, d)),
+    // filtered ANN: top-k under a metadata predicate (pre-filter before
+    // ranking, multi-probe widened) - the production vector-store verb
+    "q169_filtered_ann" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfTopKFiltered(s, d)),
+    // cross-doc repeated-block dedup: corpus-wide 8-word block counts,
+    // splice out every block seen more than once (CCNet boilerplate cut)
+    "q170_block_dedup" -> ((s: SparkSession, d: String) =>
+      Dedup.blockDedup(s, d)),
+    // LM filter ledger: apply q113's bigram-LM scores as a keep/drop
+    // filter at the corpus-mean threshold, per-source keep-rate ledger
+    "q171_lm_filter" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.lmQualityFilterLedger(s, d)),
+    // deterministic epoch shard shuffle: portable-hash permutation into
+    // training shards with reproducible in-shard order
+    "q172_epoch_shuffle" -> ((s: SparkSession, d: String) =>
+      Sampling.epochShardShuffle(s, d)),
     // contamination span evidence: WHERE each training doc overlaps
     // the benchmark set - maximal token spans of shared 3-grams
     // (coverage, longest run, first/last pos), the redact-not-drop
@@ -692,6 +719,12 @@ object SparkEntry {
     "q164_ivf_multiprobe" -> Similarity.ivfTopKMultiProbeSql,
     "q165_ivf_compaction" -> Similarity.ivfCompactGateSql,
     "q166_vector_erasure" -> Similarity.vectorErasureSql,
+    "q167_ivf_rebalance" -> Similarity.ivfRebalanceSplitSql,
+    "q168_nprobe_select" -> Similarity.nprobeSelectSql,
+    "q169_filtered_ann" -> Similarity.ivfTopKFilteredSql,
+    "q170_block_dedup" -> Dedup.blockDedupSql,
+    "q171_lm_filter" -> TextAnalysis.lmQualityFilterLedgerSql,
+    "q172_epoch_shuffle" -> Sampling.epochShardShuffleSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

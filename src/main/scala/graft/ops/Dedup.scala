@@ -779,12 +779,17 @@ object Dedup {
     val base = lshQualityAudit(s, d, m)
       .select(col("n_lsh").as("base_lsh"), col("n_lsh_true").as("base_true"))
     val sigC = minhashSig(canaries)
-    // eager localCheckpoint: the cached-corpus ∪ live-canary union feeds
-    // three joins, and mixing a persisted subtree's frozen partitioning
-    // with live AQE stages made a codegen'd join zip 256-vs-512
-    // partition inputs at sf10; checkpointing materializes the union
-    // once with ONE uniform layout every consumer scans
-    val sigAll = minhashSigShared(s, d).unionAll(sigC).localCheckpoint(true)
+    // eager localCheckpoint at an explicit session width: the
+    // artifact-scan ∪ live-canary union feeds two full scans (the two
+    // BroadcastHashJoin probes below), and the checkpoint materializes
+    // it once with ONE uniform layout instead of re-reading the artifact
+    // per consumer. The repartition also keeps the checkpointed
+    // LogicalRDD from carrying a trustable hash-partitioning claim into
+    // later planning (the r13/r14 zip-failure class — see canaryPairs).
+    val width = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val sigAll = minhashSigShared(s, d).unionAll(sigC)
+      .repartition(width)
+      .localCheckpoint(true)
     val bandsC = sigBands(sigC)
       .select(col("doc_id").as("cdoc"), col("band"), col("bandhash"))
     val cand = sigBands(sigAll)
@@ -795,10 +800,21 @@ object Dedup {
       .distinct()
     // cached: this tiny pair table feeds THREE aggregate subtrees
     // (count, exact verification, sample hits) — uncached, each one
-    // re-ran the full-corpus band probe (measured 19 s warm vs 5 s)
-    val canaryPairs = cand
-      .join(sigAll.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
-      .join(sigAll.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
+    // re-ran the full-corpus band probe (measured 19 s warm vs 5 s).
+    // Every join here is a BROADCAST of the canary-bounded side (cand /
+    // the sig-carrying pair rows are O(sample) ≈ 500 rows at ANY corpus
+    // size — the stratum is absolutely bounded by construction): the
+    // 6M-row sigAll is streamed through two BroadcastHashJoins instead
+    // of being shuffled twice, and — the r14 correctness point — no
+    // checkpointed LogicalRDD ever meets a co-partitioned SMJ, which is
+    // what made AQE (decade SFs replan from initialPartitionNum=256)
+    // zip mismatched partition counts at sf10 (32 vs 64).
+    val withSig1 = sigAll
+      .select(col("doc_id").as("d1"), col("sig").as("sig1"))
+      .join(broadcast(cand), Seq("d1"))
+    val canaryPairs = sigAll
+      .select(col("doc_id").as("d2"), col("sig").as("sig2"))
+      .join(broadcast(withSig1), Seq("d2"))
       .where(round(aggregate(zip_with(col("sig1"), col("sig2"),
           (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v).cast("double") / K, 4) >= 0.5)
@@ -806,8 +822,8 @@ object Dedup {
       .localCheckpoint(true)
     val cpDocs = canaryPairs.select(col("d1").as("doc_id"))
       .unionAll(canaryPairs.select(col("d2").as("doc_id"))).distinct()
-    val cTrue = exactPairs(docs2.join(cpDocs, Seq("doc_id"), "left_semi"))
-      .join(canaryPairs, Seq("d1", "d2"), "left_semi")
+    val cTrue = exactPairs(docs2.join(broadcast(cpDocs), Seq("doc_id"), "left_semi"))
+      .join(broadcast(canaryPairs), Seq("d1", "d2"), "left_semi")
     // sample legs over the augmented corpus (absolutely bounded);
     // cached — feeds the truth count and the hit join
     val truth2 = exactPairs(docs2.where(col("doc_id") % m === 0))
@@ -820,7 +836,7 @@ object Dedup {
       .crossJoin(broadcast(canaryPairs.agg(count(lit(1)).as("n_cp"))))
       .crossJoin(broadcast(cTrue.agg(count(lit(1)).as("n_ct"))))
       .crossJoin(broadcast(truth2.agg(count(lit(1)).as("n_truth_sample"))))
-      .crossJoin(broadcast(truth2.join(lshSamp, Seq("d1", "d2"))
+      .crossJoin(broadcast(lshSamp.join(broadcast(truth2), Seq("d1", "d2"))
         .agg(count(lit(1)).as("n_hit_sample"))))
       .select(col("n_canaries"),
         (col("base_lsh") + col("n_cp")).as("n_lsh"),
@@ -2125,4 +2141,87 @@ object Dedup {
        |SELECT side, cluster, n_members, n_linked, n_exclusive, delta_class
        |FROM arows
        |ORDER BY side, cluster""".stripMargin
+
+  /** q170 — CROSS-DOCUMENT REPEATED-BLOCK DEDUP (the CCNet/RefinedWeb
+    * boilerplate cut): document-level dedup (q30/q34) keeps one copy of
+    * a duplicated DOCUMENT, but web-scale corpora mostly repeat
+    * FRAGMENTS — navigation chrome, license footers, quote chains —
+    * embedded in otherwise-unique pages. This operator hashes every
+    * non-overlapping `blockWords`-word block, counts identical blocks
+    * CORPUS-WIDE, and splices out of each document every block that
+    * appears more than once anywhere — the q155 redact-don't-drop
+    * stance applied at corpus scope (q142's repetition spans are
+    * intra-doc; this is its cross-doc sibling). Output per document:
+    * block count, dropped count, and the spliced text (surviving blocks
+    * rejoined in position order — deterministic, engine-exact strings).
+    *
+    * Scale: blocks are built IN-ROW (the shingles idiom — no per-doc
+    * window sort), the corpus-wide count is ONE map-side-combinable
+    * shuffle on block text, the flag-back is an equi-join against the
+    * (small, boilerplate-sized) hot-block set which the planner
+    * size-routes, and the splice is one per-doc aggregate. Nothing
+    * pairwise, nothing quadratic — the same cost class as q34's
+    * signature pass. */
+  def blockDedup(s: SparkSession, d: String, blockWords: Int = 8): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val blockArr = when(size(col("w")) > 0,
+      transform(sequence(lit(0), ((size(col("w")) - 1) / blockWords).cast("int")),
+        i => array_join(slice(col("w"), i * blockWords + 1, lit(blockWords)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val blocks = docs
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)).as("w"))
+      .select(col("doc_id"), posexplode(blockArr).as(Seq("blk", "btext")))
+    // corpus-wide counts; the >1 set is the boilerplate table — small by
+    // the problem's own premise, so the join back is size-routed (AQE
+    // broadcasts it at every measured SF)
+    val hot = blocks.groupBy(col("btext")).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select(col("btext"), lit(true).as("hot"))
+    val flagged = blocks.join(hot, Seq("btext"), "left")
+      .select(col("doc_id"), col("blk"), col("btext"),
+        coalesce(col("hot"), lit(false)).as("hot"))
+    val per = flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("hot"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(array_sort(collect_list(
+            when(!col("hot"), struct(col("blk"), col("btext"))))),
+          b => b.getField("btext")), " ").as("text_clean"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for [[blockDedup]] (8-word blocks, corpus-wide count > 1). */
+  val blockDedupSql: String =
+    """WITH wp AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w,
+      |    generate_subscripts(regexp_extract_all(text, '[a-z0-9]+'), 1) AS pos
+      |  FROM documents),
+      | blocks AS (
+      |  SELECT doc_id, (pos - 1) // 8 AS blk,
+      |    string_agg(w, ' ' ORDER BY pos) AS btext
+      |  FROM wp GROUP BY 1, 2),
+      | bc AS (SELECT btext, CAST(count(*) AS BIGINT) AS c
+      |        FROM blocks GROUP BY 1),
+      | flagged AS (
+      |  SELECT b.doc_id, b.blk, b.btext, bc.c > 1 AS hot
+      |  FROM blocks b JOIN bc ON b.btext = bc.btext),
+      | per AS (
+      |  SELECT doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_blocks,
+      |    CAST(count(*) FILTER (WHERE hot) AS BIGINT) AS n_dropped,
+      |    coalesce(string_agg(btext, ' ' ORDER BY blk) FILTER (WHERE NOT hot),
+      |      '') AS text_clean
+      |  FROM flagged GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(per.n_blocks, 0) AS n_blocks,
+      |  coalesce(per.n_dropped, 0) AS n_dropped,
+      |  coalesce(per.text_clean, '') AS text_clean
+      |FROM documents d LEFT JOIN per USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 }

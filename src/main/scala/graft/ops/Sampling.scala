@@ -271,4 +271,49 @@ object Sampling {
       |WHERE CAST(u AS HUGEINT) * W
       |      < 1000 * CAST(cents AS HUGEINT) * CAST(1099511627776 AS HUGEINT)
       |ORDER BY o_orderkey""".stripMargin
+
+  /** q172 — DETERMINISTIC EPOCH SHARD SHUFFLE: the step between a
+    * curated corpus and a training run — assign every document to a
+    * shard and an in-shard position for a given epoch, such that (a)
+    * the order is a high-quality pseudorandom permutation (training
+    * batches must not replay corpus order — adjacent doc_ids land in
+    * unrelated shards/positions), (b) it is REPRODUCIBLE (same epoch →
+    * bit-identical order on any cluster, any partitioning — a resumed
+    * run continues exactly where it left off), and (c) different
+    * epochs are decorrelated (the epoch salts the hash). The engine's
+    * portable-hash convention (md5 prefix → int64, q47/q86's rule)
+    * keys both properties; the oracle replays the permutation verbatim.
+    *
+    * Scale: the hash is a stateless per-row map; the only movement is
+    * ONE shuffle by shard (exactly the movement a real pipeline needs
+    * anyway to write shard files) and an in-shard sort — at 100 TB,
+    * shards = O(cluster width × files per writer), each sort local to
+    * its shard, no global order, no driver involvement. */
+  def epochShardShuffle(s: SparkSession, d: String, epoch: Int = 1,
+      shards: Int = 16): DataFrame = {
+    val hv = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(s":$epoch"))), 1, 15), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("hv"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), hv.as("hv"))
+      .withColumn("shard", col("hv") % shards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /** Oracle for [[epochShardShuffle]] (epoch 1, 16 shards). */
+  val epochShardShuffleSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':1'), 1, 15)
+      |      AS BIGINT) AS hv
+      |  FROM documents),
+      | sharded AS (
+      |  SELECT doc_id, hv % 16 AS shard,
+      |    row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id) AS pos
+      |  FROM h)
+      |SELECT shard, CAST(pos AS BIGINT) AS pos, doc_id FROM sharded
+      |ORDER BY shard, pos""".stripMargin
 }

@@ -2201,7 +2201,8 @@ object Similarity {
     * corpus) into |touched| cell files; the before/after audits are the
     * q156 id-only anti-joins. At 100 TB this is the nightly
     * crash-recovery job: cost ∝ the hole, not the index. */
-  def ivfCoverageRepair(s: SparkSession, d: String, centStride: Int = 0): DataFrame = {
+  def ivfCoverageRepair(s: SparkSession, d: String, centStride: Int = 0,
+      workDir: String = ""): DataFrame = {
     val qe = quantizedEmbeddings(s, d)
     // default self-sizes to ≈ √n (the q126/q152/q156 rule); the gate
     // face pins 100 for oracle parity
@@ -2217,8 +2218,12 @@ object Similarity {
     // paid once per source content, outside the measured repair (r13
     // advice on the fixed delete-and-rebuild paths)
     val pristine = damagedIndexArtifact(s, d, stride, cent)
-    val work = new java.io.File(
-      s"target/tmp/ivfq159_${java.util.UUID.randomUUID().toString.take(8)}")
+    // workDir: spec seam — a caller-owned clone location that is NOT
+    // auto-deleted, so tests can inspect the repaired files on disk
+    val work =
+      if (workDir.nonEmpty) new java.io.File(workDir)
+      else new java.io.File(
+        s"target/tmp/ivfq159_${java.util.UUID.randomUUID().toString.take(8)}")
     try {
       val idx = s"${work.getPath}/index"
       copyDir(new java.io.File(pristine), new java.io.File(idx))
@@ -2260,7 +2265,7 @@ object Similarity {
         lit(nCellsTouched).as("n_cells_touched"),
         lit(nMissingAfter).as("n_missing_after"),
         lit(nIndexedAfter).as("n_indexed_after"))
-    } finally scala.reflect.io.Path(work).deleteRecursively()
+    } finally if (workDir.isEmpty) { scala.reflect.io.Path(work).deleteRecursively(); () }
   }
 
   /** Oracle for the pinned-stride gate face of [[ivfCoverageRepair]]:
@@ -2516,6 +2521,381 @@ object Similarity {
       }
       dir.getPath
     }
+
+  /** q167 — IVF REBALANCE (hot-cell split): the APPLY step behind
+    * q152's balance audit (the q159-repairs-q156 / q155-applies-q154
+    * stance: an audit that only reports is half an operator). q152
+    * names the cells whose occupancy drives tail latency; this splits
+    * them: every cell whose occupancy exceeds `thresholdPpm` of the
+    * mean (q152's integer ppm formula) is replaced by TWO sub-cells —
+    * seeds are the cell's min- and max-id members (deterministic, no
+    * training), sub-cell ids are `-(2h+1)` / `-(2h+2)` of the hot cell
+    * id h (negative — provably disjoint from every existing cell id,
+    * so a seed that happens to be another grid vector can never
+    * collide), and ONLY the hot cells' members re-route (integer dot
+    * vs the two seeds, ties to the min-id seed). The write touches
+    * exactly the split cells: old dir deleted, two sub-dirs written;
+    * every healthy cell's files are never opened. Receipt off disk:
+    * cells before/split/after, rows conserved, and max occupancy
+    * before/after — the tail-latency number a split exists to cut
+    * (max_occ can only fall or hold: sub-cells are subsets, healthy
+    * cells untouched; the spec pins that invariant).
+    *
+    * The production threshold is 2× the mean (q152's over2x line); the
+    * gate face pins 1.1× so the split path is EXERCISED at gate SF
+    * (the corpus's natural skew tops out at ~1.16× there — a 2× gate
+    * face would split nothing and prove nothing).
+    *
+    * Scale: occupancy is a |cells|-bounded aggregate off the persisted
+    * index; re-routing is |hot members| rows against 2-row broadcast
+    * seed tables; cost ∝ the hot cells, never the index — the same
+    * cost model as q159's repair and q166's erasure. */
+  def ivfRebalanceSplit(s: SparkSession, d: String,
+      thresholdPpm: Long = 2000000L): DataFrame = {
+    val qe = quantizedEmbeddings(s, d)
+    val cent = qe.where(col("vec_id") % 100 === 0 && col("vec_id") < 6400)
+      .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
+    val fix = erasureFixture(s, d, cent)
+    val work = new java.io.File(
+      s"target/tmp/ivfq167_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val idx = s"${work.getPath}/index"
+      copyDir(new java.io.File(s"$fix/index"), new java.io.File(idx))
+      // occupancy map off disk; hot = q152's ppm formula vs threshold
+      val occ = s.read.parquet(idx).groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("occ"))
+      val tot = occ.agg(count(lit(1)).as("n_cells"), sum(col("occ")).as("n_vecs"))
+        .collect().head
+      val nCellsBefore = tot.getLong(0)
+      val nVecs = tot.getLong(1)
+      // cent_id is a partition-DISCOVERED column (int-typed for
+      // int-ranged values) — widen through Number, not getLong
+      val occRows = occ.collect()
+        .map(r => (r.getAs[Number](0).longValue(), r.getLong(1)))
+      val maxOccBefore = occRows.map(_._2).max
+      def overMeanPpm(o: Long): Long =
+        (1000000L * o) / nVecs * nCellsBefore +
+          (1000000L * o) % nVecs * nCellsBefore / nVecs
+      val hot = occRows.filter(c => overMeanPpm(c._2) > thresholdPpm)
+        .map(_._1).sorted
+      // split each hot cell: members re-route between the min/max-id
+      // members' centroids; only these cells' dirs are touched
+      hot.foreach { h =>
+        val members = s.read.parquet(idx).where(col("cent_id") === h)
+          .select(col("vec_id"))
+          .join(qe, "vec_id").select(col("vec_id"), col("q8"))
+        val ids = members.agg(min(col("vec_id")), max(col("vec_id")))
+          .collect().head
+        val (loId, hiId) = (ids.getLong(0), ids.getLong(1))
+        val loVec = typedLit(qe.where(col("vec_id") === loId)
+          .select(col("q8")).collect().head.getSeq[Double](0))
+        val hiVec = typedLit(qe.where(col("vec_id") === hiId)
+          .select(col("q8")).collect().head.getSeq[Double](0))
+        val routed = members.select(col("vec_id"),
+          when(vecDot(col("q8"), loVec).cast("long") >=
+            vecDot(col("q8"), hiVec).cast("long"),
+            lit(-(2 * h + 1))).otherwise(lit(-(2 * h + 2))).as("cent_id"))
+          .persist()
+        routed.count() // materialize BEFORE mutating the dir it reads
+        scala.reflect.io.Path(new java.io.File(s"$idx/cent_id=$h"))
+          .deleteRecursively()
+        withDynamicOverwrite(s) {
+          routed.repartition(col("cent_id")).write.mode("overwrite")
+            .partitionBy("cent_id").parquet(idx)
+        }
+        routed.unpersist()
+        ()
+      }
+      // re-audit OFF DISK: fresh read of the rebalanced index
+      val after = s.read.parquet(idx).groupBy(col("cent_id"))
+        .agg(count(lit(1)).as("occ"))
+        .agg(count(lit(1)).as("nc"), sum(col("occ")).as("nv"),
+          max(col("occ")).as("mx")).collect().head
+      s.range(1).select(
+        lit(nCellsBefore).as("n_cells_before"),
+        lit(hot.length.toLong).as("n_cells_split"),
+        lit(after.getLong(0)).as("n_cells_after"),
+        lit(after.getLong(1)).as("n_vecs_after"),
+        lit(maxOccBefore).as("max_occ_before"),
+        lit(after.getLong(2)).as("max_occ_after"))
+    } finally scala.reflect.io.Path(work).deleteRecursively()
+  }
+
+  /** Oracle for the gate face of [[ivfRebalanceSplit]] (threshold
+    * pinned at 1.1× mean): q43 routing, q152's ppm inequality names the
+    * hot cells, min/max-id seeds, two-seed integer-dot re-route. */
+  val ivfRebalanceSplitSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | cent AS (SELECT vec_id AS cent_id, q AS cq FROM q8
+      |         WHERE vec_id % 100 = 0 AND vec_id < 6400),
+      | assigned AS (
+      |  SELECT vec_id, q, cent_id FROM (
+      |    SELECT v.vec_id, v.q, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY CAST(list_dot_product(v.q, c.cq) AS BIGINT) DESC,
+      |                 c.cent_id ASC) AS rn
+      |    FROM q8 v CROSS JOIN cent c) WHERE rn = 1),
+      | occ AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS occ
+      |         FROM assigned GROUP BY 1),
+      | tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+      |                CAST(sum(occ) AS BIGINT) AS n_vecs FROM occ),
+      | hot AS (
+      |  SELECT cent_id FROM occ, tot
+      |  WHERE (1000000 * occ) // n_vecs * n_cells
+      |      + (1000000 * occ) % n_vecs * n_cells // n_vecs > 1100000),
+      | seeds AS (
+      |  SELECT a.cent_id AS h, min(a.vec_id) AS lo, max(a.vec_id) AS hi
+      |  FROM assigned a JOIN hot ON a.cent_id = hot.cent_id
+      |  GROUP BY a.cent_id),
+      | rerouted AS (
+      |  SELECT a.vec_id,
+      |    CASE WHEN CAST(list_dot_product(a.q, ql.q) AS BIGINT)
+      |           >= CAST(list_dot_product(a.q, qh.q) AS BIGINT)
+      |         THEN -(2 * s.h + 1) ELSE -(2 * s.h + 2) END AS cent_id
+      |  FROM assigned a
+      |  JOIN seeds s ON a.cent_id = s.h
+      |  JOIN q8 ql ON ql.vec_id = s.lo
+      |  JOIN q8 qh ON qh.vec_id = s.hi),
+      | final AS (
+      |  SELECT vec_id, cent_id FROM assigned
+      |  WHERE cent_id NOT IN (SELECT h FROM seeds)
+      |  UNION ALL SELECT vec_id, cent_id FROM rerouted),
+      | occ2 AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS occ
+      |          FROM final GROUP BY 1)
+      |SELECT
+      |  (SELECT n_cells FROM tot) AS n_cells_before,
+      |  CAST((SELECT count(*) FROM hot) AS BIGINT) AS n_cells_split,
+      |  CAST((SELECT count(*) FROM occ2) AS BIGINT) AS n_cells_after,
+      |  CAST((SELECT sum(occ) FROM occ2) AS BIGINT) AS n_vecs_after,
+      |  CAST((SELECT max(occ) FROM occ) AS BIGINT) AS max_occ_before,
+      |  CAST((SELECT max(occ) FROM occ2) AS BIGINT) AS max_occ_after""".stripMargin
+
+  /** q168 — NPROBE AUTO-SELECT: the control loop that closes the
+    * q144 → q164 pair. q144 measures recall, q164 provides the
+    * recall-vs-cost knob — this operator TURNS it: for every nprobe in
+    * 1..maxProbe it measures aggregate recall@k on the probe set
+    * against the exact brute-force truth (q144's ground-truth rule,
+    * same integer tie-break) AND the serve cost (candidate rows
+    * scanned — the number a capacity plan bills by), then selects the
+    * smallest nprobe whose recall meets `targetPpm`, falling back to
+    * the widest probe when none does. One row per nprobe, `chosen`
+    * flagging the selection — the full curve ships, because the point
+    * of an auto-tuner is an AUDITABLE decision, not a bare integer.
+    *
+    * Cost model: ONE corpus assignment map (broadcast argmax, zero
+    * exchanges), one brute truth pass bounded by |probes| (q144's
+    * bound), and the candidate table materialized ONCE at the widest
+    * nprobe — narrower levels are prefix-filters of it (probe cells are
+    * RANKED, so level p's candidates are exactly the pr ≤ p rows), not
+    * re-searches. At 100 TB the whole tuning run costs one q164 at
+    * maxProbe plus |probes|-bounded joins. */
+  def nprobeSelect(s: SparkSession, d: String, k: Int = 10,
+      maxProbe: Int = 3, targetPpm: Long = 900000L): DataFrame = {
+    val qe = quantizedEmbeddings(s, d)
+    val cent = qe.where(col("vec_id") % 100 === 0 && col("vec_id") < 6400)
+      .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
+    val assigned = assignCells(s, qe, cent)
+      .select(col("vec_id"), col("q8"), col("cent_id"))
+    val truth = quantizedTopK(s, d, k).select(col("qid"), col("cid"))
+      .localCheckpoint(true) // |probes|·k rows; feeds tot + per-level hits
+    // ranked probe cells: pr = 1 is the argmax cell, pr = p widens
+    val pcells = assignCellsTopP(s, qe.where(col("vec_id") < 5), cent, maxProbe)
+      .select(col("vec_id").as("qid"), col("q8").as("qv"),
+        posexplode(col("probe_cells")).as(Seq("pr0", "qcell")))
+      .select(col("qid"), col("qv"), (col("pr0") + 1).as("pr"), col("qcell"))
+    // widest-level candidates, computed once (each corpus vector meets a
+    // query at most once per ranked probe cell)
+    val cand = assigned.join(broadcast(pcells),
+        col("cent_id") === col("qcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), col("pr"),
+        vecDot(col("qv"), col("q8")).cast("long").as("dot"))
+      .localCheckpoint(true) // |probes|·maxProbe cells' occupancy — bounded
+    val lv = s.range(1, maxProbe + 1).select(col("id").as("nprobe"))
+    val candL = cand.join(broadcast(lv), col("pr") <= col("nprobe"))
+    val wTop = Window.partitionBy(col("nprobe"), col("qid"))
+      .orderBy(col("dot").desc, col("cid").asc)
+    val ann = candL.withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k).select(col("nprobe"), col("qid"), col("cid"))
+    val nCand = candL.groupBy(col("nprobe")).agg(count(lit(1)).as("n_cand"))
+    val hits = ann.join(truth, Seq("qid", "cid"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hit"))
+    val tot = truth.agg(count(lit(1)).as("n_truth"))
+    val curve = lv.join(nCand, Seq("nprobe"))
+      .crossJoin(broadcast(tot))
+      .join(hits, Seq("nprobe"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall_ppm", expr("(1000000 * n_hit) div n_truth"))
+    val sel = curve.agg(coalesce(
+      min(when(col("recall_ppm") >= targetPpm, col("nprobe"))),
+      max(col("nprobe"))).as("sel"))
+    curve.crossJoin(broadcast(sel))
+      .select(col("nprobe"), col("n_cand"), col("n_truth"), col("n_hit"),
+        col("recall_ppm"), (col("nprobe") === col("sel")).as("chosen"))
+      .orderBy(col("nprobe"))
+  }
+
+  /** Oracle for [[nprobeSelect]] (k=10, maxProbe=3, target 900000):
+    * the q164 CTEs with ranked probe cells kept per-level, the q144
+    * truth rule, and the min-meeting-target selection. */
+  val nprobeSelectSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | cent AS (SELECT vec_id AS cent_id, q AS cq FROM q8
+      |         WHERE vec_id % 100 = 0 AND vec_id < 6400),
+      | assigned AS (
+      |  SELECT vec_id, q, cent_id FROM (
+      |    SELECT v.vec_id, v.q, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY CAST(list_dot_product(v.q, c.cq) AS BIGINT) DESC,
+      |                 c.cent_id ASC) AS rn
+      |    FROM q8 v CROSS JOIN cent c) WHERE rn = 1),
+      | probes0 AS (SELECT vec_id AS qid, q AS qv FROM q8 WHERE vec_id < 5),
+      | truth AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT p.qid, v.vec_id AS cid,
+      |      row_number() OVER (PARTITION BY p.qid
+      |        ORDER BY CAST(list_dot_product(p.qv, v.q) AS BIGINT) DESC,
+      |                 v.vec_id ASC) AS rank
+      |    FROM q8 v JOIN probes0 p ON v.vec_id <> p.qid) WHERE rank <= 10),
+      | pcells AS (
+      |  SELECT qid, qv, cent_id AS qcell, rn AS pr FROM (
+      |    SELECT p.qid, p.qv, c.cent_id,
+      |      row_number() OVER (PARTITION BY p.qid
+      |        ORDER BY CAST(list_dot_product(p.qv, c.cq) AS BIGINT) DESC,
+      |                 c.cent_id ASC) AS rn
+      |    FROM probes0 p CROSS JOIN cent c) WHERE rn <= 3),
+      | cand AS (
+      |  SELECT pc.qid, a.vec_id AS cid, pc.pr,
+      |    CAST(list_dot_product(pc.qv, a.q) AS BIGINT) AS dot
+      |  FROM assigned a JOIN pcells pc
+      |    ON a.cent_id = pc.qcell AND a.vec_id <> pc.qid),
+      | levels AS (SELECT unnest([1, 2, 3]) AS nprobe),
+      | ann AS (
+      |  SELECT nprobe, qid, cid FROM (
+      |    SELECT l.nprobe, c.qid, c.cid,
+      |      row_number() OVER (PARTITION BY l.nprobe, c.qid
+      |        ORDER BY c.dot DESC, c.cid ASC) AS rank
+      |    FROM cand c JOIN levels l ON c.pr <= l.nprobe) WHERE rank <= 10),
+      | ncand AS (
+      |  SELECT l.nprobe, CAST(count(*) AS BIGINT) AS n_cand
+      |  FROM cand c JOIN levels l ON c.pr <= l.nprobe GROUP BY 1),
+      | hits AS (
+      |  SELECT a.nprobe, CAST(count(*) AS BIGINT) AS n_hit
+      |  FROM ann a JOIN truth t ON a.qid = t.qid AND a.cid = t.cid
+      |  GROUP BY 1),
+      | tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+      | curve AS (
+      |  SELECT CAST(l.nprobe AS BIGINT) AS nprobe, nc.n_cand, tot.n_truth,
+      |    CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |    CAST((1000000 * coalesce(h.n_hit, 0)) // tot.n_truth AS BIGINT)
+      |      AS recall_ppm
+      |  FROM levels l
+      |  JOIN ncand nc ON nc.nprobe = l.nprobe
+      |  LEFT JOIN hits h ON h.nprobe = l.nprobe
+      |  CROSS JOIN tot),
+      | sel AS (
+      |  SELECT coalesce(
+      |    (SELECT min(nprobe) FROM curve WHERE recall_ppm >= 900000),
+      |    (SELECT max(nprobe) FROM curve)) AS sel)
+      |SELECT c.nprobe, c.n_cand, c.n_truth, c.n_hit, c.recall_ppm,
+      |  c.nprobe = sel.sel AS chosen
+      |FROM curve c CROSS JOIN sel
+      |ORDER BY c.nprobe""".stripMargin
+
+  /** q169 — FILTERED ANN SEARCH: top-k under a metadata predicate —
+    * the feature every production vector store leads with ("nearest
+    * neighbors WHERE label = X") and the one that breaks naive IVF:
+    * post-filtering a plain top-k can return < k rows when the
+    * neighborhood is predicate-sparse. This is the PRE-FILTER shape:
+    * the predicate cuts the candidate set BEFORE ranking, so every
+    * returned rank is a true filtered neighbor, and multi-probe
+    * (nprobe = 2 here) widens the pool the way a real stack compensates
+    * for filter selectivity. Routing, dots, and ranks all stay exact
+    * integers (the q43/q164 regime) — DuckDB replays the pipeline
+    * verbatim.
+    *
+    * Scale: the predicate column rides a vec_id equi-join onto the
+    * assigned corpus (at 100 TB the label lives IN the index rows and
+    * this join disappears — it exists here because the quantized
+    * artifact is deliberately narrow); candidates are nprobe cells'
+    * occupancy per query, filtered map-side before the rank window. */
+  def ivfTopKFiltered(s: SparkSession, d: String, k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    val qe = quantizedEmbeddings(s, d)
+    val cent = qe.where(col("vec_id") % 100 === 0 && col("vec_id") < 6400)
+      .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val assigned = assignCells(s, qe, cent)
+      .join(labels, Seq("vec_id"))
+      .select(col("vec_id"), col("q8"), col("cent_id"), col("label"))
+    val probes = assignCellsTopP(s, qe.where(col("vec_id") < 5), cent, nprobe)
+      .select(col("vec_id").as("qid"), col("q8").as("qv"),
+        explode(col("probe_cells")).as("qcell"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid").asc)
+    assigned.where(col("label") % 2 === 0)
+      .join(broadcast(probes),
+        col("cent_id") === col("qcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        vecDot(col("qv"), col("q8")).cast("long").as("dot"))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Oracle for [[ivfTopKFiltered]] (k=10, nprobe=2, label % 2 = 0). */
+  val ivfTopKFilteredSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding, label,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | cent AS (SELECT vec_id AS cent_id, q AS cq FROM q8
+      |         WHERE vec_id % 100 = 0 AND vec_id < 6400),
+      | assigned AS (
+      |  SELECT vec_id, label, q, cent_id FROM (
+      |    SELECT v.vec_id, v.label, v.q, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY CAST(list_dot_product(v.q, c.cq) AS BIGINT) DESC,
+      |                 c.cent_id ASC) AS rn
+      |    FROM q8 v CROSS JOIN cent c) WHERE rn = 1),
+      | pcells AS (
+      |  SELECT qid, qv, cent_id AS qcell FROM (
+      |    SELECT p.vec_id AS qid, p.q AS qv, c.cent_id,
+      |      row_number() OVER (PARTITION BY p.vec_id
+      |        ORDER BY CAST(list_dot_product(p.q, c.cq) AS BIGINT) DESC,
+      |                 c.cent_id ASC) AS rn
+      |    FROM q8 p CROSS JOIN cent c WHERE p.vec_id < 5) WHERE rn <= 2),
+      | cand AS (
+      |  SELECT pc.qid, a.vec_id AS cid,
+      |    CAST(list_dot_product(pc.qv, a.q) AS BIGINT) AS dot
+      |  FROM assigned a JOIN pcells pc
+      |    ON a.cent_id = pc.qcell AND a.vec_id <> pc.qid
+      |  WHERE a.label % 2 = 0),
+      | ranked AS (
+      |  SELECT qid, cid, dot,
+      |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid ASC) AS rank
+      |  FROM cand)
+      |SELECT qid, cid, dot, rank FROM ranked WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin
 
   /** q166 — VECTOR-FAMILY ERASURE (r13 verdict item 5): the
     * right-to-be-forgotten path for the index tier. q131's relational

@@ -1193,6 +1193,91 @@ object TextAnalysis {
        |WHERE d.doc_id % 2 = 1
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q171 — LM QUALITY FILTER LEDGER: the APPLY step behind q113 (the
+    * r13/r14 audit-needs-a-consumer stance — q155 applies q154's spans,
+    * q159 repairs q156's audit; this applies q113's scores). The bigram
+    * LM scores every held-out document (q113's exact integer
+    * milli-bits-per-token); the filter keeps documents at or below the
+    * corpus-mean score (fluent = cheap to predict) and the LEDGER — the
+    * artifact a pipeline actually publishes — reports per source how
+    * many documents were scored, how many survive, and the keep rate in
+    * integer ppm alongside the threshold that produced it. A source
+    * whose keep rate craters names a contamination or crawler
+    * regression the way q163's accounting names a dedup one.
+    *
+    * Scale: q113's model + scoring cost (vocab-bounded aggs, token-keyed
+    * joins) plus one |sources|-bounded roll-up; the threshold is a
+    * single-row aggregate broadcast into the ledger — no second scoring
+    * pass, nothing corpus-sized on the driver. */
+  def lmQualityFilterLedger(s: SparkSession, d: String): DataFrame = {
+    val scored = lmQualityScore(s, d).where(col("n_pairs") > 0)
+      .localCheckpoint(true) // feeds the threshold agg AND the ledger
+    val thr = scored.agg(expr("sum(score_mbits) div count(1)").as("t"))
+    scored
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .crossJoin(broadcast(thr))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("score_mbits") <= col("t"), 1L).otherwise(0L))
+          .as("n_kept"),
+        max(col("t")).as("threshold_mbits"))
+      .select(col("source"), col("n_scored"), col("n_kept"),
+        expr("(1000000 * n_kept) div n_scored").as("kept_ppm"),
+        col("threshold_mbits"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle for [[lmQualityFilterLedger]]: q113's CTEs + integer-mean
+    * threshold + per-source keep roll-up. */
+  val lmQualityFilterLedgerSql: String =
+    s"""WITH wordpos AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(text, '$wordPat')) AS w,
+       |    generate_subscripts(regexp_extract_all(text, '$wordPat'), 1) AS pos
+       |  FROM documents),
+       | pairs AS (
+       |  SELECT doc_id, w AS w1,
+       |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |  FROM wordpos),
+       | uni AS (SELECT w, count(*) AS cu FROM wordpos
+       |   WHERE doc_id % 2 = 0 GROUP BY w),
+       | n AS (SELECT count(*) AS n FROM wordpos WHERE doc_id % 2 = 0),
+       | big AS (SELECT w1, w2, count(*) AS c2 FROM pairs
+       |   WHERE doc_id % 2 = 0 AND w2 IS NOT NULL GROUP BY w1, w2),
+       | sc AS (
+       |  SELECT p.doc_id,
+       |    CASE WHEN b.c2 IS NOT NULL
+       |           THEN (length(bin(u1.cu)) - 1) - (length(bin(b.c2)) - 1)
+       |         WHEN u2.cu IS NOT NULL
+       |           THEN $LmBackoffBits + (length(bin(n.n)) - 1) - (length(bin(u2.cu)) - 1)
+       |         ELSE ${LmBackoffBits + LmOovExtraBits} + (length(bin(n.n)) - 1) END AS nlp
+       |  FROM pairs p
+       |  LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+       |  LEFT JOIN uni u1 ON p.w1 = u1.w
+       |  LEFT JOIN uni u2 ON p.w2 = u2.w
+       |  CROSS JOIN n
+       |  WHERE p.doc_id % 2 = 1 AND p.w2 IS NOT NULL),
+       | per AS (
+       |  SELECT doc_id, count(*) AS n_pairs,
+       |    CAST((1000 * sum(nlp)) // count(*) AS BIGINT) AS score_mbits
+       |  FROM sc GROUP BY doc_id),
+       | thr AS (
+       |  SELECT CAST(sum(score_mbits) // count(*) AS BIGINT) AS t FROM per),
+       | ledger AS (
+       |  SELECT d.source,
+       |    CAST(count(*) AS BIGINT) AS n_scored,
+       |    CAST(count(*) FILTER (WHERE per.score_mbits <= thr.t) AS BIGINT)
+       |      AS n_kept,
+       |    CAST(max(thr.t) AS BIGINT) AS threshold_mbits
+       |  FROM per JOIN documents d USING (doc_id) CROSS JOIN thr
+       |  GROUP BY d.source)
+       |SELECT source, n_scored, n_kept,
+       |  CAST((1000000 * n_kept) // n_scored AS BIGINT) AS kept_ppm,
+       |  threshold_mbits
+       |FROM ledger
+       |ORDER BY source""".stripMargin
+
   /** Hashed-feature space for [[dsirResample]]: 8192 buckets from a
     * 16-bit md5 prefix (the suite's portable-hash convention — q101's
     * kmvHash shape); 2^16 mod 8192 = 0, so the fold is unbiased. */

@@ -481,47 +481,67 @@ class MaintenanceOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nCorpus == nIndexed + nMissing, "gate split must reconcile exactly")
     assert(nMissing > 0 && out.getAs[Long]("n_stale_cells") > 0)
     assert(out.getAs[Long]("max_cell_missing") <= nMissing)
-    // damage the artifact the face just built: delete ONE cell's files
-    val idxDir = new java.io.File("target/tmp/ivf_q156/index")
-    val cells = idxDir.listFiles().filter(_.getName.startsWith("cent_id="))
-    assert(cells.length > 1, "need >=2 cells to test per-cell reporting")
-    val victim = cells.minBy(_.getName)
-    val victimCell = victim.getName.stripPrefix("cent_id=").toLong
-    val nVictim = spark.read.parquet(victim.getPath).count()
-    assert(nVictim > 0)
-    scala.reflect.io.Path(victim).deleteRecursively()
-    // audit the INDEXED slice against the damaged artifact: the missing
-    // set must be exactly the victim cell's vectors, routed to it
+    // damage a PRIVATE index clone and delete ONE cell's files. The
+    // gate artifact is the r14 shared fingerprint-keyed fixture —
+    // read-only by contract (damaging it in place would corrupt every
+    // later q156/q159 face in this checkout) — so the spec builds its
+    // own copy of the same % 10 != 0 index.
     val qe = Similarity.quantizedEmbeddings(spark, sf)
     val cent = qe.where(col("vec_id") % 100 === 1)
       .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
-    val perCell = Similarity.ivfCoverageByCell(spark,
-      qe.where(col("vec_id") % 10 =!= 0), cent,
-      spark.read.parquet(idxDir.getPath)).collect()
-    assert(perCell.length == 1, s"expected 1 stale cell, got ${perCell.length}")
-    assert(perCell.head.getLong(0) == victimCell)
-    assert(perCell.head.getAs[Long]("n_missing") == nVictim)
+    val work = new java.io.File("target/tmp/ivfq156_spec")
+    scala.reflect.io.Path(work).deleteRecursively()
+    try {
+      val idxDir = new java.io.File(work, "index")
+      Similarity.assignCells(spark, qe.where(col("vec_id") % 10 =!= 0), cent)
+        .select(col("vec_id"), col("cent_id"))
+        .repartition(col("cent_id")).write.mode("overwrite")
+        .partitionBy("cent_id").parquet(idxDir.getPath)
+      val cells = idxDir.listFiles().filter(_.getName.startsWith("cent_id="))
+      assert(cells.length > 1, "need >=2 cells to test per-cell reporting")
+      val victim = cells.minBy(_.getName)
+      val victimCell = victim.getName.stripPrefix("cent_id=").toLong
+      val nVictim = spark.read.parquet(victim.getPath).count()
+      assert(nVictim > 0)
+      scala.reflect.io.Path(victim).deleteRecursively()
+      // audit the INDEXED slice against the damaged artifact: the missing
+      // set must be exactly the victim cell's vectors, routed to it
+      val perCell = Similarity.ivfCoverageByCell(spark,
+        qe.where(col("vec_id") % 10 =!= 0), cent,
+        spark.read.parquet(idxDir.getPath)).collect()
+      assert(perCell.length == 1, s"expected 1 stale cell, got ${perCell.length}")
+      assert(perCell.head.getLong(0) == victimCell)
+      assert(perCell.head.getAs[Long]("n_missing") == nVictim)
+    } finally { scala.reflect.io.Path(work).deleteRecursively(); () }
   }
 
   test("ivfCoverageRepair (q159): hole closed on disk, receipt reconciles, only stale cells gain files") {
-    val r = Similarity.ivfCoverageRepair(spark, sf, centStride = 100).collect().head
-    assert(r.getAs[Long]("n_missing_after") == 0L)
-    assert(r.getAs[Long]("n_missing_before") == r.getAs[Long]("n_repaired"))
-    val qe = Similarity.quantizedEmbeddings(spark, sf)
-    val idx = spark.read.parquet("target/tmp/ivf_q159/index")
-    assert(idx.count() == qe.count() && r.getAs[Long]("n_indexed_after") == qe.count())
-    // the artifact's own per-cell audit agrees it is whole
-    val cent = qe.where(col("vec_id") % 100 === 1)
-      .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
-    assert(Similarity.ivfCoverageByCell(spark, qe, cent, idx).isEmpty)
-    // append semantics: exactly the stale cells gained a second file —
-    // healthy cells keep their single build-time file (never rewritten)
-    val cellDirs = new java.io.File("target/tmp/ivf_q159/index")
-      .listFiles().filter(_.getName.startsWith("cent_id="))
-    val gained = cellDirs.count(
-      _.listFiles().count(_.getName.startsWith("part-")) > 1)
-    assert(gained == r.getAs[Long]("n_cells_touched"),
-      s"$gained cells gained files, receipt says ${r.getAs[Long]("n_cells_touched")}")
+    // workDir seam: keep the repaired clone on disk so the file-level
+    // append-semantics checks below can inspect it (the default path is
+    // a UUID work dir deleted inside the operator — r14 fixture rework)
+    val work = new java.io.File("target/tmp/ivfq159_spec")
+    scala.reflect.io.Path(work).deleteRecursively()
+    try {
+      val r = Similarity.ivfCoverageRepair(spark, sf, centStride = 100,
+        workDir = work.getPath).collect().head
+      assert(r.getAs[Long]("n_missing_after") == 0L)
+      assert(r.getAs[Long]("n_missing_before") == r.getAs[Long]("n_repaired"))
+      val qe = Similarity.quantizedEmbeddings(spark, sf)
+      val idx = spark.read.parquet(s"${work.getPath}/index")
+      assert(idx.count() == qe.count() && r.getAs[Long]("n_indexed_after") == qe.count())
+      // the artifact's own per-cell audit agrees it is whole
+      val cent = qe.where(col("vec_id") % 100 === 1)
+        .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
+      assert(Similarity.ivfCoverageByCell(spark, qe, cent, idx).isEmpty)
+      // append semantics: exactly the stale cells gained a second file —
+      // healthy cells keep their single build-time file (never rewritten)
+      val cellDirs = new java.io.File(work, "index")
+        .listFiles().filter(_.getName.startsWith("cent_id="))
+      val gained = cellDirs.count(
+        _.listFiles().count(_.getName.startsWith("part-")) > 1)
+      assert(gained == r.getAs[Long]("n_cells_touched"),
+        s"$gained cells gained files, receipt says ${r.getAs[Long]("n_cells_touched")}")
+    } finally { scala.reflect.io.Path(work).deleteRecursively(); () }
   }
 
   test("hybridRetrievalRrf (q160): rrf recomputed from ranks; per-query contiguity and ordering") {

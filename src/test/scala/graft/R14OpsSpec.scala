@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{ArgmaxExprs, CentroidMatrix}
-import graft.ops.Similarity
+import graft.ops.{Dedup, Sampling, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
@@ -209,6 +209,27 @@ class R14OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally scala.reflect.io.Path(work).deleteRecursively()
   }
 
+  // -------------------------------------------------------------------
+  // q167: rebalance — tail invariant + conservation
+  // -------------------------------------------------------------------
+
+  test("ivfRebalanceSplit: max occupancy never grows, rows conserved, splits fire") {
+    // sf0.01, not sf0.001: the smaller corpus routes to a single cell
+    // (exactly 1.0x the mean), so no threshold can fire there
+    val sfSplit = "/root/testdata/sf0.01"
+    val r = Similarity.ivfRebalanceSplit(spark, sfSplit, thresholdPpm = 1100000L)
+      .collect().head
+    assert(r.getAs[Long]("max_occ_after") <= r.getAs[Long]("max_occ_before"),
+      "splitting can only shrink or hold the max cell")
+    assert(r.getAs[Long]("n_vecs_after") ==
+      Similarity.quantizedEmbeddings(spark, sfSplit).count(),
+      "rebalance must conserve every row")
+    assert(r.getAs[Long]("n_cells_after") >= r.getAs[Long]("n_cells_before"))
+    // at the pinned 1.1x threshold the gate corpus has at least one hot
+    // cell — the split path must actually run, not vacuously pass
+    assert(r.getAs[Long]("n_cells_split") >= 1L)
+  }
+
   test("vectorErasure receipt: zero residual and conserved index size") {
     val r = Similarity.vectorErasure(spark, sf).collect().head
     assert(r.getAs[Long]("n_residual_after") == 0L)
@@ -216,5 +237,134 @@ class R14OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("n_index_after") ==
       n - r.getAs[Long]("n_index_erased"))
     assert(r.getAs[Long]("n_store_erased") == r.getAs[Long]("n_index_erased"))
+  }
+
+  // -------------------------------------------------------------------
+  // q168: nprobe auto-select — curve shape + selection rule
+  // -------------------------------------------------------------------
+
+  test("nprobeSelect: recall monotone, cost monotone, selection is min-meeting-target") {
+    val rows = Similarity.nprobeSelect(spark, "/root/testdata/sf0.01")
+      .collect().sortBy(_.getAs[Long]("nprobe"))
+    assert(rows.length == 3)
+    val recalls = rows.map(_.getAs[Long]("recall_ppm"))
+    val costs = rows.map(_.getAs[Long]("n_cand"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone in nprobe: ${recalls.toSeq}")
+    assert(costs.zip(costs.tail).forall { case (a, b) => a < b },
+      s"candidate cost must grow with nprobe: ${costs.toSeq}")
+    val chosen = rows.filter(_.getAs[Boolean]("chosen"))
+    assert(chosen.length == 1, "exactly one selected row")
+    val meets = rows.filter(_.getAs[Long]("recall_ppm") >= 900000L)
+    val expect = if (meets.nonEmpty) meets.map(_.getAs[Long]("nprobe")).min
+                 else rows.map(_.getAs[Long]("nprobe")).max
+    assert(chosen.head.getAs[Long]("nprobe") == expect)
+    // nprobe=1 must equal the q144 aggregate (same truth, same index)
+    val q144 = Similarity.annRecallAudit(spark, "/root/testdata/sf0.01")
+      .agg(sum(col("n_hit")), sum(col("n_truth"))).collect().head
+    assert(rows.head.getAs[Long]("n_hit") == q144.getLong(0))
+    assert(rows.head.getAs[Long]("n_truth") == q144.getLong(1))
+  }
+
+  // -------------------------------------------------------------------
+  // q169: filtered ANN — predicate holds, pre-filter beats post-filter
+  // -------------------------------------------------------------------
+
+  test("ivfTopKFiltered: every hit satisfies the predicate; ranks contiguous; pre-filter completeness") {
+    val d = "/root/testdata/sf0.01"
+    val rows = Similarity.ivfTopKFiltered(spark, d).collect()
+    assert(rows.nonEmpty)
+    val labels = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach(r => assert(labels(r.getAs[Long]("cid")) % 2 == 0,
+      s"filtered hit violates predicate: $r"))
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { qs =>
+      val ranks = qs.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to ranks.length), s"ranks not contiguous: $ranks")
+    }
+    // pre-filter completeness: a post-filtered UNFILTERED top-10 can
+    // only return <= the pre-filtered count per query (the reason the
+    // operator filters BEFORE ranking)
+    val post = Similarity.ivfTopKMultiProbe(spark, d, k = 10, nprobe = 2)
+      .collect().filter(r => labels(r.getAs[Long]("cid")) % 2 == 0)
+      .groupBy(_.getAs[Long]("qid")).view.mapValues(_.length).toMap
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (q, qs) =>
+      assert(post.getOrElse(q, 0) <= qs.length,
+        s"post-filter returned more than pre-filter for query $q")
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // q170: repeated-block dedup — splice correctness on a planted corpus
+  // -------------------------------------------------------------------
+
+  test("blockDedup: planted boilerplate spliced, unique docs untouched, counts reconcile") {
+    val d = "/root/testdata/sf0.01"
+    val out = Dedup.blockDedup(spark, d).collect()
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == docs.size)
+    // independent in-memory replay of the definition
+    def blocks(t: String): Seq[String] =
+      "[a-z0-9]+".r.findAllIn(t).toSeq.grouped(8).map(_.mkString(" ")).toSeq
+    val counts = docs.values.toSeq.flatMap(blocks)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    var touched = 0
+    out.foreach { r =>
+      val bs = blocks(docs(r.getAs[Long]("doc_id")))
+      val hot = bs.filter(counts(_) > 1)
+      assert(r.getAs[Long]("n_blocks") == bs.length)
+      assert(r.getAs[Long]("n_dropped") == hot.length)
+      assert(r.getAs[String]("text_clean") ==
+        bs.filter(counts(_) <= 1).mkString(" "))
+      if (hot.nonEmpty) touched += 1
+    }
+    assert(touched > 0, "the corpus must exercise the splice path")
+  }
+
+  // -------------------------------------------------------------------
+  // q171: LM filter ledger — threshold rule + reconciliation with q113
+  // -------------------------------------------------------------------
+
+  test("lmQualityFilterLedger: ledger reconciles with the q113 scores it applies") {
+    val d = "/root/testdata/sf0.01"
+    val scores = graft.ops.TextAnalysis.lmQualityScore(spark, d)
+      .where(col("n_pairs") > 0).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_mbits")).toMap
+    val t = scores.values.sum / scores.size
+    val led = graft.ops.TextAnalysis.lmQualityFilterLedger(spark, d).collect()
+    assert(led.forall(_.getAs[Long]("threshold_mbits") == t))
+    assert(led.map(_.getAs[Long]("n_scored")).sum == scores.size)
+    val kept = scores.values.count(_ <= t)
+    assert(led.map(_.getAs[Long]("n_kept")).sum == kept)
+    led.foreach { r =>
+      assert(r.getAs[Long]("kept_ppm") ==
+        1000000L * r.getAs[Long]("n_kept") / r.getAs[Long]("n_scored"))
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // q172: epoch shuffle — permutation, reproducibility, decorrelation
+  // -------------------------------------------------------------------
+
+  test("epochShardShuffle: exact permutation, reproducible, epochs decorrelated") {
+    val d = "/root/testdata/sf0.01"
+    val a = Sampling.epochShardShuffle(spark, d).collect()
+    val n = Tables.documents(spark, d).count()
+    assert(a.length == n, "every document lands in exactly one shard slot")
+    assert(a.map(_.getAs[Long]("doc_id")).distinct.length == n)
+    a.groupBy(_.getAs[Long]("shard")).values.foreach { sh =>
+      val ps = sh.map(_.getAs[Long]("pos")).sorted.toSeq
+      assert(ps == (1L to ps.length).toSeq, "in-shard positions contiguous")
+    }
+    // reproducible: a second run is bit-identical
+    val b = Sampling.epochShardShuffle(spark, d).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // decorrelated: epoch 2 produces a different assignment for most docs
+    val e2 = Sampling.epochShardShuffle(spark, d, epoch = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+    val same = a.count(r => e2(r.getAs[Long]("doc_id")) == r.getAs[Long]("shard"))
+    assert(same < n * 3 / 10, s"epochs too correlated: $same/$n unchanged")
   }
 }
