@@ -472,6 +472,19 @@ object SparkEntry {
     // training shards with reproducible in-shard order
     "q172_epoch_shuffle" -> ((s: SparkSession, d: String) =>
       Sampling.epochShardShuffle(s, d)),
+    // IVF index merge: fold two independently-built half-indexes (same
+    // grid) into one generation per cell; receipt + zero-missing audit
+    "q173_ivf_merge" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfMergeIndexes(s, d)),
+    // centroid recenter: one integer Lloyd step as the apply behind
+    // q143's drift audit - per-cell occupancy before/after + moved count
+    "q174_ivf_recenter" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfRecenter(s, d)),
+    // streaming erasure propagation (13th streaming class): the
+    // right-to-be-forgotten queue as a multi-batch stream - per-wave
+    // touch-only cell rewrites with replay-stable receipts
+    "q175_stream_erasure" -> ((s: SparkSession, d: String) =>
+      Pipelines.streamErasure(s, d)),
     // contamination span evidence: WHERE each training doc overlaps
     // the benchmark set - maximal token spans of shared 3-grams
     // (coverage, longest run, first/last pos), the redact-not-drop
@@ -725,6 +738,9 @@ object SparkEntry {
     "q170_block_dedup" -> Dedup.blockDedupSql,
     "q171_lm_filter" -> TextAnalysis.lmQualityFilterLedgerSql,
     "q172_epoch_shuffle" -> Sampling.epochShardShuffleSql,
+    "q173_ivf_merge" -> Similarity.ivfMergeIndexesSql,
+    "q174_ivf_recenter" -> Similarity.ivfRecenterSql,
+    "q175_stream_erasure" -> Pipelines.streamErasureSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -1145,16 +1145,16 @@ object Dedup {
     * training data beyond the per-doc signature agg (32 longs/doc). The
     * gate designates doc_id % 10 == 0 as the benchmark for determinism. */
   def lshDecontaminate(s: SparkSession, d: String, benchMod: Int = 10): DataFrame = {
-    val sh = shingles(Tables.documents(s, d), dedup = false)
-      .select(col("doc_id"), baseHash(col("shingle")).as("h"))
-    val aggs = (0 until K).map(i => min(affineHash(i, col("h"))).as(s"mh$i"))
-    val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), array((0 until K).map(i => col(s"mh$i")): _*).as("sig"))
-      .cache()
-    val bucketOf: Int => Column = b => concat_ws(",",
-      (0 until ROWS_PER_BAND).map(r => col("sig")(b * ROWS_PER_BAND + r).cast("string")): _*)
-    val banded = sig.select(col("doc_id"),
-      posexplode(array((0 until BANDS).map(bucketOf): _*)).as(Seq("band", "bandhash")))
+    // r14: signatures come from the persisted fingerprint-keyed artifact
+    // ([[minhashSigShared]] — the identical [[minhashSig]] values, signed
+    // once per source content). Pre-r14 this face computed its own
+    // signatures but rode the session-cached copy via CacheManager
+    // subtree substitution; the artifact promotion removed that cache,
+    // and the face silently re-paid the full corpus signing (bench-diff
+    // caught it at +160% min-of-passes). Reading the artifact restores
+    // the materialize-once shape explicitly.
+    val sig = minhashSigShared(s, d)
+    val banded = sigBands(sig)
     val bench = banded.where(col("doc_id") % benchMod === 0)
       .select(col("doc_id").as("bench_doc"), col("band"), col("bandhash"))
     val train = banded.where(col("doc_id") % benchMod =!= 0)

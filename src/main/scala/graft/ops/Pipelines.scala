@@ -1538,4 +1538,176 @@ object Pipelines {
       |  CAST(0 AS BIGINT) AS n_missing_after
       |FROM per CROSS JOIN ex
       |ORDER BY per.wave""".stripMargin
+
+  private val SeName = "se_q175"
+  /** Where [[streamErasure]] stages its delivery files — exposed for
+    * the spec's replay assertion. */
+  private[graft] def streamErasureInputDir: java.io.File =
+    new java.io.File(s"target/tmp/$SeName/in")
+
+  /** q175 — STREAMING ERASURE PROPAGATION (13th streaming class): the
+    * right-to-be-forgotten queue as a real multi-batch stream — q166's
+    * batch erasure is how you erase a KNOWN subject list; production
+    * erasure arrives as a trickle of requests with an SLA clock, so
+    * the index tier needs a continuously-running applier. Three waves
+    * of erasure requests (subject vectors) arrive; each micro-batch
+    * removes its subjects from the persisted cell-partitioned index by
+    * rewriting ONLY their cells (q166's touch-only discipline: dynamic
+    * partition overwrite of the affected cells' survivors; a cell
+    * whose members were all erased has its dir removed), then writes a
+    * per-wave RECEIPT.
+    *
+    * Replay discipline (the q149/q161 r14 crash-replay rule): every
+    * receipt leg is a pure function of the BATCH plus static state —
+    * subjects counted from the staged batch, touched/deleted cells
+    * from the STATIC broadcast-argmax routing of the batch's own
+    * vectors (never from the mutable index, which a replayed batch
+    * would see post-erasure), and the residual leg re-measured off
+    * disk (0 on first execution AND on replay — erasure is naturally
+    * idempotent). The rewrite itself is an idempotent overwrite of the
+    * same survivor set. [[seProcessBatch]] is extracted so the replay
+    * spec re-executes a committed batch and asserts the receipt is
+    * bit-identical and the index unchanged.
+    *
+    * Scale: per wave the work is |batch| routed ids + a rewrite of the
+    * affected cells' survivors — cost ∝ the requests and the cells
+    * they name, never the index; the audit legs are id-only joins. */
+  def streamErasure(s: SparkSession, d: String): DataFrame = {
+    val base = freshTmp(SeName)
+    val qe = Similarity.quantizedEmbeddings(s, d)
+    val cent = qe.where(col("vec_id") % 100 === 0 && col("vec_id") < 6400)
+      .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
+    // the serving index: the FULL corpus routed + persisted by cell
+    Similarity.assignCells(s, qe, cent)
+      .select(col("vec_id"), col("cent_id"))
+      .repartition(col("cent_id")).write.mode("overwrite")
+      .partitionBy("cent_id").parquet(s"$base/index")
+    // erasure requests: subjects vec_id % 10 = 0, delivered in three
+    // waves by (vec_id div 10) % 3 (the q161 mtime trick)
+    val subjects = qe.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("q8"))
+    val inDir = streamErasureInputDir
+    val stamped = scala.collection.mutable.HashSet[String]()
+    (0 until 3).foreach { i =>
+      subjects.where(expr("(vec_id div 10) % 3") === i)
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      val waveT = 1700000000000L + i * 600000L
+      inDir.listFiles().foreach(f => if (stamped.add(f.getName)) f.setLastModified(waveT))
+    }
+    val stream = s.readStream.schema(subjects.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    runStream(s) {
+      stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        seProcessBatch(base, cent, qe, batch, batchId)
+      }.option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    }
+    val receiptDirs = Option(new java.io.File(s"$base/stage").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith("receipt_")).map(_.getPath).sorted
+    require(receiptDirs.nonEmpty,
+      "streamErasure: stream produced no staged receipts — empty input " +
+        "or a silently failed stream")
+    s.read.parquet(receiptDirs.toIndexedSeq: _*).orderBy(col("wave"))
+  }
+
+  /** ONE micro-batch of [[streamErasure]] — extracted for the crash-
+    * replay spec. Every leg is replay-stable (see [[streamErasure]]). */
+  private[graft] def seProcessBatch(base: String, cent: DataFrame,
+      qe: DataFrame, batch: DataFrame, batchId: Long): Unit = {
+    val bs = batch.sparkSession
+    batch.write.mode("overwrite").parquet(s"$base/stage/b_$batchId")
+    val b = bs.read.parquet(s"$base/stage/b_$batchId")
+    val nSubjects = b.count()
+    // STATIC routing of the batch's own vectors — replay-stable (the
+    // mutable index would show a replayed batch nothing)
+    val routed = Similarity.assignCells(bs, b, cent)
+      .select(col("vec_id"), col("cent_id"))
+    val myCells = routed.select(col("cent_id")).distinct()
+      .collect().map(_.getAs[Number](0).longValue()).sorted
+    // a cell dies iff ALL its static members are THIS batch's subjects
+    // (static occupancy vs victim count — replay-stable by routing)
+    val occ = Similarity.assignCells(bs, qe, cent)
+      .where(col("cent_id").isin(myCells: _*))
+      .groupBy(col("cent_id")).agg(count(lit(1)).as("occ"))
+    val vics = routed.groupBy(col("cent_id")).agg(count(lit(1)).as("nv"))
+    val nCellsDeleted = occ.join(vics, Seq("cent_id"))
+      .where(col("occ") === col("nv")).count()
+    // the apply: rewrite ONLY the affected cells without the subjects
+    if (myCells.nonEmpty) {
+      val idxNow = bs.read.parquet(s"$base/index")
+      val survivors = idxNow
+        .where(col("cent_id").isin(myCells: _*))
+        .join(b.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"))
+        .persist()
+      val liveCells = survivors.select(col("cent_id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      survivors.count() // materialize BEFORE mutating the dirs it reads
+      myCells.filterNot(liveCells).foreach(c => scala.reflect.io.Path(
+        new java.io.File(s"$base/index/cent_id=$c")).deleteRecursively())
+      if (liveCells.nonEmpty) Similarity.withDynamicOverwrite(bs) {
+        survivors.repartition(col("cent_id")).write.mode("overwrite")
+          .partitionBy("cent_id").parquet(s"$base/index")
+      }
+      survivors.unpersist()
+      ()
+    }
+    // residual re-measured OFF DISK — 0 on first execution and replay
+    val nResidual = bs.read.parquet(s"$base/index")
+      .join(b.select(col("vec_id")), Seq("vec_id"), "left_semi").count()
+    bs.range(1).select(
+      lit(batchId).as("wave"), lit(nSubjects).as("n_subjects"),
+      lit(myCells.length.toLong).as("n_cells_touched"),
+      lit(nCellsDeleted).as("n_cells_deleted"),
+      lit(nResidual).as("n_residual_after"))
+      .write.mode("overwrite").parquet(s"$base/stage/receipt_$batchId")
+    ()
+  }
+
+  /** Oracle for [[streamErasure]]: the three request waves unrolled —
+    * per-wave subject count, distinct argmax cells touched, cells
+    * whose entire static membership is the wave's subjects, residual
+    * identically zero. */
+  def streamErasureSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | cent AS (SELECT vec_id AS cent_id, q AS cq FROM q8
+      |          WHERE vec_id % 100 = 0 AND vec_id < 6400),
+      | assigned AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT v.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY CAST(list_dot_product(v.q, c.cq) AS BIGINT) DESC,
+      |                 c.cent_id ASC) AS rn
+      |    FROM q8 v CROSS JOIN cent c) WHERE rn = 1),
+      | occ AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS occ
+      |         FROM assigned GROUP BY 1),
+      | waves AS (
+      |  SELECT a.vec_id, a.cent_id, (a.vec_id // 10) % 3 AS wave
+      |  FROM assigned a WHERE a.vec_id % 10 = 0),
+      | vics AS (
+      |  SELECT wave, cent_id, CAST(count(*) AS BIGINT) AS nv
+      |  FROM waves GROUP BY wave, cent_id),
+      | del AS (
+      |  SELECT v.wave, CAST(count(*) AS BIGINT) AS n_cells_deleted
+      |  FROM vics v JOIN occ o USING (cent_id)
+      |  WHERE v.nv = o.occ GROUP BY v.wave),
+      | per AS (
+      |  SELECT wave, CAST(count(*) AS BIGINT) AS n_subjects,
+      |    CAST(count(DISTINCT cent_id) AS BIGINT) AS n_cells_touched
+      |  FROM waves GROUP BY wave)
+      |SELECT CAST(per.wave AS BIGINT) AS wave, per.n_subjects,
+      |  per.n_cells_touched,
+      |  CAST(coalesce(del.n_cells_deleted, 0) AS BIGINT) AS n_cells_deleted,
+      |  CAST(0 AS BIGINT) AS n_residual_after
+      |FROM per LEFT JOIN del USING (wave)
+      |ORDER BY wave""".stripMargin
 }

@@ -2453,7 +2453,7 @@ object Similarity {
     * session's prior setting — the erasure writes must rewrite ONLY the
     * partitions present in the surviving data (q159's touch-only-stale
     * discipline), never truncate the whole table. */
-  private def withDynamicOverwrite[T](s: SparkSession)(body: => T): T = {
+  private[graft] def withDynamicOverwrite[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prior = s.conf.getOption(key)
     s.conf.set(key, "dynamic")
@@ -2547,9 +2547,10 @@ object Similarity {
     * face would split nothing and prove nothing).
     *
     * Scale: occupancy is a |cells|-bounded aggregate off the persisted
-    * index; re-routing is |hot members| rows against 2-row broadcast
-    * seed tables; cost ∝ the hot cells, never the index — the same
-    * cost model as q159's repair and q166's erasure. */
+    * index; re-routing is |hot members| rows against ONE |hot|-row
+    * broadcast seed table in a single pass (3 jobs total regardless of
+    * how many cells split); cost ∝ the hot cells, never the index — the
+    * same cost model as q159's repair and q166's erasure. */
   def ivfRebalanceSplit(s: SparkSession, d: String,
       thresholdPpm: Long = 2000000L): DataFrame = {
     val qe = quantizedEmbeddings(s, d)
@@ -2578,27 +2579,36 @@ object Similarity {
           (1000000L * o) % nVecs * nCellsBefore / nVecs
       val hot = occRows.filter(c => overMeanPpm(c._2) > thresholdPpm)
         .map(_._1).sorted
-      // split each hot cell: members re-route between the min/max-id
-      // members' centroids; only these cells' dirs are touched
-      hot.foreach { h =>
-        val members = s.read.parquet(idx).where(col("cent_id") === h)
-          .select(col("vec_id"))
-          .join(qe, "vec_id").select(col("vec_id"), col("q8"))
-        val ids = members.agg(min(col("vec_id")), max(col("vec_id")))
-          .collect().head
-        val (loId, hiId) = (ids.getLong(0), ids.getLong(1))
-        val loVec = typedLit(qe.where(col("vec_id") === loId)
-          .select(col("q8")).collect().head.getSeq[Double](0))
-        val hiVec = typedLit(qe.where(col("vec_id") === hiId)
-          .select(col("q8")).collect().head.getSeq[Double](0))
-        val routed = members.select(col("vec_id"),
-          when(vecDot(col("q8"), loVec).cast("long") >=
-            vecDot(col("q8"), hiVec).cast("long"),
-            lit(-(2 * h + 1))).otherwise(lit(-(2 * h + 2))).as("cent_id"))
+      // split ALL hot cells in ONE pass (r14 rework of the first-cut
+      // per-cell loop, which ran 3 jobs + a partitioned write PER hot
+      // cell — at |hot| cells that's O(|hot|) sequential job launches;
+      // this shape is 3 jobs TOTAL regardless of |hot|): seed table =
+      // one |hot|-bounded aggregate (min/max member id per cell) joined
+      // to its two seed vectors; routing = one broadcast join of the
+      // seed table into the hot members. Only hot cells' dirs are ever
+      // touched; the routing rule (integer dot, ties to the min-id
+      // seed) is unchanged — receipt values identical.
+      if (hot.nonEmpty) {
+        val members = s.read.parquet(idx)
+          .where(col("cent_id").isin(hot: _*))
+          .select(col("cent_id").cast("long").as("h"), col("vec_id"))
+          .join(qe, "vec_id")
+          .select(col("h"), col("vec_id"), col("q8"))
+        val seeds = members.groupBy(col("h"))
+          .agg(min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
+          .join(qe.select(col("vec_id").as("lo"), col("q8").as("lovec")), "lo")
+          .join(qe.select(col("vec_id").as("hi"), col("q8").as("hivec")), "hi")
+          .select(col("h"), col("lovec"), col("hivec"))
+        val routed = members.join(broadcast(seeds), Seq("h"))
+          .select(col("vec_id"),
+            when(vecDot(col("q8"), col("lovec")).cast("long") >=
+              vecDot(col("q8"), col("hivec")).cast("long"),
+              -(lit(2L) * col("h") + 1L))
+              .otherwise(-(lit(2L) * col("h") + 2L)).as("cent_id"))
           .persist()
-        routed.count() // materialize BEFORE mutating the dir it reads
-        scala.reflect.io.Path(new java.io.File(s"$idx/cent_id=$h"))
-          .deleteRecursively()
+        routed.count() // materialize BEFORE mutating the dirs it reads
+        hot.foreach(h => scala.reflect.io.Path(
+          new java.io.File(s"$idx/cent_id=$h")).deleteRecursively())
         withDynamicOverwrite(s) {
           routed.repartition(col("cent_id")).write.mode("overwrite")
             .partitionBy("cent_id").parquet(idx)
@@ -2677,6 +2687,240 @@ object Similarity {
       |  CAST((SELECT sum(occ) FROM occ2) AS BIGINT) AS n_vecs_after,
       |  CAST((SELECT max(occ) FROM occ) AS BIGINT) AS max_occ_before,
       |  CAST((SELECT max(occ) FROM occ2) AS BIGINT) AS max_occ_after""".stripMargin
+
+  /** The two independently-built half-indexes q173 merges: the even
+    * corpus half (vec_id % 2 = 0) and the odd half, each routed against
+    * the SAME fixed anchor grid and persisted cell-partitioned — the
+    * state two parallel index-build jobs (two ingest pipelines, two
+    * regions) leave behind. Fingerprint-keyed, built once per source
+    * content (the quant8 convention), read-only. */
+  private def halfIndexArtifact(s: SparkSession, d: String,
+      cent: DataFrame): String = synchronized {
+    val dir = new java.io.File(
+      s"target/tmp/ivfhalf_${Tables.sourceFingerprint(d, "embeddings")}")
+    if (!new java.io.File(dir, "_OK").exists()) {
+      scala.reflect.io.Path(dir).deleteRecursively()
+      val qe = quantizedEmbeddings(s, d)
+      Seq(("a", 0), ("b", 1)).foreach { case (name, par) =>
+        assignCells(s, qe.where(col("vec_id") % 2 === par), cent)
+          .select(col("vec_id"), col("cent_id"))
+          .repartition(col("cent_id")).write.mode("overwrite")
+          .partitionBy("cent_id").parquet(s"${dir.getPath}/$name")
+      }
+      new java.io.File(dir, "_OK").createNewFile()
+    }
+    dir.getPath
+  }
+
+  /** q173 — IVF INDEX MERGE: fold two independently-built indexes over
+    * disjoint corpus halves (same anchor grid — two parallel build jobs,
+    * two ingest regions, a backfill next to a live index) into ONE
+    * serving index with the q126 layout discipline (one generation, one
+    * file per cell). The merge is pure layout work — both inputs carry
+    * final (vec_id, cent_id) routings against the same grid, so no
+    * vector is ever re-encoded or re-routed — and the receipt proves
+    * it: per-input sizes and cell counts, merged size (must be the
+    * sum — disjoint halves), merged cell count, physical files after
+    * (= |cells|, the serve-scan bound), and the q156 zero-missing audit
+    * off the merged artifact vs the FULL corpus.
+    *
+    * Scale: one narrow shuffle of (vec_id, cent_id) pairs keyed by
+    * cell — the same cost class as q165's compaction; the audit is the
+    * q156 id-only anti-join. Nothing corpus-vector-sized moves. */
+  def ivfMergeIndexes(s: SparkSession, d: String): DataFrame = {
+    val qe = quantizedEmbeddings(s, d)
+    val cent = qe.where(col("vec_id") % 100 === 0 && col("vec_id") < 6400)
+      .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
+    val half = halfIndexArtifact(s, d, cent)
+    val work = new java.io.File(
+      s"target/tmp/ivfq173_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val a = s.read.parquet(s"$half/a")
+      val b = s.read.parquet(s"$half/b")
+      val aAgg = a.agg(count(lit(1)), countDistinct(col("cent_id"))).collect().head
+      val bAgg = b.agg(count(lit(1)), countDistinct(col("cent_id"))).collect().head
+      val merged = s"${work.getPath}/index"
+      a.select(col("vec_id"), col("cent_id").cast("long").as("cent_id"))
+        .unionAll(b.select(col("vec_id"), col("cent_id").cast("long").as("cent_id")))
+        .repartition(col("cent_id")).write.mode("overwrite")
+        .partitionBy("cent_id").parquet(merged)
+      val m = s.read.parquet(merged)
+      val mAgg = m.agg(count(lit(1)), countDistinct(col("cent_id"))).collect().head
+      val filesAfter = Option(new java.io.File(merged).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.startsWith("cent_id="))
+        .map(cd => cd.listFiles().count(_.getName.startsWith("part-")).toLong)
+        .sum
+      val nMissing = ivfCoverageByCell(s, qe, cent, m)
+        .agg(coalesce(sum(col("n_missing")), lit(0L))).collect().head.getLong(0)
+      s.range(1).select(
+        lit(aAgg.getLong(0)).as("n_vecs_a"),
+        lit(bAgg.getLong(0)).as("n_vecs_b"),
+        lit(mAgg.getLong(0)).as("n_vecs_merged"),
+        lit(aAgg.getLong(1)).as("n_cells_a"),
+        lit(bAgg.getLong(1)).as("n_cells_b"),
+        lit(mAgg.getLong(1)).as("n_cells_merged"),
+        lit(filesAfter).as("files_after"),
+        lit(nMissing).as("n_missing_after"))
+    } finally { scala.reflect.io.Path(work).deleteRecursively(); () }
+  }
+
+  /** Oracle for [[ivfMergeIndexes]]: q43 routing of each half, counts
+    * by layout algebra (files_after = |merged cells| — the one-file-
+    * per-cell rule), zero-missing by construction. */
+  val ivfMergeIndexesSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | cent AS (SELECT vec_id AS cent_id, q AS cq FROM q8
+      |         WHERE vec_id % 100 = 0 AND vec_id < 6400),
+      | assigned AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT v.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY CAST(list_dot_product(v.q, c.cq) AS BIGINT) DESC,
+      |                 c.cent_id ASC) AS rn
+      |    FROM q8 v CROSS JOIN cent c) WHERE rn = 1)
+      |SELECT
+      |  CAST((SELECT count(*) FROM assigned WHERE vec_id % 2 = 0) AS BIGINT)
+      |    AS n_vecs_a,
+      |  CAST((SELECT count(*) FROM assigned WHERE vec_id % 2 = 1) AS BIGINT)
+      |    AS n_vecs_b,
+      |  CAST((SELECT count(*) FROM assigned) AS BIGINT) AS n_vecs_merged,
+      |  CAST((SELECT count(DISTINCT cent_id) FROM assigned WHERE vec_id % 2 = 0)
+      |    AS BIGINT) AS n_cells_a,
+      |  CAST((SELECT count(DISTINCT cent_id) FROM assigned WHERE vec_id % 2 = 1)
+      |    AS BIGINT) AS n_cells_b,
+      |  CAST((SELECT count(DISTINCT cent_id) FROM assigned) AS BIGINT)
+      |    AS n_cells_merged,
+      |  CAST((SELECT count(DISTINCT cent_id) FROM assigned) AS BIGINT)
+      |    AS files_after,
+      |  CAST(0 AS BIGINT) AS n_missing_after""".stripMargin
+
+  /** q174 — CENTROID RECENTER (one integer Lloyd step as index
+    * maintenance — the APPLY behind q143's drift audit): when drift
+    * says the corpus moved in embedding space, the cheapest repair is
+    * re-centering the existing cells on their CURRENT members — one
+    * k-means step, not a re-train. New centroid = component-wise
+    * integer division of the member sum (exact: int8 components sum
+    * < 2^53; BOTH engines truncate integer division toward zero —
+    * measured: DuckDB -7 // 2 = -3, its flooring `//` is float-only —
+    * so negative sums replay exactly); an empty cell keeps its old
+    * centroid (the kmeansInt carry rule). Every vector then re-routes
+    * against the recentered grid and the report is the maintenance
+    * receipt: per cell, occupancy before and after, plus the global
+    * moved-vector count — the number that says whether drift actually
+    * warranted a rebuild.
+    *
+    * Scale: one assignment map + one |cells|-bounded mean aggregate +
+    * one re-assignment map against the recentered broadcast grid; the
+    * receipt is |cells| rows. No pairwise work, no index rewrite here —
+    * the write-side apply is q165/q167's partitioned-dir discipline. */
+  def ivfRecenter(s: SparkSession, d: String): DataFrame = {
+    val qe = quantizedEmbeddings(s, d)
+    val cent = qe.where(col("vec_id") % 100 === 0 && col("vec_id") < 6400)
+      .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
+    val dims = qe.select(size(col("q8"))).head().getInt(0)
+    val assigned = assignCells(s, qe, cent)
+      .select(col("vec_id"), col("q8"), col("cent_id"))
+      .localCheckpoint(true) // feeds the mean agg AND both occupancy aggs
+    // component-wise member sums (exact integers) -> integer-div means.
+    // BOTH engines truncate toward zero on integer division (Spark
+    // `div` = Java semantics; DuckDB's integer `//` measured: -7 // 2
+    // = -3, NOT floor's -4 — its flooring `//` is float-only), so the
+    // plain div replays exactly on negative sums too.
+    val sums = assigned.groupBy(col("cent_id")).agg(
+      count(lit(1)).as("n"),
+      (0 until dims).map(i =>
+        sum(element_at(col("q8"), i + 1)).cast("long").as(s"s$i")): _*)
+    val recentered = sums.select(col("cent_id"), col("n"),
+      array((0 until dims).map(i =>
+        expr(s"CAST(s$i div n AS DOUBLE)")): _*).as("cq"))
+    // carry rule: a cell with no members keeps its old centroid (cannot
+    // fire at gate SF — every anchor routes somewhere — but the rule is
+    // part of the operator's contract at any corpus)
+    val newCent = cent.select(col("cent_id"), col("cq").as("old_cq"))
+      .join(recentered.select(col("cent_id"), col("cq")), Seq("cent_id"), "left")
+      .select(col("cent_id"), coalesce(col("cq"), col("old_cq")).as("cq"))
+    val reassigned = assignCells(s,
+        assigned.select(col("vec_id"), col("q8"), col("cent_id").as("old_cell")),
+        newCent)
+      .select(col("vec_id"), col("old_cell"), col("cent_id").as("new_cell"))
+      .localCheckpoint(true)
+    val occOld = reassigned.groupBy(col("old_cell").as("cent_id"))
+      .agg(count(lit(1)).as("occ_before"))
+    val occNew = reassigned.groupBy(col("new_cell").as("cent_id"))
+      .agg(count(lit(1)).as("occ_after"))
+    val moved = reassigned.where(col("old_cell") =!= col("new_cell"))
+      .agg(count(lit(1)).as("n_moved"))
+    occOld.join(occNew, Seq("cent_id"), "full")
+      .select(col("cent_id"),
+        coalesce(col("occ_before"), lit(0L)).as("occ_before"),
+        coalesce(col("occ_after"), lit(0L)).as("occ_after"))
+      .crossJoin(broadcast(moved))
+      .orderBy(col("cent_id"))
+  }
+
+  /** Oracle for [[ivfRecenter]]: q43 routing, floor-div member means
+    * (DuckDB `//` — the engine-pinned semantics), carry via left join,
+    * re-routing, full-outer occupancy compare + global moved count. */
+  val ivfRecenterSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | cent AS (SELECT vec_id AS cent_id, q AS cq FROM q8
+      |         WHERE vec_id % 100 = 0 AND vec_id < 6400),
+      | assigned AS (
+      |  SELECT vec_id, q, cent_id FROM (
+      |    SELECT v.vec_id, v.q, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY CAST(list_dot_product(v.q, c.cq) AS BIGINT) DESC,
+      |                 c.cent_id ASC) AS rn
+      |    FROM q8 v CROSS JOIN cent c) WHERE rn = 1),
+      | comp AS (
+      |  SELECT cent_id, i, CAST(sum(x) AS BIGINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT cent_id, unnest(q) AS x,
+      |          generate_subscripts(q, 1) AS i FROM assigned)
+      |  GROUP BY cent_id, i),
+      | means AS (
+      |  SELECT cent_id, list(CAST(s // n AS DOUBLE) ORDER BY i) AS cq
+      |  FROM comp GROUP BY cent_id),
+      | newcent AS (
+      |  SELECT c.cent_id, coalesce(m.cq, c.cq) AS cq
+      |  FROM cent c LEFT JOIN means m USING (cent_id)),
+      | reassigned AS (
+      |  SELECT vec_id, old_cell, cent_id AS new_cell FROM (
+      |    SELECT a.vec_id, a.cent_id AS old_cell, c.cent_id,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY CAST(list_dot_product(a.q, c.cq) AS BIGINT) DESC,
+      |                 c.cent_id ASC) AS rn
+      |    FROM assigned a CROSS JOIN newcent c) WHERE rn = 1),
+      | occ_old AS (SELECT old_cell AS cent_id, CAST(count(*) AS BIGINT)
+      |             AS occ_before FROM reassigned GROUP BY 1),
+      | occ_new AS (SELECT new_cell AS cent_id, CAST(count(*) AS BIGINT)
+      |             AS occ_after FROM reassigned GROUP BY 1),
+      | mv AS (SELECT CAST(count(*) AS BIGINT) AS n_moved
+      |        FROM reassigned WHERE old_cell <> new_cell)
+      |SELECT coalesce(o.cent_id, n.cent_id) AS cent_id,
+      |  CAST(coalesce(o.occ_before, 0) AS BIGINT) AS occ_before,
+      |  CAST(coalesce(n.occ_after, 0) AS BIGINT) AS occ_after,
+      |  mv.n_moved
+      |FROM occ_old o FULL JOIN occ_new n ON o.cent_id = n.cent_id
+      |CROSS JOIN mv
+      |ORDER BY cent_id""".stripMargin
 
   /** q168 — NPROBE AUTO-SELECT: the control loop that closes the
     * q144 → q164 pair. q144 measures recall, q164 provides the

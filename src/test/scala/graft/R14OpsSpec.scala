@@ -367,4 +367,77 @@ class R14OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val same = a.count(r => e2(r.getAs[Long]("doc_id")) == r.getAs[Long]("shard"))
     assert(same < n * 3 / 10, s"epochs too correlated: $same/$n unchanged")
   }
+
+  // -------------------------------------------------------------------
+  // q173: index merge — conservation, layout rule, zero-missing
+  // -------------------------------------------------------------------
+
+  test("ivfMergeIndexes: disjoint halves conserve exactly, one file per cell, zero missing") {
+    val d = "/root/testdata/sf0.01"
+    val r = Similarity.ivfMergeIndexes(spark, d).collect().head
+    assert(r.getAs[Long]("n_vecs_merged") ==
+      r.getAs[Long]("n_vecs_a") + r.getAs[Long]("n_vecs_b"),
+      "disjoint halves must union without loss or double-count")
+    assert(r.getAs[Long]("n_vecs_merged") ==
+      Similarity.quantizedEmbeddings(spark, d).count())
+    assert(r.getAs[Long]("n_missing_after") == 0L)
+    assert(r.getAs[Long]("files_after") == r.getAs[Long]("n_cells_merged"),
+      "the q126 layout rule: one physical file per merged cell")
+    val (ca, cb, cm) = (r.getAs[Long]("n_cells_a"),
+      r.getAs[Long]("n_cells_b"), r.getAs[Long]("n_cells_merged"))
+    assert(cm >= math.max(ca, cb) && cm <= ca + cb)
+  }
+
+  // -------------------------------------------------------------------
+  // q174: recenter — conservation + the step must actually move vectors
+  // -------------------------------------------------------------------
+
+  test("ivfRecenter: occupancies conserve the corpus on both sides; the Lloyd step moves vectors") {
+    val d = "/root/testdata/sf0.01"
+    val rows = Similarity.ivfRecenter(spark, d).collect()
+    val n = Similarity.quantizedEmbeddings(spark, d).count()
+    assert(rows.map(_.getAs[Long]("occ_before")).sum == n)
+    assert(rows.map(_.getAs[Long]("occ_after")).sum == n)
+    val moved = rows.map(_.getAs[Long]("n_moved")).distinct
+    assert(moved.length == 1, "n_moved is a single global measurement")
+    assert(moved.head > 0 && moved.head < n,
+      s"a recenter step on drifted data must move SOME vectors: ${moved.head}")
+  }
+
+  // -------------------------------------------------------------------
+  // q175: streaming erasure — final state + replay-stable receipts
+  // -------------------------------------------------------------------
+
+  test("streamErasure: final index = corpus minus all subjects; replayed batch is bit-identical") {
+    val d = sf // sf0.001: 5 subjects in 3 waves over one cell
+    val rows = graft.ops.Pipelines.streamErasure(spark, d).collect()
+    val qe = Similarity.quantizedEmbeddings(spark, d)
+    val nSubjects = qe.where(col("vec_id") % 10 === 0).count()
+    assert(rows.map(_.getAs[Long]("n_subjects")).sum == nSubjects)
+    assert(rows.forall(_.getAs[Long]("n_residual_after") == 0L))
+    val base = "target/tmp/se_q175"
+    val idx = spark.read.parquet(s"$base/index")
+    assert(idx.count() == qe.count() - nSubjects)
+    assert(idx.join(qe.where(col("vec_id") % 10 === 0),
+      Seq("vec_id"), "left_semi").count() == 0, "zero residual on disk")
+    // crash-replay: re-execute committed batch 0 against the final
+    // state — the receipt must be bit-identical (pure function of the
+    // batch + static routing) and the index untouched (idempotent)
+    val receiptBefore = spark.read.parquet(s"$base/stage/receipt_0")
+      .collect().map(_.toSeq).toSeq
+    val idxBefore = idx.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val cent = qe.where(col("vec_id") % 100 === 0 && col("vec_id") < 6400)
+      .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
+    // checkpoint: seProcessBatch re-stages to the same path the scan
+    // reads — exactly what a real foreachBatch replay delivers (an
+    // in-memory batch), not a lazy self-referential file scan
+    val b0 = spark.read.parquet(s"$base/stage/b_0").localCheckpoint(true)
+    graft.ops.Pipelines.seProcessBatch(base, cent, qe, b0, 0L)
+    val receiptAfter = spark.read.parquet(s"$base/stage/receipt_0")
+      .collect().map(_.toSeq).toSeq
+    assert(receiptAfter == receiptBefore, "replayed receipt must be bit-identical")
+    val idxAfter = spark.read.parquet(s"$base/index")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(idxAfter == idxBefore, "replayed batch must not change the index")
+  }
 }
