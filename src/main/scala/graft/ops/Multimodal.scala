@@ -296,8 +296,32 @@ object Multimodal {
     * one. */
   def realMediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
-    SharedPlans.cached(s, s"realMedia|$d")(realMediaPlan(s, d).toDF()).as[MediaRow]
+    s.read.parquet(mediaArtifact(s, d)).as[MediaRow]
   }
+
+  /** Build-once path of [[realMediaTable]]: the encoded media table as
+    * a PERSISTED fingerprint-keyed artifact (the quant8 convention,
+    * r14). The r13 session-cache version re-ENCODED the corpus whenever
+    * storage pressure evicted the cached rows — the r14 bench (12 more
+    * queries' worth of persisted state per pass) showed the whole media
+    * family's min-of-passes drifting up from exactly that (q61
+    * 1.29→2.05, q64 0.40→0.78, q66 0.36→0.60). It is also the honest
+    * shape: a production pipeline READS binary media from storage —
+    * synthesizing payloads is test-fixture construction, which belongs
+    * in a build-once artifact, not in every measured decode. */
+  private def mediaArtifact(s: SparkSession, d: String): String =
+    synchronized {
+      val dir = new java.io.File(
+        s"target/tmp/media_${Tables.sourceFingerprint(d, "documents")}")
+      if (!new java.io.File(dir, "_OK").exists()) {
+        scala.reflect.io.Path(dir).deleteRecursively()
+        realMediaPlan(s, d).toDF()
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+          .write.mode("overwrite").parquet(s"$dir/media")
+        new java.io.File(dir, "_OK").createNewFile()
+      }
+      s"${dir.getPath}/media"
+    }
 
   private def realMediaPlan(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._

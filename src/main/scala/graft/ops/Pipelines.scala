@@ -1577,11 +1577,13 @@ object Pipelines {
     val qe = Similarity.quantizedEmbeddings(s, d)
     val cent = qe.where(col("vec_id") % 100 === 0 && col("vec_id") < 6400)
       .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
-    // the serving index: the FULL corpus routed + persisted by cell
-    Similarity.assignCells(s, qe, cent)
-      .select(col("vec_id"), col("cent_id"))
-      .repartition(col("cent_id")).write.mode("overwrite")
-      .partitionBy("cent_id").parquet(s"$base/index")
+    // the serving index: the FULL corpus routed + persisted by cell —
+    // cloned from the pristine fingerprint-keyed artifact (hardlinks,
+    // r14: the erasure mutates the clone, so the corpus-sized route +
+    // write is paid once per source content, not per invocation)
+    Similarity.copyDir(
+      new java.io.File(Similarity.fullIndexArtifact(s, d, cent)),
+      new java.io.File(s"$base/index"))
     // erasure requests: subjects vec_id % 10 = 0, delivered in three
     // waves by (vec_id div 10) % 3 (the q161 mtime trick)
     val subjects = qe.where(col("vec_id") % 10 === 0)

@@ -2170,8 +2170,14 @@ object Similarity {
     s"${dir.getPath}/index"
   }
 
-  /** Recursive local-dir copy (the q159/q166 work-copy seam: mutating
-    * operators clone the pristine fixture instead of rebuilding it). */
+  /** Recursive local-dir clone (the q159/q166/q167 work-copy seam:
+    * mutating operators clone the pristine fixture instead of
+    * rebuilding it). HARDLINKS files when the filesystem allows (r14:
+    * O(files), not O(bytes) — the clone was the dominant cost of every
+    * mutating face's bench number), falling back to a byte copy.
+    * Safe because every mutation in this codebase is file-REPLACING,
+    * never in-place: a partition overwrite unlinks the old part files
+    * (the pristine fixture keeps its inodes) and writes fresh ones. */
   private[graft] def copyDir(src: java.io.File, dst: java.io.File): Unit = {
     val sp = src.toPath; val dp = dst.toPath
     val walk = java.nio.file.Files.walk(sp)
@@ -2180,8 +2186,12 @@ object Similarity {
       if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
       else {
         java.nio.file.Files.createDirectories(t.getParent)
-        java.nio.file.Files.copy(p, t,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        try java.nio.file.Files.createLink(t, p)
+        catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            java.nio.file.Files.copy(p, t,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
       }
     } finally walk.close()
   }
@@ -2352,6 +2362,48 @@ object Similarity {
     * runs per-cell-range as a background job, and the receipt's
     * rows-conserved + zero-missing checks are the promotion gate before
     * the compacted generation replaces the accreted one. */
+  /** The FULL corpus routed + persisted by cell — the pristine serving
+    * index mutating faces (q175's streaming erasure) clone via
+    * [[copyDir]]. Fingerprint-keyed, built once per source content. */
+  private[graft] def fullIndexArtifact(s: SparkSession, d: String,
+      cent: DataFrame): String = synchronized {
+    val dir = new java.io.File(
+      s"target/tmp/ivffull_${Tables.sourceFingerprint(d, "embeddings")}")
+    if (!new java.io.File(dir, "_OK").exists()) {
+      scala.reflect.io.Path(dir).deleteRecursively()
+      assignCells(s, quantizedEmbeddings(s, d), cent)
+        .select(col("vec_id"), col("cent_id"))
+        .repartition(col("cent_id")).write.mode("overwrite")
+        .partitionBy("cent_id").parquet(s"${dir.getPath}/index")
+      new java.io.File(dir, "_OK").createNewFile()
+    }
+    s"${dir.getPath}/index"
+  }
+
+  /** The accreted `batch=N/cent_id=M` state q161 leaves behind —
+    * existing corpus at batch=-1, three waves at batch=0..2 — as a
+    * fingerprint-keyed build-once artifact (read-only; q165 compacts
+    * FROM it into a fresh directory). */
+  private def accretedIndexArtifact(s: SparkSession, d: String,
+      cent: DataFrame): String = synchronized {
+    val dir = new java.io.File(
+      s"target/tmp/ivfaccr_${Tables.sourceFingerprint(d, "embeddings")}")
+    if (!new java.io.File(dir, "_OK").exists()) {
+      scala.reflect.io.Path(dir).deleteRecursively()
+      val qe = quantizedEmbeddings(s, d)
+      def writeGen(rows: DataFrame, gen: Int): Unit =
+        assignCells(s, rows, cent).select(col("vec_id"), col("cent_id"))
+          .repartition(col("cent_id")).write.mode("overwrite")
+          .partitionBy("cent_id").parquet(s"${dir.getPath}/index/batch=$gen")
+      writeGen(qe.where(col("vec_id") % 10 =!= 0), -1)
+      (0 until 3).foreach(i =>
+        writeGen(qe.where(col("vec_id") % 10 === 0 &&
+          pmod(col("vec_id"), lit(3)) === i), i))
+      new java.io.File(dir, "_OK").createNewFile()
+    }
+    s"${dir.getPath}/index"
+  }
+
   def ivfCompactGate(s: SparkSession, d: String): DataFrame = {
     val qe = quantizedEmbeddings(s, d)
     val cent = qe.where(col("vec_id") % 100 === 0 && col("vec_id") < 6400)
@@ -2359,17 +2411,13 @@ object Similarity {
     val work = new java.io.File(
       s"target/tmp/ivfq165_${java.util.UUID.randomUUID().toString.take(8)}")
     try {
-      val idx = s"${work.getPath}/index"
-      // the accreted state q161 leaves behind: existing at batch=-1,
-      // three waves at batch=0..2, each generation cell-partitioned
-      def writeGen(rows: DataFrame, gen: Int): Unit =
-        assignCells(s, rows, cent).select(col("vec_id"), col("cent_id"))
-          .repartition(col("cent_id")).write.mode("overwrite")
-          .partitionBy("cent_id").parquet(s"$idx/batch=$gen")
-      writeGen(qe.where(col("vec_id") % 10 =!= 0), -1)
-      (0 until 3).foreach(i =>
-        writeGen(qe.where(col("vec_id") % 10 === 0 &&
-          pmod(col("vec_id"), lit(3)) === i), i))
+      // the accreted state q161 leaves behind, as a READ-ONLY
+      // fingerprint-keyed artifact (r14 — compaction never mutates its
+      // input, it writes a new generation elsewhere, so unlike
+      // q159/q166/q167 no per-invocation clone is needed; the r13-shape
+      // build re-routed and re-wrote four generations inside every
+      // measured compaction)
+      val idx = accretedIndexArtifact(s, d, cent)
       // receipt legs, each eager (one path generation per executed plan)
       val before = s.read.parquet(idx)
       val beforeAgg = before.agg(count(lit(1)),
