@@ -485,6 +485,14 @@ object SparkEntry {
     // touch-only cell rewrites with replay-stable receipts
     "q175_stream_erasure" -> ((s: SparkSession, d: String) =>
       Pipelines.streamErasure(s, d)),
+    // shard balance audit (q172's audit leg): per-shard doc/char loads
+    // in integer ppm - the training-straggler number
+    "q176_shard_balance" -> ((s: SparkSession, d: String) =>
+      Sampling.epochShardBalance(s, d)),
+    // quantization fidelity: Kendall rank inversions between the float
+    // top-k order and the int8 order - rank directly vs shortlist+rerank
+    "q177_quant_fidelity" -> ((s: SparkSession, d: String) =>
+      Similarity.quantFidelity(s, d)),
     // contamination span evidence: WHERE each training doc overlaps
     // the benchmark set - maximal token spans of shared 3-grams
     // (coverage, longest run, first/last pos), the redact-not-drop
@@ -741,6 +749,8 @@ object SparkEntry {
     "q173_ivf_merge" -> Similarity.ivfMergeIndexesSql,
     "q174_ivf_recenter" -> Similarity.ivfRecenterSql,
     "q175_stream_erasure" -> Pipelines.streamErasureSql,
+    "q176_shard_balance" -> Sampling.epochShardBalanceSql,
+    "q177_quant_fidelity" -> Similarity.quantFidelitySql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -316,4 +316,57 @@ object Sampling {
       |  FROM h)
       |SELECT shard, CAST(pos AS BIGINT) AS pos, doc_id FROM sharded
       |ORDER BY shard, pos""".stripMargin
+
+  /** q176 — SHARD BALANCE AUDIT (the q152 of training shards — q172's
+    * audit leg): a deterministic shard assignment is only half the
+    * story; the data loader's wall-clock is set by the FATTEST shard
+    * (stragglers), and doc counts lie when documents vary in length.
+    * Per shard: docs and chars, each as an integer-ppm share and an
+    * over-mean ppm (the q152 formula) — the straggler number a
+    * training job alerts on before epoch 1 wastes cluster-hours.
+    *
+    * Scale: rides q172's single shard shuffle; the report is
+    * |shards|-bounded. */
+  def epochShardBalance(s: SparkSession, d: String, epoch: Int = 1,
+      shards: Int = 16): DataFrame = {
+    val hv = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(s":$epoch"))), 1, 15), 16, 10).cast("long")
+    val per = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), (hv % shards).as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    val tot = per.agg(count(lit(1)).as("n_shards"),
+      sum(col("n_docs")).as("td"), sum(col("n_chars")).as("tc"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_chars"),
+        expr("(1000000 * n_docs) div td").as("docs_share_ppm"),
+        expr("(1000000 * n_chars) div tc").as("chars_share_ppm"),
+        expr("(1000000 * n_docs * n_shards) div td").as("docs_over_mean_ppm"),
+        expr("(1000000 * n_chars * n_shards) div tc").as("chars_over_mean_ppm"))
+      .orderBy(col("shard"))
+  }
+
+  /** Oracle for [[epochShardBalance]] (epoch 1, 16 shards). */
+  val epochShardBalanceSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':1'), 1, 15)
+      |      AS BIGINT) % 16 AS shard
+      |  FROM documents),
+      | per AS (
+      |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+      |  FROM h GROUP BY shard),
+      | tot AS (SELECT CAST(count(*) AS BIGINT) AS n_shards,
+      |   CAST(sum(n_docs) AS BIGINT) AS td,
+      |   CAST(sum(n_chars) AS BIGINT) AS tc FROM per)
+      |SELECT shard, n_docs, n_chars,
+      |  CAST((1000000 * n_docs) // td AS BIGINT) AS docs_share_ppm,
+      |  CAST((1000000 * n_chars) // tc AS BIGINT) AS chars_share_ppm,
+      |  CAST((1000000 * n_docs * n_shards) // td AS BIGINT)
+      |    AS docs_over_mean_ppm,
+      |  CAST((1000000 * n_chars * n_shards) // tc AS BIGINT)
+      |    AS chars_over_mean_ppm
+      |FROM per CROSS JOIN tot
+      |ORDER BY shard""".stripMargin
 }

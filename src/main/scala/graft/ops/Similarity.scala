@@ -2970,6 +2970,122 @@ object Similarity {
       |CROSS JOIN mv
       |ORDER BY cent_id""".stripMargin
 
+  /** q177 — QUANTIZATION FIDELITY AUDIT: the int8 pipeline (q48's
+    * quantized retrieval and everything the IVF family serves) trades
+    * precision for 4× bandwidth — this measures exactly what the trade
+    * costs where it matters, in the ORDERING: per probe, take the
+    * float-cosine top-k neighborhood (q40's rounded-cosine rank — the
+    * serving ground truth) and count Kendall rank inversions between
+    * the float order and the int8 integer-dot order over the same
+    * candidates, plus whether the top-1 survives. recall@k (q144)
+    * says how many of the right neighbors come back; this says how
+    * well quantization preserves their ORDER — the number that decides
+    * whether int8 ranks directly or only shortlists for a float
+    * re-rank (the two-stage pattern every quantized stack chooses
+    * between).
+    *
+    * Scale: candidates are |probes|·k rows (absolutely bounded); the
+    * inversion count is a per-probe k² self-join of a 20-row group —
+    * bounded pairs, never corpus-sized. Both orders are deterministic
+    * (rounded cosine / exact integer dot, ties to the smaller id), so
+    * the inversion counts replay bit-for-bit. */
+  def quantFidelity(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val e = withNorm(s, d)
+    val probes = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("nrm").as("qnrm"))
+    val wF = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
+    val cand = e.join(broadcast(probes), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        round(vecDot(col("qvec"), col("embedding")) / (col("qnrm") * col("nrm")), 4)
+          .as("cos"))
+      .withColumn("rf", row_number().over(wF)).where(col("rf") <= k)
+    val qe = quantizedEmbeddings(s, d)
+    val wQ = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("cid").asc)
+    val ranked = cand
+      .join(qe.select(col("vec_id").as("cid"), col("q8").as("cq8")), "cid")
+      .join(broadcast(qe.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q8").as("pq8"))), "qid")
+      .select(col("qid"), col("cid"), col("rf"),
+        vecDot(col("pq8"), col("cq8")).cast("long").as("qdot"))
+      .withColumn("rq", row_number().over(wQ))
+      .localCheckpoint(true) // k·|probes| rows; feeds the pair join twice
+    val inv = ranked.as("a")
+      .join(ranked.as("b"),
+        col("a.qid") === col("b.qid") && col("a.rf") < col("b.rf"))
+      .groupBy(col("a.qid").as("qid"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("a.rq") > col("b.rq"), 1L).otherwise(0L)).as("n_inversions"))
+    val top1 = ranked.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_cand"),
+        max(when(col("rf") === 1 && col("rq") === 1, 1L).otherwise(0L))
+          .as("t1"))
+    top1.join(inv, Seq("qid"))
+      .select(col("qid"), col("n_cand"), col("n_pairs"), col("n_inversions"),
+        expr("(1000000 * n_inversions) div n_pairs").as("inversion_ppm"),
+        (col("t1") === 1L).as("top1_agree"))
+      .orderBy(col("qid"))
+  }
+
+  /** Oracle for [[quantFidelity]] (k=20): q40's rounded-cosine rank,
+    * the q48 integer-dot rank over the same candidates, Kendall pair
+    * count between the two tie-broken orders. */
+  val quantFidelitySql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      | norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM ex GROUP BY vec_id),
+      | qx AS (SELECT * FROM ex WHERE vec_id < 5),
+      | dots AS (
+      |   SELECT q.vec_id AS qid, e.vec_id AS cid, sum(q.v * e.v) AS dp
+      |   FROM qx q JOIN ex e ON q.i = e.i AND e.vec_id <> q.vec_id
+      |   GROUP BY 1, 2),
+      | cand AS (
+      |   SELECT qid, cid, rf FROM (
+      |     SELECT d.qid, d.cid,
+      |       row_number() OVER (PARTITION BY d.qid
+      |         ORDER BY round(d.dp / (nq.nrm * nc.nrm), 4) DESC,
+      |                  d.cid ASC) AS rf
+      |     FROM dots d
+      |     JOIN norms nq ON nq.vec_id = d.qid
+      |     JOIN norms nc ON nc.vec_id = d.cid) WHERE rf <= 20),
+      | base AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | ranked AS (
+      |  SELECT c.qid, c.cid, c.rf,
+      |    row_number() OVER (PARTITION BY c.qid
+      |      ORDER BY CAST(list_dot_product(pq.q, cq.q) AS BIGINT) DESC,
+      |               c.cid ASC) AS rq
+      |  FROM cand c
+      |  JOIN q8 pq ON pq.vec_id = c.qid
+      |  JOIN q8 cq ON cq.vec_id = c.cid),
+      | inv AS (
+      |  SELECT a.qid, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(CASE WHEN a.rq > b.rq THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_inversions
+      |  FROM ranked a JOIN ranked b
+      |    ON a.qid = b.qid AND a.rf < b.rf
+      |  GROUP BY a.qid),
+      | top1 AS (
+      |  SELECT qid, CAST(count(*) AS BIGINT) AS n_cand,
+      |    CAST(max(CASE WHEN rf = 1 AND rq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS t1
+      |  FROM ranked GROUP BY qid)
+      |SELECT t.qid, t.n_cand, i.n_pairs, i.n_inversions,
+      |  CAST((1000000 * i.n_inversions) // i.n_pairs AS BIGINT)
+      |    AS inversion_ppm,
+      |  t.t1 = 1 AS top1_agree
+      |FROM top1 t JOIN inv i USING (qid)
+      |ORDER BY t.qid""".stripMargin
+
   /** q168 — NPROBE AUTO-SELECT: the control loop that closes the
     * q144 → q164 pair. q144 measures recall, q164 provides the
     * recall-vs-cost knob — this operator TURNS it: for every nprobe in

@@ -440,4 +440,44 @@ class R14OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
     assert(idxAfter == idxBefore, "replayed batch must not change the index")
   }
+
+  // -------------------------------------------------------------------
+  // q176: shard balance — reconciliation with q172's assignment
+  // -------------------------------------------------------------------
+
+  test("epochShardBalance: shares sum to ~1e6, loads reconcile with the q172 assignment") {
+    val d = "/root/testdata/sf0.01"
+    val rows = Sampling.epochShardBalance(spark, d).collect()
+    val docs = Tables.documents(spark, d).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs)
+    // integer-floor shares can undershoot 1e6 by at most |shards|
+    val dShare = rows.map(_.getAs[Long]("docs_share_ppm")).sum
+    assert(dShare <= 1000000L && dShare > 1000000L - rows.length)
+    // reconcile with the assignment face: same hash, same buckets
+    val fromAssign = Sampling.epochShardShuffle(spark, d).collect()
+      .groupBy(_.getAs[Long]("shard")).view.mapValues(_.length.toLong).toMap
+    rows.foreach(r => assert(
+      fromAssign(r.getAs[Long]("shard")) == r.getAs[Long]("n_docs")))
+  }
+
+  // -------------------------------------------------------------------
+  // q177: quantization fidelity — bounds + independent replay
+  // -------------------------------------------------------------------
+
+  test("quantFidelity: pair counts exact, inversions within bounds, replayed independently") {
+    val d = "/root/testdata/sf0.01"
+    val rows = Similarity.quantFidelity(spark, d).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("n_cand")
+      assert(r.getAs[Long]("n_pairs") == k * (k - 1) / 2)
+      assert(r.getAs[Long]("n_inversions") >= 0 &&
+        r.getAs[Long]("n_inversions") <= r.getAs[Long]("n_pairs"))
+    }
+    // the audit must measure something real on this corpus: int8 cannot
+    // be ORDER-PERFECT at k=20 (if it were, the audit is vacuous)
+    assert(rows.map(_.getAs[Long]("n_inversions")).sum > 0)
+    // and it must not be noise either: top-1 agreement somewhere
+    assert(rows.exists(_.getAs[Boolean]("top1_agree")))
+  }
 }
