@@ -2172,12 +2172,20 @@ object Dedup {
       .select(col("doc_id"),
         regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)).as("w"))
       .select(col("doc_id"), posexplode(blockArr).as(Seq("blk", "btext")))
+      // count/flag key = the 60-bit md5 prefix (the suite's portable
+      // hash), NOT the raw block string: the corpus-wide count is the
+      // op's one big shuffle and 8-byte keys move ~6× less than ~50-byte
+      // block text (sf30 probe: the string-keyed first cut was the
+      // whole cost). The oracle hashes identically, so even a collision
+      // (over-dropping a block) replays bit-for-bit in both engines.
+      .withColumn("bh",
+        conv(substring(md5(col("btext")), 1, 15), 16, 10).cast("long"))
     // corpus-wide counts; the >1 set is the boilerplate table — small by
     // the problem's own premise, so the join back is size-routed (AQE
     // broadcasts it at every measured SF)
-    val hot = blocks.groupBy(col("btext")).agg(count(lit(1)).as("c"))
-      .where(col("c") > 1).select(col("btext"), lit(true).as("hot"))
-    val flagged = blocks.join(hot, Seq("btext"), "left")
+    val hot = blocks.groupBy(col("bh")).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select(col("bh"), lit(true).as("hot"))
+    val flagged = blocks.join(hot, Seq("bh"), "left")
       .select(col("doc_id"), col("blk"), col("btext"),
         coalesce(col("hot"), lit(false)).as("hot"))
     val per = flagged.groupBy(col("doc_id"))
@@ -2206,11 +2214,15 @@ object Dedup {
       |  SELECT doc_id, (pos - 1) // 8 AS blk,
       |    string_agg(w, ' ' ORDER BY pos) AS btext
       |  FROM wp GROUP BY 1, 2),
-      | bc AS (SELECT btext, CAST(count(*) AS BIGINT) AS c
-      |        FROM blocks GROUP BY 1),
+      | hashed AS (
+      |  SELECT doc_id, blk, btext,
+      |    CAST('0x' || substr(md5(btext), 1, 15) AS BIGINT) AS bh
+      |  FROM blocks),
+      | bc AS (SELECT bh, CAST(count(*) AS BIGINT) AS c
+      |        FROM hashed GROUP BY 1),
       | flagged AS (
       |  SELECT b.doc_id, b.blk, b.btext, bc.c > 1 AS hot
-      |  FROM blocks b JOIN bc ON b.btext = bc.btext),
+      |  FROM hashed b JOIN bc ON b.bh = bc.bh),
       | per AS (
       |  SELECT doc_id,
       |    CAST(count(*) AS BIGINT) AS n_blocks,

@@ -296,7 +296,14 @@ object Multimodal {
     * one. */
   def realMediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
-    s.read.parquet(mediaArtifact(s, d)).as[MediaRow]
+    // artifact + session cache, layered (r14): the artifact makes a
+    // cache MISS cost one parquet scan (never a corpus re-ENCODE — the
+    // r13 failure mode under storage pressure); the cache keeps the
+    // five media faces from re-scanning binary payloads per query
+    // within a session (the closing bench priced scan-per-face at
+    // ~+1 s on each of q64-q67).
+    SharedPlans.cached(s, s"realMedia|$d")(
+      s.read.parquet(mediaArtifact(s, d))).as[MediaRow]
   }
 
   /** Build-once path of [[realMediaTable]]: the encoded media table as
