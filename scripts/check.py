@@ -23,7 +23,11 @@ the r8 verdict noted nothing watches for that class automatically.
 import sys, os, json, subprocess, glob, math
 
 SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
-OUT = "/root/repo/target/verify_out"
+# Targeted iteration (builder-local, never the gate): GRAFT_ONLY="q178_x
+# q179_y" runs Verify for just those queries; pair it with a scratch
+# GRAFT_VERIFY_OUT so stale full-gate dumps don't masquerade as rows-only.
+OUT = os.environ.get("GRAFT_VERIFY_OUT", "/root/repo/target/verify_out")
+ONLY = os.environ.get("GRAFT_ONLY", "").split()
 REPO = "/root/repo"
 
 def run_verify():
@@ -36,7 +40,7 @@ def run_verify():
         "java.base/sun.util.calendar"]]
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
     cmd = ["java"] + opens + ["-Xmx8g","-Dspark.ui.enabled=false",
-           "-Dspark.sql.session.timeZone=UTC","-cp",cp,"graft.Verify",SF,OUT]
+           "-Dspark.sql.session.timeZone=UTC","-cp",cp,"graft.Verify",SF,OUT] + ONLY
     r = subprocess.run(cmd, capture_output=True, text=True, env=env)
     for line in r.stderr.splitlines():
         if "[verify]" in line or "Exception" in line: print(line)

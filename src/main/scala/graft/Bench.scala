@@ -173,7 +173,10 @@ object Bench {
     // in the detail file; bench-diff's thresholds (>25% and >0.2 s)
     // tolerate the ±0.05 rounding.
     def num(v: Double): String = {
-      val s = f"$v%.1f"
+      // ≥10 s queries round to whole seconds: bench-diff's 25% relative
+      // threshold dominates there (2.5 s at 10 s), so the ±0.5 s rounding
+      // is invisible to the diff while saving ~2 chars on every slow query
+      val s = if (v >= 10) f"$v%.0f" else f"$v%.1f"
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }
@@ -196,8 +199,16 @@ object Bench {
     // r14 (r13 verdict item 6): load_avg moves to the detail file too
     // (~28 chars back), keeping the projected line at 170 queries under
     // the 1900-char budget.
+    // r14 second shave (~65 chars ≈ 5 queries of headroom): n_samples
+    // and the detail-file pointer are static provenance (bench_detail
+    // .json carries both, and its path hasn't moved in 9 rounds);
+    // failed_passes prints ONLY when nonzero — its value is the alarm,
+    // its absence is the normal case; headline totals at 1 decimal
+    // (per-query values already are).
     val sfShort = sfDir.split('/').last
-    println(f"""{"metric":"total","value":${tot(_._2)}%.3f,"total_min":${tot(_._3)}%.3f,"queries":$shortMedians,"n_samples":$passes,"failed_passes":$failedPasses,"detail":"bench_detail.json","sf":"$sfShort"}""")
+    val failedField =
+      if (failedPasses > 0) s""","failed_passes":$failedPasses""" else ""
+    println(f"""{"metric":"total","value":${tot(_._2)}%.1f,"total_min":${tot(_._3)}%.1f,"queries":$shortMedians$failedField,"sf":"$sfShort"}""")
     System.out.flush()
   }
 }

@@ -493,6 +493,17 @@ object SparkEntry {
     // top-k order and the int8 order - rank directly vs shortlist+rerank
     "q177_quant_fidelity" -> ((s: SparkSession, d: String) =>
       Similarity.quantFidelity(s, d)),
+    // binary-quantization retrieval: 64 sign bits per vector (8 bytes,
+    // 32x below float32), top-k by XOR+popcount Hamming - the coarsest
+    // tier of the quantization ladder (float -> int8 -> PQ -> 1-bit)
+    "q178_hamming_topk" -> ((s: SparkSession, d: String) =>
+      Similarity.hammingTopK(s, d)),
+    // two-stage retrieval: binary-Hamming shortlist (50) -> exact int8
+    // dot rerank (10) - the shortlist+rerank serving shape q177's
+    // rank-inversion numbers motivate; full precision touched only for
+    // |probes| x shortlist rows
+    "q179_two_stage" -> ((s: SparkSession, d: String) =>
+      Similarity.twoStageTopK(s, d)),
     // contamination span evidence: WHERE each training doc overlaps
     // the benchmark set - maximal token spans of shared 3-grams
     // (coverage, longest run, first/last pos), the redact-not-drop
@@ -751,6 +762,8 @@ object SparkEntry {
     "q175_stream_erasure" -> Pipelines.streamErasureSql,
     "q176_shard_balance" -> Sampling.epochShardBalanceSql,
     "q177_quant_fidelity" -> Similarity.quantFidelitySql,
+    "q178_hamming_topk" -> Similarity.hammingTopKSql,
+    "q179_two_stage" -> Similarity.twoStageTopKSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -3403,4 +3403,178 @@ object Similarity {
        |  CAST(0 AS BIGINT) AS n_residual_after,
        |  CAST((SELECT count(*) FROM q8) -
        |       (SELECT count(*) FROM victims) AS BIGINT) AS n_index_after""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Binary (sign-bit) quantization tier — q178/q179
+  // --------------------------------------------------------------------
+
+  /** One 32-bit half of the sign sketch: bit i set iff component
+    * `off·32 + i` of the embedding is > 0. Packed as a LONG holding an
+    * unsigned 32-bit value (never touches the sign bit), so shifts,
+    * XOR, and popcount are portable verbatim to DuckDB's BIGINT ops —
+    * a single 64-bit word would need bit 63 and diverge on shift
+    * overflow semantics. Pure narrow map (aggregate over zip_with),
+    * zero shuffle. */
+  private def signPackHalf(off: Int): Column =
+    expr(s"""aggregate(zip_with(slice(embedding, ${1 + off * 32}, 32),
+      sequence(0, 31),
+      (x, i) -> IF(x > CAST(0 AS FLOAT),
+                   shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+      CAST(0 AS BIGINT), (a, b) -> a + b)""")
+
+  /** (vec_id, s1, s2): the 64-dim embedding as 64 sign bits in two
+    * 32-bit halves. */
+  private[graft] def signSketch(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      signPackHalf(0).as("s1"), signPackHalf(1).as("s2"))
+
+  /** q178 — BINARY-QUANTIZATION RETRIEVAL (sign sketch + Hamming scan):
+    * the coarsest tier of the quantization ladder the engine now covers
+    * end-to-end (float q40 → int8 q48 → PQ q106 → 1-bit here). Each
+    * vector compresses to 64 SIGN BITS (8 bytes — 32× below float32),
+    * and retrieval is XOR + popcount: for unit-ish embeddings,
+    * Hamming(sign(a), sign(b)) estimates the angle (the SimHash/
+    * hyperplane-LSH identity q35 uses for text, applied natively to the
+    * vector tier), so nearest-by-Hamming is the standard cheap first
+    * pass of a production vector stack — the tier you scan when even
+    * int8 doesn't fit the bandwidth budget. Top-k by (hamming asc,
+    * cid asc): bit counts are small exact integers, so the rank is
+    * fully deterministic and DuckDB replays it bit-for-bit.
+    *
+    * Scale: sketch = narrow map (no shuffle); the scan is ONE pass of
+    * the 8-byte sketch column against broadcast probes — at 100 TB the
+    * sketch column of a billion vectors is 16 GB, a cache-resident
+    * scan; candidates never exceed |probes| × n and collapse to
+    * |probes| × k through the rank window's partial top-k. */
+  def hammingTopK(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val sk = signSketch(Tables.embeddings(s, d))
+    val probes = sk.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("s1").as("p1"), col("s2").as("p2"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming").asc, col("cid").asc)
+    sk.join(broadcast(probes), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        (expr("bit_count(s1 ^ p1)") + expr("bit_count(s2 ^ p2)"))
+          .cast("long").as("hamming"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Shared oracle CTE: the sign sketch replayed in DuckDB. */
+  private val signSketchCte: String =
+    """SELECT vec_id,
+      |    CAST(list_sum(list_transform(range(1, 33), i ->
+      |      CASE WHEN embedding[i] > CAST(0 AS FLOAT)
+      |           THEN (CAST(1 AS BIGINT) << (i - 1))
+      |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s1,
+      |    CAST(list_sum(list_transform(range(33, 65), i ->
+      |      CASE WHEN embedding[i] > CAST(0 AS FLOAT)
+      |           THEN (CAST(1 AS BIGINT) << (i - 33))
+      |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s2
+      |  FROM embeddings""".stripMargin
+
+  /** Oracle for [[hammingTopK]] (k=10, probes vec_id < 5). */
+  val hammingTopKSql: String =
+    s"""WITH sk AS (
+       |  $signSketchCte),
+       | probes AS (SELECT vec_id AS qid, s1 AS p1, s2 AS p2 FROM sk
+       |            WHERE vec_id < 5),
+       | cand AS (
+       |  SELECT p.qid, t.vec_id AS cid,
+       |    CAST(bit_count(xor(t.s1, p.p1)) + bit_count(xor(t.s2, p.p2))
+       |      AS BIGINT) AS hamming
+       |  FROM sk t JOIN probes p ON t.vec_id <> p.qid),
+       | ranked AS (
+       |  SELECT qid, cid, hamming,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY hamming ASC, cid ASC) AS rank
+       |  FROM cand)
+       |SELECT qid, cid, hamming, rank FROM ranked WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+
+  /** q179 — TWO-STAGE RETRIEVAL (binary shortlist → exact int8 rerank):
+    * the serving shape q177's fidelity audit motivates. q177 measured
+    * 15–46% rank-inversion ppm between quantized and full-precision
+    * orders — the standard industry answer is NOT to serve the coarse
+    * order but to SHORTLIST with the cheap metric and RERANK the
+    * shortlist with a finer one. Stage 1 scans the 8-byte sign sketch
+    * (q178's tier) for the top-`shortlist` candidates per probe by
+    * Hamming; stage 2 reranks ONLY those with the exact integer int8
+    * dot (q48's tier — one fidelity level up, still hash-exact). The
+    * full-precision column is touched for |probes|×shortlist rows, not
+    * n — the cost model that makes reranking free at 100 TB. Both
+    * stages exact-integer, ties to smaller cid, so DuckDB replays the
+    * whole cascade.
+    *
+    * Scale: stage 1 = q178's bandwidth-bounded scan; stage 2 = a
+    * broadcast join of the |probes|×shortlist shortlist against the
+    * quantized store (at scale: point lookups into the vec_id-keyed
+    * artifact), then a |probes|×shortlist-row window. Nothing n-sized
+    * shuffles. */
+  def twoStageTopK(s: SparkSession, d: String, k: Int = 10,
+      shortlist: Int = 50): DataFrame = {
+    val sk = signSketch(Tables.embeddings(s, d))
+    val probes = sk.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("s1").as("p1"), col("s2").as("p2"))
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming").asc, col("cid").asc)
+    val short = sk.join(broadcast(probes), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        (expr("bit_count(s1 ^ p1)") + expr("bit_count(s2 ^ p2)"))
+          .cast("long").as("hamming"))
+      .withColumn("rh", row_number().over(wShort))
+      .where(col("rh") <= shortlist)
+      .select(col("qid"), col("cid"), col("hamming"))
+    val qe = quantizedEmbeddings(s, d)
+    val pq = qe.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q8").as("qv"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("cid").asc)
+    short.join(qe.select(col("vec_id").as("cid"), col("q8")), Seq("cid"))
+      .join(broadcast(pq), Seq("qid"))
+      .select(col("qid"), col("cid"), col("hamming"),
+        vecDot(col("qv"), col("q8")).cast("long").as("dot"))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Oracle for [[twoStageTopK]] (shortlist=50, k=10). */
+  val twoStageTopKSql: String =
+    s"""WITH sk AS (
+       |  $signSketchCte),
+       | probes AS (SELECT vec_id AS qid, s1 AS p1, s2 AS p2 FROM sk
+       |            WHERE vec_id < 5),
+       | short AS (
+       |  SELECT qid, cid, hamming FROM (
+       |    SELECT p.qid, t.vec_id AS cid,
+       |      CAST(bit_count(xor(t.s1, p.p1)) + bit_count(xor(t.s2, p.p2))
+       |        AS BIGINT) AS hamming,
+       |      row_number() OVER (PARTITION BY p.qid
+       |        ORDER BY bit_count(xor(t.s1, p.p1)) + bit_count(xor(t.s2, p.p2)) ASC,
+       |                 t.vec_id ASC) AS rh
+       |    FROM sk t JOIN probes p ON t.vec_id <> p.qid) WHERE rh <= 50),
+       | base AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+       |  FROM embeddings),
+       | q8 AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CASE WHEN ma > 0
+       |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+       |  FROM base),
+       | rerank AS (
+       |  SELECT sh.qid, sh.cid, sh.hamming,
+       |    CAST(list_dot_product(pq.q, cq.q) AS BIGINT) AS dot
+       |  FROM short sh
+       |  JOIN q8 pq ON pq.vec_id = sh.qid
+       |  JOIN q8 cq ON cq.vec_id = sh.cid),
+       | ranked AS (
+       |  SELECT qid, cid, hamming, dot,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY dot DESC, cid ASC) AS rank
+       |  FROM rerank)
+       |SELECT qid, cid, hamming, dot, rank FROM ranked WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
 }

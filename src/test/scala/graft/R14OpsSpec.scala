@@ -480,4 +480,80 @@ class R14OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and it must not be noise either: top-1 agreement somewhere
     assert(rows.exists(_.getAs[Boolean]("top1_agree")))
   }
+
+  // -------------------------------------------------------------------
+  // q178/q179: binary sign sketch, Hamming retrieval, two-stage rerank
+  // -------------------------------------------------------------------
+
+  test("signSketch: bit-for-bit equal to a plain-Scala sign pack") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val got = Similarity.signSketch(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val raw = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got.keySet == raw.keySet)
+    raw.foreach { case (id, v) =>
+      var s1 = 0L; var s2 = 0L
+      var i = 0
+      while (i < 64) {
+        if (v(i) > 0f) {
+          if (i < 32) s1 |= 1L << i else s2 |= 1L << (i - 32)
+        }
+        i += 1
+      }
+      assert(got(id) == ((s1, s2)), s"vec $id")
+    }
+  }
+
+  test("hammingTopK: equals the brute-force Hamming rank over collected sketches") {
+    val rows = Similarity.hammingTopK(spark, sf, k = 10).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank").toLong) ->
+        (r.getAs[Long]("cid"), r.getAs[Long]("hamming"))).toMap
+    val sk = Similarity.signSketch(graft.Tables.embeddings(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val probes = sk.filter(_._1 < 5)
+    probes.foreach { case (qid, p1, p2) =>
+      val want = sk.filter(_._1 != qid)
+        .map { case (cid, s1, s2) =>
+          (cid, (java.lang.Long.bitCount(s1 ^ p1) +
+            java.lang.Long.bitCount(s2 ^ p2)).toLong)
+        }
+        .sortBy { case (cid, h) => (h, cid) }.take(10)
+      want.zipWithIndex.foreach { case ((cid, h), i) =>
+        assert(rows((qid, i + 1L)) == ((cid, h)), s"qid=$qid rank=${i + 1}")
+      }
+    }
+  }
+
+  test("twoStageTopK: stage-2 rows come from the stage-1 shortlist, and a " +
+    "full-width shortlist degenerates to the exact int8 top-k") {
+    val two = Similarity.twoStageTopK(spark, sf, k = 10, shortlist = 50)
+      .collect()
+    val short = Similarity.hammingTopK(spark, sf, k = 50).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    assert(two.nonEmpty)
+    two.foreach(r => assert(short.contains(
+      (r.getAs[Long]("qid"), r.getAs[Long]("cid")))))
+    // widen the shortlist past the corpus: rerank sees every candidate,
+    // so two-stage ≡ the exact integer-dot top-k (fidelity converges)
+    val n = graft.Tables.embeddings(spark, sf).count().toInt
+    val full = Similarity.twoStageTopK(spark, sf, k = 10, shortlist = n + 1)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank").toLong) ->
+        r.getAs[Long]("cid")).toMap
+    val qe = Similarity.quantizedEmbeddings(spark, sf)
+    val pq = qe.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q8").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dot").desc, col("cid").asc)
+    val exact = qe.join(broadcast(pq), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        graft.functions.VectorExprs.vecDot(col("qv"), col("q8"))
+          .cast("long").as("dot"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank").toLong) ->
+        r.getAs[Long]("cid")).toMap
+    assert(full == exact)
+  }
 }
