@@ -504,6 +504,16 @@ object SparkEntry {
     // |probes| x shortlist rows
     "q179_two_stage" -> ((s: SparkSession, d: String) =>
       Similarity.twoStageTopK(s, d)),
+    // contrastive triplet mining: per anchor the nearest same-label
+    // (positive) and nearest different-label (hard negative) vectors
+    // with the triplet margin - the DPR/SimCSE training-data generator
+    "q180_contrastive_mine" -> ((s: SparkSession, d: String) =>
+      Similarity.contrastiveMine(s, d)),
+    // token-budget curation: per source keep the highest-quality score
+    // groups whose cumulative tokens fit the budget - totals, cut,
+    // kept docs/tokens, utilization ppm (the "best B tokens" ledger)
+    "q181_token_budget" -> ((s: SparkSession, d: String) =>
+      Curation.tokenBudgetSelect(s, d)),
     // contamination span evidence: WHERE each training doc overlaps
     // the benchmark set - maximal token spans of shared 3-grams
     // (coverage, longest run, first/last pos), the redact-not-drop
@@ -764,6 +774,8 @@ object SparkEntry {
     "q177_quant_fidelity" -> Similarity.quantFidelitySql,
     "q178_hamming_topk" -> Similarity.hammingTopKSql,
     "q179_two_stage" -> Similarity.twoStageTopKSql,
+    "q180_contrastive_mine" -> Similarity.contrastiveMineSql,
+    "q181_token_budget" -> Curation.tokenBudgetSelectSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

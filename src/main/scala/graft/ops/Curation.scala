@@ -859,4 +859,95 @@ object Curation {
       |  nw.n_words
       |FROM nw LEFT JOIN cl USING (doc_id)
       |ORDER BY nw.doc_id""".stripMargin
+
+  /** q181 — TOKEN-BUDGET CURATION ("the best B tokens per source"): the
+    * selection step a release pipeline runs when the training recipe
+    * allocates a fixed token budget per source (q84 decides the quotas
+    * at corpus level; this enforces a budget with QUALITY, not a coin
+    * flip): per source, keep the highest-quality docs (q117's integer
+    * stopword-bp score — one score definition across the quality
+    * family) whose cumulative tokens still fit the budget, at score
+    * granularity — the keep set is `score_bp ≥ cut` where `cut` is the
+    * smallest score whose score-and-above token mass fits. Whole score
+    * groups are admitted or not, so the cut is deterministic with no
+    * within-group ordering; a source whose best score group alone
+    * blows the budget keeps nothing (cut NULL — the honest answer, a
+    * real pipeline then splits by a secondary key). The ledger row per
+    * source: totals, cut, kept docs/tokens, budget utilization ppm.
+    *
+    * Scale: the score domain is bounded ([0, 10000]), so the decision
+    * runs on a per-(source, score) HISTOGRAM — map-side combined,
+    * ≤ 10k rows per source; the cumulative window orders that bounded
+    * table, never the corpus (q117's discipline). One corpus scan, one
+    * bounded shuffle, |sources| output rows. */
+  def tokenBudgetSelect(s: SparkSession, d: String,
+      budgetTokens: Long = 800L): DataFrame =
+    tokenBudgetSelectOn(TextAnalysis.sourceQualityFrame(s, d), budgetTokens)
+
+  /** Core of [[tokenBudgetSelect]] over any (source, nt, score_bp)
+    * frame — split out so specs can drive hand fixtures through the
+    * exact production path. */
+  private[graft] def tokenBudgetSelectOn(scored: DataFrame,
+      budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = scored.groupBy(col("source"), col("score_bp"))
+      .agg(count(lit(1)).as("c"), sum(col("nt")).as("t"))
+    // cumulative token mass from the TOP score down; (source, score_bp)
+    // is unique in hist so ROWS ≡ RANGE
+    val wDesc = Window.partitionBy(col("source")).orderBy(col("score_bp").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = hist.withColumn("cum_t", sum(col("t")).over(wDesc))
+      .where(col("cum_t") <= budgetTokens)
+      .groupBy(col("source")).agg(min(col("score_bp")).as("cut_bp"))
+    val kept = hist.join(cuts, Seq("source"))
+      .where(col("score_bp") >= col("cut_bp"))
+      .groupBy(col("source"), col("cut_bp"))
+      .agg(sum(col("c")).as("n_kept"), sum(col("t")).as("tokens_kept"))
+    val totals = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    totals.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("cut_bp"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
+        lit(budgetTokens).as("budget"),
+        expr(s"(1000000 * coalesce(tokens_kept, 0)) div ${budgetTokens}L")
+          .as("util_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle for [[tokenBudgetSelect]] (budget 800): the same bounded
+    * histogram + top-down cumulative formulation in DuckDB. */
+  val tokenBudgetSelectSql: String =
+    s"""WITH sc AS (${TextAnalysis.sourceQualityFrameSql}),
+       | hist AS (
+       |  SELECT source, score_bp, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(sum(nt) AS BIGINT) AS t
+       |  FROM sc GROUP BY source, score_bp),
+       | cum AS (
+       |  SELECT source, score_bp, c, t,
+       |    CAST(sum(t) OVER (PARTITION BY source ORDER BY score_bp DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_t
+       |  FROM hist),
+       | cuts AS (
+       |  SELECT source, min(score_bp) AS cut_bp FROM cum
+       |  WHERE cum_t <= 800 GROUP BY source),
+       | kept AS (
+       |  SELECT h.source, k.cut_bp, CAST(sum(h.c) AS BIGINT) AS n_kept,
+       |    CAST(sum(h.t) AS BIGINT) AS tokens_kept
+       |  FROM hist h JOIN cuts k ON h.source = k.source
+       |  WHERE h.score_bp >= k.cut_bp GROUP BY h.source, k.cut_bp),
+       | totals AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(nt) AS BIGINT) AS n_tokens
+       |  FROM sc GROUP BY source)
+       |SELECT t.source, t.n_docs, t.n_tokens, k.cut_bp,
+       |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(coalesce(k.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+       |  CAST(800 AS BIGINT) AS budget,
+       |  CAST((1000000 * coalesce(k.tokens_kept, 0)) // 800 AS BIGINT)
+       |    AS util_ppm
+       |FROM totals t LEFT JOIN kept k ON t.source = k.source
+       |ORDER BY t.source""".stripMargin
 }

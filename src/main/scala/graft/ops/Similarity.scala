@@ -3577,4 +3577,86 @@ object Similarity {
        |  FROM rerank)
        |SELECT qid, cid, hamming, dot, rank FROM ranked WHERE rank <= 10
        |ORDER BY qid, rank""".stripMargin
+
+  /** q180 — CONTRASTIVE TRIPLET MINING: the training-data generator for
+    * embedding-model fine-tuning (the DPR/SimCSE hard-negative recipe —
+    * retrieval models train on (anchor, positive, hard-negative)
+    * triplets, and the informative negatives are the CLOSE wrong-class
+    * ones, not random draws). Per anchor: positive = the nearest
+    * same-label vector, hard negative = the nearest DIFFERENT-label
+    * vector, margin = pos_dot − neg_dot — a margin ≤ 0 names exactly
+    * the triplets a triplet loss would currently get wrong (the ones
+    * worth training on). All dots exact integers on the q48 int8 grid,
+    * ties to smaller id, so DuckDB replays the mining bit-for-bit.
+    *
+    * Scale: anchors are a deterministic bounded sample (id % 100 = 7,
+    * the probe convention) and BROADCAST; the corpus streams once
+    * through the dot + conditional `max_by` aggregate — each task
+    * collapses to ≤ 2 rows per anchor before the shuffle (map-side
+    * combine), so the exchange carries |anchors|-bounded rows at any
+    * corpus size. In production the anchor set is the daily training
+    * batch; cost stays one corpus scan per batch. */
+  def contrastiveMine(s: SparkSession, d: String): DataFrame = {
+    val qe = quantizedEmbeddings(s, d)
+    val lab = qe.join(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label")), Seq("vec_id"))
+    val anchors = lab.where(pmod(col("vec_id"), lit(100)) === 7)
+      .select(col("vec_id").as("aid"), col("q8").as("aq"),
+        col("label").as("alabel"))
+    lab.join(broadcast(anchors), col("vec_id") =!= col("aid"))
+      .select(col("aid"), col("alabel"), col("vec_id").as("cid"), col("label"),
+        vecDot(col("aq"), col("q8")).cast("long").as("dot"))
+      .groupBy(col("aid"), col("alabel"))
+      .agg(
+        // max_by skips rows whose ordering struct is NULL, so each
+        // aggregate sees only its own candidate class
+        max_by(struct(col("cid").as("id"), col("dot").as("d")),
+          when(col("label") === col("alabel"),
+            struct(col("dot"), -col("cid")))).as("pos"),
+        max_by(struct(col("cid").as("id"), col("dot").as("d")),
+          when(col("label") =!= col("alabel"),
+            struct(col("dot"), -col("cid")))).as("neg"))
+      .select(col("aid"), col("alabel").as("label"),
+        col("pos.id").as("pos_id"), col("pos.d").as("pos_dot"),
+        col("neg.id").as("neg_id"), col("neg.d").as("neg_dot"),
+        (col("pos.d") - col("neg.d")).as("margin"))
+      .orderBy(col("aid"))
+  }
+
+  /** Oracle for [[contrastiveMine]]: quantize + the two class-filtered
+    * nearest-neighbor rankings, replayed with rank windows. */
+  val contrastiveMineSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding, label,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | anchors AS (SELECT vec_id AS aid, q AS aq, label AS alabel
+      |             FROM q8 WHERE vec_id % 100 = 7),
+      | scored AS (
+      |  SELECT a.aid, a.alabel, l.vec_id AS cid, l.label,
+      |    CAST(list_dot_product(a.aq, l.q) AS BIGINT) AS dot
+      |  FROM q8 l JOIN anchors a ON l.vec_id <> a.aid),
+      | pos AS (
+      |  SELECT aid, cid, dot FROM (
+      |    SELECT aid, cid, dot, row_number() OVER (PARTITION BY aid
+      |      ORDER BY dot DESC, cid ASC) AS rn
+      |    FROM scored WHERE label = alabel) WHERE rn = 1),
+      | neg AS (
+      |  SELECT aid, cid, dot FROM (
+      |    SELECT aid, cid, dot, row_number() OVER (PARTITION BY aid
+      |      ORDER BY dot DESC, cid ASC) AS rn
+      |    FROM scored WHERE label <> alabel) WHERE rn = 1)
+      |SELECT a.aid, CAST(a.alabel AS INT) AS label,
+      |  p.cid AS pos_id, p.dot AS pos_dot,
+      |  n.cid AS neg_id, n.dot AS neg_dot,
+      |  CAST(p.dot - n.dot AS BIGINT) AS margin
+      |FROM anchors a
+      |JOIN pos p ON p.aid = a.aid
+      |JOIN neg n ON n.aid = a.aid
+      |ORDER BY a.aid""".stripMargin
 }

@@ -242,6 +242,28 @@ object TextAnalysis {
     * a PROBABILITY?): stopword-ratio score in integer basis points
     * against the lang='en' weak label. ONE definition so the two
     * audits can never evaluate different scores. */
+  /** (doc_id, source, n_tokens, score_bp): the per-doc quality/size frame
+    * q181's token-budget ledger selects over — same integer stopword-bp
+    * score as q117/q122/q150 (ONE score definition across the quality
+    * family), plus the token count the budget is denominated in. */
+  private[graft] def sourceQualityFrame(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("nt"),
+        size(regexp_extract_all(col("text"), lit(stopPat), lit(0))).as("nstop"))
+      .where(col("nt") > 0)
+      .select(col("doc_id"), col("source"), col("nt"),
+        expr("nstop * 10000 div nt").as("score_bp"))
+
+  /** DuckDB CTE body for [[sourceQualityFrame]]. */
+  private[graft] val sourceQualityFrameSql: String =
+    """SELECT doc_id, source, nt, (nstop * 10000) // nt AS score_bp
+      |  FROM (SELECT doc_id, source,
+      |          CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS nt,
+      |          len(regexp_extract_all(text, '\b(the|a|of|and|in|to|is)\b')) AS nstop
+      |        FROM documents)
+      |  WHERE nt > 0""".stripMargin
+
   private[graft] def stopwordScored(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("lang"),

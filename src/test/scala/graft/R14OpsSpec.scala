@@ -556,4 +556,90 @@ class R14OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getAs[Long]("cid")).toMap
     assert(full == exact)
   }
+
+  // -------------------------------------------------------------------
+  // q180: contrastive triplet mining
+  // -------------------------------------------------------------------
+
+  test("contrastiveMine: conditional max_by equals the window-rank replay, " +
+    "classes honored, margin identity") {
+    val d = "/root/testdata/sf0.01"
+    val rows = graft.ops.Similarity.contrastiveMine(spark, d).collect()
+    assert(rows.length == 5)
+    val qe = Similarity.quantizedEmbeddings(spark, d)
+      .join(graft.Tables.embeddings(spark, d).select(col("vec_id"), col("label")),
+        Seq("vec_id"))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Double](r.fieldIndex("q8")),
+        r.getAs[Int]("label")))
+    def dot(a: scala.collection.Seq[Double], b: scala.collection.Seq[Double]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum.toLong
+    rows.foreach { r =>
+      val aid = r.getAs[Long]("aid")
+      val (_, aq, al) = qe.find(_._1 == aid).get
+      assert(r.getAs[Int]("label") == al)
+      val cands = qe.filter(_._1 != aid)
+        .map { case (cid, q, l) => (cid, l, dot(aq, q)) }
+      val pos = cands.filter(_._2 == al).sortBy { case (c, _, dt) => (-dt, c) }.head
+      val neg = cands.filter(_._2 != al).sortBy { case (c, _, dt) => (-dt, c) }.head
+      assert(r.getAs[Long]("pos_id") == pos._1 && r.getAs[Long]("pos_dot") == pos._3)
+      assert(r.getAs[Long]("neg_id") == neg._1 && r.getAs[Long]("neg_dot") == neg._3)
+      assert(r.getAs[Long]("margin") ==
+        r.getAs[Long]("pos_dot") - r.getAs[Long]("neg_dot"))
+    }
+    // the miner must surface REAL hard negatives on this corpus: labels
+    // are near-random vs geometry, so some margins must be ≤ 0
+    assert(rows.exists(_.getAs[Long]("margin") <= 0))
+  }
+
+  // -------------------------------------------------------------------
+  // q181: token-budget curation
+  // -------------------------------------------------------------------
+
+  test("tokenBudgetSelect: cut is minimal-feasible, identities hold, " +
+    "oversized best group keeps nothing") {
+    val sp = spark
+    import sp.implicits._
+    // fixture: src A score groups (bp→tokens) 9:300, 8:400, 7:200 —
+    // budget 800 admits {9,8} (700) and NOT 7 (900); src B's single
+    // best group alone is 900 > 800 → keeps nothing
+    val scored = Seq(
+      ("A", 300L, 9L), ("A", 200L, 8L), ("A", 200L, 8L), ("A", 200L, 7L),
+      ("B", 900L, 5L), ("B", 10L, 4L))
+      .toDF("source", "nt", "score_bp")
+    val out = graft.ops.Curation.tokenBudgetSelectOn(scored, 800L)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Long]("cut_bp") == 8L)
+    assert(a.getAs[Long]("n_kept") == 3L && a.getAs[Long]("tokens_kept") == 700L)
+    assert(a.getAs[Long]("util_ppm") == 875000L)
+    val b = out("B")
+    assert(b.isNullAt(b.fieldIndex("cut_bp")))
+    assert(b.getAs[Long]("n_kept") == 0L && b.getAs[Long]("tokens_kept") == 0L)
+    assert(b.getAs[Long]("n_docs") == 2L && b.getAs[Long]("n_tokens") == 910L)
+    // corpus face: kept mass fits the budget, and the cut is MAXIMAL —
+    // admitting the next score group below the cut would blow it
+    val d = "/root/testdata/sf0.01"
+    val face = graft.ops.Curation.tokenBudgetSelect(spark, d).collect()
+    val hist = graft.ops.TextAnalysis.sourceQualityFrame(spark, d)
+      .groupBy(col("source"), col("score_bp"))
+      .agg(sum(col("nt")).as("t")).collect()
+      .groupBy(_.getAs[String]("source"))
+    face.foreach { r =>
+      val kept = r.getAs[Long]("tokens_kept")
+      assert(kept <= 800L)
+      if (!r.isNullAt(r.fieldIndex("cut_bp"))) {
+        val cut = r.getAs[Long]("cut_bp")
+        val below = hist(r.getAs[String]("source"))
+          .filter(_.getAs[Long]("score_bp") < cut)
+          .map(_.getAs[Long]("score_bp")).sorted.reverse.headOption
+        below.foreach { nxt =>
+          val nextT = hist(r.getAs[String]("source"))
+            .find(_.getAs[Long]("score_bp") == nxt).get.getAs[Long]("t")
+          assert(kept + nextT > 800L,
+            s"${r.getAs[String]("source")}: cut not maximal")
+        }
+      }
+    }
+  }
 }
