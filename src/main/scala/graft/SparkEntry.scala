@@ -514,6 +514,17 @@ object SparkEntry {
     // kept docs/tokens, utilization ppm (the "best B tokens" ledger)
     "q181_token_budget" -> ((s: SparkSession, d: String) =>
       Curation.tokenBudgetSelect(s, d)),
+    // streaming corpus-drift monitor (14th streaming class): per-wave
+    // receipts scoring the cumulative arrived corpus against a persisted
+    // reference profile - integer-ppm TVD, converging to 0 by the last
+    // wave (the waves partition the corpus)
+    "q182_stream_drift" -> ((s: SparkSession, d: String) =>
+      Pipelines.streamDriftMonitor(s, d)),
+    // sketch-mode table profiler: q129's 100 TB knob shipped - per
+    // column one KMV bottom-256 sketch + null counter in ONE aggregate
+    // over ONE scan (no Expand), estimates hash-replayed in DuckDB
+    "q183_profile_kmv" -> ((s: SparkSession, d: String) =>
+      Relational.tableProfileKmv(s, d)),
     // contamination span evidence: WHERE each training doc overlaps
     // the benchmark set - maximal token spans of shared 3-grams
     // (coverage, longest run, first/last pos), the redact-not-drop
@@ -776,6 +787,8 @@ object SparkEntry {
     "q179_two_stage" -> Similarity.twoStageTopKSql,
     "q180_contrastive_mine" -> Similarity.contrastiveMineSql,
     "q181_token_budget" -> Curation.tokenBudgetSelectSql,
+    "q182_stream_drift" -> Pipelines.streamDriftMonitorSql,
+    "q183_profile_kmv" -> Relational.tableProfileKmvSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -1712,4 +1712,142 @@ object Pipelines {
       |  CAST(0 AS BIGINT) AS n_residual_after
       |FROM per LEFT JOIN del USING (wave)
       |ORDER BY wave""".stripMargin
+
+  private val SdrName = "sdr_q182"
+  /** Where [[streamDriftMonitor]] stages its delivery files — exposed
+    * for the replay spec. */
+  private[graft] def streamDriftMonitorInputDir: java.io.File =
+    new java.io.File(s"target/tmp/$SdrName/in")
+
+  /** q182 — STREAMING CORPUS-DRIFT MONITOR (14th streaming class):
+    * q139's distribution-drift audit as a CONTINUOUS property of an
+    * arriving crawl — the alarm a production ingest keeps on while the
+    * batch audit only runs at release time. The reference profile (the
+    * prior release's per-language mix) is persisted once; documents
+    * then arrive in three waves, and each micro-batch emits a receipt
+    * scoring the CUMULATIVE arrived corpus against the reference:
+    * docs this wave, docs so far, languages seen, and the integer-ppm
+    * total-variation distance (q139's TVD — no logarithm, so the
+    * receipt is hash-exact cross-engine). Cross-batch state is
+    * load-bearing: each receipt's profile spans every PRIOR wave (a
+    * re-initialized monitor reproduces wave 0's drift, not wave 2's
+    * convergence), and because the waves partition the corpus the
+    * final receipt's TVD is identically 0 — the monitor provably
+    * converges on the release it is mirroring.
+    *
+    * Replay discipline (q161/q175's): batches stage immutable before
+    * anything reads them, every receipt is a pure function of the
+    * staged prefix ≤ batchId plus the STATIC reference artifact, and
+    * receipts commit as per-batch OVERWRITEs — a replayed batch
+    * reproduces its original receipt bit-for-bit
+    * ([[sdrProcessBatch]] extracted for the crash-replay spec).
+    *
+    * Scale: per wave the work is one |batch| scan plus aggregates over
+    * the |langs|-bounded profile tables; the reference broadcast is
+    * |langs| rows. Nothing corpus-sized shuffles per wave. */
+  def streamDriftMonitor(s: SparkSession, d: String): DataFrame = {
+    val base = freshTmp(SdrName)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    // the prior-release reference profile, persisted once (the artifact
+    // a real monitor loads at start)
+    docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/ref")
+    val inDir = streamDriftMonitorInputDir
+    val stamped = scala.collection.mutable.HashSet[String]()
+    (0 until 3).foreach { i =>
+      docs.where(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      val waveT = 1700000000000L + i * 600000L
+      inDir.listFiles().foreach(f => if (stamped.add(f.getName)) f.setLastModified(waveT))
+    }
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    runStream(s) {
+      stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sdrProcessBatch(base, batch, batchId)
+      }.option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    }
+    val receiptDirs = Option(new java.io.File(s"$base/stage").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith("receipt_")).map(_.getPath).sorted
+    require(receiptDirs.nonEmpty,
+      "streamDriftMonitor: stream produced no staged receipts — " +
+        "empty input or a silently failed stream")
+    s.read.parquet(receiptDirs.toIndexedSeq: _*).orderBy(col("wave"))
+  }
+
+  /** ONE micro-batch of [[streamDriftMonitor]] — pure function of the
+    * staged prefix ≤ batchId + the static reference artifact. */
+  private[graft] def sdrProcessBatch(base: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    val bs = batch.sparkSession
+    batch.write.mode("overwrite").parquet(s"$base/stage/b_$batchId")
+    val nBatch = bs.read.parquet(s"$base/stage/b_$batchId").count()
+    val prefixDirs = (0L to batchId).map(i => s"$base/stage/b_$i")
+      .filter(p => new java.io.File(p).exists())
+    val cum = prefixDirs.map(p => bs.read.parquet(p))
+      .reduce(_ unionAll _)
+      .groupBy(col("lang")).agg(count(lit(1)).as("cc"))
+    val ref = bs.read.parquet(s"$base/ref")
+      .select(col("lang"), col("c").as("rc"))
+    // full-outer alignment (q139's rule: absence IS drift), per-side
+    // integer-ppm shares, TVD = Σ|Δppm| div 2
+    val aligned = cum.join(ref, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("cc"), lit(0L)).as("cc"),
+        coalesce(col("rc"), lit(0L)).as("rc"))
+    val receipt = aligned
+      .crossJoin(broadcast(aligned.agg(sum(col("cc")).as("nc"),
+        sum(col("rc")).as("nr"))))
+      .select(
+        expr("abs((1000000 * cc) div nc - (1000000 * rc) div nr)").as("dp"),
+        when(col("cc") > 0, 1L).otherwise(0L).as("seen"))
+      .agg((sum(col("dp")).cast("long")).as("sum_dp"),
+        sum(col("seen")).as("n_langs_cum"))
+      .select(lit(batchId).as("wave"), lit(nBatch).as("n_batch"),
+        col("n_langs_cum"),
+        expr("sum_dp div 2").as("tvd_ppm"))
+      .crossJoin(broadcast(cum.agg(sum(col("cc")).as("n_cum"))))
+      .select(col("wave"), col("n_batch"), col("n_cum"),
+        col("n_langs_cum"), col("tvd_ppm"))
+    receipt.write.mode("overwrite").parquet(s"$base/stage/receipt_$batchId")
+    ()
+  }
+
+  /** Oracle for [[streamDriftMonitor]]: the three waves unrolled — for
+    * each wave w the cumulative slice doc_id % 3 ≤ w profiled against
+    * the full-corpus reference, TVD in integer ppm; wave 2's TVD is
+    * identically 0 by construction (the waves partition the corpus). */
+  def streamDriftMonitorSql: String =
+    """WITH docs AS (SELECT doc_id, lang FROM documents),
+      | ref AS (SELECT lang, CAST(count(*) AS BIGINT) AS rc
+      |         FROM docs GROUP BY lang),
+      | reft AS (SELECT CAST(sum(rc) AS BIGINT) AS nr FROM ref),
+      | waves AS (SELECT unnest([0, 1, 2]) AS wave),
+      | cum AS (
+      |  SELECT w.wave, d.lang, CAST(count(*) AS BIGINT) AS cc
+      |  FROM waves w JOIN docs d ON d.doc_id % 3 <= w.wave
+      |  GROUP BY w.wave, d.lang),
+      | cumt AS (SELECT wave, CAST(sum(cc) AS BIGINT) AS nc
+      |          FROM cum GROUP BY wave),
+      | nb AS (
+      |  SELECT w.wave, CAST(count(*) AS BIGINT) AS n_batch
+      |  FROM waves w JOIN docs d ON d.doc_id % 3 = w.wave GROUP BY w.wave),
+      | al AS (
+      |  SELECT w.wave, r.lang, coalesce(c.cc, 0) AS cc, r.rc
+      |  FROM waves w CROSS JOIN ref r
+      |  LEFT JOIN cum c ON c.wave = w.wave AND c.lang = r.lang),
+      | sc AS (
+      |  SELECT a.wave,
+      |    CAST(sum(abs((1000000 * a.cc) // t.nc - (1000000 * a.rc) // rt.nr))
+      |      AS BIGINT) AS sum_dp,
+      |    CAST(sum(CASE WHEN a.cc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_langs_cum
+      |  FROM al a JOIN cumt t ON t.wave = a.wave CROSS JOIN reft rt
+      |  GROUP BY a.wave)
+      |SELECT CAST(s.wave AS BIGINT) AS wave, nb.n_batch, t.nc AS n_cum,
+      |  s.n_langs_cum, CAST(s.sum_dp // 2 AS BIGINT) AS tvd_ppm
+      |FROM sc s JOIN nb ON nb.wave = s.wave JOIN cumt t ON t.wave = s.wave
+      |ORDER BY wave""".stripMargin
 }

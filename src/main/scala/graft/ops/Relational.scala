@@ -901,6 +901,71 @@ object Relational {
        |) ORDER BY metric""".stripMargin
   }
 
+  /** q183 — SKETCH-MODE TABLE PROFILER: q129's documented 100 TB knob
+    * shipped as a first-class operator. q129's exact profiler plans ONE
+    * Expand for its multi-countDistinct — the right demo at gate scale,
+    * but Expand multiplies the scan by the distinct-column count; the
+    * production ANALYZE at 100 TB swaps the exact distincts for
+    * sketches. Here: per column a [[graft.functions.KmvAgg]] bottom-256
+    * sketch (all four sketches + null counters ride ONE aggregate over
+    * ONE scan — no Expand, state = 4×256 longs), estimates by q101's
+    * exact-below-k / (k−1)·2⁶⁰ div h_k rule. The md5 hash makes every
+    * sketch deterministic, so unlike a production HLL profile the gate
+    * replays estimate VALUES bit-for-bit in DuckDB (`ORDER BY h LIMIT
+    * 256` per column), not just their error envelopes.
+    *
+    * Column mix exercises both estimator regimes: o_orderkey saturates
+    * the sketch (est path), o_orderstatus/o_orderpriority stay below k
+    * (exact path), o_custkey sits near the boundary at gate SF. */
+  def tableProfileKmv(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.KmvAgg.kmvSketch
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val aggExprs = count(lit(1)).as("n_rows") +: cols.flatMap { n =>
+      val c = col(n).cast("string")
+      Seq(kmvSketch(kmvHash(c), KmvK).as(s"arr_$n"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"nulls_$n"))
+    }
+    def estOf(n: String): Column =
+      when(size(col(s"arr_$n")) < KmvK, size(col(s"arr_$n")).cast("long"))
+        .otherwise(expr(
+          s"CAST((CAST(${KmvK - 1} AS DECIMAL(38,0)) * CAST(1152921504606846976 AS DECIMAL(38,0))) div element_at(arr_$n, $KmvK) AS BIGINT)"))
+    Tables.orders(s, d).agg(aggExprs.head, aggExprs.tail: _*)
+      .select(col("n_rows"), explode(array(cols.map(n =>
+        struct(lit(n).as("col_name"), col(s"nulls_$n").as("n_nulls"),
+          estOf(n).as("n_distinct_est"))): _*)).as("r"))
+      .select(col("r.col_name").as("col_name"), col("n_rows"),
+        col("r.n_nulls").as("n_nulls"),
+        col("r.n_distinct_est").as("n_distinct_est"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Oracle for [[tableProfileKmv]]: per column the distinct-hash
+    * bottom-256 and the q101 estimator rule, replayed exactly. */
+  val tableProfileKmvSql: String = {
+    def h(e: String) =
+      s"CAST('0x' || substr(md5('kmv|' || CAST($e AS VARCHAR)), 1, 15) AS BIGINT)"
+    def colCtes(n: String) =
+      s"""h_$n AS (SELECT DISTINCT ${h(n)} AS h FROM orders
+         |   WHERE $n IS NOT NULL),
+         | b_$n AS (SELECT count(*) AS n, max(h) AS hk
+         |   FROM (SELECT h FROM h_$n ORDER BY h LIMIT 256) t),
+         | e_$n AS (SELECT CASE WHEN n < 256 THEN n
+         |   ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976) // hk
+         |        AS BIGINT) END AS est FROM b_$n),
+         | z_$n AS (SELECT CAST(count(*) - count($n) AS BIGINT) AS nn
+         |   FROM orders)""".stripMargin
+    def row(n: String) =
+      s"""SELECT '$n' AS col_name, (SELECT n FROM tot) AS n_rows,
+         |  (SELECT nn FROM z_$n) AS n_nulls,
+         |  CAST((SELECT est FROM e_$n) AS BIGINT) AS n_distinct_est""".stripMargin
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    s"""WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+       | ${cols.map(colCtes).mkString(",\n ")}
+       |SELECT * FROM (
+       |  ${cols.map(row).mkString("\n  UNION ALL\n  ")}
+       |) ORDER BY col_name""".stripMargin
+  }
+
   val cmsFrequencyPortableSql: String = {
     def h(keyExpr: String) =
       s"CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || CAST($keyExpr AS VARCHAR)), 1, 15) AS BIGINT) % 2048"

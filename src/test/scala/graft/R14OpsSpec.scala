@@ -642,4 +642,62 @@ class R14OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  // -------------------------------------------------------------------
+  // q182: streaming drift monitor — receipt invariants
+  // -------------------------------------------------------------------
+
+  test("streamDriftMonitor: cumulative counts conserve the corpus, drift " +
+    "converges to exactly 0 on the final wave") {
+    val rows = graft.ops.Pipelines.streamDriftMonitor(spark, sf)
+      .orderBy(col("wave")).collect()
+    assert(rows.length == 3)
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    // waves partition the corpus: batch sizes sum to it, cumulative is
+    // the running sum, and the last cumulative IS the corpus
+    assert(rows.map(_.getAs[Long]("n_batch")).sum == nDocs)
+    rows.foldLeft(0L) { (acc, r) =>
+      val cum = acc + r.getAs[Long]("n_batch")
+      assert(r.getAs[Long]("n_cum") == cum); cum
+    }
+    assert(rows.last.getAs[Long]("n_cum") == nDocs)
+    // convergence: the monitor's final receipt scores the full corpus
+    // against its own profile — TVD identically 0, every lang seen
+    assert(rows.last.getAs[Long]("tvd_ppm") == 0L)
+    val nLangs = graft.Tables.documents(spark, sf)
+      .select(col("lang")).distinct().count()
+    assert(rows.last.getAs[Long]("n_langs_cum") == nLangs)
+    // and the partial receipts must measure REAL drift (a monitor that
+    // always reads 0 is vacuous)
+    assert(rows.init.exists(_.getAs[Long]("tvd_ppm") > 0L))
+  }
+
+  // -------------------------------------------------------------------
+  // q183: sketch-mode profiler — estimator regimes
+  // -------------------------------------------------------------------
+
+  test("tableProfileKmv: exact below k, within the 3-rsd envelope above, " +
+    "null counters zero on this corpus") {
+    val d = "/root/testdata/sf0.01"
+    val rows = graft.ops.Relational.tableProfileKmv(spark, d).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(rows.size == 4)
+    val o = graft.Tables.orders(spark, d)
+    val nRows = o.count()
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == nRows)
+      assert(r.getAs[Long]("n_nulls") == 0L)
+    }
+    def exact(c: String): Long = o.select(col(c)).distinct().count()
+    // below-k columns: the sketch IS the distinct set — estimate exact
+    Seq("o_orderstatus", "o_orderpriority").foreach { c =>
+      assert(rows(c).getAs[Long]("n_distinct_est") == exact(c), c)
+    }
+    // saturated columns: (k-1)·2^60/h_k within 3 rsd = 3/√(k-2) ≈ 19%
+    Seq("o_orderkey", "o_custkey").foreach { c =>
+      val est = rows(c).getAs[Long]("n_distinct_est").toDouble
+      val x = exact(c).toDouble
+      assert(math.abs(est - x) / x < 0.19, s"$c: est=$est exact=$x")
+    }
+  }
 }

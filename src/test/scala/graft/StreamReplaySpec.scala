@@ -92,4 +92,22 @@ class StreamReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 to 2).map(i => s"$base/stage/receipt_$i"): _*).orderBy(col("wave")))
     assert(reread == out1)
   }
+
+  test("q182 replay: re-executing a committed drift batch changes nothing") {
+    val out1 = rowsOf(Pipelines.streamDriftMonitor(spark, sf))
+    val base = "target/tmp/sdr_q182"
+    val receipt1Before = rowsOf(spark.read.parquet(s"$base/stage/receipt_1"))
+    assert(receipt1Before.nonEmpty, "fixture must have a wave-1 receipt")
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+    val wave1 = docs.where(pmod(col("doc_id"), lit(3)) === 1)
+    Pipelines.sdrProcessBatch(base, wave1, 1L)
+    // the replayed receipt is a pure function of the staged prefix ≤ 1
+    // plus the static reference — in particular its TVD must NOT be
+    // recomputed over wave 2's staged rows
+    assert(rowsOf(spark.read.parquet(s"$base/stage/receipt_1")) == receipt1Before,
+      "replayed receipt must be bit-identical")
+    val reread = rowsOf(spark.read.parquet(
+      (0 to 2).map(i => s"$base/stage/receipt_$i"): _*).orderBy(col("wave")))
+    assert(reread == out1)
+  }
 }
