@@ -525,6 +525,17 @@ object SparkEntry {
     // over ONE scan (no Expand), estimates hash-replayed in DuckDB
     "q183_profile_kmv" -> ((s: SparkSession, d: String) =>
       Relational.tableProfileKmv(s, d)),
+    // index integrity digest (q99's Merkle split for the vector tier):
+    // per-cell count + xor-of-id-digests on corpus vs persisted index,
+    // emitting the diverged cells - catches the corrupted-id class a
+    // count-based audit (q156) cannot see; fixture plants 3 victims
+    "q184_ivf_digest" -> ((s: SparkSession, d: String) =>
+      Similarity.ivfDigestAudit(s, d)),
+    // mixture allocation APPLY: keep exactly q84's per-cell quota by
+    // smallest portable hash via the two-phase quota reservoir - the
+    // oracle is the naive rank-window formulation (two-phase == rank)
+    "q185_mixture_apply" -> ((s: SparkSession, d: String) =>
+      Curation.mixtureApply(s, d)),
     // contamination span evidence: WHERE each training doc overlaps
     // the benchmark set - maximal token spans of shared 3-grams
     // (coverage, longest run, first/last pos), the redact-not-drop
@@ -789,6 +800,8 @@ object SparkEntry {
     "q181_token_budget" -> Curation.tokenBudgetSelectSql,
     "q182_stream_drift" -> Pipelines.streamDriftMonitorSql,
     "q183_profile_kmv" -> Relational.tableProfileKmvSql,
+    "q184_ivf_digest" -> Similarity.ivfDigestAuditSql,
+    "q185_mixture_apply" -> Curation.mixtureApplySql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -950,4 +950,70 @@ object Curation {
        |    AS util_ppm
        |FROM totals t LEFT JOIN kept k ON t.source = k.source
        |ORDER BY t.source""".stripMargin
+
+  /** q185 — MIXTURE ALLOCATION APPLY: q84 DECIDES how many docs each
+    * (source, lang) cell contributes to the training mixture (sublinear
+    * √n weights + largest remainder); nothing executed it. This is the
+    * apply: per cell, keep exactly `min(alloc, n_cell)` documents by
+    * smallest portable hash — deterministic (same rows on any cluster,
+    * any partitioning), auditable (the oracle replays membership
+    * row-for-row), and UNBIASED within the cell (md5 order is
+    * independent of doc content). Completes the plan→apply pairing the
+    * span family set (q154→q155, q147→q158, q152→q167): every planner
+    * in the suite now has its executor.
+    *
+    * Scale: rides [[Sampling.reservoirSampleQuota]] — the two-phase
+    * bucket-prefix form of per-stratum exact-k, so the corpus is
+    * scanned twice but never shuffled, and the only sort ranks ~quota
+    * survivors per cell; the quota table is |cells|-bounded and
+    * broadcasts. The ORACLE is the naive rank-window formulation over
+    * q84's allocation CTE — a different algorithm, so the gate hash
+    * proves the two-phase selection ≡ the global-rank definition (the
+    * q86/q93 convention). Budget 300 at gate scale so most cells
+    * genuinely subsample (alloc 3 of ~5). */
+  def mixtureApply(s: SparkSession, d: String,
+      budget: Long = 300L): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val quotas = mixtureAllocation(docs, Seq(col("source"), col("lang")), budget)
+      .select(col("source"), col("lang"), col("alloc").as("quota"))
+    Sampling.reservoirSampleQuota(docs, Seq("source", "lang"),
+      key = col("doc_id").cast("string"), tie = col("doc_id"), quotas = quotas)
+      .select(col("doc_id"), col("source"), col("lang"), col("hv"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for [[mixtureApply]] (budget 300): q84's allocation CTEs at
+    * this budget + the NAIVE per-cell rank window. */
+  val mixtureApplySql: String =
+    """WITH n AS (
+      |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY 1, 2),
+      | w AS (
+      |  SELECT source, lang, n_docs,
+      |    CAST(floor(sqrt(n_docs)) AS BIGINT) AS w FROM n),
+      | b AS (SELECT *, CAST(sum(w) OVER () AS BIGINT) AS tot FROM w),
+      | a AS (
+      |  SELECT source, lang, n_docs, w,
+      |    (300 * w) // tot AS base, (300 * w) % tot AS rem,
+      |    CAST(300 - sum((300 * w) // tot) OVER () AS BIGINT) AS leftover
+      |  FROM b),
+      | alloc AS (
+      |  SELECT source, lang,
+      |    base + CASE WHEN CAST(row_number() OVER
+      |        (ORDER BY rem DESC, source ASC, lang ASC) AS BIGINT) <= leftover
+      |      THEN 1 ELSE 0 END AS quota
+      |  FROM a),
+      | h AS (
+      |  SELECT d.doc_id, d.source, d.lang, al.quota,
+      |    CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+      |      AS BIGINT) AS hv
+      |  FROM documents d JOIN alloc al
+      |    ON d.source = al.source AND d.lang = al.lang),
+      | ranked AS (
+      |  SELECT doc_id, source, lang, hv,
+      |    row_number() OVER (PARTITION BY source, lang
+      |      ORDER BY hv, doc_id) AS rk, quota
+      |  FROM h)
+      |SELECT doc_id, source, lang, hv FROM ranked WHERE rk <= quota
+      |ORDER BY doc_id""".stripMargin
 }

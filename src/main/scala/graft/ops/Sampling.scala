@@ -317,6 +317,39 @@ object Sampling {
       |SELECT shard, CAST(pos AS BIGINT) AS pos, doc_id FROM sharded
       |ORDER BY shard, pos""".stripMargin
 
+  /** Per-stratum EXACT-QUOTA deterministic sample — [[reservoirSample]]
+    * generalized from one scalar k to a QUOTA TABLE (strata columns +
+    * `quota`): keep each stratum's `quota` smallest-hash rows. Same
+    * two-phase bucket-prefix plan (per-(stratum, top-10-bit-bucket)
+    * counts → cumulative cut over the bounded histogram → exact rank
+    * over ~quota survivors), with the quota joined into both the cut
+    * rule and the final rank — the corpus is scanned twice, shuffled
+    * never, and the only per-stratum sort ranks survivors. A stratum
+    * absent from the quota table (or with quota 0) keeps nothing; a
+    * stratum with fewer rows than its quota keeps them all (the cut
+    * never materializes). */
+  def reservoirSampleQuota(df: DataFrame, strata: Seq[String], key: Column,
+      tie: Column, quotas: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = strata.map(col)
+    val hv = conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+    val base = df.withColumn("hv", hv)
+      .withColumn("bkt", expr("hv div 1125899906842624")) // 2^50: top 10 bits
+      .join(broadcast(quotas), strata)
+    val counts = base.groupBy((sc :+ col("bkt")): _*)
+      .agg(count(lit(1)).as("c"), first(col("quota")).as("quota"))
+    val wCum = Window.partitionBy(sc: _*).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cut = counts.withColumn("cc", sum(col("c")).over(wCum))
+      .where(col("cc") >= col("quota"))
+      .groupBy(sc: _*).agg(min(col("bkt")).as("cut"))
+    val surv = base.join(broadcast(cut), strata, "left")
+      .where(col("cut").isNull || col("bkt") <= col("cut"))
+    val wRank = Window.partitionBy(sc: _*).orderBy(col("hv"), tie)
+    surv.withColumn("rk", row_number().over(wRank))
+      .where(col("rk") <= col("quota"))
+  }
+
   /** q176 — SHARD BALANCE AUDIT (the q152 of training shards — q172's
     * audit leg): a deterministic shard assignment is only half the
     * story; the data loader's wall-clock is set by the FATTEST shard

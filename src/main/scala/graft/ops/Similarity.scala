@@ -3659,4 +3659,120 @@ object Similarity {
       |JOIN pos p ON p.aid = a.aid
       |JOIN neg n ON n.aid = a.aid
       |ORDER BY a.aid""".stripMargin
+
+  /** Corrupted-index fixture for [[ivfDigestAudit]], fingerprint-keyed
+    * like [[damagedIndexArtifact]] (r13 advice: never rebuild per call).
+    * Full corpus routed and cell-partitioned, with victims
+    * (vec_id % 167 = 5) committed under a CORRUPTED id (−id−1) — counts
+    * per cell stay intact, so the corruption is invisible to any
+    * count-based audit. */
+  private def corruptedIndexArtifact(s: SparkSession, d: String,
+      stride: Int, cent: DataFrame): String = synchronized {
+    val dir = new java.io.File(
+      s"target/tmp/ivfcor_${stride}_${Tables.sourceFingerprint(d, "embeddings")}")
+    if (!new java.io.File(dir, "_OK").exists()) {
+      scala.reflect.io.Path(dir).deleteRecursively()
+      assignCells(s, quantizedEmbeddings(s, d), cent)
+        .select(
+          when(pmod(col("vec_id"), lit(167)) === 5, -col("vec_id") - 1)
+            .otherwise(col("vec_id")).as("vec_id"),
+          col("cent_id"))
+        .repartition(col("cent_id")).write.mode("overwrite")
+        .partitionBy("cent_id").parquet(s"${dir.getPath}/index")
+      new java.io.File(dir, "_OK").createNewFile()
+    }
+    s"${dir.getPath}/index"
+  }
+
+  /** q184 — INDEX INTEGRITY DIGEST AUDIT: q99's Merkle-split
+    * reconciliation discipline applied to the vector tier. q156 audits
+    * COVERAGE (ids missing from the index) with an id-level anti-join;
+    * this audits INTEGRITY — a bit-flipped or mis-written id inside a
+    * committed cell keeps every count intact, so a count-based monitor
+    * reads a corrupted index as healthy. Per cell, BOTH sides reduce to
+    * (row count, XOR of 60-bit md5 id digests): the corpus side from
+    * the broadcast-argmax routing (what the index SHOULD hold), the
+    * index side from a fresh off-disk read (what it DOES hold); the
+    * |cells|-bounded compare then NAMES the diverged cells — count
+    * intact + digest diverged = the silent-corruption signature — and
+    * q159's repair touches only those. The gate fixture plants exactly
+    * that: three victims committed under corrupted ids, counts
+    * conserved.
+    *
+    * Scale: each side is one narrow scan into a map-side-combined
+    * |cells|-row aggregate (ids never shuffle — the q99 argument); the
+    * compare joins two |cells|-row tables. Detection cost is O(scan),
+    * localization free, repair ∝ diverged cells. */
+  def ivfDigestAudit(s: SparkSession, d: String,
+      centStride: Int = 100, indexDir: String = ""): DataFrame = {
+    val qe = quantizedEmbeddings(s, d)
+    val cent = qe.where(col("vec_id") % centStride === 1)
+      .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
+    val idx = s.read.parquet(
+      if (indexDir.nonEmpty) indexDir
+      else corruptedIndexArtifact(s, d, centStride, cent))
+    def digestOf(df: DataFrame, n: String, g: String): DataFrame =
+      df.select(col("cent_id"),
+        conv(substring(md5(concat(lit("ivd|"), col("vec_id").cast("string"))),
+          1, 15), 16, 10).cast("long").as("h"))
+        .groupBy(col("cent_id"))
+        .agg(count(lit(1)).as(n), expr("bit_xor(h)").as(g))
+    val corpus = digestOf(
+      assignCells(s, qe, cent).select(col("vec_id"), col("cent_id")),
+      "n_corpus", "dig_corpus")
+    val index = digestOf(
+      idx.select(col("vec_id"), col("cent_id").cast("long").as("cent_id")),
+      "n_index", "dig_index")
+    corpus.join(index, Seq("cent_id"), "full_outer")
+      .select(col("cent_id"),
+        coalesce(col("n_corpus"), lit(0L)).as("n_corpus"),
+        coalesce(col("n_index"), lit(0L)).as("n_index"),
+        coalesce(col("dig_corpus"), lit(0L)).as("dig_corpus"),
+        coalesce(col("dig_index"), lit(0L)).as("dig_index"))
+      .where(col("n_corpus") =!= col("n_index") ||
+        col("dig_corpus") =!= col("dig_index"))
+      .orderBy(col("cent_id"))
+  }
+
+  /** Oracle for [[ivfDigestAudit]] (stride 100): quantize + argmax
+    * routing, the planted −id−1 corruption, per-cell count + bit_xor
+    * digests, diverged cells only. */
+  val ivfDigestAuditSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | cent AS (SELECT vec_id AS cent_id, q AS cq FROM q8 WHERE vec_id % 100 = 1),
+      | assigned AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT v.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY CAST(list_dot_product(v.q, c.cq) AS BIGINT) DESC,
+      |                 c.cent_id ASC) AS rn
+      |    FROM q8 v CROSS JOIN cent c) WHERE rn = 1),
+      | corpus AS (
+      |  SELECT cent_id, CAST(count(*) AS BIGINT) AS n_corpus,
+      |    CAST(bit_xor(CAST('0x' || substr(md5('ivd|' ||
+      |      CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)) AS BIGINT)
+      |      AS dig_corpus
+      |  FROM assigned GROUP BY cent_id),
+      | idx AS (
+      |  SELECT cent_id,
+      |    CASE WHEN vec_id % 167 = 5 THEN -vec_id - 1 ELSE vec_id END AS vec_id
+      |  FROM assigned),
+      | index_side AS (
+      |  SELECT cent_id, CAST(count(*) AS BIGINT) AS n_index,
+      |    CAST(bit_xor(CAST('0x' || substr(md5('ivd|' ||
+      |      CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)) AS BIGINT)
+      |      AS dig_index
+      |  FROM idx GROUP BY cent_id)
+      |SELECT c.cent_id, c.n_corpus, i.n_index, c.dig_corpus, i.dig_index
+      |FROM corpus c JOIN index_side i USING (cent_id)
+      |WHERE c.n_corpus <> i.n_index OR c.dig_corpus <> i.dig_index
+      |ORDER BY c.cent_id""".stripMargin
 }

@@ -700,4 +700,79 @@ class R14OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(est - x) / x < 0.19, s"$c: est=$est exact=$x")
     }
   }
+
+  // -------------------------------------------------------------------
+  // q184: index integrity digest
+  // -------------------------------------------------------------------
+
+  test("ivfDigestAudit: corruption is count-invisible but digest-visible, " +
+    "victim cells named exactly, clean index audits empty") {
+    val d = "/root/testdata/sf0.01"
+    val rows = Similarity.ivfDigestAudit(spark, d).collect()
+    assert(rows.nonEmpty, "the planted corruption must surface")
+    // the signature this audit exists for: counts intact, digests not
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_corpus") == r.getAs[Long]("n_index"))
+      assert(r.getAs[Long]("dig_corpus") != r.getAs[Long]("dig_index"))
+    }
+    // diverged set == exactly the victims' cells
+    val qe = Similarity.quantizedEmbeddings(spark, d)
+    val cent = qe.where(col("vec_id") % 100 === 1)
+      .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
+    val victimCells = Similarity.assignCells(spark,
+        qe.where(pmod(col("vec_id"), lit(167)) === 5), cent)
+      .select(col("cent_id")).collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("cent_id")).toSet == victimCells)
+    // a pristine index passes: rebuild without corruption and re-audit
+    val clean = s"target/tmp/q184clean"
+    scala.reflect.io.Path(new java.io.File(clean)).deleteRecursively()
+    Similarity.assignCells(spark, qe, cent)
+      .select(col("vec_id"), col("cent_id"))
+      .repartition(col("cent_id")).write.mode("overwrite")
+      .partitionBy("cent_id").parquet(clean)
+    assert(Similarity.ivfDigestAudit(spark, d, indexDir = clean).count() == 0)
+  }
+
+  // -------------------------------------------------------------------
+  // q185: mixture allocation apply
+  // -------------------------------------------------------------------
+
+  test("mixtureApply: per-cell kept = min(alloc, n_cell), two-phase equals " +
+    "the naive rank, layout-independent") {
+    val d = "/root/testdata/sf0.01"
+    val docs = graft.Tables.documents(spark, d)
+    val out = graft.ops.Curation.mixtureApply(spark, d).collect()
+    val keptPerCell = out.groupBy(r =>
+      (r.getAs[String]("source"), r.getAs[String]("lang")))
+      .view.mapValues(_.length.toLong).toMap
+    val alloc = graft.ops.Curation.mixtureAllocation(
+      docs, Seq(col("source"), col("lang")), 300L)
+      .select(col("source"), col("lang"), col("n_docs"), col("alloc"))
+      .collect()
+    alloc.foreach { r =>
+      val cell = (r.getAs[String]("source"), r.getAs[String]("lang"))
+      val want = math.min(r.getAs[Long]("alloc"), r.getAs[Long]("n_docs"))
+      assert(keptPerCell.getOrElse(cell, 0L) == want, s"$cell")
+    }
+    // naive in-engine rank replay over the same quota table
+    val hv = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val quotas = graft.ops.Curation.mixtureAllocation(
+      docs, Seq(col("source"), col("lang")), 300L)
+      .select(col("source"), col("lang"), col("alloc").as("quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("lang")).orderBy(col("hv"), col("doc_id"))
+    val naive = docs.withColumn("hv", hv)
+      .join(broadcast(quotas), Seq("source", "lang"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= col("quota"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq == naive)
+    // layout independence: a hostile repartition changes nothing
+    val shuffled = graft.ops.Sampling.reservoirSampleQuota(
+      docs.repartition(13, col("lang")), Seq("source", "lang"),
+      key = col("doc_id").cast("string"), tie = col("doc_id"),
+      quotas = quotas)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(shuffled == naive)
+  }
 }
