@@ -68,9 +68,13 @@ def load_bench_queries(path):
         d = d["parsed"]
     if not d or "queries" not in d:
         return None
-    # BENCH stdout uses short "qNN" ids, bench_detail full query names —
-    # normalize to the short prefix so any pair of files is comparable
-    return {k.split("_")[0]: float(v) for k, v in d["queries"].items()}
+    # BENCH stdout uses short ids (bare "NN" since r14's second shave,
+    # "qNN" before), bench_detail full query names — normalize to the
+    # canonical "qNN" so any pair of files is comparable
+    def norm(k):
+        p = k.split("_")[0]
+        return p if p.startswith("q") else f"q{p}"
+    return {norm(k): float(v) for k, v in d["queries"].items()}
 
 def load_bench_loads(path):
     """The per-pass 1-min load averages Bench records since r8 (window-

@@ -180,8 +180,12 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }
+    // r14 second shave: the "q" prefix is redundant on every key —
+    // stripping it frees ~185 chars (≈ 15 queries of tail headroom);
+    // check.py's differ normalizes "NN" ↔ "qNN", bench_detail.json
+    // keeps the full names
     val shortMedians = stats
-      .map(t => "\"" + t._1.takeWhile(_ != '_') + "\":" + num(t._2))
+      .map(t => "\"" + t._1.takeWhile(_ != '_').stripPrefix("q") + "\":" + num(t._2))
       .mkString("{", ",", "}")
     // stop Spark BEFORE the contract line so no executor/shutdown logging
     // can print after it — the driver parses the LAST stdout line as JSON

@@ -536,6 +536,16 @@ object SparkEntry {
     // oracle is the naive rank-window formulation (two-phase == rank)
     "q185_mixture_apply" -> ((s: SparkSession, d: String) =>
       Curation.mixtureApply(s, d)),
+    // curriculum shard ordering: q172's reproducible shuffle with the
+    // in-shard order sorted easy->hard by the shared quality score
+    // (bucket desc, hash within bucket) - curriculum training prep
+    "q186_curriculum" -> ((s: SparkSession, d: String) =>
+      Sampling.curriculumShuffle(s, d)),
+    // normalized-form exact dedup: canonical (case/punct/whitespace-
+    // folded) fingerprints vs raw q30 fingerprints, per-source ledger
+    // of the extra dups normalization finds - planted shouting twins
+    "q187_norm_dedup" -> ((s: SparkSession, d: String) =>
+      Dedup.normalizedDedup(s, d)),
     // contamination span evidence: WHERE each training doc overlaps
     // the benchmark set - maximal token spans of shared 3-grams
     // (coverage, longest run, first/last pos), the redact-not-drop
@@ -802,6 +812,8 @@ object SparkEntry {
     "q183_profile_kmv" -> Relational.tableProfileKmvSql,
     "q184_ivf_digest" -> Similarity.ivfDigestAuditSql,
     "q185_mixture_apply" -> Curation.mixtureApplySql,
+    "q186_curriculum" -> Sampling.curriculumShuffleSql,
+    "q187_norm_dedup" -> Dedup.normalizedDedupSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

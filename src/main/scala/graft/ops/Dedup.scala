@@ -2236,4 +2236,61 @@ object Dedup {
       |  coalesce(per.text_clean, '') AS text_clean
       |FROM documents d LEFT JOIN per USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
+
+  /** q187 — NORMALIZED-FORM (canonical) EXACT DEDUP: the first thing
+    * CCNet-class web pipelines actually hash is not the raw text but a
+    * CANONICAL form — case-folded, punctuation/whitespace collapsed —
+    * because the web duplicates content with trivial formatting drift
+    * (shouting mirrors, smart quotes, trailing whitespace) that raw
+    * md5 (q30) treats as unique. This face measures exactly that gap:
+    * per source, raw docs vs q30-unique vs canonical-unique, with the
+    * extra duplicates normalization surfaced. The corpus has no natural
+    * formatting twins (it is generated), so the face PLANTS them — the
+    * q157 canary convention: every doc with id % 40 = 3 gets a twin at
+    * −id−1000000 (provably disjoint id space) whose text is uppercased
+    * with trailing whitespace. Raw hashing finds none of them;
+    * canonical hashing must reject every one — so extra_dups per
+    * source = planted twins per source, a measurement with a known
+    * right answer, oracle-replayed end-to-end.
+    *
+    * Scale: canonicalization is a narrow map; both uniqueness counts
+    * ride ONE fingerprint hash-agg each (map-side combined). Nothing
+    * pairwise — this is q30's cost with a cheaper-than-MinHash recall
+    * bump, which is why production runs it FIRST in the dedup cascade
+    * (canonical exact → MinHash → semantic). */
+  def normalizedDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val twins = docs.where(pmod(col("doc_id"), lit(40)) === 3)
+      .select((-col("doc_id") - 1000000L).as("doc_id"), col("source"),
+        concat(upper(col("text")), lit("  ")).as("text"))
+    val corpus = docs.unionAll(twins)
+    val canon = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    corpus.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_exact_unique"),
+        countDistinct(md5(canon)).as("n_norm_unique"))
+      .select(col("source"), col("n_docs"), col("n_exact_unique"),
+        col("n_norm_unique"),
+        (col("n_exact_unique") - col("n_norm_unique")).as("extra_dups"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle for [[normalizedDedup]]: the twin splice + both fingerprint
+    * distincts replayed (DuckDB regexp_replace needs the 'g' flag for
+    * the replace-all Spark defaults to). */
+  val normalizedDedupSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT -doc_id - 1000000, source, upper(text) || '  '
+      |  FROM documents WHERE doc_id % 40 = 3)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_exact_unique,
+      |  CAST(count(DISTINCT md5(trim(regexp_replace(lower(text),
+      |    '[^a-z0-9]+', ' ', 'g')))) AS BIGINT) AS n_norm_unique,
+      |  CAST(count(DISTINCT md5(text)) -
+      |       count(DISTINCT md5(trim(regexp_replace(lower(text),
+      |         '[^a-z0-9]+', ' ', 'g')))) AS BIGINT) AS extra_dups
+      |FROM corpus GROUP BY source
+      |ORDER BY source""".stripMargin
 }

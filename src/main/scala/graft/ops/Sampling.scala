@@ -379,6 +379,61 @@ object Sampling {
       .orderBy(col("shard"))
   }
 
+  /** q186 — CURRICULUM SHARD ORDERING: q172 gives every epoch a
+    * reproducible RANDOM order; curriculum training wants a reproducible
+    * QUALITY order — easy (high-quality) documents first, noise last —
+    * while keeping the shard balance q176 audits. Same portable
+    * epoch-salted hash and single shard shuffle as q172; the in-shard
+    * position just sorts by (quality bucket DESC, hv, doc_id) instead of
+    * (hv, doc_id): bucket = q117's integer stopword-bp score div 500
+    * (21 buckets), so the curriculum knob composes with the one score
+    * definition the quality family shares; wordless docs (no score)
+    * take bucket −1 and train last. Within a bucket the hash order
+    * keeps batches decorrelated — a curriculum that sorts strictly by
+    * score replays corpus clumps.
+    *
+    * Scale: q172's exact cost — one narrow map, one shard shuffle,
+    * local in-shard sorts. The score join is doc_id-co-partitioned
+    * narrow work. */
+  def curriculumShuffle(s: SparkSession, d: String, epoch: Int = 1,
+      shards: Int = 16): DataFrame = {
+    val hv = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(s":$epoch"))), 1, 15), 16, 10).cast("long")
+    val scored = TextAnalysis.sourceQualityFrame(s, d)
+      .select(col("doc_id"), col("score_bp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("bucket").desc, col("hv").asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .select(col("doc_id"), hv.as("hv"))
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("bucket",
+        coalesce(expr("score_bp div 500"), lit(-1L)))
+      .withColumn("shard", col("hv") % shards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"), col("bucket"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /** Oracle for [[curriculumShuffle]] (epoch 1, 16 shards); the score
+    * CTE is [[TextAnalysis.sourceQualityFrameSql]] VERBATIM — one score
+    * definition across q117/q181/q186. */
+  val curriculumShuffleSql: String =
+    s"""WITH sc AS (${TextAnalysis.sourceQualityFrameSql}),
+      | h AS (
+      |  SELECT d.doc_id,
+      |    CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':1'), 1, 15)
+      |      AS BIGINT) AS hv,
+      |    CAST(coalesce(sc.score_bp // 500, -1) AS BIGINT) AS bucket
+      |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+      | sharded AS (
+      |  SELECT doc_id, hv % 16 AS shard, bucket,
+      |    row_number() OVER (PARTITION BY hv % 16
+      |      ORDER BY bucket DESC, hv ASC, doc_id ASC) AS pos
+      |  FROM h)
+      |SELECT shard, CAST(pos AS BIGINT) AS pos, doc_id, bucket FROM sharded
+      |ORDER BY shard, pos""".stripMargin
+
   /** Oracle for [[epochShardBalance]] (epoch 1, 16 shards). */
   val epochShardBalanceSql: String =
     """WITH h AS (

@@ -3600,7 +3600,12 @@ object Similarity {
     val qe = quantizedEmbeddings(s, d)
     val lab = qe.join(Tables.embeddings(s, d)
       .select(col("vec_id"), col("label")), Seq("vec_id"))
-    val anchors = lab.where(pmod(col("vec_id"), lit(100)) === 7)
+    // anchors BOUNDED in absolute terms (the q143/q169 convention):
+    // % 100 alone is a fraction of the corpus — at sf30 that is 6k
+    // anchors × 600k vectors of dots; the < 6400 cap keeps the anchor
+    // set ≤ 64 at any corpus size (a daily training batch, not a scan)
+    val anchors = lab.where(pmod(col("vec_id"), lit(100)) === 7 &&
+        col("vec_id") < 6400)
       .select(col("vec_id").as("aid"), col("q8").as("aq"),
         col("label").as("alabel"))
     lab.join(broadcast(anchors), col("vec_id") =!= col("aid"))
@@ -3636,7 +3641,7 @@ object Similarity {
       |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
       |  FROM base),
       | anchors AS (SELECT vec_id AS aid, q AS aq, label AS alabel
-      |             FROM q8 WHERE vec_id % 100 = 7),
+      |             FROM q8 WHERE vec_id % 100 = 7 AND vec_id < 6400),
       | scored AS (
       |  SELECT a.aid, a.alabel, l.vec_id AS cid, l.label,
       |    CAST(list_dot_product(a.aq, l.q) AS BIGINT) AS dot

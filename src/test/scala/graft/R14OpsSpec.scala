@@ -775,4 +775,58 @@ class R14OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
     assert(shuffled == naive)
   }
+
+  // -------------------------------------------------------------------
+  // q186: curriculum shard ordering
+  // -------------------------------------------------------------------
+
+  test("curriculumShuffle: exact permutation, shard assignment = q172's, " +
+    "in-shard quality monotone") {
+    val d = "/root/testdata/sf0.01"
+    val rows = Sampling.curriculumShuffle(spark, d).collect()
+    val nDocs = graft.Tables.documents(spark, d).count()
+    assert(rows.length == nDocs)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == nDocs)
+    // same shard assignment as the plain epoch shuffle (shared hash)
+    val plain = Sampling.epochShardShuffle(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+    rows.foreach(r =>
+      assert(plain(r.getAs[Long]("doc_id")) == r.getAs[Long]("shard")))
+    rows.groupBy(_.getAs[Long]("shard")).values.foreach { sh =>
+      val byPos = sh.sortBy(_.getAs[Long]("pos"))
+      // positions contiguous from 1
+      assert(byPos.map(_.getAs[Long]("pos")).toSeq ==
+        (1L to sh.length.toLong))
+      // the curriculum: bucket never increases along the shard
+      val buckets = byPos.map(_.getAs[Long]("bucket"))
+      assert(buckets.zip(buckets.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // q187: normalized-form dedup
+  // -------------------------------------------------------------------
+
+  test("normalizedDedup: every planted twin caught, none visible to raw " +
+    "hashing, ledger reconciles per source") {
+    val d = "/root/testdata/sf0.01"
+    val rows = Dedup.normalizedDedup(spark, d).collect()
+    val docs = graft.Tables.documents(spark, d)
+    val planted = docs.where(pmod(col("doc_id"), lit(40)) === 3)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
+    val base = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val twins = planted.getOrElse(src, 0L)
+      assert(r.getAs[Long]("n_docs") == base(src) + twins)
+      // raw hashing sees every row as unique (the twins are uppercased)
+      assert(r.getAs[Long]("n_exact_unique") == r.getAs[Long]("n_docs"))
+      // canonical hashing folds exactly the planted twins
+      assert(r.getAs[Long]("extra_dups") == twins, src)
+    }
+    assert(rows.map(_.getAs[Long]("extra_dups")).sum > 0,
+      "fixture must plant at least one twin")
+  }
 }
