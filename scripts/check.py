@@ -89,7 +89,8 @@ def load_bench_loads(path):
 # sibling set): their bench cost is dominated by the fixed 3-wave
 # delivery + checkpoint-commit latency floor, not data volume.
 STREAMING_QUERIES = {"q54", "q57", "q58", "q59", "q62", "q91", "q103",
-                     "q108", "q111", "q121", "q138", "q149", "q161"}
+                     "q108", "q111", "q121", "q138", "q149", "q161",
+                     "q175", "q182"}
 
 def bench_diff(argv):
     explicit = [a for a in argv if not a.startswith("--")]

@@ -530,7 +530,7 @@ object SparkEntry {
     // emitting the diverged cells - catches the corrupted-id class a
     // count-based audit (q156) cannot see; fixture plants 3 victims
     "q184_ivf_digest" -> ((s: SparkSession, d: String) =>
-      Similarity.ivfDigestAudit(s, d)),
+      Similarity.ivfDigestAudit(s, d, centStride = 100)),
     // mixture allocation APPLY: keep exactly q84's per-cell quota by
     // smallest portable hash via the two-phase quota reservoir - the
     // oracle is the naive rank-window formulation (two-phase == rank)
@@ -546,6 +546,21 @@ object SparkEntry {
     // of the extra dups normalization finds - planted shouting twins
     "q187_norm_dedup" -> ((s: SparkSession, d: String) =>
       Dedup.normalizedDedup(s, d)),
+    // MMR diversified retrieval: greedy lambda-weighted re-selection
+    // over the bounded top-20 pool (7*rel - 3*maxsim, all integer) -
+    // the RAG/search result-diversification verb, greedy cascade
+    // oracle-replayed step by step
+    "q188_mmr_diversify" -> ((s: SparkSession, d: String) =>
+      Similarity.mmrDiversify(s, d)),
+    // incremental profile maintenance: persisted per-column KMV
+    // sketches merged with a delta-only sketch - merged estimate ==
+    // full-scan estimate (bottom-k merge theorem, machine-checked)
+    "q189_profile_incr" -> ((s: SparkSession, d: String) =>
+      Relational.profileKmvIncremental(s, d)),
+    // retrieval MRR: rank of the first same-label hit per probe with
+    // NO corpus sort (conditional max_by + count-before), rr in ppm
+    "q190_retrieval_mrr" -> ((s: SparkSession, d: String) =>
+      Similarity.retrievalMrr(s, d)),
     // contamination span evidence: WHERE each training doc overlaps
     // the benchmark set - maximal token spans of shared 3-grams
     // (coverage, longest run, first/last pos), the redact-not-drop
@@ -814,6 +829,9 @@ object SparkEntry {
     "q185_mixture_apply" -> Curation.mixtureApplySql,
     "q186_curriculum" -> Sampling.curriculumShuffleSql,
     "q187_norm_dedup" -> Dedup.normalizedDedupSql,
+    "q188_mmr_diversify" -> Similarity.mmrDiversifySql,
+    "q189_profile_incr" -> Relational.profileKmvIncrementalSql,
+    "q190_retrieval_mrr" -> Similarity.retrievalMrrSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

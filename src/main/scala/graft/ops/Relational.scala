@@ -966,6 +966,104 @@ object Relational {
        |) ORDER BY col_name""".stripMargin
   }
 
+  /** q189 — INCREMENTAL PROFILE MAINTENANCE (sketch-merge refresh):
+    * q137 maintains count/sum/min/max rollups incrementally; the
+    * distinct-count column of a profile was the one statistic that
+    * still forced a full rescan — KMV closes it, because bottom-k
+    * sketches merge EXACTLY: bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪
+    * bottom-k(B)) (every global minimum is a minimum of its side).
+    * Yesterday's per-column sketches are a persisted fingerprint-keyed
+    * artifact; today's delta (o_orderkey % 10 = 0) is sketched ALONE;
+    * the merge re-sketches the ≤ 2k persisted minima — history is
+    * never rescanned, refresh cost O(delta). The face emits the merged
+    * estimate NEXT TO the direct full-scan estimate, so their
+    * oracle-checked equality machine-checks the merge theorem every
+    * run (the q125/q137 convention).
+    *
+    * Scale: delta scan + a |cols|×k-row union — the nightly ANALYZE
+    * refresh at 100 TB reads only the day's partition. */
+  def profileKmvIncremental(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.KmvAgg.kmvSketch
+    val cols = Seq("o_custkey", "o_orderstatus")
+    val orders = Tables.orders(s, d)
+    def sketchRows(df: DataFrame): DataFrame = {
+      val aggs = cols.map(n =>
+        kmvSketch(kmvHash(col(n).cast("string")), KmvK).as(s"arr_$n"))
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(n =>
+          struct(lit(n).as("col_name"), col(s"arr_$n").as("arr"))): _*)).as("r"))
+        .select(col("r.col_name").as("col_name"), col("r.arr").as("arr"))
+    }
+    // yesterday's sketches: persisted once, keyed on source content
+    val art = new java.io.File(
+      s"target/tmp/kmvprof_${Tables.sourceFingerprint(d, "orders")}")
+    this.synchronized {
+      if (!new java.io.File(art, "_OK").exists()) {
+        scala.reflect.io.Path(art).deleteRecursively()
+        sketchRows(orders.where(col("o_orderkey") % 10 =!= 0))
+          .coalesce(1).write.mode("overwrite").parquet(s"${art.getPath}/sk")
+        new java.io.File(art, "_OK").createNewFile()
+      }
+    }
+    val hist = s.read.parquet(s"${art.getPath}/sk")
+    val delta = sketchRows(orders.where(col("o_orderkey") % 10 === 0))
+    def estOf(arr: Column): Column =
+      when(size(arr) < KmvK, size(arr).cast("long"))
+        .otherwise(expr(
+          s"CAST((CAST(${KmvK - 1} AS DECIMAL(38,0)) * CAST(1152921504606846976 AS DECIMAL(38,0))) div element_at(arr, $KmvK) AS BIGINT)"))
+    // merge = re-sketch the union of persisted minima (≤ 2k rows/col)
+    val merged = hist.unionAll(delta)
+      .select(col("col_name"), explode(col("arr")).as("h"))
+      .groupBy(col("col_name"))
+      .agg(kmvSketch(col("h"), KmvK).as("arr"))
+      .select(col("col_name"), estOf(col("arr")).as("est_merged"))
+    val full = sketchRows(orders)
+      .select(col("col_name"), estOf(col("arr")).as("est_full"))
+    merged.join(full, Seq("col_name"))
+      .select(col("col_name"), col("est_merged"), col("est_full"),
+        (col("est_merged") === col("est_full")).as("merge_exact"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Oracle for [[profileKmvIncremental]]: per column bottom-256 of
+    * (bottom-256 of history ∪ bottom-256 of delta) vs the direct
+    * bottom-256, both estimated by the q101 rule — equal by the
+    * bottom-k merge theorem, and the hash proves it. */
+  val profileKmvIncrementalSql: String = {
+    def h(e: String) =
+      s"CAST('0x' || substr(md5('kmv|' || CAST($e AS VARCHAR)), 1, 15) AS BIGINT)"
+    def side(n: String, pred: String, nm: String) =
+      s"""$nm AS (SELECT h FROM (
+         |   SELECT DISTINCT ${h(n)} AS h FROM orders WHERE $pred)
+         |   ORDER BY h LIMIT 256)""".stripMargin
+    def colCtes(n: String) =
+      s"""${side(n, s"o_orderkey % 10 <> 0", s"hist_$n")},
+         | ${side(n, s"o_orderkey % 10 = 0", s"delta_$n")},
+         | m_$n AS (SELECT count(*) AS n, max(h) AS hk FROM (
+         |   SELECT DISTINCT h FROM (SELECT h FROM hist_$n
+         |                           UNION ALL SELECT h FROM delta_$n)
+         |   ORDER BY h LIMIT 256) t),
+         | f_$n AS (SELECT count(*) AS n, max(h) AS hk FROM (
+         |   SELECT DISTINCT ${h(n)} AS h FROM orders
+         |   ORDER BY h LIMIT 256) t),
+         | em_$n AS (SELECT CASE WHEN n < 256 THEN n
+         |   ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976) // hk
+         |        AS BIGINT) END AS est FROM m_$n),
+         | ef_$n AS (SELECT CASE WHEN n < 256 THEN n
+         |   ELSE CAST((CAST(255 AS HUGEINT) * 1152921504606846976) // hk
+         |        AS BIGINT) END AS est FROM f_$n)""".stripMargin
+    def row(n: String) =
+      s"""SELECT '$n' AS col_name,
+         |  CAST((SELECT est FROM em_$n) AS BIGINT) AS est_merged,
+         |  CAST((SELECT est FROM ef_$n) AS BIGINT) AS est_full,
+         |  (SELECT est FROM em_$n) = (SELECT est FROM ef_$n) AS merge_exact""".stripMargin
+    val cols = Seq("o_custkey", "o_orderstatus")
+    s"""WITH ${cols.map(colCtes).mkString(",\n ")}
+       |SELECT * FROM (
+       |  ${cols.map(row).mkString("\n  UNION ALL\n  ")}
+       |) ORDER BY col_name""".stripMargin
+  }
+
   val cmsFrequencyPortableSql: String = {
     def h(keyExpr: String) =
       s"CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || CAST($keyExpr AS VARCHAR)), 1, 15) AS BIGINT) % 2048"

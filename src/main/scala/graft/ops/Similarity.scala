@@ -3709,13 +3709,20 @@ object Similarity {
     * compare joins two |cells|-row tables. Detection cost is O(scan),
     * localization free, repair ∝ diverged cells. */
   def ivfDigestAudit(s: SparkSession, d: String,
-      centStride: Int = 100, indexDir: String = ""): DataFrame = {
+      centStride: Int = 0, indexDir: String = ""): DataFrame = {
     val qe = quantizedEmbeddings(s, d)
-    val cent = qe.where(col("vec_id") % centStride === 1)
+    // stride self-sizes to ≈ √n by default (the q126/q152/q156 rule —
+    // cells ∝ √n keeps the broadcast-argmax per-row cost √n·d); the
+    // gate face pins 100 for oracle parity
+    val stride =
+      if (centStride > 0) centStride
+      else math.max(2, math.round(math.sqrt(
+        SharedPlans.cachedCount(s, s"embCount|$d")(qe.count()).toDouble)).toInt)
+    val cent = qe.where(col("vec_id") % stride === 1)
       .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
     val idx = s.read.parquet(
       if (indexDir.nonEmpty) indexDir
-      else corruptedIndexArtifact(s, d, centStride, cent))
+      else corruptedIndexArtifact(s, d, stride, cent))
     def digestOf(df: DataFrame, n: String, g: String): DataFrame =
       df.select(col("cent_id"),
         conv(substring(md5(concat(lit("ivd|"), col("vec_id").cast("string"))),
@@ -3780,4 +3787,198 @@ object Similarity {
       |FROM corpus c JOIN index_side i USING (cent_id)
       |WHERE c.n_corpus <> i.n_index OR c.dig_corpus <> i.dig_index
       |ORDER BY c.cent_id""".stripMargin
+
+  /** q188 — MMR DIVERSIFIED RETRIEVAL (maximal marginal relevance,
+    * Carbonell & Goldstein 1998): plain top-k returns near-duplicates
+    * of the best hit; RAG/search stacks re-select greedily by
+    * `λ·relevance − (1−λ)·max-similarity-to-already-selected`. Here
+    * λ = 0.7 in integer tenths (score = 7·dot(q,c) − 3·max_s dot(c,s)),
+    * over the top-20 exact int8 candidates per probe, selecting 3 —
+    * every dot, score, and tie-break an exact integer, so the greedy
+    * cascade replays bit-for-bit in DuckDB (greedy selection is
+    * sequential and tie-fragile — integer arithmetic is what makes it
+    * gateable at all).
+    *
+    * Scale: the candidate pool is |probes|×20 (one q48 scan builds it);
+    * each greedy step is a join + window over that BOUNDED pool — k
+    * steps cost k·|probes|·20 rows of narrow work, the corpus is
+    * touched once. The selection loop is a fixed-depth DataFrame fold,
+    * not a driver loop over collected data. */
+  def mmrDiversify(s: SparkSession, d: String, poolK: Int = 20,
+      select: Int = 3): DataFrame = {
+    val qe = quantizedEmbeddings(s, d)
+    val probes = qe.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q8").as("qv"))
+    val wPool = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("cid").asc)
+    val cand = qe.join(broadcast(probes), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), col("q8").as("cq"),
+        vecDot(col("qv"), col("q8")).cast("long").as("dot"))
+      .withColumn("rk", row_number().over(wPool))
+      .where(col("rk") <= poolK)
+      .select(col("qid"), col("cid"), col("cq"), col("dot"))
+      .localCheckpoint(true) // bounded pool; selections iterate over it
+    val wPick = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid").asc)
+    // greedy fold: selected(i) = argmax score over the remaining pool
+    var selected = cand
+      .withColumn("max_sim", lit(0L))
+      .withColumn("score", lit(7L) * col("dot"))
+      .withColumn("rn", row_number().over(wPick)).where(col("rn") === 1)
+      .select(col("qid"), col("cid"), col("cq"), col("dot"),
+        col("max_sim"), col("score"), lit(1).as("sel_rank"))
+    (2 to select).foreach { i =>
+      val sel = selected.select(col("qid"), col("cid").as("scid"),
+        col("cq").as("sq"))
+      val next = cand
+        .join(sel.groupBy(col("qid")).agg(collect_list(col("scid")).as("taken")),
+          Seq("qid"))
+        .where(!array_contains(col("taken"), col("cid")))
+        .join(sel, Seq("qid"))
+        .groupBy(col("qid"), col("cid"))
+        .agg(first(col("cq")).as("cq"), first(col("dot")).as("dot"),
+          max(vecDot(col("cq"), col("sq")).cast("long")).as("max_sim"))
+        .withColumn("score", lit(7L) * col("dot") - lit(3L) * col("max_sim"))
+        .withColumn("rn", row_number().over(wPick)).where(col("rn") === 1)
+        .select(col("qid"), col("cid"), col("cq"), col("dot"),
+          col("max_sim"), col("score"), lit(i).as("sel_rank"))
+      selected = selected.unionAll(next).localCheckpoint(true)
+    }
+    selected.select(col("qid"), col("sel_rank"), col("cid"),
+        col("dot").as("rel_dot"), col("max_sim"), col("score"))
+      .orderBy(col("qid"), col("sel_rank"))
+  }
+
+  /** Oracle for [[mmrDiversify]] (pool 20, select 3, λ = 7/10): the
+    * greedy cascade unrolled — every step's argmax replayed with the
+    * same integer score and tie-break. */
+  val mmrDiversifySql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | probes AS (SELECT vec_id AS qid, q AS qv FROM q8 WHERE vec_id < 5),
+      | cand AS (
+      |  SELECT qid, cid, cq, dot FROM (
+      |    SELECT p.qid, t.vec_id AS cid, t.q AS cq,
+      |      CAST(list_dot_product(p.qv, t.q) AS BIGINT) AS dot,
+      |      row_number() OVER (PARTITION BY p.qid
+      |        ORDER BY CAST(list_dot_product(p.qv, t.q) AS BIGINT) DESC,
+      |                 t.vec_id ASC) AS rk
+      |    FROM q8 t JOIN probes p ON t.vec_id <> p.qid) WHERE rk <= 20),
+      | s1 AS (
+      |  SELECT qid, cid, cq, dot, CAST(0 AS BIGINT) AS max_sim,
+      |    7 * dot AS score FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY qid
+      |      ORDER BY 7 * dot DESC, cid ASC) AS rn FROM cand) WHERE rn = 1),
+      | r2 AS (
+      |  SELECT c.qid, c.cid, c.cq, c.dot,
+      |    CAST(list_dot_product(c.cq, s.cq) AS BIGINT) AS max_sim
+      |  FROM cand c JOIN s1 s ON c.qid = s.qid AND c.cid <> s.cid),
+      | s2 AS (
+      |  SELECT qid, cid, cq, dot, max_sim, score FROM (
+      |    SELECT *, 7 * dot - 3 * max_sim AS score,
+      |      row_number() OVER (PARTITION BY qid
+      |        ORDER BY 7 * dot - 3 * max_sim DESC, cid ASC) AS rn
+      |    FROM r2) WHERE rn = 1),
+      | r3 AS (
+      |  SELECT c.qid, c.cid, c.cq, c.dot,
+      |    greatest(CAST(list_dot_product(c.cq, a.cq) AS BIGINT),
+      |             CAST(list_dot_product(c.cq, b.cq) AS BIGINT)) AS max_sim
+      |  FROM cand c
+      |  JOIN s1 a ON c.qid = a.qid
+      |  JOIN s2 b ON c.qid = b.qid
+      |  WHERE c.cid <> a.cid AND c.cid <> b.cid),
+      | s3 AS (
+      |  SELECT qid, cid, cq, dot, max_sim, score FROM (
+      |    SELECT *, 7 * dot - 3 * max_sim AS score,
+      |      row_number() OVER (PARTITION BY qid
+      |        ORDER BY 7 * dot - 3 * max_sim DESC, cid ASC) AS rn
+      |    FROM r3) WHERE rn = 1)
+      |SELECT qid, CAST(1 AS INT) AS sel_rank, cid, dot AS rel_dot,
+      |  max_sim, score FROM s1
+      |UNION ALL
+      |SELECT qid, 2, cid, dot, max_sim, score FROM s2
+      |UNION ALL
+      |SELECT qid, 3, cid, dot, max_sim, score FROM s3
+      |ORDER BY qid, sel_rank""".stripMargin
+
+  /** q190 — RETRIEVAL MRR (mean reciprocal rank by weak label): the
+    * ranking-quality QA that complements q144 (recall@k says whether
+    * the right neighbors RETURN; MRR says how high the first relevant
+    * one RANKS — the metric retrieval evals report). Relevance = the
+    * label column as weak ground truth (the q122 weak-label stance);
+    * ranking = the exact int8 dot. Per probe: the best-ranked
+    * same-label vector and its rank, rr_ppm = 10⁶ div rank — exact
+    * integers end-to-end.
+    *
+    * Scale: the rank of the first relevant hit is computed WITHOUT
+    * sorting the corpus — best relevant = one conditional max_by,
+    * rank = 1 + count of candidates ordered strictly before it (two
+    * map-side-combined aggregates over the probe-bounded scored scan).
+    * A window formulation would sort n rows per probe; this shape
+    * stays one pass at any corpus size. */
+  def retrievalMrr(s: SparkSession, d: String): DataFrame = {
+    val qe = quantizedEmbeddings(s, d)
+    val lab = qe.join(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label")), Seq("vec_id"))
+    val probes = lab.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q8").as("qv"),
+        col("label").as("alabel"))
+    val scored = lab.join(broadcast(probes), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("alabel"), col("vec_id").as("cid"), col("label"),
+        vecDot(col("qv"), col("q8")).cast("long").as("dot"))
+    val best = scored.where(col("label") === col("alabel"))
+      .groupBy(col("qid"))
+      .agg(max_by(struct(col("cid").as("id"), col("dot").as("d")),
+        struct(col("dot"), -col("cid"))).as("b"))
+      .select(col("qid"), col("b.id").as("rel_id"), col("b.d").as("rel_dot"))
+    scored.join(broadcast(best), Seq("qid"))
+      .groupBy(col("qid"), col("rel_id"), col("rel_dot"))
+      .agg((lit(1L) + sum((col("dot") > col("rel_dot") ||
+        (col("dot") === col("rel_dot") && col("cid") < col("rel_id")))
+        .cast("long"))).as("first_rel_rank"))
+      .select(col("qid"), col("rel_id"), col("rel_dot"),
+        col("first_rel_rank"),
+        expr("1000000 div first_rel_rank").as("rr_ppm"))
+      .orderBy(col("qid"))
+  }
+
+  /** Oracle for [[retrievalMrr]]: quantize + the same-label argmax +
+    * the count-before rank rule, replayed exactly. */
+  val retrievalMrrSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding, label,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | probes AS (SELECT vec_id AS qid, q AS qv, label AS alabel
+      |            FROM q8 WHERE vec_id < 5),
+      | scored AS (
+      |  SELECT p.qid, p.alabel, t.vec_id AS cid, t.label,
+      |    CAST(list_dot_product(p.qv, t.q) AS BIGINT) AS dot
+      |  FROM q8 t JOIN probes p ON t.vec_id <> p.qid),
+      | best AS (
+      |  SELECT qid, cid AS rel_id, dot AS rel_dot FROM (
+      |    SELECT qid, cid, dot, row_number() OVER (PARTITION BY qid
+      |      ORDER BY dot DESC, cid ASC) AS rn
+      |    FROM scored WHERE label = alabel) WHERE rn = 1)
+      |SELECT s.qid, b.rel_id, b.rel_dot,
+      |  CAST(1 + count(*) FILTER (WHERE s.dot > b.rel_dot OR
+      |    (s.dot = b.rel_dot AND s.cid < b.rel_id)) AS BIGINT)
+      |    AS first_rel_rank,
+      |  CAST(1000000 // (1 + count(*) FILTER (WHERE s.dot > b.rel_dot OR
+      |    (s.dot = b.rel_dot AND s.cid < b.rel_id))) AS BIGINT) AS rr_ppm
+      |FROM scored s JOIN best b USING (qid)
+      |GROUP BY s.qid, b.rel_id, b.rel_dot
+      |ORDER BY s.qid""".stripMargin
 }

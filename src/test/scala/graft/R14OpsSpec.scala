@@ -708,7 +708,7 @@ class R14OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("ivfDigestAudit: corruption is count-invisible but digest-visible, " +
     "victim cells named exactly, clean index audits empty") {
     val d = "/root/testdata/sf0.01"
-    val rows = Similarity.ivfDigestAudit(spark, d).collect()
+    val rows = Similarity.ivfDigestAudit(spark, d, centStride = 100).collect()
     assert(rows.nonEmpty, "the planted corruption must surface")
     // the signature this audit exists for: counts intact, digests not
     rows.foreach { r =>
@@ -730,7 +730,8 @@ class R14OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("vec_id"), col("cent_id"))
       .repartition(col("cent_id")).write.mode("overwrite")
       .partitionBy("cent_id").parquet(clean)
-    assert(Similarity.ivfDigestAudit(spark, d, indexDir = clean).count() == 0)
+    assert(Similarity.ivfDigestAudit(spark, d, centStride = 100,
+      indexDir = clean).count() == 0)
   }
 
   // -------------------------------------------------------------------
@@ -828,5 +829,102 @@ class R14OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(rows.map(_.getAs[Long]("extra_dups")).sum > 0,
       "fixture must plant at least one twin")
+  }
+
+  // -------------------------------------------------------------------
+  // q188: MMR diversified retrieval — plain-Scala greedy replay
+  // -------------------------------------------------------------------
+
+  test("mmrDiversify: greedy cascade equals a plain-Scala replay, " +
+    "diversification actually reorders") {
+    val d = "/root/testdata/sf0.01"
+    val rows = Similarity.mmrDiversify(spark, d).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("sel_rank")) ->
+        (r.getAs[Long]("cid"), r.getAs[Long]("max_sim"),
+          r.getAs[Long]("score"))).toMap
+    val qe = Similarity.quantizedEmbeddings(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum.toLong
+    (0L until 5L).foreach { qid =>
+      val pool = qe.keys.filter(_ != qid).toSeq
+        .map(c => (c, dot(qe(qid), qe(c))))
+        .sortBy { case (c, dt) => (-dt, c) }.take(20)
+      var sel = List.empty[Long]
+      (1 to 3).foreach { i =>
+        val scored = pool.filterNot { case (c, _) => sel.contains(c) }
+          .map { case (c, rel) =>
+            val ms = if (sel.isEmpty) 0L
+              else sel.map(sc => dot(qe(c), qe(sc))).max
+            (c, ms, 7L * rel - 3L * ms)
+          }
+        val pick = scored.minBy { case (c, _, sc) => (-sc, c) }
+        assert(rows((qid, i)) == pick, s"qid=$qid step=$i")
+        sel = sel :+ pick._1
+      }
+    }
+    // non-vacuity: on some probe the MMR second pick differs from the
+    // plain dot-rank-2 candidate (diversification changed the order)
+    val plain2 = (0L until 5L).map { qid =>
+      val ranked = qe.keys.filter(_ != qid).toSeq
+        .map(c => (c, dot(qe(qid), qe(c))))
+        .sortBy { case (c, dt) => (-dt, c) }
+      qid -> ranked(1)._1
+    }.toMap
+    assert((0L until 5L).exists(q => rows((q, 2))._1 != plain2(q)),
+      "MMR never deviated from the plain ranking — λ is vacuous")
+  }
+
+  // -------------------------------------------------------------------
+  // q189: incremental profile maintenance
+  // -------------------------------------------------------------------
+
+  test("profileKmvIncremental: merge theorem holds on every column, " +
+    "artifact persisted") {
+    val d = "/root/testdata/sf0.01"
+    val rows = graft.ops.Relational.profileKmvIncremental(spark, d).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("merge_exact"),
+        s"${r.getAs[String]("col_name")}: merged ${r.getAs[Long]("est_merged")}" +
+          s" != full ${r.getAs[Long]("est_full")}")
+      assert(r.getAs[Long]("est_merged") == r.getAs[Long]("est_full"))
+    }
+    val art = new java.io.File("target/tmp").listFiles()
+      .filter(_.getName.startsWith("kmvprof_"))
+    assert(art.nonEmpty && art.forall(a => new java.io.File(a, "_OK").exists()),
+      "history sketches must be a committed persisted artifact")
+  }
+
+  // -------------------------------------------------------------------
+  // q190: retrieval MRR
+  // -------------------------------------------------------------------
+
+  test("retrievalMrr: count-before rank equals the full-sort rank, " +
+    "rr identity, measurement non-trivial") {
+    val d = "/root/testdata/sf0.01"
+    val rows = Similarity.retrievalMrr(spark, d).collect()
+    assert(rows.length == 5)
+    val qe = Similarity.quantizedEmbeddings(spark, d)
+      .join(graft.Tables.embeddings(spark, d).select(col("vec_id"), col("label")),
+        Seq("vec_id")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Double](r.fieldIndex("q8")).toArray,
+        r.getAs[Int]("label")))
+    def dot(a: Array[Double], b: Array[Double]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum.toLong
+    rows.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val (_, qv, ql) = qe.find(_._1 == qid).get
+      val ranked = qe.filter(_._1 != qid)
+        .map { case (c, v, l) => (c, l, dot(qv, v)) }
+        .sortBy { case (c, _, dt) => (-dt, c) }
+      val firstRel = ranked.indexWhere(_._2 == ql) + 1
+      assert(r.getAs[Long]("first_rel_rank") == firstRel.toLong, s"qid=$qid")
+      assert(r.getAs[Long]("rel_id") == ranked(firstRel - 1)._1)
+      assert(r.getAs[Long]("rr_ppm") == 1000000L / firstRel)
+    }
+    // non-trivial: with 10 random labels the first relevant hit is not
+    // always rank 1, and never worse than a sanity bound
+    assert(rows.exists(_.getAs[Long]("first_rel_rank") > 1L))
   }
 }
