@@ -90,7 +90,7 @@ def load_bench_loads(path):
 # delivery + checkpoint-commit latency floor, not data volume.
 STREAMING_QUERIES = {"q54", "q57", "q58", "q59", "q62", "q91", "q103",
                      "q108", "q111", "q121", "q138", "q149", "q161",
-                     "q175", "q182"}
+                     "q175", "q182", "q192"}
 
 def bench_diff(argv):
     explicit = [a for a in argv if not a.startswith("--")]

@@ -561,6 +561,16 @@ object SparkEntry {
     // NO corpus sort (conditional max_by + count-before), rr in ppm
     "q190_retrieval_mrr" -> ((s: SparkSession, d: String) =>
       Similarity.retrievalMrr(s, d)),
+    // k-NN graph stats: mutual top-3 in-cell neighbors, wedge and
+    // triangle counts, clustering coefficient in ppm - the geometry
+    // audit behind SemDeDup (is the embedding space really clustered?)
+    "q191_knn_graph" -> ((s: SparkSession, d: String) =>
+      Similarity.knnGraphStats(s, d)),
+    // streaming budget admission (15th streaming class): per-source
+    // token meter across waves, hard-close at the budget - per-wave
+    // admit/reject receipts, cross-batch meter state load-bearing
+    "q192_stream_budget" -> ((s: SparkSession, d: String) =>
+      Pipelines.streamBudgetAdmission(s, d)),
     // contamination span evidence: WHERE each training doc overlaps
     // the benchmark set - maximal token spans of shared 3-grams
     // (coverage, longest run, first/last pos), the redact-not-drop
@@ -832,6 +842,8 @@ object SparkEntry {
     "q188_mmr_diversify" -> Similarity.mmrDiversifySql,
     "q189_profile_incr" -> Relational.profileKmvIncrementalSql,
     "q190_retrieval_mrr" -> Similarity.retrievalMrrSql,
+    "q191_knn_graph" -> Similarity.knnGraphStatsSql,
+    "q192_stream_budget" -> Pipelines.streamBudgetAdmissionSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -1850,4 +1850,130 @@ object Pipelines {
       |  s.n_langs_cum, CAST(s.sum_dp // 2 AS BIGINT) AS tvd_ppm
       |FROM sc s JOIN nb ON nb.wave = s.wave JOIN cumt t ON t.wave = s.wave
       |ORDER BY wave""".stripMargin
+
+  private val SbaName = "sba_q192"
+  /** Where [[streamBudgetAdmission]] stages its delivery files —
+    * exposed for the replay spec. */
+  private[graft] def streamBudgetAdmissionInputDir: java.io.File =
+    new java.io.File(s"target/tmp/$SbaName/in")
+
+  /** Per-source token budget of [[streamBudgetAdmission]]'s gate face —
+    * sized so sources close in DIFFERENT waves at sf0.01 (~65 tokens/
+    * doc, ~8-9 docs/source/wave): the admit and reject paths are both
+    * exercised in every wave. */
+  private val SbaBudget = 400L
+
+  /** q192 — STREAMING BUDGET ADMISSION (15th streaming class): q181
+    * selects "the best B tokens per source" at release time; a LIVE
+    * ingest needs the same meter while data arrives — first-come-
+    * first-served per source until the meter crosses the budget, then
+    * the source is CLOSED for the release (the hard-close policy: the
+    * gate's decision is a pure prefix function, which is what makes an
+    * at-least-once stream replayable — a best-fit policy that lets
+    * later small docs trickle in depends on reject history, not just
+    * arrival totals). Documents arrive in three waves; each receipt
+    * reports the wave's arrivals, admissions, admitted tokens, and how
+    * many sources have closed so far. Cross-batch state is the
+    * per-source arrival meter — load-bearing: wave-2 admissions depend
+    * on waves 0-1 consumption, which a re-initialized meter would
+    * admit wholesale.
+    *
+    * Replay discipline (q182's): batches stage immutable; every
+    * receipt is a pure function of the staged prefix ≤ batchId (the
+    * meter is RE-DERIVED from staged arrivals, not mutated state), and
+    * receipts commit as per-batch OVERWRITEs.
+    *
+    * Scale: the admission window is per-source ordered running sums —
+    * one shuffle by source over the prefix per wave (production keeps
+    * the meter as a |sources|-row table instead of re-deriving;
+    * re-derivation here is what makes replay receipts bit-stable);
+    * receipts are |1|-row. */
+  def streamBudgetAdmission(s: SparkSession, d: String): DataFrame = {
+    val base = freshTmp(SbaName)
+    val docs = graft.ops.TextAnalysis.sourceQualityFrame(s, d)
+      .select(col("doc_id"), col("source"), col("nt"))
+    val inDir = streamBudgetAdmissionInputDir
+    val stamped = scala.collection.mutable.HashSet[String]()
+    (0 until 3).foreach { i =>
+      docs.where(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      val waveT = 1700000000000L + i * 600000L
+      inDir.listFiles().foreach(f => if (stamped.add(f.getName)) f.setLastModified(waveT))
+    }
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    runStream(s) {
+      stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sbaProcessBatch(base, batch, batchId)
+      }.option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    }
+    val receiptDirs = Option(new java.io.File(s"$base/stage").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith("receipt_")).map(_.getPath).sorted
+    require(receiptDirs.nonEmpty,
+      "streamBudgetAdmission: stream produced no staged receipts — " +
+        "empty input or a silently failed stream")
+    s.read.parquet(receiptDirs.toIndexedSeq: _*).orderBy(col("wave"))
+  }
+
+  /** ONE micro-batch of [[streamBudgetAdmission]] — pure function of
+    * the staged prefix ≤ batchId. */
+  private[graft] def sbaProcessBatch(base: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    val bs = batch.sparkSession
+    batch.write.mode("overwrite").parquet(s"$base/stage/b_$batchId")
+    // arrival order = (wave, doc_id); the meter is re-derived from the
+    // staged prefix so a replayed batch sees exactly its original world
+    val prefix = (0L to batchId)
+      .map(i => (i, s"$base/stage/b_$i"))
+      .filter { case (_, p) => new java.io.File(p).exists() }
+      .map { case (i, p) => bs.read.parquet(p).withColumn("wave", lit(i)) }
+      .reduce(_ unionAll _)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("wave"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val metered = prefix.withColumn("cum", sum(col("nt")).over(wCum))
+      .withColumn("admitted", col("cum") <= SbaBudget)
+    val receipt = metered
+      .agg(
+        sum(when(col("wave") === batchId, 1L).otherwise(0L)).as("n_arrived"),
+        sum(when(col("wave") === batchId && col("admitted"), 1L)
+          .otherwise(0L)).as("n_admitted"),
+        coalesce(sum(when(col("wave") === batchId && col("admitted"),
+          col("nt"))), lit(0L)).as("tokens_admitted"),
+        countDistinct(when(!col("admitted"), col("source")))
+          .as("n_sources_closed"))
+      .select(lit(batchId).as("wave"), col("n_arrived"), col("n_admitted"),
+        col("tokens_admitted"), col("n_sources_closed"))
+    receipt.write.mode("overwrite").parquet(s"$base/stage/receipt_$batchId")
+    ()
+  }
+
+  /** Oracle for [[streamBudgetAdmission]] (budget 400): the waves
+    * unrolled — per-source running sums over (wave, doc_id) arrival
+    * order, hard-close admission, per-wave roll-ups. */
+  def streamBudgetAdmissionSql: String =
+    s"""WITH sc AS (${graft.ops.TextAnalysis.sourceQualityFrameSql}),
+      | arr AS (
+      |  SELECT doc_id, source, nt, doc_id % 3 AS wave FROM sc),
+      | metered AS (
+      |  SELECT wave, doc_id, source, nt,
+      |    sum(nt) OVER (PARTITION BY source ORDER BY wave, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM arr),
+      | waves AS (SELECT unnest([0, 1, 2]) AS w)
+      |SELECT CAST(w.w AS BIGINT) AS wave,
+      |  CAST(count(*) FILTER (WHERE m.wave = w.w) AS BIGINT) AS n_arrived,
+      |  CAST(count(*) FILTER (WHERE m.wave = w.w AND m.cum <= 400)
+      |    AS BIGINT) AS n_admitted,
+      |  CAST(coalesce(sum(m.nt) FILTER (WHERE m.wave = w.w AND m.cum <= 400),
+      |    0) AS BIGINT) AS tokens_admitted,
+      |  CAST(count(DISTINCT m.source)
+      |    FILTER (WHERE m.wave <= w.w AND m.cum > 400) AS BIGINT)
+      |    AS n_sources_closed
+      |FROM waves w CROSS JOIN metered m
+      |GROUP BY w.w
+      |ORDER BY wave""".stripMargin
 }

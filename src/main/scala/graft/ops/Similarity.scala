@@ -3981,4 +3981,119 @@ object Similarity {
       |FROM scored s JOIN best b USING (qid)
       |GROUP BY s.qid, b.rel_id, b.rel_dot
       |ORDER BY s.qid""".stripMargin
+
+  /** q191 — k-NN GRAPH STATS (mutual-neighbor triangles / clustering
+    * coefficient): the geometry audit behind SemDeDup-class semantic
+    * dedup — a high clustering coefficient says the embedding space has
+    * real local structure (neighbors of neighbors are neighbors), a
+    * near-zero one says the "clusters" are noise and a semantic-dedup
+    * τ calibrated on them is fiction. Build: each vector's top-3
+    * same-cell neighbors by exact integer dot (the q115/q126 in-cell
+    * shape — candidates bounded by cell occupancy, never all-pairs);
+    * keep MUTUAL edges (both directions, canonical a < b); count
+    * wedges Σ C(deg, 2) and closed triangles; global clustering =
+    * 3·triangles/wedges in integer ppm. Every step exact-integer with
+    * deterministic ties, so the whole graph — and therefore the
+    * triangle count — replays bit-for-bit in DuckDB.
+    *
+    * Scale: in-cell kNN is Σ|cell|² dot pairs — with cells ∝ √n (the
+    * suite's IVF sizing) that is n^1.5 bounded by occupancy, exactly
+    * SemDeDup's published cost envelope (q115); the triangle join runs
+    * on the mutual-edge set (≤ 3n edges, degree ≤ 3), so closure
+    * checks are degree-bounded joins, never quadratic. */
+  def knnGraphStats(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val qe = quantizedEmbeddings(s, d)
+    val cent = qe.where(col("vec_id") % 100 === 1)
+      .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
+    val assigned = assignCells(s, qe, cent)
+      .select(col("vec_id"), col("q8"), col("cent_id"))
+    val wTop = Window.partitionBy(col("a"))
+      .orderBy(col("dot").desc, col("b").asc)
+    val directed = assigned.as("x").join(assigned.as("y"),
+        col("x.cent_id") === col("y.cent_id") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        vecDot(col("x.q8"), col("y.q8")).cast("long").as("dot"))
+      .withColumn("rk", row_number().over(wTop))
+      .where(col("rk") <= k)
+      .select(col("a"), col("b"))
+    val mutual = directed.as("f")
+      .join(directed.as("r"),
+        col("f.a") === col("r.b") && col("f.b") === col("r.a"))
+      .where(col("f.a") < col("f.b"))
+      .select(col("f.a").as("a"), col("f.b").as("b"))
+      .localCheckpoint(true) // small edge set; reused by 3 legs below
+    val deg = mutual.select(col("a").as("v")).unionAll(
+        mutual.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val wedges = deg.agg(coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L))
+      .as("n_wedges"))
+    val tri = mutual.as("e1")
+      .join(mutual.as("e2"), col("e1.b") === col("e2.a"))
+      .join(mutual.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = qe.agg(count(lit(1)).as("n_nodes"))
+    val edges = mutual.agg(count(lit(1)).as("n_edges_mutual"))
+    nodes.crossJoin(edges).crossJoin(wedges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges_mutual"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          expr("(3000000 * n_triangles) div n_wedges"))
+          .otherwise(lit(null)).as("clustering_ppm"))
+  }
+
+  /** Oracle for [[knnGraphStats]] (k=3, stride-100 grid): quantize +
+    * argmax routing + in-cell top-3 + mutual edges + wedge/triangle
+    * counts, replayed exactly. */
+  val knnGraphStatsSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | cent AS (SELECT vec_id AS cent_id, q AS cq FROM q8 WHERE vec_id % 100 = 1),
+      | assigned AS (
+      |  SELECT vec_id, q, cent_id FROM (
+      |    SELECT v.vec_id, v.q, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY CAST(list_dot_product(v.q, c.cq) AS BIGINT) DESC,
+      |                 c.cent_id ASC) AS rn
+      |    FROM q8 v CROSS JOIN cent c) WHERE rn = 1),
+      | directed AS (
+      |  SELECT a, b FROM (
+      |    SELECT x.vec_id AS a, y.vec_id AS b,
+      |      row_number() OVER (PARTITION BY x.vec_id
+      |        ORDER BY CAST(list_dot_product(x.q, y.q) AS BIGINT) DESC,
+      |                 y.vec_id ASC) AS rk
+      |    FROM assigned x JOIN assigned y
+      |      ON x.cent_id = y.cent_id AND x.vec_id <> y.vec_id) WHERE rk <= 3),
+      | mutual AS (
+      |  SELECT f.a, f.b FROM directed f
+      |  JOIN directed r ON f.a = r.b AND f.b = r.a
+      |  WHERE f.a < f.b),
+      | deg AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT a AS v FROM mutual UNION ALL SELECT b FROM mutual)
+      |  GROUP BY v),
+      | wg AS (SELECT CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT)
+      |        AS n_wedges FROM deg),
+      | tri AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      |  FROM mutual e1
+      |  JOIN mutual e2 ON e1.b = e2.a
+      |  JOIN mutual e3 ON e1.a = e3.a AND e2.b = e3.b)
+      |SELECT
+      |  CAST((SELECT count(*) FROM q8) AS BIGINT) AS n_nodes,
+      |  CAST((SELECT count(*) FROM mutual) AS BIGINT) AS n_edges_mutual,
+      |  (SELECT n_wedges FROM wg) AS n_wedges,
+      |  (SELECT n_triangles FROM tri) AS n_triangles,
+      |  CASE WHEN (SELECT n_wedges FROM wg) > 0
+      |    THEN CAST((3000000 * (SELECT n_triangles FROM tri))
+      |         // (SELECT n_wedges FROM wg) AS BIGINT)
+      |    ELSE NULL END AS clustering_ppm""".stripMargin
 }

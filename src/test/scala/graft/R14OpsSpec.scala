@@ -927,4 +927,85 @@ class R14OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // always rank 1, and never worse than a sanity bound
     assert(rows.exists(_.getAs[Long]("first_rel_rank") > 1L))
   }
+
+  // -------------------------------------------------------------------
+  // q191: k-NN graph stats — plain-Scala graph replay
+  // -------------------------------------------------------------------
+
+  test("knnGraphStats: equals a plain-Scala graph replay, triangle-wedge " +
+    "identity holds") {
+    val row = Similarity.knnGraphStats(spark, sf).collect().head
+    val qe = Similarity.quantizedEmbeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum.toLong
+    val cents = qe.keys.filter(_ % 100 == 1).toSeq.sorted
+    def cellOf(v: Long): Long =
+      cents.map(c => (c, dot(qe(v), qe(c))))
+        .minBy { case (c, dt) => (-dt, c) }._1
+    val cells = qe.keys.groupBy(cellOf)
+    val directed = cells.values.flatMap { members =>
+      val ms = members.toSeq
+      ms.flatMap { a =>
+        ms.filter(_ != a).map(b => (a, b, dot(qe(a), qe(b))))
+          .sortBy { case (_, b, dt) => (-dt, b) }.take(3)
+          .map { case (x, b, _) => (x, b) }
+      }
+    }.toSet
+    val mutual = directed.filter { case (a, b) =>
+      a < b && directed.contains((b, a)) }
+    val deg = mutual.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val wedges = deg.values.map(dg => dg * (dg - 1) / 2).sum
+    // ordered triples a < b < c with all three mutual edges
+    val triangles = (for {
+      (a, b) <- mutual
+      c <- deg.keys if b < c && mutual.contains((b, c)) && mutual.contains((a, c))
+    } yield (a, b, c)).size
+    assert(row.getAs[Long]("n_nodes") == qe.size.toLong)
+    assert(row.getAs[Long]("n_edges_mutual") == mutual.size.toLong)
+    assert(row.getAs[Long]("n_wedges") == wedges)
+    assert(row.getAs[Long]("n_triangles") == triangles.toLong)
+    // every triangle closes exactly 3 wedges, a wedge closes at most
+    // once → 3·tri ≤ wedges, i.e. the coefficient is a true fraction
+    assert(3 * row.getAs[Long]("n_triangles") <= row.getAs[Long]("n_wedges"))
+    if (row.getAs[Long]("n_wedges") > 0)
+      assert(row.getAs[Long]("clustering_ppm") <= 1000000L)
+  }
+
+  // -------------------------------------------------------------------
+  // q192: streaming budget admission — receipt invariants
+  // -------------------------------------------------------------------
+
+  test("streamBudgetAdmission: arrivals partition the scored corpus, " +
+    "admitted tokens respect the budget, closures monotone") {
+    val d = "/root/testdata/sf0.01"
+    val rows = graft.ops.Pipelines.streamBudgetAdmission(spark, d)
+      .orderBy(col("wave")).collect()
+    assert(rows.length == 3)
+    val scored = graft.ops.TextAnalysis.sourceQualityFrame(spark, d)
+      .select(col("doc_id"), col("source"), col("nt")).collect()
+    assert(rows.map(_.getAs[Long]("n_arrived")).sum == scored.length.toLong)
+    // per-source admitted tokens ≤ budget (hard-close rule replayed)
+    val bySource = scored.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[String]("source"), r.getAs[Long]("nt")))
+      .sortBy { case (id, _, _) => (id % 3, id) }
+      .groupBy(_._2)
+    val admittedTokens = bySource.values.map { docs =>
+      var cum = 0L; var adm = 0L
+      docs.foreach { case (_, _, nt) =>
+        cum += nt; if (cum <= 400L) adm += nt }
+      adm
+    }
+    admittedTokens.foreach(t => assert(t <= 400L))
+    assert(rows.map(_.getAs[Long]("tokens_admitted")).sum ==
+      admittedTokens.sum)
+    // closures only grow, and both admit/reject paths are exercised
+    val closed = rows.map(_.getAs[Long]("n_sources_closed"))
+    assert(closed.zip(closed.tail).forall { case (a, b) => a <= b })
+    assert(closed.last > 0)
+    assert(rows.map(_.getAs[Long]("n_admitted")).sum <
+      scored.length.toLong, "some rejections must happen")
+    assert(rows.head.getAs[Long]("n_admitted") > 0, "some admissions too")
+  }
 }

@@ -110,4 +110,22 @@ class StreamReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 to 2).map(i => s"$base/stage/receipt_$i"): _*).orderBy(col("wave")))
     assert(reread == out1)
   }
+
+  test("q192 replay: re-executing a committed admission-meter batch changes nothing") {
+    val out1 = rowsOf(Pipelines.streamBudgetAdmission(spark, sf))
+    val base = "target/tmp/sba_q192"
+    val receipt1Before = rowsOf(spark.read.parquet(s"$base/stage/receipt_1"))
+    assert(receipt1Before.nonEmpty, "fixture must have a wave-1 receipt")
+    val wave1 = graft.ops.TextAnalysis.sourceQualityFrame(spark, sf)
+      .select(col("doc_id"), col("source"), col("nt"))
+      .where(pmod(col("doc_id"), lit(3)) === 1)
+    Pipelines.sbaProcessBatch(base, wave1, 1L)
+    // the replayed meter is re-derived from the staged prefix ≤ 1 —
+    // wave 2's staged arrivals must NOT leak into the closure count
+    assert(rowsOf(spark.read.parquet(s"$base/stage/receipt_1")) == receipt1Before,
+      "replayed receipt must be bit-identical")
+    val reread = rowsOf(spark.read.parquet(
+      (0 to 2).map(i => s"$base/stage/receipt_$i"): _*).orderBy(col("wave")))
+    assert(reread == out1)
+  }
 }
