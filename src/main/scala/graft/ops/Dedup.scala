@@ -2168,38 +2168,50 @@ object Dedup {
       transform(sequence(lit(0), ((size(col("w")) - 1) / blockWords).cast("int")),
         i => array_join(slice(col("w"), i * blockWords + 1, lit(blockWords)), " ")))
       .otherwise(array().cast("array<string>"))
-    val blocks = docs
+    val withBlocks = docs
       .select(col("doc_id"),
         regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)).as("w"))
-      .select(col("doc_id"), posexplode(blockArr).as(Seq("blk", "btext")))
-      // count/flag key = the 60-bit md5 prefix (the suite's portable
-      // hash), NOT the raw block string: the corpus-wide count is the
-      // op's one big shuffle and 8-byte keys move ~6× less than ~50-byte
-      // block text (sf30 probe: the string-keyed first cut was the
-      // whole cost). The oracle hashes identically, so even a collision
-      // (over-dropping a block) replays bit-for-bit in both engines.
-      .withColumn("bh",
-        conv(substring(md5(col("btext")), 1, 15), 16, 10).cast("long"))
+      .select(col("doc_id"), blockArr.as("blocks"))
+    // count/flag key = the 60-bit md5 prefix (the suite's portable
+    // hash), NOT the raw block string: the corpus-wide count is the
+    // op's one big shuffle and 8-byte keys move ~6× less than ~50-byte
+    // block text (sf30 probe: the string-keyed first cut was the
+    // whole cost). The oracle hashes identically, so even a collision
+    // (over-dropping a block) replays bit-for-bit in both engines.
+    val hashes = withBlocks
+      .select(col("doc_id"), posexplode(transform(col("blocks"), b =>
+        conv(substring(md5(b), 1, 15), 16, 10).cast("long")))
+        .as(Seq("blk", "bh")))
     // corpus-wide counts; the >1 set is the boilerplate table — small by
     // the problem's own premise, so the join back is size-routed (AQE
     // broadcasts it at every measured SF)
-    val hot = blocks.groupBy(col("bh")).agg(count(lit(1)).as("c"))
+    val hot = hashes.groupBy(col("bh")).agg(count(lit(1)).as("c"))
       .where(col("c") > 1).select(col("bh"), lit(true).as("hot"))
-    val flagged = blocks.join(hot, Seq("bh"), "left")
-      .select(col("doc_id"), col("blk"), col("btext"),
-        coalesce(col("hot"), lit(false)).as("hot"))
-    val per = flagged.groupBy(col("doc_id"))
+    // r14 second rework (the q155 in-row-splice lesson at corpus scope):
+    // block TEXT never shuffles — the flag/aggregate path carries only
+    // (doc_id, blk:int, bh:long), the per-doc verdict collapses to an
+    // int drop-list, and the splice re-derives blocks IN-ROW from the
+    // doc's own text on the co-partitioned join back. The first cut
+    // collect_list'd (blk, btext) structs through the per-doc shuffle +
+    // sort — at sf30 that shape was spill-bound (84–122 s; the hash-only
+    // shuffles remove the spill entirely).
+    val dropPer = hashes.join(hot, Seq("bh"), "left")
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_blocks"),
         sum(when(col("hot"), 1L).otherwise(0L)).as("n_dropped"),
-        array_join(transform(array_sort(collect_list(
-            when(!col("hot"), struct(col("blk"), col("btext"))))),
-          b => b.getField("btext")), " ").as("text_clean"))
-    docs.select(col("doc_id"))
-      .join(per, Seq("doc_id"), "left")
+        collect_list(when(col("hot"), col("blk"))).as("drop_blks"))
+    withBlocks.join(dropPer, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+        when(col("n_dropped").isNull || col("n_dropped") === 0L,
+          array_join(col("blocks"), " "))
+          .otherwise(expr(
+            """array_join(filter(transform(sequence(0, size(blocks) - 1),
+              |i -> CASE WHEN array_contains(drop_blks, i) THEN NULL
+              |ELSE element_at(blocks, i + 1) END),
+              |x -> x IS NOT NULL), ' ')""".stripMargin.replace("\n", " ")))
+          .as("text_clean"))
       .orderBy(col("doc_id"))
   }
 
