@@ -219,6 +219,12 @@ def main():
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     ok = fail = 0
     queries = sorted(os.listdir(OUT))
+    if ONLY:
+        # targeted run (r14 advice): compare ONLY the queries Verify just
+        # dumped — otherwise stale full-gate dumps (and stale
+        # oracle_sql.json entries) in a pre-populated OUT silently
+        # re-report as current results
+        queries = [q for q in queries if q in ONLY]
     for name in queries:
         path = os.path.join(OUT, name)
         if not os.path.isdir(path): continue

@@ -994,9 +994,12 @@ object Relational {
           struct(lit(n).as("col_name"), col(s"arr_$n").as("arr"))): _*)).as("r"))
         .select(col("r.col_name").as("col_name"), col("r.arr").as("arr"))
     }
-    // yesterday's sketches: persisted once, keyed on source content
+    // yesterday's sketches: persisted once, keyed on source content +
+    // a format version (r14 advice: the sketch layout is coupled to
+    // KmvAgg's code — bump the tag on any schema/semantics change so a
+    // stale committed artifact can't serve old-format rows)
     val art = new java.io.File(
-      s"target/tmp/kmvprof_${Tables.sourceFingerprint(d, "orders")}")
+      s"target/tmp/kmvprof_v2_${Tables.sourceFingerprint(d, "orders")}")
     this.synchronized {
       if (!new java.io.File(art, "_OK").exists()) {
         scala.reflect.io.Path(art).deleteRecursively()

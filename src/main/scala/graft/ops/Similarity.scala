@@ -3621,6 +3621,11 @@ object Similarity {
         max_by(struct(col("cid").as("id"), col("dot").as("d")),
           when(col("label") =!= col("alabel"),
             struct(col("dot"), -col("cid")))).as("neg"))
+      // degenerate-anchor guard (r14 advice): an anchor whose label is
+      // the only class present (or absent) among candidates has NULL
+      // pos or neg — the oracle's inner joins DROP that anchor, so
+      // Spark must too, or a label-skewed corpus diverges the gate
+      .where(col("pos").isNotNull && col("neg").isNotNull)
       .select(col("aid"), col("alabel").as("label"),
         col("pos.id").as("pos_id"), col("pos.d").as("pos_dot"),
         col("neg.id").as("neg_id"), col("neg.d").as("neg_dot"),
@@ -3674,7 +3679,12 @@ object Similarity {
   private def corruptedIndexArtifact(s: SparkSession, d: String,
       stride: Int, cent: DataFrame): String = synchronized {
     val dir = new java.io.File(
-      s"target/tmp/ivfcor_${stride}_${Tables.sourceFingerprint(d, "embeddings")}")
+      // v2 tag (r14 advice): the artifact's layout is coupled to the
+      // quantize/assignCells/sketch CODE, not just the source content —
+      // fold a format version into the key so a code change invalidates
+      // the committed fixture instead of serving stale routing to
+      // ivfDigestAudit (bump on any schema/semantics change here)
+      s"target/tmp/ivfcor_v2_${stride}_${Tables.sourceFingerprint(d, "embeddings")}")
     if (!new java.io.File(dir, "_OK").exists()) {
       scala.reflect.io.Path(dir).deleteRecursively()
       assignCells(s, quantizedEmbeddings(s, d), cent)
