@@ -17,9 +17,9 @@ echo "== probe_r15 $(date -u +%H:%M:%SZ) load=$(cut -d' ' -f1 /proc/loadavg) =="
 
 echo "--- 1. LSH family, artifact-backed pairs (sf0.1, 3 passes) ---"
 scripts/run-tool.sh graft.tools.Profile /root/testdata/sf0.1 3 \
-  q34_minhash_lsh_pairs q116_dedup_clusters_inc q128_cluster_reps \
-  q142_lsh_quality q145_incremental_cc q147_decontam_fuzzy \
-  q148_infer_audit q151_lsh_audit q157_lsh_canary 2>/dev/null
+  q34_minhash_lsh_pairs q116_lsh_decontaminate q128_cluster_reps \
+  q142_dedup_delta q145_incremental_components q147_contamination_spans \
+  q148_schema_drift q151_lsh_quality q157_lsh_canary 2>/dev/null
 
 echo "--- 2. media faces, decoded-stats artifact (sf0.1, 3 passes) ---"
 scripts/run-tool.sh graft.tools.Profile /root/testdata/sf0.1 3 \

@@ -1374,7 +1374,9 @@ object Dedup {
   private def pairsArtifactDir(s: SparkSession, d: String): String =
     synchronized {
       val dir = new java.io.File(
-        s"target/tmp/mhpairs_${Tables.sourceFingerprint(d, "documents")}")
+        // v1 format tag (the r14-advice rule): the pair schema
+        // (d1, d2, est_jaccard) is a code contract — bump on change
+        s"target/tmp/mhpairs_v1_${Tables.sourceFingerprint(d, "documents")}")
       if (!new java.io.File(dir, "_OK").exists()) {
         scala.reflect.io.Path(dir).deleteRecursively()
         pairsFromSig(minhashSigShared(s, d))
@@ -2210,50 +2212,59 @@ object Dedup {
       transform(sequence(lit(0), ((size(col("w")) - 1) / blockWords).cast("int")),
         i => array_join(slice(col("w"), i * blockWords + 1, lit(blockWords)), " ")))
       .otherwise(array().cast("array<string>"))
-    val withBlocks = docs
-      .select(col("doc_id"),
-        regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)).as("w"))
-      .select(col("doc_id"), blockArr.as("blocks"))
     // count/flag key = the 60-bit md5 prefix (the suite's portable
     // hash), NOT the raw block string: the corpus-wide count is the
-    // op's one big shuffle and 8-byte keys move ~6× less than ~50-byte
-    // block text (sf30 probe: the string-keyed first cut was the
-    // whole cost). The oracle hashes identically, so even a collision
-    // (over-dropping a block) replays bit-for-bit in both engines.
-    val hashes = withBlocks
-      .select(col("doc_id"), posexplode(transform(col("blocks"), b =>
-        conv(substring(md5(b), 1, 15), 16, 10).cast("long")))
-        .as(Seq("blk", "bh")))
+    // op's one big int-only shuffle and 8-byte keys move ~6× less than
+    // ~50-byte block text (sf30 probe: the string-keyed first cut was
+    // the whole cost — 84–122 s). The oracle hashes identically, so
+    // even a collision (over-dropping a block) replays bit-for-bit in
+    // both engines.
+    val blocks = docs
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)).as("w"))
+      .select(col("doc_id"), posexplode(blockArr).as(Seq("blk", "btext")))
+      .withColumn("bh",
+        conv(substring(md5(col("btext")), 1, 15), 16, 10).cast("long"))
     // corpus-wide counts; the >1 set is the boilerplate table — small by
-    // the problem's own premise, so the join back is size-routed (AQE
-    // broadcasts it at every measured SF)
-    val hot = hashes.groupBy(col("bh")).agg(count(lit(1)).as("c"))
+    // the problem's own premise, so the flag join size-routes to a
+    // broadcast hash join (it does statically at every measured SF;
+    // zero extra exchange on the block rows). NO forced hint: a crawl
+    // whose hot set outgrows the broadcast threshold should degrade to
+    // a shuffle join, not OOM the driver (the r12 pairDocs rule).
+    val hot = blocks.select(col("bh"))
+      .groupBy(col("bh")).agg(count(lit(1)).as("c"))
       .where(col("c") > 1).select(col("bh"), lit(true).as("hot"))
-    // r14 second rework (the q155 in-row-splice lesson at corpus scope):
-    // block TEXT never shuffles — the flag/aggregate path carries only
-    // (doc_id, blk:int, bh:long), the per-doc verdict collapses to an
-    // int drop-list, and the splice re-derives blocks IN-ROW from the
-    // doc's own text on the co-partitioned join back. The first cut
-    // collect_list'd (blk, btext) structs through the per-doc shuffle +
-    // sort — at sf30 that shape was spill-bound (84–122 s; the hash-only
-    // shuffles remove the spill entirely).
-    val dropPer = hashes.join(hot, Seq("bh"), "left")
-      .groupBy(col("doc_id"))
+    // r15 (probe_r15 + plan audit): this REVERTS the r14 "in-row
+    // splice" rework, on its PREMISE, not on speed. The rework claimed
+    // block text never shuffles — the plan shows otherwise: its per-doc
+    // verdict table is CORPUS-cardinality, so the join back SMJ-shuffles
+    // the text-bearing side anyway, plus an exploded-hash SMJ exchange
+    // for the flag join (which this shape gets as a static broadcast).
+    // Warmed quiet interleaved min-of-reps put the two shapes in the
+    // SAME BAND, direction flipping with SF (sf10: in-row 4.4 vs 5.9 s;
+    // sf30: struct 21.4 vs 23.9 s) — so the simpler plan ships: one
+    // less exchange, and text moves through exactly ONE exchange (the
+    // map-side-combined per-doc aggregate whose partial buffers hold
+    // each doc's surviving blocks), which is the floor for a
+    // non-bucketed corpus — any splice must co-locate a doc's text with
+    // its verdicts once. On a bucketed corpus (the q90 discipline) even
+    // that exchange disappears. The rework survives as a re-runnable
+    // replica in tools/BlockDedupAB.
+    val flagged = blocks.join(hot, Seq("bh"), "left")
+      .select(col("doc_id"), col("blk"), col("btext"),
+        coalesce(col("hot"), lit(false)).as("hot"))
+    val per = flagged.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_blocks"),
         sum(when(col("hot"), 1L).otherwise(0L)).as("n_dropped"),
-        collect_list(when(col("hot"), col("blk"))).as("drop_blks"))
-    withBlocks.join(dropPer, Seq("doc_id"), "left")
+        array_join(transform(array_sort(collect_list(
+            when(!col("hot"), struct(col("blk"), col("btext"))))),
+          b => b.getField("btext")), " ").as("text_clean"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-        when(col("n_dropped").isNull || col("n_dropped") === 0L,
-          array_join(col("blocks"), " "))
-          .otherwise(expr(
-            """array_join(filter(transform(sequence(0, size(blocks) - 1),
-              |i -> CASE WHEN array_contains(drop_blks, i) THEN NULL
-              |ELSE element_at(blocks, i + 1) END),
-              |x -> x IS NOT NULL), ' ')""".stripMargin.replace("\n", " ")))
-          .as("text_clean"))
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
       .orderBy(col("doc_id"))
   }
 

@@ -360,7 +360,10 @@ object Multimodal {
   private def statsArtifactDir(s: SparkSession, d: String): String =
     synchronized {
       val dir = new java.io.File(
-        s"target/tmp/mediastats_${Tables.sourceFingerprint(d, "documents")}")
+        // v1 format tag (the r14-advice rule): the MediaStats schema is
+        // a code contract — bump on change so a stale artifact can't
+        // serve old-format columns
+        s"target/tmp/mediastats_v1_${Tables.sourceFingerprint(d, "documents")}")
       if (!new java.io.File(dir, "_OK").exists()) {
         scala.reflect.io.Path(dir).deleteRecursively()
         import s.implicits._
