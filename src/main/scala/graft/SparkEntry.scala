@@ -571,6 +571,16 @@ object SparkEntry {
     // admit/reject receipts, cross-batch meter state load-bearing
     "q192_stream_budget" -> ((s: SparkSession, d: String) =>
       Pipelines.streamBudgetAdmission(s, d)),
+    // temperature-scaled TOKEN mixture (alpha=0.25 via two IEEE-exact
+    // sqrts) + repetition-factor audit in exact ppm - the data-card
+    // "epochs per source" table; q84 budgets docs, this budgets tokens
+    "q193_temp_mixture" -> ((s: SparkSession, d: String) =>
+      Curation.temperatureMixture(s, d)),
+    // declared-vs-detected language audit: per (source, label) cell,
+    // mismatch ppm + modal wrong prediction - the metadata-trust gate
+    // in front of every mixture that cells on the lang column
+    "q194_lang_mismatch" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.langMismatchAudit(s, d)),
     // contamination span evidence: WHERE each training doc overlaps
     // the benchmark set - maximal token spans of shared 3-grams
     // (coverage, longest run, first/last pos), the redact-not-drop
@@ -844,6 +854,8 @@ object SparkEntry {
     "q190_retrieval_mrr" -> Similarity.retrievalMrrSql,
     "q191_knn_graph" -> Similarity.knnGraphStatsSql,
     "q192_stream_budget" -> Pipelines.streamBudgetAdmissionSql,
+    "q193_temp_mixture" -> Curation.temperatureMixtureSql,
+    "q194_lang_mismatch" -> TextAnalysis.langMismatchAuditSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

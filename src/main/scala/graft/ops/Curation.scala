@@ -1016,4 +1016,85 @@ object Curation {
       |  FROM h)
       |SELECT doc_id, source, lang, hv FROM ranked WHERE rk <= quota
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q193: temperature-scaled token mixture + repetition factor
+  // ---------------------------------------------------------------------
+
+  /** Temperature-scaled source mixture over TOKENS with a repetition
+    * audit — the "how many epochs of each source does one pass of the
+    * mixture cost" table every LLM data card publishes. q84 allocates a
+    * DOC budget across cells at α = 0.5; training mixtures are budgeted
+    * in TOKENS and reported with each up-weighted source's repetition
+    * factor (small high-quality sources get repeated; past a few epochs
+    * repetition stops helping, so the factor is the audit column).
+    *
+    * Per source: doc/token mass; sampling weight
+    * w = floor(sqrt(sqrt(n_tokens))) — α = 0.25, the strong-upweighting
+    * end of the published α ∈ [0.2, 0.7] range, composed from two
+    * IEEE-exact sqrts so the weight replays bit-for-bit in any engine
+    * (the q84 rule: no pow() last-ulp drift can reach a compared
+    * column); the largest-remainder integer allocation of a 50k-token
+    * budget; and rep_ppm = alloc·10⁶ div n_tokens — the repetition
+    * factor in exact integer ppm (> 10⁶ names the sources the mixture
+    * over-epochs).
+    *
+    * Scale: one narrow scan into a map-side-combined |sources|-row
+    * aggregate; every window below runs on that bounded table (the q84
+    * argument — corpus-size-independent row count). */
+  def temperatureMixture(s: SparkSession, d: String,
+      budget: Long = 50000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val perSource = Tables.documents(s, d)
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit(TextAnalysis.tokenPat),
+          lit(0))).cast("long").as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+      .withColumn("w", floor(sqrt(sqrt(col("n_tokens")))).cast("long"))
+      .withColumn("tot", sum(col("w")).over(all))
+    perSource
+      .withColumn("base", expr(s"(${budget}L * w) div tot"))
+      .withColumn("rem", (lit(budget) * col("w")) % col("tot"))
+      .withColumn("leftover", lit(budget) - sum(col("base")).over(all))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy().orderBy(col("rem").desc, col("source").asc)))
+      .withColumn("alloc",
+        col("base") + when(col("rn") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w"),
+        col("alloc"),
+        expr("(alloc * 1000000L) div greatest(n_tokens, 1L)").as("rep_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle for [[temperatureMixture]]: per-source token mass, the
+    * double-sqrt weight, largest-remainder rounding, repetition ppm. */
+  val temperatureMixtureSql: String =
+    """WITH t AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(regexp_extract_all(text,
+      |      '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      | w AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(floor(sqrt(sqrt(n_tokens))) AS BIGINT) AS w FROM t),
+      | b AS (SELECT *, CAST(sum(w) OVER () AS BIGINT) AS tot FROM w),
+      | a AS (
+      |  SELECT source, n_docs, n_tokens, w,
+      |    (50000 * w) // tot AS base, (50000 * w) % tot AS rem,
+      |    CAST(50000 - sum((50000 * w) // tot) OVER () AS BIGINT)
+      |      AS leftover
+      |  FROM b),
+      | al AS (
+      |  SELECT source, n_docs, n_tokens, w,
+      |    CAST(base + CASE WHEN CAST(row_number() OVER
+      |        (ORDER BY rem DESC, source ASC) AS BIGINT) <= leftover
+      |      THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |  FROM a)
+      |SELECT source, n_docs, n_tokens, w, alloc,
+      |  CAST((alloc * 1000000) // greatest(n_tokens, 1) AS BIGINT)
+      |    AS rep_ppm
+      |FROM al ORDER BY source""".stripMargin
 }

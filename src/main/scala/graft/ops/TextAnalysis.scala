@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   private val wordPat = "[a-z0-9]+"
-  // BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbol
-  private val tokenPat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  // BPE-ish pre-tokenizer: letter runs, digit runs, single non-space
+  // symbol (package-visible: q193's token mixture budgets with the same
+  // token definition the counting faces use)
+  private[ops] val tokenPat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
   private val stopPat = "\\b(the|a|of|and|in|to|is)\\b"
 
   def words(c: Column): Column = regexp_extract_all(c, lit(wordPat), lit(0))
@@ -76,7 +78,9 @@ object TextAnalysis {
     * so the labels aren't recoverable — the operator's contract is
     * determinism, checked against the oracle; accuracy is a data
     * property.) */
-  def langId(s: SparkSession, d: String): DataFrame = {
+  /** The q22 n-gram detector as a column over `text` — shared by the
+    * per-doc face (q22) and the per-cell mismatch audit (q194). */
+  private def langPred: Column = {
     val t = col("text")
     def score(pat: String): Column =
       size(regexp_extract_all(t, lit(pat), lit(0)))
@@ -84,13 +88,16 @@ object TextAnalysis {
     val es = score("\\b(el|la|de|que|los)\\b")
     val de = score("\\b(der|die|das|und|ist)\\b")
     val fr = score("\\b(le|la|les|et|est)\\b")
+    when(en >= greatest(es, de, fr), "en")
+      .when(es >= greatest(de, fr), "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
+  def langId(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"), col("lang").as("lang_label"),
-      when(en >= greatest(es, de, fr), "en")
-        .when(es >= greatest(de, fr), "es")
-        .when(de >= fr, "de")
-        .otherwise("fr").as("lang_pred"))
-  }
+      langPred.as("lang_pred"))
 
   val langIdSql: String =
     """SELECT doc_id, lang AS lang_label,
@@ -105,6 +112,79 @@ object TextAnalysis {
       |  len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS s_de,
       |  len(regexp_extract_all(text, '\b(le|la|les|et|est)\b')) AS s_fr
       |  FROM documents)""".stripMargin
+
+  /** q194 — DECLARED-vs-DETECTED LANGUAGE AUDIT: per (source,
+    * declared-lang) cell, how often the n-gram detector (q22's exact
+    * heuristic) disagrees with the metadata label, and which wrong
+    * language it most often detects. Declared `lang` columns in crawled
+    * corpora are routinely wrong for whole subsets (boilerplate-heavy
+    * sites, mirrored content, mislabeled dumps); a mixture built on the
+    * label (q84/q185/q193 all cell on it) silently mis-allocates unless
+    * this audit runs first. mismatch_ppm is exact integer ppm;
+    * top_wrong_pred is the modal mismatched prediction (ties to the
+    * lexicographically smallest, so the mode is engine-exact), NULL for
+    * cells with zero mismatch — both engines agree on the degenerate
+    * case (the q180 lesson).
+    *
+    * Scale: one corpus scan into a map-side-combined
+    * (source, label, pred) aggregate — at most |sources|·|langs|² rows —
+    * then a second bounded agg; nothing corpus-sized shuffles. */
+  def langMismatchAudit(s: SparkSession, d: String): DataFrame = {
+    val mismatch = col("lang_pred") =!= col("lang_label")
+    val cells = Tables.documents(s, d)
+      .select(col("source"), col("lang").as("lang_label"),
+        langPred.as("lang_pred"))
+      .groupBy(col("source"), col("lang_label"), col("lang_pred"))
+      .agg(count(lit(1)).as("c"))
+    cells.groupBy(col("source"), col("lang_label"))
+      .agg(sum(col("c")).as("n_docs"),
+        sum(when(mismatch, col("c")).otherwise(0L)).as("n_mismatch"),
+        min_by(when(mismatch, col("lang_pred")),
+          when(mismatch, struct((-col("c")).as("nc"),
+            col("lang_pred").as("p")))).as("top_wrong_pred"))
+      .select(col("source"), col("lang_label"), col("n_docs"),
+        col("n_mismatch"),
+        expr("(n_mismatch * 1000000L) div n_docs").as("mismatch_ppm"),
+        col("top_wrong_pred"))
+      .orderBy(col("source"), col("lang_label"))
+  }
+
+  /** Oracle for [[langMismatchAudit]]: q22's detector replayed, cell
+    * counts, modal wrong prediction via a rank window. */
+  val langMismatchAuditSql: String =
+    """WITH p AS (
+      |  SELECT source, lang AS lang_label,
+      |    CASE
+      |      WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+      |      WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+      |      WHEN s_de >= s_fr THEN 'de'
+      |      ELSE 'fr' END AS lang_pred
+      |  FROM (SELECT source, lang,
+      |    len(regexp_extract_all(text, '\b(the|and|of|is|to)\b')) AS s_en,
+      |    len(regexp_extract_all(text, '\b(el|la|de|que|los)\b')) AS s_es,
+      |    len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS s_de,
+      |    len(regexp_extract_all(text, '\b(le|la|les|et|est)\b')) AS s_fr
+      |    FROM documents)),
+      | c AS (
+      |  SELECT source, lang_label, lang_pred, CAST(count(*) AS BIGINT) AS c
+      |  FROM p GROUP BY 1, 2, 3),
+      | g AS (
+      |  SELECT source, lang_label, CAST(sum(c) AS BIGINT) AS n_docs,
+      |    CAST(sum(CASE WHEN lang_pred <> lang_label THEN c ELSE 0 END)
+      |      AS BIGINT) AS n_mismatch
+      |  FROM c GROUP BY 1, 2),
+      | top AS (
+      |  SELECT source, lang_label, lang_pred AS top_wrong_pred,
+      |    row_number() OVER (PARTITION BY source, lang_label
+      |      ORDER BY c DESC, lang_pred ASC) AS rn
+      |  FROM c WHERE lang_pred <> lang_label)
+      |SELECT g.source, g.lang_label, g.n_docs, g.n_mismatch,
+      |  CAST((g.n_mismatch * 1000000) // g.n_docs AS BIGINT)
+      |    AS mismatch_ppm,
+      |  t.top_wrong_pred
+      |FROM g LEFT JOIN (SELECT * FROM top WHERE rn = 1) t
+      |  ON g.source = t.source AND g.lang_label = t.lang_label
+      |ORDER BY g.source, g.lang_label""".stripMargin
 
   /** Content fingerprint: md5 over whitespace-normalized lowercase text —
     * the exact-dedup key and the cheap "same doc modulo spacing" check.
