@@ -74,7 +74,11 @@ def load_bench_queries(path):
     def norm(k):
         p = k.split("_")[0]
         return p if p.startswith("q") else f"q{p}"
-    return {norm(k): float(v) for k, v in d["queries"].items()}
+    # r16: the stdout line carries integer DECISECONDS ("unit":"ds") —
+    # the third tail-budget shave (~1.5 chars/query). Normalize to
+    # seconds so every diff pair stays comparable across rounds.
+    scale = 0.1 if d.get("unit") == "ds" else 1.0
+    return {norm(k): float(v) * scale for k, v in d["queries"].items()}
 
 def load_bench_loads(path):
     """The per-pass 1-min load averages Bench records since r8 (window-
@@ -225,6 +229,15 @@ def main():
         # oracle_sql.json entries) in a pre-populated OUT silently
         # re-report as current results
         queries = [q for q in queries if q in ONLY]
+        # r15 advice: a targeted query that threw inside Verify leaves no
+        # dump dir and would otherwise be silently dropped — if every
+        # targeted query failed, the loop below prints "0 ok, 0 fail" and
+        # exits 0, a vacuous green on the exact path built for iterating
+        # on a possibly-broken query. Count missing dumps as failures.
+        missing = [q for q in ONLY if q not in queries]
+        for q in missing:
+            print(f"  {q}: NO DUMP DIR (Verify threw or name unknown) — FAIL")
+        fail += len(missing)
     for name in queries:
         path = os.path.join(OUT, name)
         if not os.path.isdir(path): continue

@@ -581,6 +581,32 @@ object SparkEntry {
     // in front of every mixture that cells on the lang column
     "q194_lang_mismatch" -> ((s: SparkSession, d: String) =>
       TextAnalysis.langMismatchAudit(s, d)),
+    // retrieval nDCG@10 with graded (label-distance) relevance - the
+    // third QA leg beside q144 recall and q190 MRR; exact-integer DCG
+    // via the 6-div-ilog2 discount (every term divides evenly)
+    "q195_retrieval_ndcg" -> ((s: SparkSession, d: String) =>
+      Similarity.retrievalNdcg(s, d)),
+    // HTML/boilerplate strip + link-density keep flag in front of the
+    // dedup family - tag strip hash-proven via md5(stripped); planted
+    // page-skeleton + nav-chrome canaries (kept / dropped respectively)
+    "q196_html_strip" -> ((s: SparkSession, d: String) =>
+      Curation.htmlStrip(s, d)),
+    // atomic-document FFD bin packing (q49's tradeoff twin: padding
+    // instead of doc splits) - exact first-fit-decreasing computed
+    // driver-side over the bounded length histogram, replayed from the
+    // persisted interval artifact in both engines
+    "q197_pack_atomic" -> ((s: SparkSession, d: String) =>
+      Sampling.packAtomic(s, d)),
+    // the pack's one-row accounting: bins, fill/padding-waste ppm,
+    // oversize count - the padding number a training pipeline watches
+    "q198_pack_ledger" -> ((s: SparkSession, d: String) =>
+      Sampling.packLedger(s, d)),
+    // OPQ/PCA rotation - q120's Gram matrix finally consumed: driver
+    // Jacobi on the 64x64 scatter, integer-grid rotation artifact,
+    // exact lambda-hat variance report + probe projections replayed
+    // bit-for-bit from the artifact in both engines
+    "q199_opq_rotate" -> ((s: SparkSession, d: String) =>
+      Similarity.opqRotate(s, d)),
     // contamination span evidence: WHERE each training doc overlaps
     // the benchmark set - maximal token spans of shared 3-grams
     // (coverage, longest run, first/last pos), the redact-not-drop
@@ -856,6 +882,11 @@ object SparkEntry {
     "q192_stream_budget" -> Pipelines.streamBudgetAdmissionSql,
     "q193_temp_mixture" -> Curation.temperatureMixtureSql,
     "q194_lang_mismatch" -> TextAnalysis.langMismatchAuditSql,
+    "q195_retrieval_ndcg" -> Similarity.retrievalNdcgSql,
+    "q196_html_strip" -> Curation.htmlStripSql,
+    "q197_pack_atomic" -> Sampling.packAtomicSql,
+    "q198_pack_ledger" -> Sampling.packLedgerSql,
+    "q199_opq_rotate" -> Similarity.opqRotateSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -89,10 +89,36 @@ object Verify {
     } catch { case e: Throwable =>
       System.err.println(s"[verify] q51 artifact snapshot failed: ${e.getMessage}")
     }
+    // Same decoupling for the other engine-written artifacts the
+    // oracles replay: the q197/q198 FFD allocation and the q199 OPQ
+    // rotation — both are outputs of inherently sequential driver
+    // algorithms (first-fit, Jacobi) that no SQL engine can recompute,
+    // but whose derived arithmetic both engines replay exactly. The
+    // builders are build-once, so a targeted run that skipped the face
+    // still snapshots a valid artifact.
+    def snapshot(tag: String, srcPath: => String): java.io.File = {
+      val dst = new java.io.File(
+        s"${outDir.stripSuffix("/")}_${tag}_artifact").getAbsoluteFile
+      try {
+        val src = new java.io.File(srcPath)
+        scala.reflect.io.Path(dst).deleteRecursively()
+        dst.mkdirs()
+        Option(src.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("part-"))
+          .foreach(f => Files.copy(f.toPath, Paths.get(dst.getPath, f.getName)))
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $tag artifact snapshot failed: ${e.getMessage}")
+      }
+      dst
+    }
+    val packDst = snapshot("q197", graft.ops.Sampling.packAllocDir(spark, sfDir))
+    val rotDst = snapshot("q199", graft.ops.Similarity.opqRotationDir(spark, sfDir))
     val json = SparkEntry.oracleSql.view
       .filterKeys(k => only(k) && !downgrades.contains(k)).toMap
       .map { case (k, v) =>
         val resolved = v.replace("__Q51_ARTIFACT__", q51Dst.getPath)
+          .replace("__Q197_PACK__", packDst.getPath)
+          .replace("__Q199_ROT__", rotDst.getPath)
         s"${q(k)}: ${q(resolved)}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -1054,7 +1054,12 @@ object Curation {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
       .withColumn("w", floor(sqrt(sqrt(col("n_tokens")))).cast("long"))
-      .withColumn("tot", sum(col("w")).over(all))
+      // greatest(_, 1): on a degenerate corpus where every source has 0
+      // tokens (w = 0 everywhere) Spark's div would yield NULL rows while
+      // DuckDB's `// 0` errors — the engines must agree on the empty case
+      // (the q180 rule; mirrors the rep_ppm guard below). tot ≥ 1 never
+      // fires on a non-degenerate corpus, so gate hashes are unchanged.
+      .withColumn("tot", greatest(sum(col("w")).over(all), lit(1L)))
     perSource
       .withColumn("base", expr(s"(${budget}L * w) div tot"))
       .withColumn("rem", (lit(budget) * col("w")) % col("tot"))
@@ -1080,7 +1085,8 @@ object Curation {
       | w AS (
       |  SELECT source, n_docs, n_tokens,
       |    CAST(floor(sqrt(sqrt(n_tokens))) AS BIGINT) AS w FROM t),
-      | b AS (SELECT *, CAST(sum(w) OVER () AS BIGINT) AS tot FROM w),
+      | b AS (SELECT *,
+      |    greatest(CAST(sum(w) OVER () AS BIGINT), 1) AS tot FROM w),
       | a AS (
       |  SELECT source, n_docs, n_tokens, w,
       |    (50000 * w) // tot AS base, (50000 * w) % tot AS rem,
@@ -1097,4 +1103,132 @@ object Curation {
       |  CAST((alloc * 1000000) // greatest(n_tokens, 1) AS BIGINT)
       |    AS rep_ppm
       |FROM al ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q196: HTML/boilerplate strip + link-density keep flag
+  // ---------------------------------------------------------------------
+
+  /** Tag patterns shared by the Spark plan and (sans possessive
+    * quantifiers, the q82 RE2 rule) the DuckDB oracle. Script elements
+    * drop WITH their content (code is never prose); the content class
+    * `[^<]*` keeps the pattern automaton-simple and identical across
+    * engines — a script body containing '<' would simply leave its tail
+    * to the generic tag strip, same result both sides. */
+  private val ScriptPat = "<script[^>]*+>[^<]*+</script>"
+  private val TagPat = "<[^>]*+>"
+  private val AnchorPat = "<a [^>]*+>([^<]*+)</a>"
+  /** RE2-safe twins for the oracle (no possessive quantifiers). */
+  private val ScriptPatRe2 = "<script[^>]*>[^<]*</script>"
+  private val TagPatRe2 = "<[^>]*>"
+  private val AnchorPatRe2 = "<a [^>]*>([^<]*)</a>"
+
+  /** keep threshold: a page whose anchor text is ≥ 1/3 of its stripped
+    * text is nav chrome, not prose (the CCNet/jusText-style link-density
+    * rule, integer-exact as ppm). */
+  val LinkDensityMaxPpm = 333333L
+
+  /** q196 — HTML/BOILERPLATE STRIP + LINK-DENSITY FILTER: the cleaning
+    * pass every crawl pipeline runs IN FRONT OF the dedup family (the
+    * q170 scaladoc's own "nav chrome" motivation — shared header/footer
+    * markup is the #1 source of fake near-duplicates). The corpus is
+    * pre-cleaned text, so the face PLANTS deterministic HTML canaries
+    * (the q157/q187 canary convention, negative ids disjoint from real
+    * ones): for every doc_id % 10 = 0, (a) the doc wrapped in a real
+    * page skeleton — head/title/script, a 3-link nav, the text in a
+    * body paragraph, a footer link — which must come back KEPT with its
+    * prose intact, and (b) a nav-chrome-only page of pure links, which
+    * the link-density rule must DROP. Per doc: tag count, anchor-text
+    * vs stripped-text chars, link density ppm, the keep flag, and the
+    * md5 of the stripped text (the strip itself is hash-proven, not
+    * just counted).
+    *
+    * Strip pipeline (regexp built-ins, codegen'd, zero shuffle):
+    * script-with-content removal → anchor-text measurement on the raw
+    * markup → every remaining tag → space → whitespace collapse → trim.
+    * keep = link_ppm < [[LinkDensityMaxPpm]] AND nonempty stripped text.
+    *
+    * Scale: one narrow map over the corpus — no join, no agg, no
+    * shuffle anywhere; the canary union adds one scan of the sampled
+    * stratum. The 100 TB shape is exactly this plus a parquet sink. */
+  def htmlStrip(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val sampled = docs.where(col("doc_id") % 10 === 0)
+    val wrapped = sampled.select((-col("doc_id") - 10).as("doc_id"),
+      concat(
+        lit("<html><head><title>page</title><script>var x=1;</script>" +
+          "</head><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About" +
+          "</a> <a href=\"/b\">Docs</a></nav><p>"),
+        col("text"),
+        lit("</p><footer><a href=\"/c\">Contact</a></footer></body></html>"))
+        .as("text"))
+    // -id-10 lands on ≡0 (mod 10), -id-15 on ≡5 — the two canary
+    // families stay disjoint for every sampled id (plain -id-20 would
+    // collide: wrapped(10) = navOnly(0) = -20)
+    val navOnly = sampled.select((-col("doc_id") - 15).as("doc_id"),
+      lit("<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About" +
+        "</a> <a href=\"/b\">Docs</a> <a href=\"/c\">Contact</a>" +
+        "</nav></body></html>").as("text"))
+    val aug = docs.unionAll(wrapped).unionAll(navOnly)
+    val noScript = regexp_replace(col("text"), ScriptPat, " ")
+    val anchors = regexp_extract_all(col("text"), lit(AnchorPat), lit(1))
+    val stripped = trim(regexp_replace(
+      regexp_replace(noScript, TagPat, " "),
+      "[ \\t\\n\\r]+", " "))
+    aug.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(TagPat)).cast("long").as("n_tags"),
+      coalesce(aggregate(transform(anchors, a => length(a).cast("long")),
+        lit(0L), (acc, x) => acc + x), lit(0L)).as("link_chars"),
+      length(stripped).cast("long").as("text_chars"),
+      stripped.as("strip"))
+      .select(col("doc_id"), col("n_tags"), col("link_chars"),
+        col("text_chars"),
+        expr("(1000000 * link_chars) div greatest(text_chars, 1L)")
+          .as("link_ppm"),
+        md5(col("strip").cast("binary")).as("strip_md5"))
+      .withColumn("kept",
+        col("link_ppm") < LinkDensityMaxPpm && col("text_chars") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for [[htmlStrip]]: the same canary synthesis and the same
+    * strip pipeline in RE2 syntax ('g' flag on every replace — DuckDB
+    * defaults to first-match-only). */
+  val htmlStripSql: String =
+    s"""WITH sampled AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      | aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT -doc_id - 10,
+      |    '<html><head><title>page</title><script>var x=1;</script>' ||
+      |    '</head><body><nav><a href="/">Home</a> <a href="/a">About' ||
+      |    '</a> <a href="/b">Docs</a></nav><p>' || text ||
+      |    '</p><footer><a href="/c">Contact</a></footer></body></html>'
+      |  FROM sampled
+      |  UNION ALL
+      |  SELECT -doc_id - 15,
+      |    '<html><body><nav><a href="/">Home</a> <a href="/a">About' ||
+      |    '</a> <a href="/b">Docs</a> <a href="/c">Contact</a>' ||
+      |    '</nav></body></html>'
+      |  FROM sampled),
+      | st AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '$TagPatRe2')) AS BIGINT)
+      |      AS n_tags,
+      |    CAST(coalesce(list_sum(list_transform(
+      |      regexp_extract_all(text, '$AnchorPatRe2', 1),
+      |      a -> len(a))), 0) AS BIGINT) AS link_chars,
+      |    trim(regexp_replace(regexp_replace(
+      |      regexp_replace(text, '$ScriptPatRe2', ' ', 'g'),
+      |      '$TagPatRe2', ' ', 'g'), '[ \\t\\n\\r]+', ' ', 'g')) AS strip
+      |  FROM aug)
+      |SELECT doc_id, n_tags, link_chars,
+      |  CAST(len(strip) AS BIGINT) AS text_chars,
+      |  CAST((1000000 * link_chars) // greatest(len(strip), 1) AS BIGINT)
+      |    AS link_ppm,
+      |  md5(strip) AS strip_md5,
+      |  ((1000000 * link_chars) // greatest(len(strip), 1)
+      |    < $LinkDensityMaxPpm AND len(strip) > 0) AS kept
+      |FROM st ORDER BY doc_id""".stripMargin
 }

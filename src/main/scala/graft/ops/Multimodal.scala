@@ -97,6 +97,14 @@ object Multimodal {
     * q64/q65 oracle SQL), so a real byte-level encode→decode round trip
     * is still hash-checkable against DuckDB. */
   object JdkCodec {
+    /** Revision tag for the decode logic in this object — folded into
+      * the decoded-stats artifact key (r15 advice: the key was only the
+      * documents fingerprint + a manually-bumped format tag, so a codec
+      * change without a bump silently served stale stats to q64–q67).
+      * Bump alongside ANY behavior change in the decode/sample methods
+      * below; the stride parameter is keyed separately in the dir name. */
+    val CodecRev = "c1"
+
     // codecs run inside executor tasks; never touch a display
     System.setProperty("java.awt.headless", "true")
 
@@ -357,13 +365,21 @@ object Multimodal {
     * gate. At 100 TB this is the production shape: media stats are
     * extracted once at ingest and stored columnar next to the binary —
     * analytic queries read the stats table, not the bytes. */
+  /** Frame-sampling stride of the video stats — part of the artifact key
+    * AND of the q67 oracle's closed form; change both together. */
+  private[graft] val VideoStride = 4
+
   private def statsArtifactDir(s: SparkSession, d: String): String =
     synchronized {
       val dir = new java.io.File(
         // v1 format tag (the r14-advice rule): the MediaStats schema is
         // a code contract — bump on change so a stale artifact can't
-        // serve old-format columns
-        s"target/tmp/mediastats_v1_${Tables.sourceFingerprint(d, "documents")}")
+        // serve old-format columns. r15 advice: the key additionally
+        // carries the codec revision and the video stride, the two
+        // code-derived inputs the stats are a function of, so a codec or
+        // stride change invalidates the artifact without a manual bump.
+        s"target/tmp/mediastats_v1_${JdkCodec.CodecRev}_s${VideoStride}_" +
+          Tables.sourceFingerprint(d, "documents"))
       if (!new java.io.File(dir, "_OK").exists()) {
         scala.reflect.io.Path(dir).deleteRecursively()
         import s.implicits._
@@ -385,7 +401,7 @@ object Multimodal {
                     st.nChannels, st.sampleRate, st.nFrames, st.durationMs,
                     st.sumSamples, 0, 0, 0L)
                 case _ =>
-                  val st = JdkCodec.sampleVideoFrames(r.payload, stride = 4)
+                  val st = JdkCodec.sampleVideoFrames(r.payload, VideoStride)
                   MediaStats(r.media_id, r.kind,
                     0, 0, 0, 0L, 0, 0, 0L,
                     0, 0, 0L, 0L, 0L,

@@ -1353,6 +1353,337 @@ object Similarity {
       |GROUP BY 1, 2
       |ORDER BY i, j""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q199: PCA/OPQ rotation — the q120 Gram matrix's consumer
+  // ---------------------------------------------------------------------
+
+  /** Fixed-point grid of the rotation: round(v · 2¹⁴). 14 bits per
+    * component keeps every projection y = R_q·x ≤ 64·2¹⁴·127 ≈ 1.3·10⁸
+    * exactly representable in double AND long in both engines. */
+  private[graft] val RotScale = 16384L
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — the
+    * textbook O(n³)-per-sweep method (Golub & Van Loan §8.5), chosen
+    * because it is ~40 lines of plain deterministic double arithmetic:
+    * no library dependency, no randomness, fixed sweep order, so the
+    * fingerprint-keyed rotation artifact rebuilds bit-identically.
+    * Returns (eigenvalues, eigenvector COLUMNS as rows of the second
+    * array): a ≈ Σ λ_k · v_k v_kᵀ. Only the eigenvector directions and
+    * the eigenvalue ORDER are consumed downstream (the exact λ̂ report
+    * is recomputed on the quantized grid), so double rounding here can
+    * never reach a gate-compared value. */
+  private[graft] def jacobiEig(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = Array.tabulate(n, n)((i, j) => a0(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    val scale = math.max(a.flatten.map(math.abs).max, 1e-300)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-12 * scale) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            val tau = s / (1.0 + c)
+            val app = a(p)(p); val aqq = a(q)(q)
+            a(p)(p) = app - t * apq
+            a(q)(q) = aqq + t * apq
+            a(p)(q) = 0.0; a(q)(p) = 0.0
+            var i = 0
+            while (i < n) {
+              if (i != p && i != q) {
+                val aip = a(i)(p); val aiq = a(i)(q)
+                a(i)(p) = aip - s * (aiq + tau * aip); a(p)(i) = a(i)(p)
+                a(i)(q) = aiq + s * (aip - tau * aiq); a(q)(i) = a(i)(q)
+              }
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = vip - s * (viq + tau * vip)
+              v(i)(q) = viq + s * (vip - tau * viq)
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = 0.0
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { off += math.abs(a(i)(j)); j += 1 }
+        i += 1
+      }
+      sweep += 1
+    }
+    val eig = Array.tabulate(n)(k => a(k)(k))
+    val vecs = Array.tabulate(n, n)((k, i) => v(i)(k)) // row k = column k of V
+    (eig, vecs)
+  }
+
+  /** The full symmetric 64×64 scatter matrix as driver longs — ONE
+    * [[graft.functions.GramAgg]] pass (the q120 plan), collected
+    * (2,080 values, the kmeansFit bounded-collect rule) and mirrored. */
+  private def gramCollect(s: SparkSession, d: String, dim: Int)
+      : Array[Array[Long]] =
+    gramCollectFrame(quantizeInt8(Tables.embeddings(s, d)), dim)
+
+  /** [[gramCollect]] over any (vec_id, q8) frame — fixture-testable. */
+  private[graft] def gramCollectFrame(qe: DataFrame, dim: Int)
+      : Array[Array[Long]] = {
+    import graft.functions.GramAgg.gramUpper
+    val g = qe.agg(gramUpper(col("q8"), dim).as("g"))
+      .head().getSeq[Long](0)
+    val m = Array.ofDim[Long](dim, dim)
+    var pos = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) { m(i)(j) = g(pos); m(j)(i) = g(pos); pos += 1; j += 1 }
+      i += 1
+    }
+    m
+  }
+
+  /** Build-once fingerprint-keyed OPQ/PCA rotation artifact: Gram scan
+    * → driver Jacobi on the 64×64 scatter → eigenvectors sorted by
+    * eigenvalue desc, sign-fixed (largest-|component| positive — the
+    * deterministic convention), quantized to the [[RotScale]] integer
+    * grid, persisted as (comp, dim, r) rows. The oracle REPLAYS the
+    * projection and the variance report FROM this artifact (Verify
+    * substitutes `__Q199_ROT__`): the eigendecomposition itself is
+    * inherently iterative — no SQL engine recomputes it — but both
+    * engines replay every number derived from R_q exactly, and the spec
+    * holds the eigen-invariants (orthonormality on the grid, variance
+    * monotonicity, PQ-recall ≥ unrotated). */
+  private[graft] def opqRotationDir(s: SparkSession, d: String): String =
+    synchronized {
+      val dim = 64
+      val dir = new java.io.File(
+        // v2: r16 eigenvalue-allocation comp order (v1 was λ-desc)
+        s"target/tmp/opqrot_v2_g${RotScale}_" +
+          Tables.sourceFingerprint(d, "embeddings"))
+      if (!new java.io.File(dir, "_OK").exists()) {
+        scala.reflect.io.Path(dir).deleteRecursively()
+        val rows = rotationRowsFor(gramCollect(s, d, dim))
+        import s.implicits._
+        rows.toDF("comp", "dim", "r")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/rot")
+        new java.io.File(dir, "_OK").createNewFile()
+      }
+      s"${dir.getPath}/rot"
+    }
+
+  /** Scatter matrix → eigen-sorted, SUBSPACE-BALANCED, sign-fixed,
+    * [[RotScale]]-quantized rotation rows (comp, dim, r) — shared by
+    * the artifact builder and the fixture spec.
+    *
+    * Component ORDER is Ge et al. 2013's non-parametric OPQ
+    * initialization, "eigenvalue allocation" (§4.1): eigenvalues desc,
+    * each greedily assigned to the PQ subspace (of [[PqM]], capacity
+    * [[PqSub]] comps) with the smallest current Σ log λ — balancing the
+    * per-subspace variance PRODUCT, the quantity PQ distortion tracks.
+    * Plain λ-desc order is the known WORST case for downstream PQ: it
+    * concentrates all variance in subspace 1 and leaves the rest noise
+    * (the spec's fixture measures exactly that failure). The final comp
+    * index is subspace-major (subspace s owns comps s·8..s·8+7, λ desc
+    * within), so [[pqTopK]]'s contiguous slices get balanced subspaces
+    * with no extra bookkeeping. */
+  private[graft] def rotationRowsFor(sMat: Array[Array[Long]])
+      : Seq[(Long, Long, Long)] = {
+    val dim = sMat.length
+    val (eig, vecs) = jacobiEig(sMat.map(_.map(_.toDouble)))
+    val byLam = (0 until dim).sortBy(k => (-eig(k), k))
+    // eigenvalue allocation: greedy min Σ log λ, capacity PqSub per
+    // subspace; ties by subspace index (deterministic)
+    val m = math.max(1, dim / PqSub)
+    val sums = Array.fill(m)(0.0)
+    val buckets = Array.fill(m)(List.empty[Int])
+    byLam.foreach { k =>
+      val s = (0 until m)
+        .filter(buckets(_).size < PqSub)
+        .minBy(i => (sums(i), i))
+      sums(s) += math.log(math.max(eig(k), 1e-12))
+      buckets(s) ::= k
+    }
+    val order = buckets.toSeq.flatMap(_.reverse) // λ desc within subspace
+    order.zipWithIndex.flatMap { case (k, comp) =>
+      val vk = vecs(k)
+      val mi = (0 until dim).maxBy(i => (math.abs(vk(i)), -i))
+      val sgn = if (vk(mi) < 0) -1.0 else 1.0
+      (0 until dim).map(i =>
+        (comp.toLong, i.toLong, math.round(sgn * vk(i) * RotScale)))
+    }
+  }
+
+  /** q199 — OPQ/PCA ROTATION (the q120 Gram matrix's consumer, Ge et
+    * al. 2013's published step between int8 and PQ): eigendecompose the
+    * corpus scatter, quantize the rotation to the [[RotScale]] integer
+    * grid, and report per principal component the quantized-basis norm
+    * (orthonormality evidence), the EXACT variance captured on the
+    * grid — λ̂_c = v_qᵀ S v_q, an exact integer because S is integer
+    * and v_q is integer — as var_ppm + cumulative ppm (the "how many
+    * components carry 90% of the corpus" table), and the projections
+    * of the 5 standard probes (y = R_q·x, exact longs): the projection
+    * replay the verdict asked to see bit-for-bit.
+    *
+    * Exactness: Spark computes λ̂ driver-side in BigInt (the triple
+    * product overflows long at decade SFs); DuckDB replays it with
+    * HUGEINT intermediates — both exact, both floor-divide to ppm.
+    *
+    * Scale: ONE Gram scan (the 2,080-long bounded aggregate), driver
+    * work O(64³), and a 5-probe × 64-comp projection — corpus cost is
+    * exactly one map-side-combined aggregate pass at any size. */
+  def opqRotate(s: SparkSession, d: String): DataFrame = {
+    val dim = 64
+    val rotPath = opqRotationDir(s, d)
+    val rot = s.read.parquet(rotPath)
+    // driver side: exact λ̂ and ppm report (bounded: 2,080 + 4,096 rows)
+    val sMat = gramCollect(s, d, dim)
+    val rq = Array.ofDim[Long](dim, dim)
+    rot.collect().foreach(r =>
+      rq(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2))
+    val lam = (0 until dim).map { c =>
+      var acc = BigInt(0)
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) {
+          acc += BigInt(rq(c)(i)) * BigInt(sMat(i)(j)) * BigInt(rq(c)(j))
+          j += 1
+        }
+        i += 1
+      }
+      acc
+    }
+    val tot = lam.sum.max(BigInt(1))
+    val varPpm = lam.map(l => (l * 1000000 / tot).toLong)
+    val cum = varPpm.scanLeft(0L)(_ + _).tail
+    import s.implicits._
+    val report = (0 until dim)
+      .map(c => (c.toLong, varPpm(c), cum(c)))
+      .toDF("comp", "var_ppm", "cum_var_ppm")
+    // engine side: quantized-basis norms + probe projections off the
+    // artifact scan (what the oracle replays independently)
+    val rvecs = rot.groupBy(col("comp"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("r")))).as("p"))
+      .select(col("comp"),
+        transform(col("p"), x => x.getField("r").cast("double")).as("rvec"))
+    val probes = quantizedEmbeddings(s, d).where(col("vec_id") < 5)
+      .select(col("vec_id"), col("q8"))
+    val proj = rvecs.crossJoin(broadcast(probes))
+      .select(col("comp"), col("vec_id"),
+        vecDot(col("rvec"), col("q8")).cast("long").as("y"))
+      .groupBy(col("comp"))
+      .agg(
+        max(when(col("vec_id") === 0, col("y"))).as("y_p0"),
+        max(when(col("vec_id") === 1, col("y"))).as("y_p1"),
+        max(when(col("vec_id") === 2, col("y"))).as("y_p2"),
+        max(when(col("vec_id") === 3, col("y"))).as("y_p3"),
+        max(when(col("vec_id") === 4, col("y"))).as("y_p4"))
+    val norms = rot.groupBy(col("comp"))
+      .agg(sum(col("r") * col("r")).as("r_norm2"))
+    norms.join(broadcast(report), Seq("comp")).join(proj, Seq("comp"))
+      .select(col("comp"), col("r_norm2"), col("var_ppm"),
+        col("cum_var_ppm"), col("y_p0"), col("y_p1"), col("y_p2"),
+        col("y_p3"), col("y_p4"))
+      .orderBy(col("comp"))
+  }
+
+  /** Oracle for [[opqRotate]] — Verify substitutes the rotation
+    * artifact snapshot for `__Q199_ROT__`; the variance report is
+    * recomputed INDEPENDENTLY from DuckDB's own Gram (HUGEINT
+    * intermediates), not read back from the engine. */
+  val opqRotateSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | rot AS (
+      |  SELECT comp, dim, r FROM read_parquet('__Q199_ROT__/*.parquet')),
+      | rn AS (
+      |  SELECT comp, CAST(sum(r * r) AS BIGINT) AS r_norm2
+      |  FROM rot GROUP BY comp),
+      | ex AS (
+      |  SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) AS i
+      |  FROM q8),
+      | s AS (
+      |  SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS sv
+      |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+      | lam AS (
+      |  SELECT r1.comp,
+      |    sum(CAST(r1.r AS HUGEINT) * CAST(s.sv AS HUGEINT)
+      |        * CAST(r2.r AS HUGEINT)) AS l
+      |  FROM rot r1
+      |  JOIN s ON s.i = r1.dim + 1
+      |  JOIN rot r2 ON r2.comp = r1.comp AND s.j = r2.dim + 1
+      |  GROUP BY r1.comp),
+      | tot AS (SELECT greatest(sum(l), 1) AS t FROM lam),
+      | vp AS (
+      |  SELECT comp, CAST((1000000 * l) // t AS BIGINT) AS var_ppm
+      |  FROM lam CROSS JOIN tot),
+      | vc AS (
+      |  SELECT comp, var_ppm,
+      |    CAST(sum(var_ppm) OVER (ORDER BY comp) AS BIGINT) AS cum_var_ppm
+      |  FROM vp),
+      | rv AS (
+      |  SELECT comp, list(CAST(r AS DOUBLE) ORDER BY dim) AS rvec
+      |  FROM rot GROUP BY comp),
+      | pr AS (SELECT vec_id, q FROM q8 WHERE vec_id < 5),
+      | yj AS (
+      |  SELECT rv.comp, pr.vec_id,
+      |    CAST(list_dot_product(rv.rvec, pr.q) AS BIGINT) AS y
+      |  FROM rv CROSS JOIN pr),
+      | yp AS (
+      |  SELECT comp,
+      |    max(CASE WHEN vec_id = 0 THEN y END) AS y_p0,
+      |    max(CASE WHEN vec_id = 1 THEN y END) AS y_p1,
+      |    max(CASE WHEN vec_id = 2 THEN y END) AS y_p2,
+      |    max(CASE WHEN vec_id = 3 THEN y END) AS y_p3,
+      |    max(CASE WHEN vec_id = 4 THEN y END) AS y_p4
+      |  FROM yj GROUP BY comp)
+      |SELECT rn.comp, rn.r_norm2, vc.var_ppm, vc.cum_var_ppm,
+      |  yp.y_p0, yp.y_p1, yp.y_p2, yp.y_p3, yp.y_p4
+      |FROM rn JOIN vc USING (comp) JOIN yp USING (comp)
+      |ORDER BY rn.comp""".stripMargin
+
+  /** The corpus projected onto the quantized rotation — (vec_id,
+    * embedding = R_q·x as doubles), the frame [[pqTopK]] re-encodes for
+    * the OPQ-vs-PQ recall spec. Engine-side only (no driver data
+    * path): rotation rows broadcast, one narrow map per vector. */
+  private[graft] def rotatedEmbeddings(s: SparkSession, d: String): DataFrame =
+    rotateFrameBy(quantizedEmbeddings(s, d),
+      s.read.parquet(opqRotationDir(s, d)))
+
+  /** Project any (vec_id, q8) frame onto a (comp, dim, r) rotation —
+    * returns (vec_id, embedding = R_q·x as doubles). */
+  private[graft] def rotateFrameBy(qe: DataFrame, rot: DataFrame): DataFrame = {
+    val rvecs = rot.groupBy(col("comp"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("r")))).as("p"))
+      .select(col("comp"),
+        transform(col("p"), x => x.getField("r").cast("double")).as("rvec"))
+    qe.join(broadcast(rvecs))
+      .select(col("vec_id"), col("comp"),
+        vecDot(col("rvec"), col("q8")).as("y"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("comp"), col("y")))).as("p"))
+      .select(col("vec_id"),
+        transform(col("p"), x => x.getField("y")).as("embedding"))
+  }
+
   /** q126 — INCREMENTAL ANN maintenance: the daily-ingest shape of a
     * production vector pipeline (r9 verdict item 7). The EXISTING corpus
     * (vec_id % 10 ≠ 0, ~90%) is indexed once — int8-quantized, routed to
@@ -3991,6 +4322,114 @@ object Similarity {
       |FROM scored s JOIN best b USING (qid)
       |GROUP BY s.qid, b.rel_id, b.rel_dot
       |ORDER BY s.qid""".stripMargin
+
+  /** q195 — RETRIEVAL nDCG@k (graded relevance): the third leg of the
+    * retrieval-QA panel — q144 recall@k (do the right neighbors
+    * return), q190 MRR (how high does the FIRST relevant one rank),
+    * nDCG@k (how well is the WHOLE top-k ordered when relevance is
+    * graded) — the metric retrieval eval suites actually publish.
+    * Graded relevance from the label column (the q122/q190 weak-label
+    * stance): rel 2 = same label, rel 1 = adjacent label (|Δ| = 1 on
+    * the ordinal label space), rel 0 otherwise; gain = 2^rel − 1 ∈
+    * {3, 1, 0}, the standard exponential gain.
+    *
+    * Exactness: the log2 discount is 1-bit-quantized via
+    * binary-rendering length (the q113 trick — ilog2(r+1) =
+    * length(bin(r+1)) − 1, identical in both engines), and the
+    * per-position weight is 6 div ilog2(r+1): ilog2 ∈ {1, 2, 3} for
+    * r ≤ 14 all divide 6, so every DCG term is an EXACT integer —
+    * no truncation anywhere, the whole metric replays bit-for-bit.
+    * ndcg_ppm = 10⁶·dcg div idcg (idcg guarded ≥ 1: a probe with no
+    * graded-relevant hit reports 0, both engines agree).
+    *
+    * The spec holds the separating fixture: two retrievals whose
+    * first-relevant ranks tie (MRR equal) but whose tail ordering
+    * differs — nDCG ranks them, MRR cannot.
+    *
+    * Scale: rides [[quantizedTopK]] (probe-bounded candidate scan, k
+    * rows per probe out); everything after is arithmetic on 5·k rows.
+    * The label join is a broadcast of the k·probes id set against the
+    * label table — candidate-bounded, never corpus × corpus. */
+  def retrievalNdcg(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val topk = quantizedTopK(s, d, k)
+    val graded = topk
+      .join(labels.select(col("vec_id").as("qid"), col("label").as("alabel")),
+        Seq("qid"))
+      .join(labels.select(col("vec_id").as("cid"), col("label").as("clabel")),
+        Seq("cid"))
+      .withColumn("gain",
+        when(col("clabel") === col("alabel"), 3L)
+          .when(abs(col("clabel") - col("alabel")) === 1, 1L)
+          .otherwise(0L))
+    ndcgOn(graded)
+  }
+
+  /** The exact-integer nDCG reduction over any (qid, cid, rank, gain)
+    * frame — extracted so the spec can feed the hand fixture where two
+    * retrievals tie on MRR but nDCG separates them. */
+  private[graft] def ndcgOn(graded: DataFrame): DataFrame = {
+    // ideal ordering: the same k gains sorted desc. Tie order cannot
+    // change idcg (equal gains carry equal terms); cid tiebreak keeps
+    // row_number deterministic anyway (the suite's replay rule).
+    val wIdeal = Window.partitionBy(col("qid"))
+      .orderBy(col("gain").desc, col("cid").asc)
+    graded
+      .withColumn("irank", row_number().over(wIdeal))
+      .withColumn("w", expr("6 div (length(bin(rank + 1)) - 1)"))
+      .withColumn("iw", expr("6 div (length(bin(irank + 1)) - 1)"))
+      .groupBy(col("qid"))
+      .agg(sum(when(col("gain") > 0, 1L).otherwise(0L)).as("n_rel"),
+        sum(col("gain") * col("w")).as("dcg"),
+        sum(col("gain") * col("iw")).as("idcg"))
+      .withColumn("ndcg_ppm",
+        expr("(1000000 * dcg) div greatest(idcg, 1L)"))
+      .orderBy(col("qid"))
+  }
+
+  /** Oracle for [[retrievalNdcg]]: quantize → probe dots → top-10 →
+    * graded gains → the 6-div-ilog2 exact discount, replayed verbatim. */
+  val retrievalNdcgSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding, label,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | dots AS (
+      |  SELECT p.vec_id AS qid, p.label AS alabel,
+      |    c.vec_id AS cid, c.label AS clabel,
+      |    CAST(list_dot_product(p.q, c.q) AS BIGINT) AS dot
+      |  FROM q8 p JOIN q8 c ON p.vec_id < 5 AND c.vec_id <> p.vec_id),
+      | topk AS (
+      |  SELECT qid, cid, alabel, clabel,
+      |    CAST(row_number() OVER (PARTITION BY qid
+      |      ORDER BY dot DESC, cid ASC) AS BIGINT) AS rank
+      |  FROM dots QUALIFY rank <= 10),
+      | graded AS (
+      |  SELECT qid, cid, rank,
+      |    CASE WHEN clabel = alabel THEN 3
+      |         WHEN abs(clabel - alabel) = 1 THEN 1 ELSE 0 END AS gain
+      |  FROM topk),
+      | ideal AS (
+      |  SELECT qid, cid, rank, gain,
+      |    CAST(row_number() OVER (PARTITION BY qid
+      |      ORDER BY gain DESC, cid ASC) AS BIGINT) AS irank
+      |  FROM graded),
+      | agg AS (
+      |  SELECT qid,
+      |    CAST(sum(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+      |    CAST(sum(gain * (6 // (length(bin(rank + 1)) - 1))) AS BIGINT)
+      |      AS dcg,
+      |    CAST(sum(gain * (6 // (length(bin(irank + 1)) - 1))) AS BIGINT)
+      |      AS idcg
+      |  FROM ideal GROUP BY qid)
+      |SELECT qid, n_rel, dcg, idcg,
+      |  CAST((1000000 * dcg) // greatest(idcg, 1) AS BIGINT) AS ndcg_ppm
+      |FROM agg ORDER BY qid""".stripMargin
 
   /** q191 — k-NN GRAPH STATS (mutual-neighbor triangles / clustering
     * coefficient): the geometry audit behind SemDeDup-class semantic

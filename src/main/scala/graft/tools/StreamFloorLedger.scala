@@ -45,16 +45,22 @@ object StreamFloorLedger {
       ts.min
     }
 
-    // machinery floor: 3 single-file waves, count-only body
+    // machinery floor: 3 single-file waves, count-only body. The 3-wave
+    // input fixture is written ONCE outside the timed body (r15 advice:
+    // timing deleteRecursively + three coalesce(1) writes inflated the
+    // floor and understated every face's derived data+setup column) —
+    // only the checkpoint dir is recreated per rep, so the floor measures
+    // what it documents: listing + micro-batch scheduling + commits.
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"))
+    val base = "target/tmp/sfl_passthru"
+    scala.reflect.io.Path(new java.io.File(base)).deleteRecursively()
+    (0 until 3).foreach { i =>
+      docs.where(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
     val floor = timeMin("passthrough") {
-      val base = "target/tmp/sfl_passthru"
-      scala.reflect.io.Path(new java.io.File(base)).deleteRecursively()
-      (0 until 3).foreach { i =>
-        docs.where(pmod(col("doc_id"), lit(3)) === i)
-          .coalesce(1).write.mode("append").parquet(s"$base/in")
-      }
+      scala.reflect.io.Path(new java.io.File(s"$base/ckpt")).deleteRecursively()
       var n = 0L
       val q = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in")

@@ -1,0 +1,270 @@
+package graft
+
+import graft.ops.{Curation, Sampling, Similarity}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-16 operators: retrieval nDCG (q195), HTML strip (q196),
+  * atomic FFD bin packing (q197/q198), OPQ rotation (q199).
+  *
+  * Load-bearing assertions:
+  *  - the hand fixture where two retrievals TIE on MRR (same
+  *    first-relevant rank) but nDCG separates them — the reason the
+  *    metric exists;
+  *  - ffdPack IS first-fit-decreasing: bit-identical to a doc-at-a-time
+  *    reference implementation on randomized fixtures, bins never
+  *    overflow, every bin is nonempty;
+  *  - the q49-vs-q197 production tradeoff quantified on real data:
+  *    concat-and-chunk splits docs and wastes nothing, the atomic pack
+  *    splits nothing and pays bounded padding;
+  *  - HTML canaries: page-skeleton docs come back KEPT with the tag
+  *    count the skeleton predicts, nav-chrome docs are DROPPED, clean
+  *    docs pass through untouched;
+  *  - OPQ invariants: the quantized basis is orthonormal on the grid,
+  *    the projection-energy identity Σ_vec y_c² = λ̂_c holds EXACTLY
+  *    (integers), and on an anisotropic fixture (correlated dims — the
+  *    case OPQ exists for) PQ recall on the rotated grid beats PQ on
+  *    the raw grid. On the isotropic gate corpus rotation ties/hurts —
+  *    measured honestly by tools/OpqRecallProbe, recorded in
+  *    probe_r16.txt — which is exactly what the literature predicts
+  *    (Ge et al. 2013 §5: gains come from anisotropy).
+  */
+class R16OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .appName("graft-r16-ops-test")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // ---------------------------------------------------------------- q195
+
+  test("ndcg separates two retrievals that MRR ties") {
+    val sp0 = spark; import sp0.implicits._
+    // both retrievals: first relevant hit at rank 2 -> identical MRR.
+    // A puts the HIGH-grade hit (gain 3) at rank 2, B the low one.
+    val graded = Seq(
+      (1L, 10L, 1L, 0L), (1L, 11L, 2L, 3L), (1L, 12L, 3L, 1L), // A
+      (2L, 20L, 1L, 0L), (2L, 21L, 2L, 1L), (2L, 22L, 3L, 3L)  // B
+    ).toDF("qid", "cid", "rank", "gain")
+    val out = Similarity.ndcgOn(graded).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // w(rank) = 6 div ilog2(rank+1): ranks 1,2 -> 6; rank 3 -> 3
+    assert(out(1L) == ((21L, 24L, 875000L)), s"A: ${out(1L)}")
+    assert(out(2L) == ((15L, 24L, 625000L)), s"B: ${out(2L)}")
+    assert(out(1L)._3 > out(2L)._3)
+  }
+
+  test("ndcg gate face: ppm bounded, idcg >= dcg, deterministic") {
+    val rows = Similarity.retrievalNdcg(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (dcg, idcg, ppm) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(idcg >= dcg && ppm <= 1000000L && ppm >= 0L)
+    }
+  }
+
+  // ---------------------------------------------------------- q197/q198
+
+  /** Doc-at-a-time reference first-fit: items desc by length (ties in
+    * given order), each into the lowest-index bin with room. */
+  private def referenceFfd(lens: Seq[Long], cap: Long): Seq[Long] = {
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+    lens.map { l =>
+      val i = bins.indexWhere(_ + l <= cap)
+      if (i >= 0) { bins(i) += l; i.toLong }
+      else { bins += l; (bins.size - 1).toLong }
+    }
+  }
+
+  test("ffdPack is exact first-fit-decreasing (vs doc-level reference)") {
+    val cap = 64L
+    val rnd = new scala.util.Random(7)
+    (1 to 20).foreach { trial =>
+      val hist = (1 to (5 + rnd.nextInt(20))).map(_ =>
+        (1L + rnd.nextInt(cap.toInt), 1L + rnd.nextInt(40))).toMap.toSeq
+      val (alloc, nBins) = Sampling.ffdPack(hist, cap)
+      // expand the interval map to a doc-level assignment: the k-th doc
+      // of length l (k 1-based) -> its interval's bin arithmetic
+      val got = hist.sortBy(-_._1).flatMap { case (l, c) =>
+        (1L to c).map { k =>
+          val a = alloc.find(a =>
+            a.len == l && k >= a.rankStart && k <= a.rankEnd).get
+          a.binStart + (k - a.rankStart) / a.docsPerBin
+        }
+      }
+      val want = referenceFfd(
+        hist.sortBy(-_._1).flatMap { case (l, c) => Seq.fill(c.toInt)(l) },
+        cap)
+      assert(got == want, s"trial $trial: interval pack != reference FFD")
+      // invariants: no overflow, every bin nonempty, ids dense
+      val loads = got.zip(hist.sortBy(-_._1)
+        .flatMap { case (l, c) => Seq.fill(c.toInt)(l) })
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      assert(loads.values.forall(_ <= cap))
+      assert(loads.keySet == (0L until nBins).toSet)
+    }
+  }
+
+  test("q49 vs q197: the split-vs-padding tradeoff, quantified") {
+    // concat-and-chunk (q49): zero padding, but docs straddle windows
+    val sp = Sampling.sequencePack(spark, sf)
+      .where(col("n_tokens") > 0)
+      .select(
+        (col("start_tok") / 512).cast("long").as("b0"),
+        ((col("start_tok") + col("n_tokens") - 1) / 512).cast("long").as("b1"))
+    val splitDocs = sp.where(col("b1") > col("b0")).count()
+    assert(splitDocs > 0L, "q49 must split at least one doc at sf0.001")
+    // atomic pack (q197/q198): zero splits BY CONSTRUCTION (each doc
+    // appears exactly once, in exactly one bin), bounded padding
+    val pack = Sampling.packAtomic(spark, sf)
+    assert(pack.groupBy(col("doc_id")).count()
+      .where(col("count") > 1).count() == 0L)
+    val led = Sampling.packLedger(spark, sf).head()
+    val waste = led.getAs[Long]("waste_ppm")
+    assert(waste >= 0L && waste < 200000L,
+      s"padding waste $waste ppm — FFD should stay under 20% on this corpus")
+    // no bin over capacity on real data either
+    val over = pack.groupBy(col("bin")).agg(sum(col("len")).as("s"))
+      .where(col("s") > Sampling.PackCap).count()
+    assert(over == 0L)
+    info(s"tradeoff at sf0.001: q49 splits $splitDocs docs / 0 padding; " +
+      s"q197 splits 0 docs / $waste ppm padding")
+  }
+
+  // ---------------------------------------------------------------- q196
+
+  test("html strip: skeleton canaries kept, nav-chrome dropped, clean docs untouched") {
+    val out = Curation.htmlStrip(spark, sf).cache()
+    try {
+      // real docs: no tags, no anchors, all kept
+      val real = out.where(col("doc_id") >= 0)
+      assert(real.where(col("n_tags") =!= 0 || col("link_chars") =!= 0
+        || !col("kept")).count() == 0L)
+      // wrapped canaries (-id-10 ≡ 0 mod 10): the skeleton has exactly
+      // 24 tags; prose dominates -> kept
+      val wrapped = out.where(col("doc_id") < 0 && col("doc_id") % 10 === 0)
+      assert(wrapped.count() > 0)
+      assert(wrapped.where(col("n_tags") =!= 24 || !col("kept")).count() == 0L)
+      // nav-only canaries (≡ 5 mod 10): 14 tags, anchor text dominates
+      // -> dropped by link density
+      val nav = out.where(col("doc_id") < 0 && abs(col("doc_id") % 10) === 5)
+      assert(nav.count() > 0)
+      assert(nav.where(col("n_tags") =!= 14 || col("kept")).count() == 0L)
+      assert(nav.where(col("link_ppm") < Curation.LinkDensityMaxPpm).count() == 0L)
+    } finally { out.unpersist(); () }
+  }
+
+  // ---------------------------------------------------------------- q199
+
+  test("opq rotation: quantized basis orthonormal on the grid") {
+    val dim = 64
+    val rot = spark.read.parquet(Similarity.opqRotationDir(spark, sf))
+      .collect()
+    val rq = Array.ofDim[Long](dim, dim)
+    rot.foreach(r => rq(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2))
+    val s2 = Similarity.RotScale * Similarity.RotScale
+    for (a <- 0 until dim; b <- a until dim) {
+      val dot = (0 until dim).map(i => rq(a)(i) * rq(b)(i)).sum
+      if (a == b) assert(math.abs(dot - s2) < s2 / 100,
+        s"diag($a) = $dot, want ~$s2")
+      else assert(math.abs(dot) < s2 / 100, s"offdiag($a,$b) = $dot")
+    }
+  }
+
+  test("opq projection-energy identity: sum of y^2 equals lambda-hat exactly") {
+    // Σ_vec (v_q·x)² = v_qᵀ S v_q — exact INTEGER identity between the
+    // distributed projection and the driver's Gram-derived λ̂
+    val dim = 64
+    val qe = Similarity.quantizeInt8(Tables.embeddings(spark, sf))
+      .select(col("vec_id"), col("q8"))
+    val sMat = Similarity.gramCollectFrame(qe, dim)
+    val rotRows = spark.read.parquet(Similarity.opqRotationDir(spark, sf))
+    val rq = Array.ofDim[Long](dim, dim)
+    rotRows.collect().foreach(r =>
+      rq(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2))
+    val lamHat = (0 until dim).map { c =>
+      (for (i <- 0 until dim; j <- 0 until dim)
+        yield BigInt(rq(c)(i)) * BigInt(sMat(i)(j)) * BigInt(rq(c)(j))).sum
+    }
+    val ys = Similarity.rotateFrameBy(qe, rotRows)
+      .select(explode(col("embedding")).as("y")).collect()
+      .map(_.getDouble(0))
+    // group engine-side energies per comp: embedding arrays are in comp
+    // order, so re-read with posexplode for the comp index
+    val energies = Similarity.rotateFrameBy(qe, rotRows)
+      .select(posexplode(col("embedding")).as(Seq("comp", "y")))
+      .collect()
+      .groupBy(_.getInt(0))
+      .view.mapValues(_.map(r => BigInt(r.getDouble(1).toLong).pow(2)).sum)
+    assert(ys.forall(y => y == math.rint(y)), "projections must be exact ints")
+    (0 until dim).foreach(c =>
+      assert(energies(c) == lamHat(c), s"comp $c: ${energies(c)} != ${lamHat(c)}"))
+  }
+
+  /** Deterministic anisotropic fixture: z with geometrically decaying
+    * per-dim scale, mixed by the (exactly orthogonal) 64-point
+    * Walsh–Hadamard transform so the signal's principal axes cut ACROSS
+    * PQ's 8-dim subspace boundaries — the correlated-dims case OPQ
+    * exists for. */
+  private def anisotropicFixture(n: Int): DataFrame = {
+    val dim = 64
+    def had(i: Int, j: Int): Int =
+      if (Integer.bitCount(i & j) % 2 == 0) 1 else -1
+    def z(v: Int, i: Int): Double = {
+      var h = (v.toLong << 32 | i.toLong) + 0x9e3779b97f4a7c15L
+      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+      val u = ((h ^ (h >>> 31)) & 0xfffff).toDouble / 0xfffff - 0.5
+      u * math.pow(0.82, i)
+    }
+    val sp0 = spark; import sp0.implicits._
+    (0 until n).map { v =>
+      val zs = Array.tabulate(dim)(i => z(v, i))
+      val x = Array.tabulate(dim)(j =>
+        (0 until dim).map(i => had(i, j) * zs(i)).sum.toFloat / 8.0f)
+      (v.toLong, x.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("opq on anisotropic data: PQ recall on rotated grid >= raw grid") {
+    import org.apache.spark.sql.expressions.Window
+    val fix = anisotropicFixture(256).cache()
+    try {
+      val qe = Similarity.quantizeInt8(fix).select(col("vec_id"), col("q8"))
+      // exact ground truth: int8-dot top-10 for the 5 standard probes
+      val probes = qe.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q8").as("qv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("dot").desc, col("cid").asc)
+      val truth = qe.join(broadcast(probes), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"),
+          graft.functions.VectorExprs.vecDot(col("qv"), col("q8"))
+            .cast("long").as("dot"))
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
+        .select(col("qid"), col("cid")).cache()
+      def recall(pq: DataFrame): Long =
+        1000000L * truth.join(pq.select(col("qid"), col("cid")),
+          Seq("qid", "cid")).count() / truth.count()
+      val base = recall(Similarity.pqTopK(fix))
+      val sp0 = spark; import sp0.implicits._
+      val rot = Similarity.rotationRowsFor(
+        Similarity.gramCollectFrame(qe, 64)).toDF("comp", "dim", "r")
+      val rotated = recall(Similarity.pqTopK(Similarity.rotateFrameBy(qe, rot)))
+      info(s"anisotropic PQ recall ppm: raw=$base rotated=$rotated")
+      assert(rotated >= base,
+        s"rotated recall $rotated < raw $base on anisotropic fixture")
+      truth.unpersist(); ()
+    } finally { fix.unpersist(); () }
+  }
+}
