@@ -607,6 +607,18 @@ object SparkEntry {
     // bit-for-bit from the artifact in both engines
     "q199_opq_rotate" -> ((s: SparkSession, d: String) =>
       Similarity.opqRotate(s, d)),
+    // PQ+ADC retrieval over the OPQ-rotated grid - the quantization
+    // ladder's last rung as a gate face; oracle splices q106's PQ CTEs
+    // verbatim after the rotation replay, so raw-PQ and OPQ-PQ provably
+    // run the same quantizer
+    "q200_opq_pq" -> ((s: SparkSession, d: String) =>
+      Similarity.opqPqTopK(s, d)),
+    // pack APPLY (q185/q155 alloc->apply convention): materialize the
+    // packed sequences q197 implies - per bin, doc token streams
+    // truncated at packing length, concatenated in doc_id order,
+    // hash-proven via md5
+    "q201_pack_apply" -> ((s: SparkSession, d: String) =>
+      Sampling.packApply(s, d)),
     // contamination span evidence: WHERE each training doc overlaps
     // the benchmark set - maximal token spans of shared 3-grams
     // (coverage, longest run, first/last pos), the redact-not-drop
@@ -887,6 +899,8 @@ object SparkEntry {
     "q197_pack_atomic" -> Sampling.packAtomicSql,
     "q198_pack_ledger" -> Sampling.packLedgerSql,
     "q199_opq_rotate" -> Similarity.opqRotateSql,
+    "q200_opq_pq" -> Similarity.opqPqTopKSql,
+    "q201_pack_apply" -> Sampling.packApplySql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

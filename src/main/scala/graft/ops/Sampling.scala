@@ -652,6 +652,65 @@ object Sampling {
       |  AND r.rk BETWEEN a.rank_start AND a.rank_end
       |ORDER BY r.doc_id""".stripMargin
 
+  /** q201 — PACK APPLY: materialize the packed training sequences the
+    * q197 assignment implies — per bin, the docs' token streams (each
+    * truncated at its packing length, i.e. oversize docs contribute
+    * their first window) concatenated in doc_id order, hash-proven via
+    * md5 so the gate pins the actual SEQUENCE CONSTRUCTION, not just
+    * the assignment arithmetic (the q185/q155 alloc→apply convention).
+    * Per bin: doc count, used/pad tokens, and the sequence digest.
+    *
+    * Scale: the q197 replay plus one groupBy(bin) — bins are
+    * capacity-bounded (≤ cap docs each), so the per-group state is
+    * bounded; the concat is bin-local, never corpus-wide. */
+  def packApply(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      TextAnalysis.words(col("text")).as("warr"))
+    packAtomic(s, d)
+      .join(toks, Seq("doc_id"))
+      .select(col("bin"), col("doc_id"), col("len"),
+        array_join(slice(col("warr"), lit(1), col("len").cast("int")), " ")
+          .as("seq"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len")).as("used_tokens"),
+        (lit(PackCap) - sum(col("len"))).as("pad_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("seq")))),
+          x => x.getField("seq")), " ").cast("binary")).as("seq_md5"))
+      .orderBy(col("bin"))
+  }
+
+  /** Oracle for [[packApply]] — the q197 replay + per-bin ordered
+    * concat + md5. */
+  val packApplySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS warr,
+      |    CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents),
+      | l AS (
+      |  SELECT doc_id, warr, n_tokens,
+      |    greatest(least(n_tokens, 512), 1) AS len FROM t),
+      | r AS (
+      |  SELECT doc_id, warr, n_tokens, len,
+      |    CAST(row_number() OVER (PARTITION BY len ORDER BY doc_id)
+      |      AS BIGINT) AS rk
+      |  FROM l),
+      | a AS (SELECT * FROM read_parquet('__Q197_PACK__/*.parquet')),
+      | m AS (
+      |  SELECT r.doc_id, r.len,
+      |    a.bin_start + (r.rk - a.rank_start) // a.docs_per_bin AS bin,
+      |    array_to_string(list_slice(r.warr, 1, CAST(r.len AS INT)), ' ')
+      |      AS seq
+      |  FROM r JOIN a ON r.len = a.len
+      |    AND r.rk BETWEEN a.rank_start AND a.rank_end)
+      |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len) AS BIGINT) AS used_tokens,
+      |  CAST(512 - sum(len) AS BIGINT) AS pad_tokens,
+      |  md5(string_agg(seq, ' ' ORDER BY doc_id)) AS seq_md5
+      |FROM m GROUP BY bin ORDER BY bin""".stripMargin
+
   /** q198 — PACKING LEDGER: the one-row accounting of the atomic pack —
     * bins, docs, used vs capacity tokens, fill/padding-waste ppm, and
     * the oversize count (docs longer than the window, packed at their

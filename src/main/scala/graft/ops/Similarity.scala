@@ -1258,17 +1258,12 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
-  val pqTopKSql: String =
-    s"""WITH base AS (
-       |  SELECT vec_id, embedding,
-       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
-       |  FROM embeddings),
-       | q8 AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding, x -> CASE WHEN ma > 0
-       |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
-       |  FROM base),
-       | subs AS (
+  /** The PQ encode→ADC→rank pipeline as oracle CTE text, parameterized
+    * only by an upstream CTE named `q8` with (vec_id, q) — shared
+    * verbatim by q106 (raw int8 grid) and q200 (OPQ-rotated grid), so
+    * the two faces provably replay the same quantizer. */
+  private val pqPipelineCtes: String =
+    s""" subs AS (
        |  SELECT vec_id, CAST(m AS INT) AS m,
        |    list_slice(q, m * $PqSub + 1, m * $PqSub + $PqSub) AS sub
        |  FROM q8, range($PqM) t(m)),
@@ -1298,9 +1293,75 @@ object Similarity {
        | ranked AS (
        |  SELECT qid, cid, adc,
        |    row_number() OVER (PARTITION BY qid ORDER BY adc ASC, cid ASC) AS rank
-       |  FROM adc)
-       |SELECT qid, cid, adc, rank FROM ranked WHERE rank <= $PqTopN
+       |  FROM adc)""".stripMargin
+
+  private val pqSelect: String =
+    s"""SELECT qid, cid, adc, rank FROM ranked WHERE rank <= $PqTopN
        |ORDER BY qid, rank""".stripMargin
+
+  val pqTopKSql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+       |  FROM embeddings),
+       | q8 AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CASE WHEN ma > 0
+       |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+       |  FROM base),
+       |$pqPipelineCtes
+       |$pqSelect""".stripMargin
+
+  /** q200 — OPQ-PQ RETRIEVAL (the quantization ladder's last rung AS A
+    * GATE FACE, not just a spec): PQ+ADC over the OPQ-ROTATED grid —
+    * rotate each int8 vector by the q199 artifact (exact integer
+    * projection), re-quantize the rotated vector to its own int8 grid
+    * (the identical IEEE multiply-then-divide both engines share, the
+    * q48 rule), then run EXACTLY q106's encode→distance-table→ADC→rank
+    * pipeline (the oracle splices the SAME CTE text, so raw-PQ and
+    * OPQ-PQ provably replay the same quantizer). The anisotropic-gain /
+    * isotropic-loss recall story lives in the R16OpsSpec + probe_r16 —
+    * this face pins the PIPELINE, end to end, bit-for-bit.
+    *
+    * Scale: q106's cost envelope plus one broadcast rotation map per
+    * vector (64 codegen'd dots, narrow) — codes remain the only
+    * n-sized table after encode. */
+  def opqPqTopK(s: SparkSession, d: String): DataFrame =
+    pqTopK(rotatedEmbeddings(s, d))
+
+  /** Oracle for [[opqPqTopK]] — rotation replayed from `__Q199_ROT__`,
+    * then the shared PQ pipeline CTEs verbatim. */
+  val opqPqTopKSql: String =
+    s"""WITH base0 AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+       |  FROM embeddings),
+       | q8r AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CASE WHEN ma > 0
+       |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+       |  FROM base0),
+       | rot AS (
+       |  SELECT comp, dim, r FROM read_parquet('__Q199_ROT__/*.parquet')),
+       | rv AS (
+       |  SELECT comp, list(CAST(r AS DOUBLE) ORDER BY dim) AS rvec
+       |  FROM rot GROUP BY comp),
+       | yv AS (
+       |  SELECT t.vec_id, rv.comp, list_dot_product(rv.rvec, t.q) AS y
+       |  FROM q8r t CROSS JOIN rv),
+       | ye AS (
+       |  SELECT vec_id, list(y ORDER BY comp) AS emb FROM yv GROUP BY vec_id),
+       | b2 AS (
+       |  SELECT vec_id, emb,
+       |    list_max(list_transform(emb, x -> abs(CAST(x AS DOUBLE)))) AS ma
+       |  FROM ye),
+       | q8 AS (
+       |  SELECT vec_id,
+       |    list_transform(emb, x -> CASE WHEN ma > 0
+       |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+       |  FROM b2),
+       |$pqPipelineCtes
+       |$pqSelect""".stripMargin
 
   /** q120 — corpus Gram/scatter matrix over the int8-quantized
     * embeddings: Σ xᵢxⱼ for every dim pair i ≤ j, via ONE
