@@ -142,6 +142,31 @@ class R16OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q197 splits 0 docs / $waste ppm padding")
   }
 
+  test("pack apply (q201) reconciles with the ledger (q198) exactly") {
+    val app = Sampling.packApply(spark, sf).collect()
+    val led = Sampling.packLedger(spark, sf).head()
+    assert(app.map(_.getAs[Long]("n_docs")).sum == led.getAs[Long]("n_docs"))
+    assert(app.map(_.getAs[Long]("used_tokens")).sum ==
+      led.getAs[Long]("used_tokens"))
+    assert(app.length.toLong == led.getAs[Long]("n_bins"))
+    app.foreach { r =>
+      assert(r.getAs[Long]("used_tokens") + r.getAs[Long]("pad_tokens")
+        == Sampling.PackCap)
+    }
+    // sequences are real content: distinct per bin (md5 collisions across
+    // 50-odd bins would mean the concat produced identical streams)
+    assert(app.map(_.getAs[String]("seq_md5")).distinct.length == app.length)
+  }
+
+  test("opq-pq (q200) emits a full ranked top-10 per probe") {
+    val rows = Similarity.opqPqTopK(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { g =>
+      assert(g.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10))
+    }
+  }
+
   // ---------------------------------------------------------------- q196
 
   test("html strip: skeleton canaries kept, nav-chrome dropped, clean docs untouched") {
