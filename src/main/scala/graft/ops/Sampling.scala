@@ -609,16 +609,48 @@ object Sampling {
     * property; shard-local FFD loses nothing at 10⁹ docs/shard), so
     * the per-class rank never globally sorts a 100 TB corpus. The
     * allocation join broadcasts an O(classes²) table. */
-  def packAtomic(s: SparkSession, d: String): DataFrame = {
+  def packAtomic(s: SparkSession, d: String, rangeDocs: Long = 1000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val allocPath = packAllocDir(s, d)
     val alloc = s.read.parquet(allocPath)
     val toks = Tables.documents(s, d).select(col("doc_id"),
       size(TextAnalysis.words(col("text"))).cast("long").as("n_tokens"),
       packLen(col("text"), PackCap).as("len"))
-    val ranked = toks.withColumn("rk", row_number()
-      .over(Window.partitionBy(col("len")).orderBy(col("doc_id")))
-      .cast("long"))
+    // rank within length class by doc_id — as a DISTRIBUTED two-level
+    // prefix sum (q49's shape, applied PER CLASS), not one window
+    // partitioned by len: length classes are heavily skewed (every
+    // truncated doc lands on len = cap), so the naive per-class window
+    // is a single hot task at 100 TB. Here every sort runs over a
+    // bounded partition: within-(len, range) over ≤B docs, within-
+    // (len, super-range) over ≤B range summaries, per-len over n/B²
+    // super summaries. The ORACLE keeps the naive per-class window —
+    // different algorithm, same numbers (the q49 precedent).
+    val ranged = toks.withColumn("rng", expr(s"doc_id div ${rangeDocs}L"))
+    val rangeCnt = ranged.groupBy(col("len"), col("rng"))
+      .agg(count(lit(1)).as("rcnt"))
+      .withColumn("srng", expr(s"rng div ${rangeDocs}L"))
+    val superCnt = rangeCnt.groupBy(col("len"), col("srng"))
+      .agg(sum(col("rcnt")).as("scnt"))
+    val wSuper = Window.partitionBy(col("len")).orderBy(col("srng"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val superOff = superCnt
+      .withColumn("soff", coalesce(sum(col("scnt")).over(wSuper), lit(0L)))
+      .select(col("len"), col("srng"), col("soff"))
+    val wInSuper = Window.partitionBy(col("len"), col("srng"))
+      .orderBy(col("rng")).rowsBetween(Window.unboundedPreceding, -1)
+    // offset joins stay UNHINTED: unlike q49's global summaries, the
+    // per-len summary tables multiply by |classes| ((len, rng) pairs can
+    // reach 512·n/B — not broadcastable at 10¹⁰ docs), so AQE picks
+    // broadcast at gate SFs and a co-partitioned hash join at scale.
+    val rangeOff = rangeCnt.join(superOff, Seq("len", "srng"))
+      .withColumn("roff",
+        col("soff") + coalesce(sum(col("rcnt")).over(wInSuper), lit(0L)))
+      .select(col("len"), col("rng"), col("roff"))
+    val wInRange = Window.partitionBy(col("len"), col("rng"))
+      .orderBy(col("doc_id"))
+    val ranked = ranged.join(rangeOff, Seq("len", "rng"))
+      .withColumn("rk",
+        (col("roff") + row_number().over(wInRange)).cast("long"))
     ranked.join(broadcast(alloc),
       ranked("len") === alloc("len") &&
         col("rk") >= col("rank_start") && col("rk") <= col("rank_end"))
