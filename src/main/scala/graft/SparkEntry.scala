@@ -619,6 +619,44 @@ object SparkEntry {
     // hash-proven via md5
     "q201_pack_apply" -> ((s: SparkSession, d: String) =>
       Sampling.packApply(s, d)),
+    // matryoshka truncation recall: top-k recall of prefix-dim rankings
+    // (d = 8/16/32/64) vs the full-dim truth, all on the int8 grid -
+    // the "can we ship the 4x-smaller index" audit (Kusupati et al.
+    // 2022); the d=64 row is the built-in identity anchor (ppm = 1e6)
+    "q202_matryoshka_recall" -> ((s: SparkSession, d: String) =>
+      Similarity.matryoshkaRecall(s, d)),
+    // k-center greedy coreset (Gonzalez 1985 farthest-point traversal;
+    // Sener & Savarese 2018's selection criterion): driver greedy over
+    // the bounded anchor pool, ONE corpus scan assigns to the nearest
+    // center - per-center population, cover radius^2, distance mass
+    "q203_kcenter_coreset" -> ((s: SparkSession, d: String) =>
+      Similarity.kCenterCoreset(s, d)),
+    // JSONL sink + re-read round-trip (the q51 convention for the OTHER
+    // interchange format): engine writes docs + escape canaries as
+    // newline-delimited JSON, re-reads with a declared schema, emits
+    // null-safe match flags + md5(text); the oracle parses the SAME
+    // artifact files - writer/parser/escape bugs land as hash mismatches
+    "q204_jsonl_roundtrip" -> ((s: SparkSession, d: String) =>
+      Pipelines.jsonlRoundtrip(s, d)),
+    // image near-dup by perceptual hash: aHash through the REAL PNG/BMP
+    // decoder (artifact-keyed like the media stats), pairs within
+    // Hamming<=4 via pigeonhole-complete 5-chunk banding - re-encoded
+    // copies land at Hamming 0 where byte dedup is blind; planted BMP
+    // re-encode + perturbed-pixel canaries prove both directions
+    "q205_image_dup_pairs" -> ((s: SparkSession, d: String) =>
+      Multimodal.imageDupPairs(s, d)),
+    // cross-doc n-gram duplication coverage (Lee et al. 2022's headline
+    // audit): ppm of each source's 3-gram INSTANCES whose text occurs
+    // in >=2 distinct docs - measures the duplication q30/q88/q170
+    // remove; postings-shaped, NO pair join (f, not f^2, per hot gram)
+    "q206_ngram_dup_coverage" -> ((s: SparkSession, d: String) =>
+      Dedup.ngramDupCoverage(s, d)),
+    // audio near-dup: PCM sign-delta fingerprint through the REAL
+    // javax.sound decoder, q205's two-level collapse+banding shape -
+    // an AIFF re-encode (different container, SWAPPED byte order, same
+    // waveform) collapses with its WAV; a two-sample poke lands near
+    "q207_audio_dup_pairs" -> ((s: SparkSession, d: String) =>
+      Multimodal.audioDupPairs(s, d)),
     // contamination span evidence: WHERE each training doc overlaps
     // the benchmark set - maximal token spans of shared 3-grams
     // (coverage, longest run, first/last pos), the redact-not-drop
@@ -901,6 +939,12 @@ object SparkEntry {
     "q199_opq_rotate" -> Similarity.opqRotateSql,
     "q200_opq_pq" -> Similarity.opqPqTopKSql,
     "q201_pack_apply" -> Sampling.packApplySql,
+    "q202_matryoshka_recall" -> Similarity.matryoshkaRecallSql,
+    "q203_kcenter_coreset" -> Similarity.kCenterCoresetSql,
+    "q204_jsonl_roundtrip" -> Pipelines.jsonlRoundtripSql,
+    "q205_image_dup_pairs" -> Multimodal.imageDupPairsSql,
+    "q206_ngram_dup_coverage" -> Dedup.ngramDupCoverageSql,
+    "q207_audio_dup_pairs" -> Multimodal.audioDupPairsSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

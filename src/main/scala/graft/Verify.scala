@@ -113,12 +113,18 @@ object Verify {
     }
     val packDst = snapshot("q197", graft.ops.Sampling.packAllocDir(spark, sfDir))
     val rotDst = snapshot("q199", graft.ops.Similarity.opqRotationDir(spark, sfDir))
+    val jsonlDst = snapshot("q204", graft.ops.Pipelines.q204ArtifactDirAbs(sfDir))
+    val ahashDst = snapshot("q205", graft.ops.Multimodal.ahashArtifactDir(spark, sfDir))
+    val afpDst = snapshot("q207", graft.ops.Multimodal.audioFpArtifactDir(spark, sfDir))
     val json = SparkEntry.oracleSql.view
       .filterKeys(k => only(k) && !downgrades.contains(k)).toMap
       .map { case (k, v) =>
         val resolved = v.replace("__Q51_ARTIFACT__", q51Dst.getPath)
           .replace("__Q197_PACK__", packDst.getPath)
           .replace("__Q199_ROT__", rotDst.getPath)
+          .replace("__Q204_JSONL__", jsonlDst.getPath)
+          .replace("__Q205_AHASH__", ahashDst.getPath)
+          .replace("__Q207_AFP__", afpDst.getPath)
         s"${q(k)}: ${q(resolved)}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

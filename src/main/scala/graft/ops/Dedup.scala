@@ -2358,4 +2358,82 @@ object Dedup {
       |         '[^a-z0-9]+', ' ', 'g')))) AS BIGINT) AS extra_dups
       |FROM corpus GROUP BY source
       |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q206: cross-doc n-gram duplication coverage (the Lee et al. metric)
+  // ---------------------------------------------------------------------
+
+  /** Cross-document n-gram duplication COVERAGE per source — the
+    * headline audit number of Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better"): what fraction of each
+    * source's 3-gram INSTANCES is text that also occurs in at least
+    * one other document? q30/q88/q170 *remove* duplication at doc /
+    * chunk / block granularity; this face *measures* what's left at
+    * token granularity — the number that says whether those passes
+    * were enough, per corpus slice.
+    *
+    * Exactness: pure counting — instances from the same 3-word shingle
+    * builder every dedup face uses ([[shingles]], dedup = false), a
+    * gram is "duplicated" iff it appears in ≥ 2 DISTINCT docs, coverage
+    * in integer ppm by `div`.
+    *
+    * Scale: the postings shape, with NO pair join anywhere — a
+    * stop-shingle in f docs costs f² in a pair join (the q32/q112
+    * hazard) but only f here: instances aggregate to (doc, gram)
+    * counts (one token-volume shuffle, the same cost class as the
+    * MinHash family's explode), gram-level doc counts aggregate from
+    * ≤ one row per (doc, gram), and the dup flag returns to the
+    * (doc, gram) table via a LINEAR equi-join on gram (broadcast at
+    * gate SFs via AQE; co-partitioned hash join at scale — both sides
+    * are already gram-keyed aggregates). The final rollup is
+    * |sources|-bounded. */
+  def ngramDupCoverage(s: SparkSession, d: String): DataFrame =
+    ngramDupCoverageOn(Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text")))
+
+  /** [[ngramDupCoverage]] over an explicit (doc_id, source, text)
+    * frame — the spec's fixture entry. */
+  private[graft] def ngramDupCoverageOn(docs: DataFrame): DataFrame = {
+    val inst = shingles(docs, dedup = false) // (doc_id, shingle) instances
+    val perDoc = inst.groupBy(col("doc_id"), col("shingle"))
+      .agg(count(lit(1)).as("c"))
+    val grams = perDoc.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n_docs"))
+    perDoc.join(grams, Seq("shingle"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("n_inst"),
+        sum(when(col("n_docs") >= 2, col("c")).otherwise(lit(0L)))
+          .cast("long").as("dup_inst"))
+      .withColumn("dup_ppm", expr("(1000000 * dup_inst) div greatest(n_inst, 1L)"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle for [[ngramDupCoverage]]: the instance stream (lead-window
+    * shingles, no distinct), gram-level distinct-doc counts, dup flag
+    * joined back, per-source rollup with `//`. */
+  val ngramDupCoverageSql: String =
+    """WITH inst0 AS (
+      |  SELECT doc_id,
+      |    word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w AS shingle
+      |  FROM (
+      |    SELECT doc_id,
+      |      unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word,
+      |      generate_subscripts(regexp_extract_all(text, '[a-z0-9]+'), 1) AS pos
+      |    FROM documents)
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      | inst AS (SELECT doc_id, shingle FROM inst0 WHERE shingle IS NOT NULL),
+      | grams AS (
+      |  SELECT shingle, count(DISTINCT doc_id) AS n_docs
+      |  FROM inst GROUP BY shingle),
+      | flagged AS (
+      |  SELECT i.doc_id, CASE WHEN g.n_docs >= 2 THEN 1 ELSE 0 END AS dup
+      |  FROM inst i JOIN grams g USING (shingle))
+      |SELECT d.source,
+      |  CAST(count(*) AS BIGINT) AS n_inst,
+      |  CAST(sum(f.dup) AS BIGINT) AS dup_inst,
+      |  CAST((1000000 * sum(f.dup)) // greatest(count(*), 1) AS BIGINT)
+      |    AS dup_ppm
+      |FROM flagged f JOIN documents d USING (doc_id)
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
 }

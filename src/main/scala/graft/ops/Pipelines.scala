@@ -299,6 +299,98 @@ object Pipelines {
       |  n_roundtrip, key_sum, digest
       |FROM dig""".stripMargin
 
+  /** q204's artifact dir, keyed by sf dir (the q51 rule: a Bench run at
+    * another SF between Verify and the driver's DuckDB pass writes a
+    * DIFFERENT dir and cannot clobber what the oracle reads). */
+  def q204ArtifactName(d: String): String =
+    s"jsonl_q204_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+
+  def q204ArtifactDirAbs(d: String): String =
+    new java.io.File(s"target/tmp/${q204ArtifactName(d)}").getAbsolutePath
+
+  /** JSONL (newline-delimited JSON) sink + re-read round-trip — the
+    * interchange format every LLM-data pipeline actually ships beside
+    * parquet. Where the reference's CSV sink must hand-build framing
+    * with typed quoting (`read.go:181-186`), JSONL gets framing from
+    * the format itself: the writer escapes every control character, so
+    * one record per line survives embedded newlines/tabs — which is
+    * exactly what the planted canaries prove (negative doc_ids, the
+    * q157/q187 disjoint-canary convention): a quote/backslash row, a
+    * tab+newline+CR row, and a multi-byte row (accented latin, CJK, an
+    * astral-plane emoji, a 0x01 control).
+    *
+    * The face writes a doc subset + canaries as JSONL, re-reads the
+    * artifact with a declared schema, and emits per-row null-safe
+    * value-match flags plus md5(text) — the md5 makes the check
+    * CROSS-ENGINE: the DuckDB oracle parses the SAME artifact files
+    * (path substituted by Verify at dump time, the q51 snapshot rule)
+    * against its own canary literals, so a writer escape bug, a parser
+    * bug, or a canary literal drift on either side lands as a hash
+    * mismatch, not a silent pass.
+    *
+    * Scale: the subset filter and the join are doc_id-keyed and linear;
+    * the `coalesce(1)` exists ONLY so the artifact is one deterministic
+    * file for the oracle glob — a production JSONL export keeps the
+    * session's write parallelism (every part file is independently
+    * valid JSONL, exactly like the CSV sink's part files). */
+  def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tmp = freshTmp(q204ArtifactName(d))
+    val subset = Tables.documents(s, d).where(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    val canaries = Seq(
+      (-3L, "quote \" backslash \\ slash / end", "zz", "canary", 901L),
+      (-2L, "tab\there newline\nhere cr\rhere", "zz", "canary", 902L),
+      (-1L, "caf\u00e9 \u4e2d\u6587 \ud83d\ude00 ctlend", "zz", "canary", 903L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val all = subset.unionByName(canaries)
+    all.orderBy(col("doc_id")).coalesce(1)
+      .write.mode("overwrite").option("ignoreNullFields", "false").json(tmp)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val back = s.read.schema(schema).json(tmp)
+    back.as("b").join(all.as("a"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("a.text") <=> col("b.text"), 1L).otherwise(0L).as("ok_text"),
+        when(col("a.lang") <=> col("b.lang"), 1L).otherwise(0L).as("ok_lang"),
+        when(col("a.source") <=> col("b.source"), 1L).otherwise(0L).as("ok_source"),
+        when(col("a.n_chars") <=> col("b.n_chars"), 1L).otherwise(0L).as("ok_nchars"),
+        md5(col("b.text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for q204 — parses the SAME JSONL artifact (path substituted
+    * by Verify) and joins it against the source subset plus its own
+    * canary literals. The md5 column is what forces byte-level text
+    * agreement across engines. */
+  val jsonlRoundtripSql: String =
+    "WITH back AS (\n" +
+      "  SELECT doc_id, text, lang, source, n_chars\n" +
+      "  FROM read_json('__Q204_JSONL__/part-*',\n" +
+      "    format='newline_delimited',\n" +
+      "    columns={'doc_id':'BIGINT','text':'VARCHAR','lang':'VARCHAR',\n" +
+      "             'source':'VARCHAR','n_chars':'BIGINT'})),\n" +
+      " src AS (\n" +
+      "  SELECT doc_id, text, lang, source, n_chars FROM documents\n" +
+      "  WHERE doc_id % 11 = 0\n" +
+      "  UNION ALL\n" +
+      "  SELECT * FROM (VALUES\n" +
+      "    (CAST(-3 AS BIGINT), 'quote \" backslash \\ slash / end', 'zz', 'canary', CAST(901 AS BIGINT)),\n" +
+      "    (CAST(-2 AS BIGINT), 'tab\there newline\nhere cr\rhere', 'zz', 'canary', CAST(902 AS BIGINT)),\n" +
+      "    (CAST(-1 AS BIGINT), 'caf\u00e9 \u4e2d\u6587 \ud83d\ude00 ctlend', 'zz', 'canary', CAST(903 AS BIGINT))\n" +
+      "  ) AS t(doc_id, text, lang, source, n_chars))\n" +
+      "SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,\n" +
+      "  CASE WHEN a.text IS NOT DISTINCT FROM b.text THEN 1 ELSE 0 END AS ok_text,\n" +
+      "  CASE WHEN a.lang IS NOT DISTINCT FROM b.lang THEN 1 ELSE 0 END AS ok_lang,\n" +
+      "  CASE WHEN a.source IS NOT DISTINCT FROM b.source THEN 1 ELSE 0 END AS ok_source,\n" +
+      "  CASE WHEN a.n_chars IS NOT DISTINCT FROM b.n_chars THEN 1 ELSE 0 END AS ok_nchars,\n" +
+      "  md5(b.text) AS text_md5\n" +
+      "FROM src a FULL OUTER JOIN back b ON a.doc_id = b.doc_id\n" +
+      "ORDER BY doc_id"
+
   /** End-to-end through the DSv2 source: orders → typed CSV files →
     * `format("graft-quotecsv")` with declared schema → range filter →
     * aggregate. Oracle: the same aggregate straight off the orders table —

@@ -4606,4 +4606,251 @@ object Similarity {
       |    THEN CAST((3000000 * (SELECT n_triangles FROM tri))
       |         // (SELECT n_wedges FROM wg) AS BIGINT)
       |    ELSE NULL END AS clustering_ppm""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q202: matryoshka (prefix-dimension) truncation recall audit
+  // ---------------------------------------------------------------------
+
+  /** Matryoshka truncation audit (Kusupati et al., NeurIPS 2022 —
+    * "Matryoshka Representation Learning"): how much top-k recall
+    * survives truncating every embedding to its FIRST d dimensions, for
+    * d ∈ {8, 16, 32, 64}? Production retrieval stacks ask exactly this
+    * before shipping a shortened index (a 16-dim prefix is a 4× smaller
+    * index and ~4× the scan throughput) — the answer decides whether
+    * the cheap index is usable at all, per corpus, not per paper.
+    *
+    * Exactness: everything rides the int8 grid ([[quantizedEmbeddings]]),
+    * so every dot — full or prefix — is an exact integer (≤ 64·127²,
+    * order-independent in double) and both rankings are deterministic
+    * ((dot desc, cid asc), the q48 discipline). The d = 64 row is the
+    * identity anchor: its recall is 10⁶ ppm by construction, so a gate
+    * pass proves the truncated legs ran against the right truth.
+    *
+    * Scale: the dims fan-out lives on the PROBE side only (|probes| ×
+    * |dims| = 20 broadcast rows) — the corpus is scanned ONCE and each
+    * vector emits 20 scored rows, partial-sorted per (dims, qid) group
+    * by the window's WindowGroupLimit top-k pruning; no corpus×corpus
+    * pair ever exists. Same cost class as q48/q144 at any n.
+    *
+    * Output: one row per (dims, qid) — n_hit of the full-dim top-k
+    * recovered by the prefix-dim top-k, recall in integer ppm. */
+  def matryoshkaRecall(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val qe = quantizedEmbeddings(s, d)
+    val probes = qe.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q8").as("qv"))
+    val wT = Window.partitionBy(col("qid"))
+      .orderBy(col("dot").desc, col("cid").asc)
+    val truth = qe.join(broadcast(probes), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        vecDot(col("qv"), col("q8")).cast("long").as("dot"))
+      .withColumn("rank", row_number().over(wT)).where(col("rank") <= k)
+      .select(col("qid"), col("cid"))
+    val probesD = probes.withColumn("dims",
+      explode(typedLit(Seq(8L, 16L, 32L, 64L))))
+    val wD = Window.partitionBy(col("dims"), col("qid"))
+      .orderBy(col("dot").desc, col("cid").asc)
+    val trunc = qe.join(broadcast(probesD), col("vec_id") =!= col("qid"))
+      .select(col("dims"), col("qid"), col("vec_id").as("cid"),
+        vecDot(slice(col("qv"), lit(1), col("dims")),
+               slice(col("q8"), lit(1), col("dims")))
+          .cast("long").as("dot"))
+      .withColumn("rank", row_number().over(wD)).where(col("rank") <= k)
+      .select(col("dims"), col("qid"), col("cid"))
+    val hits = trunc.join(truth, Seq("qid", "cid"))
+      .groupBy(col("dims"), col("qid")).agg(count(lit(1)).as("n_hit"))
+    val per = truth.groupBy(col("qid")).agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(
+        s.range(1).select(explode(typedLit(Seq(8L, 16L, 32L, 64L))).as("dims"))))
+    per.join(hits, Seq("dims", "qid"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall_ppm", expr("(1000000 * n_hit) div n_truth"))
+      .select(col("dims"), col("qid"), col("n_truth"), col("n_hit"),
+        col("recall_ppm"))
+      .orderBy(col("dims"), col("qid"))
+  }
+
+  /** Oracle for [[matryoshkaRecall]]: one quantize, the full-dim truth
+    * and the four prefix-dim rankings from the same base, intersect per
+    * (dims, qid), ppm by `//`. `list_slice(q, 1, d)` ≡ Spark's
+    * `slice(q, 1, d)` (1-based, d elements). */
+  val matryoshkaRecallSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |  FROM embeddings),
+      | q8 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN ma > 0
+      |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+      |  FROM base),
+      | probes0 AS (SELECT vec_id AS qid, q AS qv FROM q8 WHERE vec_id < 5),
+      | truth AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT p.qid, v.vec_id AS cid,
+      |      row_number() OVER (PARTITION BY p.qid
+      |        ORDER BY CAST(list_dot_product(p.qv, v.q) AS BIGINT) DESC,
+      |                 v.vec_id ASC) AS rank
+      |    FROM q8 v JOIN probes0 p ON v.vec_id <> p.qid) WHERE rank <= 10),
+      | dimsr AS (SELECT CAST(dims AS BIGINT) AS dims
+      |           FROM (VALUES (8), (16), (32), (64)) AS t(dims)),
+      | trunc AS (
+      |  SELECT dims, qid, cid FROM (
+      |    SELECT dm.dims, p.qid, v.vec_id AS cid,
+      |      row_number() OVER (PARTITION BY dm.dims, p.qid
+      |        ORDER BY CAST(list_dot_product(
+      |            list_slice(p.qv, 1, CAST(dm.dims AS INT)),
+      |            list_slice(v.q, 1, CAST(dm.dims AS INT))) AS BIGINT) DESC,
+      |                 v.vec_id ASC) AS rank
+      |    FROM q8 v JOIN probes0 p ON v.vec_id <> p.qid
+      |    CROSS JOIN dimsr dm) WHERE rank <= 10),
+      | hits AS (
+      |  SELECT t.dims, t.qid, CAST(count(*) AS BIGINT) AS n_hit
+      |  FROM trunc t JOIN truth u ON t.qid = u.qid AND t.cid = u.cid
+      |  GROUP BY t.dims, t.qid),
+      | per AS (
+      |  SELECT dm.dims, tq.qid, tq.n_truth
+      |  FROM dimsr dm CROSS JOIN (
+      |    SELECT qid, CAST(count(*) AS BIGINT) AS n_truth
+      |    FROM truth GROUP BY qid) tq)
+      |SELECT per.dims, per.qid, per.n_truth,
+      |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |  CAST((1000000 * coalesce(h.n_hit, 0)) // per.n_truth AS BIGINT)
+      |    AS recall_ppm
+      |FROM per LEFT JOIN hits h ON per.dims = h.dims AND per.qid = h.qid
+      |ORDER BY per.dims, per.qid""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q204: k-center greedy coreset selection
+  // ---------------------------------------------------------------------
+
+  /** k-center coreset selection — Gonzalez (1985) farthest-point
+    * traversal, the greedy 2-approximation to the k-center cover, used
+    * by Sener & Savarese (ICLR 2018) as the core-set criterion for
+    * selecting training data: pick the k points whose cover radius over
+    * the corpus is (provably near-)minimal, i.e. the most GEOMETRICALLY
+    * SPREAD subset, then report per-center population and cover radius.
+    * Where k-means (q92) summarizes density, k-center bounds the worst
+    * case — the criterion that keeps tail modes in the selected set.
+    *
+    * Exactness: greedy runs on the int8 grid with integer squared-L2
+    * (≤ 64·254² < 2³², exact in Long/double), deterministic seed (the
+    * smallest candidate vec_id) and ties to the smallest id — the whole
+    * traversal is reproducible arithmetic, replayed step-by-step by the
+    * oracle's chained CTEs (the kmeansIterSql convention).
+    *
+    * Scale: greedy is inherently sequential, so it runs DRIVER-SIDE
+    * over a BOUNDED candidate pool — the stride-100 grid (≤ 64 rows,
+    * the q144/q191 anchor convention; the kmeansFit bounded-collect
+    * rule). The corpus-sized work is ONE scan: assign every vector to
+    * its nearest selected center via an 8-way broadcast fan-out
+    * collapsed by a map-side-combined min_by hash agg (8 = O(1) rows
+    * per vector; the shuffle carries ≤ |centers| rows per partition).
+    * Report is |centers|-bounded. */
+  def kCenterCoreset(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    val qe = quantizedEmbeddings(s, d)
+    val cand = qe.where(col("vec_id") % 100 === 0 && col("vec_id") < 6400)
+      .select(col("vec_id"), col("q8")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).map(_.toLong).toArray))
+      .sortBy(_._1)
+    require(cand.nonEmpty, "kCenterCoreset: empty candidate pool")
+    val selected = kCenterGreedy(cand, k)
+    import s.implicits._
+    val centers = selected.zipWithIndex.map { case ((id, v), i) =>
+      (i + 1L, id, v.map(_.toDouble).toSeq) }.toSeq
+      .toDF("step", "cent_id", "cq")
+    val dist = expr(
+      "cast(aggregate(zip_with(q8, cq, (x, y) -> (x - y) * (x - y)), " +
+        "0D, (a, x) -> a + x) as long)")
+    val assigned = qe.crossJoin(broadcast(centers))
+      .select(col("vec_id"), col("step"), col("cent_id"), dist.as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("step"), col("cent_id"), col("d2")),
+        struct(col("d2"), col("cent_id"))).as("best"))
+      .select(col("best.step").as("step"), col("best.cent_id").as("cent_id"),
+        col("best.d2").as("d2"))
+    assigned.groupBy(col("step"), col("cent_id"))
+      .agg(count(lit(1)).as("n"), max(col("d2")).as("radius2"),
+        sum(col("d2")).cast("long").as("sum_d2"))
+      .orderBy(col("step"))
+  }
+
+  /** The farthest-point traversal itself, exposed for the spec's hand
+    * fixtures: seed = the first (smallest-id) candidate, then repeat
+    * "pick the candidate maximizing min squared-L2 to the selected set,
+    * ties to the smallest id" until k centers (or the pool runs out).
+    * Returns centers in SELECTION ORDER. Pure integer arithmetic. */
+  private[graft] def kCenterGreedy(cand: Array[(Long, Array[Long])],
+      k: Int): Seq[(Long, Array[Long])] = {
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var i = 0; var acc = 0L
+      while (i < a.length) { val df = a(i) - b(i); acc += df * df; i += 1 }
+      acc
+    }
+    val selected = scala.collection.mutable.ArrayBuffer(cand.head)
+    while (selected.length < math.min(k, cand.length)) {
+      val picked = cand.iterator
+        .filter(c => !selected.exists(_._1 == c._1))
+        .map(c => (c, selected.iterator.map(sl => d2(c._2, sl._2)).min))
+        .maxBy { case ((id, _), dist) => (dist, -id) }._1
+      selected += picked
+    }
+    selected.toSeq
+  }
+
+  /** Oracle for [[kCenterCoreset]]: the greedy traversal replayed as
+    * chained CTEs — sel1 = smallest candidate id; sel(i) = the candidate
+    * maximizing min squared-L2 to everything selected so far (ties to
+    * the smallest id); then the corpus-wide nearest-center assignment
+    * and the per-center rollup. Squared L2 from three dot products
+    * (‖x‖² + ‖c‖² − 2x·c), every term an exact integer on the grid. */
+  val kCenterCoresetSql: String = {
+    val head =
+      """WITH base AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+        |  FROM embeddings),
+        | q8 AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CASE WHEN ma > 0
+        |      THEN floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) ELSE 0.0 END) AS q
+        |  FROM base),
+        | cand AS (SELECT vec_id, q FROM q8
+        |          WHERE vec_id % 100 = 0 AND vec_id < 6400),
+        | sel1 AS (SELECT vec_id, q, CAST(1 AS BIGINT) AS step
+        |          FROM cand ORDER BY vec_id LIMIT 1),
+        | selu1 AS (SELECT * FROM sel1)""".stripMargin
+    val steps = (2 to 8).map { i =>
+      val prev = s"selu${i - 1}"
+      s""",
+         | sel$i AS (
+         |  SELECT vec_id, q, CAST($i AS BIGINT) AS step FROM (
+         |    SELECT c.vec_id, c.q,
+         |      min(CAST(list_dot_product(c.q, c.q) + list_dot_product(s.q, s.q)
+         |          - 2 * list_dot_product(c.q, s.q) AS BIGINT)) AS md
+         |    FROM cand c CROSS JOIN $prev s
+         |    WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)
+         |    GROUP BY c.vec_id, c.q) t(vec_id, q, md)
+         |  ORDER BY md DESC, vec_id ASC LIMIT 1),
+         | selu$i AS (SELECT vec_id, q, step FROM $prev
+         |            UNION ALL SELECT vec_id, q, step FROM sel$i)""".stripMargin
+    }.mkString
+    val tail =
+      """,
+        | centers AS (SELECT step, vec_id AS cent_id, q AS cq FROM selu8),
+        | assigned AS (
+        |  SELECT step, cent_id, d2 FROM (
+        |    SELECT c.step, c.cent_id,
+        |      CAST(list_dot_product(v.q, v.q) + list_dot_product(c.cq, c.cq)
+        |           - 2 * list_dot_product(v.q, c.cq) AS BIGINT) AS d2,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY CAST(list_dot_product(v.q, v.q)
+        |                 + list_dot_product(c.cq, c.cq)
+        |                 - 2 * list_dot_product(v.q, c.cq) AS BIGINT) ASC,
+        |                 c.cent_id ASC) AS rn
+        |    FROM q8 v CROSS JOIN centers c) WHERE rn = 1)
+        |SELECT step, cent_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(d2) AS BIGINT) AS radius2, CAST(sum(d2) AS BIGINT) AS sum_d2
+        |FROM assigned GROUP BY step, cent_id ORDER BY step""".stripMargin
+    head + steps + tail
+  }
 }

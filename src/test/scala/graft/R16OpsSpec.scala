@@ -292,4 +292,285 @@ class R16OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       truth.unpersist(); ()
     } finally { fix.unpersist(); () }
   }
+
+  // ---------------------------------------------------------------- q202
+
+  test("matryoshka recall: d=64 is the identity anchor, truncated legs replay brute-force") {
+    val out = Similarity.matryoshkaRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.size == 20, s"expected 4 dims x 5 probes, got ${out.size}")
+    // the full-dim leg ranks by the same dot as the truth -> recall 1e6
+    (0L to 4L).foreach { qid =>
+      val (nt, nh, ppm) = out((64L, qid))
+      assert(nt == 10 && nh == 10 && ppm == 1000000L,
+        s"d=64 identity anchor broken for qid=$qid: ($nt, $nh, $ppm)")
+    }
+    // independent driver-side replay: collect the int8 grid, brute-force
+    // every prefix ranking with the same (dot desc, cid asc) tie rule
+    val vecs = Similarity.quantizedEmbeddings(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).map(_.toLong).toArray)
+      .sortBy(_._1)
+    def topk(qid: Long, d: Int): Seq[Long] = {
+      val qv = vecs.find(_._1 == qid).get._2
+      vecs.filter(_._1 != qid)
+        .map { case (cid, v) =>
+          (cid, (0 until d).map(i => qv(i) * v(i)).sum) }
+        .sortBy { case (cid, dot) => (-dot, cid) }.take(10).map(_._1).toSeq
+    }
+    for (d <- Seq(8, 16, 32, 64); qid <- 0L to 4L) {
+      val truth = topk(qid, 64).toSet
+      val nh = topk(qid, d).count(truth)
+      assert(out((d.toLong, qid))._2 == nh,
+        s"replay mismatch at dims=$d qid=$qid: engine=${out((d.toLong, qid))._2} replay=$nh")
+    }
+  }
+
+  // ---------------------------------------------------------------- q203
+
+  test("k-center greedy: hand fixture selects farthest-first with id tie-break") {
+    // 1-dim points: id1@0 id2@1 id3@10 id4@11 id5@30. Seed = id1.
+    // Farthest from {0} is 30 (id5). Then min-d2: id3=100, id4=121 -> id4.
+    // Then id2 and id3 both have min-d2 1 -> tie to the SMALLER id (id2).
+    val cand = Array(
+      1L -> Array(0L), 2L -> Array(1L), 3L -> Array(10L),
+      4L -> Array(11L), 5L -> Array(30L))
+    val sel = Similarity.kCenterGreedy(cand, 4).map(_._1)
+    assert(sel == Seq(1L, 5L, 4L, 2L), s"selection order was $sel")
+  }
+
+  test("k-center coreset gate face replays against a plain-Scala reference") {
+    val vecs = Similarity.quantizedEmbeddings(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).map(_.toLong).toArray)
+      .sortBy(_._1)
+    val cand = vecs.filter { case (id, _) => id % 100 == 0 && id < 6400 }
+    val centers = Similarity.kCenterGreedy(cand, 8)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // reference assignment: nearest center, ties to smallest cent_id
+    val byCenter = vecs.map { case (vid, v) =>
+      centers.map { case (cid, cv) => (cid, d2(v, cv)) }
+        .minBy { case (cid, dd) => (dd, cid) }
+    }.groupBy(_._1).map { case (cid, xs) =>
+      cid -> (xs.length.toLong, xs.map(_._2).max, xs.map(_._2).sum) }
+    val out = Similarity.kCenterCoreset(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to centers.length).toSeq,
+      "steps not contiguous in selection order")
+    out.foreach { r =>
+      val (n, rad, sd) = byCenter(r.getLong(1))
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((n, rad, sd)),
+        s"center ${r.getLong(1)}: engine=(${r.getLong(2)},${r.getLong(3)},${r.getLong(4)}) ref=($n,$rad,$sd)")
+    }
+    // population covers the corpus exactly once
+    assert(out.map(_.getLong(2)).sum == vecs.length.toLong)
+  }
+
+  // ---------------------------------------------------------------- q204
+
+  test("jsonl round-trip: every row value-matches, canaries included, framing holds") {
+    val out = ops.Pipelines.jsonlRoundtrip(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every row (docs subset + the three escape canaries) matches on all
+    // four value columns after write -> re-read
+    out.foreach { r =>
+      assert((2 to 5).forall(i => r.getLong(i - 1) == 1L),
+        s"round-trip mismatch on doc_id=${r.getLong(0)}: $r")
+    }
+    assert(Seq(-3L, -2L, -1L).forall(id => out.exists(_.getLong(0) == id)),
+      "escape canaries missing from the round-trip output")
+    // framing: the artifact is LINE-delimited even though canary text
+    // embeds \n and \r - the writer must escape control chars, so
+    // #lines == #records and every line parses on its own
+    val dir = new java.io.File(ops.Pipelines.q204ArtifactDirAbs(sf))
+    val part = dir.listFiles().filter(_.getName.startsWith("part-")).head
+    val lines = scala.io.Source.fromFile(part, "UTF-8").getLines().toSeq
+    assert(lines.length == out.length,
+      s"expected ${out.length} JSONL lines, found ${lines.length} - embedded newline broke framing")
+    assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+    // the multi-byte canary survives byte-exactly (md5 over UTF-8)
+    val emoji = out.find(_.getLong(0) == -1L).get.getString(5)
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("caf\u00e9 \u4e2d\u6587 \ud83d\ude00 ctlend".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(emoji == expect, s"canary md5 $emoji != $expect")
+  }
+
+  // ---------------------------------------------------------------- q205
+
+  test("ahash: pixel-level replay, re-encode invariance, perturb sensitivity") {
+    import graft.ops.Multimodal.JdkCodec
+    // independent replay: the hash of the REAL PNG encode->decode path
+    // must equal pure arithmetic over the pixel() closed form
+    def refHash(id: Long): Long = {
+      val (w, h) = (JdkCodec.imageWidth(id), JdkCodec.imageHeight(id))
+      val v = for (j <- 0 until 8; i <- 0 until 8) yield {
+        val x = math.min((2 * i + 1) * w / 16, w - 1)
+        val y = math.min((2 * j + 1) * h / 16, h - 1)
+        JdkCodec.pixel(id, x, y).toLong
+      }
+      val sum = v.sum
+      v.zipWithIndex.foldLeft(0L) { case (acc, (s0, c)) =>
+        if (64L * s0 >= sum) acc | (1L << c) else acc }
+    }
+    for (id <- Seq(0L, 3L, 6L, 9L, 42L, 123L)) {
+      val png = JdkCodec.encodePng(id)
+      val bmp = JdkCodec.encodeBmp(id)
+      assert(JdkCodec.aHash(png) == refHash(id),
+        s"aHash(png) != pixel-level replay for id=$id")
+      // byte-different container, pixel-identical content -> same hash
+      assert(!java.util.Arrays.equals(png, bmp), "png and bmp bytes identical?")
+      assert(JdkCodec.aHash(bmp) == JdkCodec.aHash(png),
+        s"re-encode changed the perceptual hash for id=$id")
+      // the perturbed copy is near but NOT identical
+      val ph = JdkCodec.aHash(JdkCodec.encodePngPerturbed(id))
+      assert(ph != JdkCodec.aHash(png), s"perturbation invisible for id=$id")
+    }
+  }
+
+  test("image dup pairs: exact-collapse classes, canary pairs present, banding complete") {
+    import graft.ops.Multimodal
+    val face = Multimodal.imageDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // no Hamming-0 pair can appear: identical hashes collapsed into one class
+    assert(face.values.forall(_._1 >= 1L), "exact-dup pair leaked past the collapse")
+    // read the artifact and collapse classes independently
+    val hashes = spark.read.parquet(Multimodal.ahashArtifactDir(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val classes = hashes.groupBy(_._2).map { case (h, xs) =>
+      h -> (xs.map(_._1).min, xs.length.toLong) }
+    def rep(id: Long): Long = classes(hashes.find(_._1 == id).get._2)._1
+    for (id <- Multimodal.AHashCanaryIds) {
+      // the BMP re-encode canary joined the original's class
+      assert(rep(-(id + 1L)) == rep(id),
+        s"BMP re-encode of $id not collapsed with the original")
+      // the perturbed canary pairs with the original's rep IF within the
+      // bound (id 0 is 4x4 - poking 2 of 16 pixels is a big edit, ham 24:
+      // honestly out of range; ids 3 and 6 land at ham 2 and 1)
+      val ham = java.lang.Long.bitCount(
+        hashes.find(_._1 == -(id + 1001L)).get._2 ^
+          hashes.find(_._1 == id).get._2).toLong
+      if (ham <= 4) {
+        val (a, b) = (math.min(rep(-(id + 1001L)), rep(id)),
+          math.max(rep(-(id + 1001L)), rep(id)))
+        assert(face.contains((a, b)), s"perturbed canary pair ($a,$b) missing")
+        assert(face((a, b))._1 == ham)
+      }
+    }
+    assert(Multimodal.AHashCanaryIds.exists { id =>
+      java.lang.Long.bitCount(hashes.find(_._1 == -(id + 1001L)).get._2 ^
+        hashes.find(_._1 == id).get._2) <= 4 },
+      "no perturbed canary within the bound - the near-dup leg is unexercised")
+    // banding completeness: brute-force over class reps == face output
+    val reps = classes.values.toSeq
+    val brute = (for {
+      (ra, na) <- reps; (rb, nb) <- reps if ra < rb
+      h = java.lang.Long.bitCount(
+        classes.find(_._2._1 == ra).get._1 ^ classes.find(_._2._1 == rb).get._1).toLong
+      if h <= 4
+    } yield (ra, rb) -> (h, na, nb)).toMap
+    assert(face == brute,
+      s"banding join != brute force: ${face.size} vs ${brute.size} pairs")
+  }
+
+  // ---------------------------------------------------------------- q207
+
+  test("audio fingerprint: PCM-level replay, AIFF invariance, perturb sensitivity") {
+    import graft.ops.Multimodal.JdkCodec
+    // independent replay: the fingerprint of the REAL WAV encode->decode
+    // path must equal pure arithmetic over the sample() closed form
+    def refFp(id: Long): Long = {
+      val n = JdkCodec.audioFrames(id)
+      def v(idx: Int): Int = JdkCodec.sample(id, math.min(idx, n - 1)).toInt
+      var hash = 0L
+      var prev = v(n / 130)
+      for (k <- 0 until 64) {
+        val cur = v((2 * (k + 1) + 1) * n / 130)
+        if (cur >= prev) hash |= 1L << k
+        prev = cur
+      }
+      hash
+    }
+    for (id <- Seq(1L, 4L, 7L, 10L, 43L, 124L)) {
+      val wav = JdkCodec.encodeWav(id)
+      val aiff = JdkCodec.encodeAiff(id)
+      // byte-different container AND byte order -> identical fingerprint
+      assert(!java.util.Arrays.equals(wav, aiff))
+      assert(JdkCodec.audioFingerprint(aiff) == JdkCodec.audioFingerprint(wav),
+        s"AIFF re-encode changed the fingerprint for id=$id")
+      val pf = JdkCodec.audioFingerprint(JdkCodec.encodeWavPerturbed(id))
+      assert(pf != JdkCodec.audioFingerprint(wav), s"perturbation invisible for id=$id")
+      val ham = java.lang.Long.bitCount(pf ^ JdkCodec.audioFingerprint(wav))
+      assert(ham <= 8, s"two-sample poke moved $ham bits for id=$id")
+    }
+  }
+
+  test("audio dup pairs gate face: collapse + canaries + banding complete") {
+    import graft.ops.Multimodal
+    val face = Multimodal.audioDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(face.values.forall(_ >= 1L), "exact-dup pair leaked past the collapse")
+    val hashes = spark.read.parquet(Multimodal.audioFpArtifactDir(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val classes = hashes.groupBy(_._2).map { case (h, xs) => h -> xs.map(_._1).min }
+    def rep(id: Long): Long = classes(hashes.find(_._1 == id).get._2)
+    for (id <- Multimodal.AudioFpCanaryIds) {
+      assert(rep(-(id + 1L)) == rep(id),
+        s"AIFF re-encode of $id not collapsed with the original")
+      val ham = java.lang.Long.bitCount(
+        hashes.find(_._1 == -(id + 1001L)).get._2 ^
+          hashes.find(_._1 == id).get._2).toLong
+      if (ham >= 1 && ham <= 4) {
+        val (a, b) = (math.min(rep(-(id + 1001L)), rep(id)),
+          math.max(rep(-(id + 1001L)), rep(id)))
+        assert(face.contains((a, b)) && face((a, b)) == ham,
+          s"perturbed canary pair ($a,$b) ham=$ham missing/mismatched")
+      }
+    }
+    // banding completeness vs brute force over reps
+    val reps = classes.toSeq.map { case (h, r) => (r, h) }
+    val brute = (for {
+      (ra, ha) <- reps; (rb, hb) <- reps if ra < rb
+      h = java.lang.Long.bitCount(ha ^ hb).toLong if h <= 4
+    } yield (ra, rb) -> h).toMap
+    assert(face == brute,
+      s"banding join != brute force: ${face.size} vs ${brute.size} pairs")
+  }
+
+  // ---------------------------------------------------------------- q206
+
+  test("ngram dup coverage: hand fixture with known instance arithmetic") {
+    val sp0 = spark; import sp0.implicits._
+    // doc 1: "a b c d"  -> grams {a b c, b c d}            (2 instances)
+    // doc 2: "a b c x"  -> grams {a b c, b c x}            (2 instances)
+    // doc 3: "z z z z z"-> grams {z z z} ×3 — INTRA-doc repeats don't
+    //                      count as cross-doc duplication   (3 instances)
+    // doc 4: "q w"      -> no grams
+    // cross-doc dup grams: {a b c} (docs 1,2). So:
+    //  s1 = docs 1,3: inst 5, dup 1 -> 200000 ppm
+    //  s2 = docs 2,4: inst 2, dup 1 -> 500000 ppm
+    val docs = Seq(
+      (1L, "s1", "a b c d"), (2L, "s2", "a b c x"),
+      (3L, "s1", "z z z z z"), (4L, "s2", "q w")
+    ).toDF("doc_id", "source", "text")
+    val out = graft.ops.Dedup.ngramDupCoverageOn(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("s1") == ((5L, 1L, 200000L)), s"s1: ${out("s1")}")
+    assert(out("s2") == ((2L, 1L, 500000L)), s"s2: ${out("s2")}")
+  }
+
+  test("ngram dup coverage gate face: ppm bounded, instances conserved") {
+    val out = graft.ops.Dedup.ngramDupCoverageOn(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("source"), col("text"))).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "dup_inst > n_inst")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+    }
+    // this corpus is built from a tiny vocabulary — duplication must be
+    // overwhelmingly present (the metric would be ~0 on clean text)
+    assert(out.map(_.getLong(2)).sum > 0L)
+  }
 }
