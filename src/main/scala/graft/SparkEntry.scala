@@ -657,6 +657,18 @@ object SparkEntry {
     // waveform) collapses with its WAV; a two-sample poke lands near
     "q207_audio_dup_pairs" -> ((s: SparkSession, d: String) =>
       Multimodal.audioDupPairs(s, d)),
+    // semantic decontamination - the third decon leg (q69 exact n-gram,
+    // q116 lexical LSH, this one embedding-space): flag training vectors
+    // within rounded-cos >= 0.98 of the FIXED 64-vector benchmark slice;
+    // planted exact-copy leaks (negative ids) must flag at cos = 1.0
+    "q208_semantic_decon" -> ((s: SparkSession, d: String) =>
+      Similarity.semanticDecontaminate(s, d)),
+    // Broder containment pairs - the asymmetric near-dup Jaccard can't
+    // see: a doc SUBSUMED by a larger one (quote/inclusion) has
+    // containment 1.0 but Jaccard ~0.5; planted half-text twins
+    // (doc_id % 77 = 5, negative ids) must flag at c ~ 1.0
+    "q209_containment_pairs" -> ((s: SparkSession, d: String) =>
+      Dedup.containmentPairs(s, d)),
     // contamination span evidence: WHERE each training doc overlaps
     // the benchmark set - maximal token spans of shared 3-grams
     // (coverage, longest run, first/last pos), the redact-not-drop
@@ -945,6 +957,8 @@ object SparkEntry {
     "q205_image_dup_pairs" -> Multimodal.imageDupPairsSql,
     "q206_ngram_dup_coverage" -> Dedup.ngramDupCoverageSql,
     "q207_audio_dup_pairs" -> Multimodal.audioDupPairsSql,
+    "q208_semantic_decon" -> Similarity.semanticDecontaminateSql,
+    "q209_containment_pairs" -> Dedup.containmentPairsSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -2360,6 +2360,93 @@ object Dedup {
       |ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q209: containment pairs (asymmetric near-dup — Broder containment)
+  // ---------------------------------------------------------------------
+
+  /** Asymmetric near-dup pairs by Broder CONTAINMENT — c(a⊂b) =
+    * |Sₐ∩S_b| / |Sₐ| — the metric that catches what Jaccard (q32)
+    * structurally cannot: a document SUBSUMED by a larger one (a quoted
+    * article inside a page, a chunk re-shipped inside its source). A
+    * half-length copy has containment 1.0 but Jaccard ≈ 0.5⁻ — exactly
+    * at/below q32's threshold, invisible there by construction.
+    *
+    * The gate PLANTS that case (the q157/q187 canary convention): for
+    * every doc_id % 77 = 5, a negative-id twin carrying the first half
+    * of its text — each must flag with containment ≈ 1.0 on the half
+    * side.
+    *
+    * Scale: identical machinery and argument as [[jaccardPairs]] — the
+    * shingle df cap bounds the self-join at Σf² ≤ maxDf·|postings|
+    * (linear), sizes and commons both live in the capped universe, and
+    * the oracle applies the same cap, so the scores are exact within
+    * that universe. Both directions reported; flag = max side ≥ 0.9. */
+  def containmentPairs(s: SparkSession, d: String, maxDf: Int = 100,
+      t: Double = 0.9): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val spliced = base.unionByName(
+      base.where(col("doc_id") % 77 === 5)
+        .select((-col("doc_id") - 2000000L).as("doc_id"),
+          substring(col("text"), lit(1), (length(col("text")) / 2).cast("int"))
+            .as("text")))
+    val shAll = shingles(spliced)
+    val rare = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("shingle"))
+    val sh = shAll.join(rare, "shingle")
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.select(col("doc_id"), col("ns").as("ns1")),
+        col("d1") === col("doc_id")).drop("doc_id")
+      .join(counts.select(col("doc_id"), col("ns").as("ns2")),
+        col("d2") === col("doc_id")).drop("doc_id")
+      .withColumn("c1", round(col("n_common").cast("double") / col("ns1"), 4))
+      .withColumn("c2", round(col("n_common").cast("double") / col("ns2"), 4))
+      .where(greatest(col("c1"), col("c2")) >= t)
+      .select(col("d1"), col("d2"), col("n_common"), col("c1"), col("c2"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Oracle for [[containmentPairs]]: the half-text splice, the same df
+    * cap, and both containment directions replayed. */
+  val containmentPairsSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT -doc_id - 2000000, substr(text, 1, CAST(length(text) // 2 AS INT))
+      |  FROM documents WHERE doc_id % 77 = 5),
+      | s0 AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |      word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w AS shingle
+      |    FROM (
+      |      SELECT doc_id,
+      |        unnest(regexp_extract_all(text, '[a-z0-9]+')) AS word,
+      |        generate_subscripts(regexp_extract_all(text, '[a-z0-9]+'), 1) AS pos
+      |      FROM corpus)
+      |    WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      |  WHERE shingle IS NOT NULL),
+      | rare AS (SELECT shingle FROM s0 GROUP BY shingle HAVING count(*) <= 100),
+      | s AS (SELECT s0.* FROM s0 JOIN rare USING (shingle)),
+      | n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
+      | common AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_common
+      |  FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2, CAST(n_common AS BIGINT) AS n_common,
+      |  round(CAST(n_common AS DOUBLE) / n1.ns, 4) AS c1,
+      |  round(CAST(n_common AS DOUBLE) / n2.ns, 4) AS c2
+      |FROM common
+      |JOIN n n1 ON n1.doc_id = d1
+      |JOIN n n2 ON n2.doc_id = d2
+      |WHERE greatest(round(CAST(n_common AS DOUBLE) / n1.ns, 4),
+      |               round(CAST(n_common AS DOUBLE) / n2.ns, 4)) >= 0.9
+      |ORDER BY d1, d2""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q206: cross-doc n-gram duplication coverage (the Lee et al. metric)
   // ---------------------------------------------------------------------
 

@@ -4720,6 +4720,83 @@ object Similarity {
       |ORDER BY per.dims, per.qid""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q208: semantic decontamination (embedding-space benchmark leakage)
+  // ---------------------------------------------------------------------
+
+  /** Semantic benchmark decontamination — the THIRD decontamination
+    * leg: q69 catches verbatim 3-gram overlap, q116 catches lexically
+    * near-duplicate paraphrases (MinHash-LSH), this catches SEMANTIC
+    * leakage — eval content re-expressed in different words, visible
+    * only in embedding space (the practice production model cards
+    * describe as embedding-similarity decontamination).
+    *
+    * Benchmark = the FIXED-SIZE id range `vec_id < 64` — unlike a mod-
+    * stride, a real eval suite does not grow with the corpus, and the
+    * fixed bound is what makes the scale shape honest: the bench side
+    * BROADCASTS at any corpus size and the training corpus streams once
+    * through a 64-way fan-out collapsed by max_by — O(64n), no
+    * train-side shuffle, the q48/q202 probe-bounded pattern.
+    *
+    * Planted leaks (the q157/q187 canary convention, negative ids):
+    * exact copies of the 3 smallest bench vectors re-keyed as training
+    * rows — they MUST flag at cos = 1.0; an engine that loses them has
+    * broken the one case the operator exists for.
+    *
+    * Determinism: cosine rounded to 4dp before both the argmax and the
+    * threshold (the q40/q41 rounded-cosine rule), ties to the smallest
+    * bench id. Output = flagged training rows only. */
+  def semanticDecontaminate(s: SparkSession, d: String,
+      tau: Double = 0.98): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val bench = emb.where(col("vec_id") < 64)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("bv"),
+        vecNorm(col("embedding")).as("bn"))
+    val canaries = emb.where(col("vec_id") < 3)
+      .select((-col("vec_id") - 1).as("vec_id"), col("embedding"))
+    val train = emb.where(col("vec_id") >= 64)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(canaries)
+      .withColumn("tn", vecNorm(col("embedding")))
+    train.crossJoin(broadcast(bench))
+      .select(col("vec_id"), col("bench_id"),
+        round(vecDot(col("embedding"), col("bv")) / (col("tn") * col("bn")), 4)
+          .as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("bench_id"), col("cos")),
+        struct(col("cos"), -col("bench_id"))).as("best"))
+      .select(col("vec_id"), col("best.bench_id").as("bench_id"),
+        col("best.cos").as("cos"))
+      .where(col("cos") >= tau)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle for [[semanticDecontaminate]]: same bench slice, canary
+    * splice, rounded-cosine argmax (ties to smallest bench id), and
+    * threshold, replayed in DuckDB. */
+  val semanticDecontaminateSql: String =
+    """WITH bench AS (
+      |  SELECT vec_id AS bench_id, embedding AS bv,
+      |    sqrt(list_dot_product(embedding, embedding)) AS bn
+      |  FROM embeddings WHERE vec_id < 64),
+      | train AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 64
+      |  UNION ALL
+      |  SELECT -vec_id - 1, embedding FROM embeddings WHERE vec_id < 3),
+      | scored AS (
+      |  SELECT t.vec_id, b.bench_id,
+      |    round(list_dot_product(t.embedding, b.bv) /
+      |      (sqrt(list_dot_product(t.embedding, t.embedding)) * b.bn), 4)
+      |      AS cos
+      |  FROM train t CROSS JOIN bench b),
+      | best AS (
+      |  SELECT vec_id, bench_id, cos FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, bench_id ASC) AS rn
+      |    FROM scored) WHERE rn = 1)
+      |SELECT vec_id, bench_id, cos FROM best WHERE cos >= 0.98
+      |ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q204: k-center greedy coreset selection
   // ---------------------------------------------------------------------
 

@@ -473,6 +473,49 @@ class R16OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"banding join != brute force: ${face.size} vs ${brute.size} pairs")
   }
 
+  // ---------------------------------------------------------------- q209
+
+  test("containment pairs: planted half-doc twins flag where Jaccard is blind") {
+    val rows = graft.ops.Dedup.containmentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // every reported pair respects the threshold on its max side
+    assert(rows.values.forall { case (_, c1, c2) => math.max(c1, c2) >= 0.9 })
+    // planted canaries: the half-text twin of doc k (id -k-2000000) must
+    // flag CONTAINED (c1 ~ 1.0) while the full doc shares < half its own
+    // shingles (c2 < 0.5) - i.e. Jaccard < 0.5, q32-invisible
+    val canaries = rows.filter { case ((a, b), _) => a == -b - 2000000L }
+    assert(canaries.size >= 5, s"only ${canaries.size} planted twins flagged")
+    canaries.foreach { case ((a, b), (_, c1, c2)) =>
+      assert(c1 >= 0.9, s"twin ($a,$b) containment $c1 below bound")
+      // a half-doc's c2 is ~0.5 by construction (exactly 0.5 when the
+      // halves partition the shingles evenly, as doc 236's do)
+      assert(c2 <= 0.55, s"twin ($a,$b) c2=$c2 - not a half-doc signature")
+    }
+    // and for most twins the full side shares STRICTLY less than half
+    // its shingles - Jaccard < 0.5, q32-invisible by construction
+    assert(canaries.count { case (_, (_, _, c2)) => c2 < 0.5 } >= 5,
+      "too few twins below the q32 visibility threshold")
+    // and asymmetry is REAL: natural pairs exist in both orientations
+    assert(rows.nonEmpty)
+  }
+
+  // ---------------------------------------------------------------- q208
+
+  test("semantic decon: planted exact-copy leaks flag at cos 1.0 against their source") {
+    val out = Similarity.semanticDecontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // the three planted leaks (copies of bench vecs 0,1,2 under -1,-2,-3)
+    for (id <- 0L to 2L) {
+      val (bid, cos) = out.getOrElse(-(id + 1L),
+        fail(s"planted leak -(${id + 1}) not flagged"))
+      assert(bid == id, s"leak -${id + 1} attributed to bench $bid, not $id")
+      assert(cos == 1.0, s"exact copy scored $cos")
+    }
+    // everything flagged respects the threshold, output keyed uniquely
+    assert(out.values.forall(_._2 >= 0.98))
+  }
+
   // ---------------------------------------------------------------- q207
 
   test("audio fingerprint: PCM-level replay, AIFF invariance, perturb sensitivity") {
