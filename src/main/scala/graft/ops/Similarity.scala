@@ -4833,12 +4833,16 @@ object Similarity {
     val selected = kCenterGreedy(cand, k)
     import s.implicits._
     val centers = selected.zipWithIndex.map { case ((id, v), i) =>
-      (i + 1L, id, v.map(_.toDouble).toSeq) }.toSeq
-      .toDF("step", "cent_id", "cq")
-    val dist = expr(
-      "cast(aggregate(zip_with(q8, cq, (x, y) -> (x - y) * (x - y)), " +
-        "0D, (a, x) -> a + x) as long)")
-    val assigned = qe.crossJoin(broadcast(centers))
+      (i + 1L, id, v.map(_.toDouble).toSeq, v.map(x => x * x).sum.toDouble) }
+      .toSeq.toDF("step", "cent_id", "cq", "cc")
+    // d2 = ‖x‖² + ‖c‖² − 2x·c through the codegen'd DotProduct kernel —
+    // the interpreted zip_with/aggregate HOF form of the same integer
+    // was the measured sf10 hot path (17 s warm min vs ~3 s; every term
+    // exact on the grid). ‖x‖² computed once per row, not per center.
+    val dist = (col("xx") + col("cc")
+      - lit(2.0) * vecDot(col("q8"), col("cq"))).cast("long")
+    val assigned = qe.withColumn("xx", vecDot(col("q8"), col("q8")))
+      .crossJoin(broadcast(centers))
       .select(col("vec_id"), col("step"), col("cent_id"), dist.as("d2"))
       .groupBy(col("vec_id"))
       .agg(min_by(struct(col("step"), col("cent_id"), col("d2")),
