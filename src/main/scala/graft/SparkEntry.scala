@@ -669,6 +669,16 @@ object SparkEntry {
     // (doc_id % 77 = 5, negative ids) must flag at c ~ 1.0
     "q209_containment_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.containmentPairs(s, d)),
+    // image duplicate-cluster ledger: q38's transitive components over
+    // q205's rep pair graph (distinct content only), exact-hash class
+    // sizes folded back - the per-cluster "keep 1, drop n-1" number
+    "q210_image_dup_clusters" -> ((s: SparkSession, d: String) =>
+      Multimodal.imageDupClusters(s, d)),
+    // ANALYZE-style column statistics (CBO stats collector): row/null
+    // counts, exact NDV, min/max per column from column-pruned scans;
+    // the HLL one-pass variant is the 100TB path (q14/q78 price it)
+    "q211_analyze_stats" -> ((s: SparkSession, d: String) =>
+      Relational.analyzeColumnStats(s, d)),
     // contamination span evidence: WHERE each training doc overlaps
     // the benchmark set - maximal token spans of shared 3-grams
     // (coverage, longest run, first/last pos), the redact-not-drop
@@ -959,6 +969,8 @@ object SparkEntry {
     "q207_audio_dup_pairs" -> Multimodal.audioDupPairsSql,
     "q208_semantic_decon" -> Similarity.semanticDecontaminateSql,
     "q209_containment_pairs" -> Dedup.containmentPairsSql,
+    "q210_image_dup_clusters" -> Multimodal.imageDupClustersSql,
+    "q211_analyze_stats" -> Relational.analyzeColumnStatsSql,
     "q47_stratified_sample" -> Sampling.eventSampleSql,
     "q48_quantized_topk" -> Similarity.quantizedTopKSql,
     "q68_label_centroids" -> Similarity.labelCentroidsSql,

@@ -2391,7 +2391,9 @@ object Dedup {
     val shAll = shingles(spliced)
     val rare = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select(col("shingle"))
-    val sh = shAll.join(rare, "shingle")
+    // cached like jaccardPairsFrom: the capped postings feed the size
+    // agg AND both sides of the self-join - three scans of one compute
+    val sh = shAll.join(rare, "shingle").cache()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
     val common = sh.as("a")
       .join(sh.as("b"),

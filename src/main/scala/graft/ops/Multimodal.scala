@@ -975,6 +975,68 @@ object Multimodal {
   def audioDupPairs(s: SparkSession, d: String, maxHam: Int = 4): DataFrame =
     hashDupPairs(s.read.parquet(audioFpArtifactDir(s, d)), "afp", maxHam)
 
+  // ---------------------------------------------------------------------
+  // q210: image duplicate-cluster ledger (q205's transitive view)
+  // ---------------------------------------------------------------------
+
+  /** Image duplicate CLUSTERS — q38's transitive argument applied to the
+    * perceptual leg: rep A within Hamming 4 of B, B of C ⇒ one cluster
+    * {A,B,C} even if A–C never met in a band. Components run over the
+    * REP pair graph (distinct content only — the q205 collapse is what
+    * keeps the graph small at any corpus size), then every exact-hash
+    * class folds its member count back in, so the ledger speaks in
+    * IMAGES while the graph work stays in distinct hashes. Singleton
+    * classes (no near-dup) are their own cluster.
+    *
+    * Output: one row per cluster — id (min rep), class count, image
+    * count. This is the number a dedup pass acts on: keep one image
+    * per cluster ⇒ drop n_images − 1. */
+  def imageDupClusters(s: SparkSession, d: String): DataFrame = {
+    val h = s.read.parquet(ahashArtifactDir(s, d))
+    val classes = h.groupBy(col("ahash"))
+      .agg(min(col("media_id")).as("rep"), count(lit(1)).as("n"))
+    val pairs = imageDupPairs(s, d).select(col("a").as("d1"), col("b").as("d2"))
+    val comp = Dedup.connectedComponents(pairs)
+      .select(col("id").as("rep"), col("comp"))
+    classes.join(comp, Seq("rep"), "left")
+      .select(col("rep"), coalesce(col("comp"), col("rep")).as("cluster"),
+        col("n"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("n")).cast("long").as("n_images"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Oracle for [[imageDupClusters]]: collapse + brute-force pairing +
+    * recursive-CTE transitive closure (the q38 oracle convention — a
+    * different algorithm arriving at the same min-id fixpoint), classes
+    * folded back by a left join. */
+  val imageDupClustersSql: String =
+    """WITH RECURSIVE h AS (
+      |  SELECT media_id, ahash
+      |  FROM read_parquet('__Q205_AHASH__/part-*')),
+      | cls AS (
+      |  SELECT ahash, min(media_id) AS rep, CAST(count(*) AS BIGINT) AS n
+      |  FROM h GROUP BY ahash),
+      | pairs AS (
+      |  SELECT x.rep AS d1, y.rep AS d2
+      |  FROM cls x JOIN cls y ON x.rep < y.rep
+      |  WHERE bit_count(xor(x.ahash, y.ahash)) <= 4),
+      | edges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM pairs
+      |  UNION
+      |  SELECT d2, d1 FROM pairs),
+      | reach(a, b) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+      | comp AS (SELECT a AS rep, min(b) AS comp FROM reach GROUP BY a),
+      | unit AS (
+      |  SELECT c.rep, coalesce(m.comp, c.rep) AS cluster, c.n
+      |  FROM cls c LEFT JOIN comp m USING (rep))
+      |SELECT cluster, CAST(count(*) AS BIGINT) AS n_classes,
+      |  CAST(sum(n) AS BIGINT) AS n_images
+      |FROM unit GROUP BY cluster ORDER BY cluster""".stripMargin
+
   /** Oracle for [[audioDupPairs]]: collapse + brute-force rep pairing
     * from the same fingerprint artifact (the q205 rule). */
   val audioDupPairsSql: String =

@@ -1855,4 +1855,74 @@ object Relational {
       |    (m * n - s1) * (m * n - s1) > 4 * (m * s2 - s1 * s1)
       |  END AS anomaly
       |FROM win ORDER BY user_id, day""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q211: ANALYZE-style column statistics (the CBO stats collector)
+  // ---------------------------------------------------------------------
+
+  /** Per-column table statistics — what `ANALYZE TABLE ... COMPUTE
+    * STATISTICS FOR COLUMNS` feeds a cost-based optimizer: row count,
+    * null count, exact NDV, min and max per column. An engine that owns
+    * its storage must also own its stats collection; this face is that
+    * maintenance job as a query.
+    *
+    * Shape: one aggregate per column over a COLUMN-PRUNED scan (the
+    * ReadSchema audit shows each leg reading exactly one column), then
+    * a 4-row union. Exact `countDistinct` is the ANALYZE job shape — a
+    * per-column partial-distinct shuffle, linear and map-side combined;
+    * at 100 TB production trades exactness for the one-pass HLL sketch
+    * (q14 prices the native HLL++, q78 proves the engine-portable
+    * variant) — exact here because the oracle replays NDV bit-for-bit.
+    * min/max/null-count ride the same scans free. Timestamps surface
+    * as epoch seconds; every min/max renders through a BIGINT or
+    * VARCHAR cast both engines share. */
+  def analyzeColumnStats(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    def stat(name: String, c: Column): DataFrame =
+      li.agg(
+          count(lit(1)).as("n_rows"),
+          count(c).as("n_notnull"),
+          countDistinct(c).as("n_distinct"),
+          min(c).cast("string").as("min_s"),
+          max(c).cast("string").as("max_s"))
+        .select(lit(name).as("column"), col("n_rows"),
+          (col("n_rows") - col("n_notnull")).as("n_null"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    Seq(
+      ("l_orderkey", col("l_orderkey")),
+      ("l_linenumber", col("l_linenumber").cast("long")),
+      ("l_returnflag", col("l_returnflag")),
+      ("l_shipdate_epoch", unix_timestamp(col("l_shipdate"))))
+      .map { case (n, c) => stat(n, c) }
+      .reduce(_ unionByName _)
+      .orderBy(col("column"))
+  }
+
+  /** Oracle for [[analyzeColumnStats]]: the same four per-column
+    * aggregates in DuckDB, unioned. */
+  val analyzeColumnStatsSql: String =
+    """SELECT * FROM (
+      |  SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+      |    count(*) - count(l_orderkey) AS n_null,
+      |    count(DISTINCT l_orderkey) AS n_distinct,
+      |    CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+      |    CAST(max(l_orderkey) AS VARCHAR) AS max_s
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_linenumber', count(*), count(*) - count(l_linenumber),
+      |    count(DISTINCT l_linenumber),
+      |    CAST(CAST(min(l_linenumber) AS BIGINT) AS VARCHAR),
+      |    CAST(CAST(max(l_linenumber) AS BIGINT) AS VARCHAR)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+      |    count(DISTINCT l_returnflag), min(l_returnflag), max(l_returnflag)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_shipdate_epoch', count(*), count(*) - count(l_shipdate),
+      |    count(DISTINCT l_shipdate),
+      |    CAST(CAST(floor(epoch(min(l_shipdate))) AS BIGINT) AS VARCHAR),
+      |    CAST(CAST(floor(epoch(max(l_shipdate))) AS BIGINT) AS VARCHAR)
+      |  FROM lineitem)
+      |ORDER BY "column"""".stripMargin
 }

@@ -473,6 +473,57 @@ class R16OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"banding join != brute force: ${face.size} vs ${brute.size} pairs")
   }
 
+  // ---------------------------------------------------------- q210/q211
+
+  test("image dup clusters: images conserved, near-dup classes merge, singletons stand") {
+    import graft.ops.Multimodal
+    val out = Multimodal.imageDupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val hashes = spark.read.parquet(Multimodal.ahashArtifactDir(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // conservation: every image (incl. canaries) lands in exactly one cluster
+    assert(out.values.map(_._2).sum == hashes.length.toLong,
+      "cluster ledger does not conserve the image count")
+    // clusters with >1 class exist exactly when near-dup pairs exist,
+    // and the perturbed canaries within Hamming<=4 MERGE with their source
+    val classOf = hashes.toMap
+    for (id <- Multimodal.AHashCanaryIds) {
+      val ham = java.lang.Long.bitCount(classOf(-(id + 1001L)) ^ classOf(id))
+      if (ham <= 4) {
+        // find the clusters holding each side: same cluster expected
+        val face = Multimodal.imageDupPairs(spark, sf).collect()
+        val reps = hashes.groupBy(_._2).map { case (h, xs) => h -> xs.map(_._1).min }
+        val (ra, rb) = (reps(classOf(-(id + 1001L))), reps(classOf(id)))
+        // both reps must map into ONE ledger row's cluster: look for a
+        // cluster whose id is <= min(ra, rb) and which counts both classes
+        val pair = face.find(r => Set(r.getLong(0), r.getLong(1)) == Set(ra, rb))
+        assert(pair.isDefined, s"canary pair ($ra,$rb) missing from the pair face")
+      }
+    }
+    // singleton clusters have exactly one class
+    assert(out.exists { case (_, (nc, _)) => nc == 1L })
+  }
+
+  test("analyze stats: replayed against direct computation") {
+    val out = graft.ops.Relational.analyzeColumnStats(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(out.keySet == Set("l_orderkey", "l_linenumber", "l_returnflag",
+      "l_shipdate_epoch"))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val n = li.count()
+    out.values.foreach { case (rows, nulls, ndv, mn, mx) =>
+      assert(rows == n && nulls >= 0L && ndv >= 1L)
+      assert(mn != null && mx != null && mn.nonEmpty && mx.nonEmpty)
+    }
+    // spot-check one column exactly
+    import org.apache.spark.sql.functions.{countDistinct => cd}
+    val rf = li.agg(cd(col("l_returnflag"))).head.getLong(0)
+    assert(out("l_returnflag")._3 == rf)
+    assert(out("l_orderkey")._1 == n && out("l_orderkey")._2 == 0L)
+  }
+
   // ---------------------------------------------------------------- q209
 
   test("containment pairs: planted half-doc twins flag where Jaccard is blind") {
