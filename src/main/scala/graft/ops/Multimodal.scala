@@ -872,7 +872,11 @@ object Multimodal {
     * (the q36 convention: completeness proven by a different algorithm
     * agreeing), Hamming = bit_count(xor) on both sides. */
   def imageDupPairs(s: SparkSession, d: String, maxHam: Int = 4): DataFrame =
-    hashDupPairs(s.read.parquet(ahashArtifactDir(s, d)), "ahash", maxHam)
+    // memoized per (session, dir, bound) — the q32 jaccardPairs rule:
+    // q210's cluster ledger consumes these pairs, so the banding join
+    // is paid once per run, not once per consumer
+    SharedPlans.cached(s, s"imageDupPairs|$d|$maxHam")(
+      hashDupPairs(s.read.parquet(ahashArtifactDir(s, d)), "ahash", maxHam))
 
   /** The two-level pairing shared by the image (q205) and audio (q207)
     * legs: exact-hash collapse → pigeonhole-complete chunk banding over
