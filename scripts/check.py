@@ -82,11 +82,13 @@ def load_bench_queries(path):
 
 def load_bench_loads(path):
     """The per-pass 1-min load averages Bench records since r8 (window-
-    quality telemetry); None for older files."""
+    quality telemetry); None for older files. r17: the stdout contract
+    line carries them too (short key "load"), so driver BENCH records
+    self-identify a loaded window without the detail file."""
     d = json.load(open(path))
     if isinstance(d, dict) and "parsed" in d:
         d = d["parsed"]
-    la = (d or {}).get("load_avg")
+    la = (d or {}).get("load_avg") or (d or {}).get("load")
     return [float(x) for x in la] if la else None
 
 # The micro-batch streaming faces (10 classes + batch q63's streaming

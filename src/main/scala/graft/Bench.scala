@@ -249,7 +249,19 @@ object Bench {
     val sfShort = sfDir.split('/').last
     val failedField =
       if (failedPasses > 0) s""","failed_passes":$failedPasses""" else ""
-    println(s"""{"metric":"total","value":${ds(tot(_._2))},"unit":"ds","queries":$shortMedians$failedField,"sf":"$sfShort"}""")
+    // r17 (r16 verdict "What's wrong #1" / next-round #2): the r16 driver
+    // record caught a dirty window (347.2 s vs 257.1 s quiet same-round)
+    // and nothing IN THE RECORD said so. Two self-identification fields,
+    // ~45 chars against ~370 of measured headroom at 210 queries:
+    //  - "total_min": pooled min-of-passes total (deciseconds) — the
+    //    load-robust companion the quiet/loaded comparison needs; the
+    //    full per-query mins stay in bench_detail.json as before.
+    //  - "load": per-pass 1-min loadavg, one decimal — a loaded record
+    //    now carries its own confound annotation on the contract line
+    //    (check.py --bench-diff already reads load_avg from the detail
+    //    file; this puts it where the round-over-round diff lives).
+    val loadShort = loadAvgs.map(x => f"$x%.1f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${ds(tot(_._2))},"unit":"ds","queries":$shortMedians$failedField,"total_min":${ds(tot(_._3))},"load":$loadShort,"sf":"$sfShort"}""")
     System.out.flush()
   }
 }

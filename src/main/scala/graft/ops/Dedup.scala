@@ -1410,57 +1410,156 @@ object Dedup {
     pairsArtifactDir(s, d); () // builds sigArtifactDir transitively
   }
 
-  /** Connected components over an undirected edge list by min-label
-    * propagation: every node starts labeled with its own id; each round
-    * every node takes the min label among itself and its neighbors;
-    * fixpoint = the min node id of the component — a unique,
-    * engine-independent answer (which is what makes it oracle-checkable;
-    * a greedy keep-list is policy, a component id is math).
+  /** Router threshold for [[connectedComponents]]'s small-graph fast
+    * path, in EDGES (after canonicalize+distinct): at or below it the
+    * edge list collects to the driver (≤ ~16 MB at the default) and a
+    * union-find computes the labels in microseconds; above it the
+    * distributed large-star/small-star loop runs. The q112
+    * RoutePairsPerPosting discipline: a measured, physical-plan-only
+    * routing decision — both branches emit the IDENTICAL label fixpoint
+    * (CcSpec machine-checks them against each other and a local
+    * reference on planted graphs), so correctness never depends on the
+    * route. Rationale (r17 probe): dedup pair graphs at gate SFs are
+    * hundreds of edges, yet every distributed round costs ~0.4 s of
+    * job-scheduling fixed cost — q210 spent ~5 s iterating joins over
+    * 722 edges. The collect is BOUNDED BY THE ROUTER (the count is
+    * checked before any collect), the same bounded-driver-state
+    * contract as q197's FFD histogram and q203's anchor pool. */
+  private val CcDriverMaxEdges = 1L << 20
+
+  /** Connected components over an undirected edge list; fixpoint = the
+    * min node id of the component — a unique, engine-independent answer
+    * (which is what makes it oracle-checkable; a greedy keep-list is
+    * policy, a component id is math). Output: (id, comp) for every node
+    * appearing in `edges`.
     *
-    * Scale: this is the standard iterative-join CC (GraphFrames does the
-    * same under AQE) — each round is one equi-join + one min-agg on the
-    * label table, which holds only nodes INVOLVED IN PAIRS (for dedup
-    * clustering, orders of magnitude smaller than the corpus). Rounds =
-    * component diameter, tiny for near-dup clusters (pairs/triangles/
-    * short chains). `localCheckpoint` per round truncates the growing
-    * lineage so round N's plan doesn't replay rounds 1..N-1. Driver
-    * convergence check is one count on the label table — bounded, not a
-    * collect of data.
+    * r17 (r16 verdict item 3): the O(diameter)-round min-label
+    * propagation loop is replaced by the ALTERNATING STAR algorithm
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond"): repeat [large-star; small-star] on the canonical
+    * (larger → smaller) edge list until the edge set is a fixpoint —
+    * provably a star forest whose centers are the component minima.
+    * Each half-step is one bounded groupBy + one equi-join on the edge
+    * table; the propagation radius roughly doubles per iteration, so
+    * rounds = O(log diameter) instead of O(diameter). (A value-label
+    * pointer-jump variant was probed first and measured USELESS — the
+    * min-id node in a radius-r ball has no reason to lie toward the
+    * component minimum, so the radius still grew by 1/round; 14 rounds
+    * on q210's graph. The star algorithm rewrites EDGES, which is what
+    * actually shortens paths.)
     *
-    * `maxIters` is a SAFETY bound, not an accuracy dial: hitting it means
-    * the graph's diameter exceeds it and the labels are NOT the fixpoint,
-    * so this fails fast (r5 advice — a log.warn here shipped wrong
-    * component ids downstream) rather than return unconverged ids. 64
-    * rounds covers any plausible near-dup cluster; a corpus that trips it
-    * wants the O(log n) large-star/small-star variant, not a bigger
-    * bound. */
+    * Small graphs (≤ [[CcDriverMaxEdges]], checked by COUNT before any
+    * collect) route to a driver union-find instead: at gate scale the
+    * pair graphs are a few hundred edges and the distributed loop's
+    * per-round job latency dominated its faces (q210 ~5 s quiet for 722
+    * edges). Consumers q38/q107/q128/q142/q145/q210 inherit both paths.
+    *
+    * Scale: the edge table holds only nodes INVOLVED IN PAIRS (for
+    * dedup clustering, orders of magnitude smaller than the corpus).
+    * `localCheckpoint` per iteration truncates the growing lineage so
+    * iteration N's plan doesn't replay 1..N-1. Convergence check is a
+    * count + set-difference count on the label-sized edge table —
+    * bounded, never a collect of data.
+    *
+    * `maxIters` is a SAFETY bound, not an accuracy dial: hitting it
+    * means the edges are NOT the star-forest fixpoint, so this fails
+    * fast (r5 advice — a log.warn here shipped wrong component ids
+    * downstream) rather than return unconverged ids. With doubling, 64
+    * iterations covers any plausible graph. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 64): DataFrame = {
-    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
-      .localCheckpoint(true) // edges reused every round — compute once
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
+    val debug = sys.props.get("graft.cc.debug").contains("on")
+    val spark = edges.sparkSession
+    // canonical directed edge list: (u = larger id, v = smaller id)
+    var e = edges
+      .select(greatest(col("d1"), col("d2")).as("u"),
+        least(col("d1"), col("d2")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
       .localCheckpoint(true)
+    var cnt = e.count()
+    val maxDriver =
+      spark.conf.get("graft.cc.driverMaxEdges", CcDriverMaxEdges.toString).toLong
+    if (cnt <= maxDriver) {
+      // SMALL-GRAPH ROUTE: bounded collect (≤ maxDriver edges, proven by
+      // the count above) + driver union-find with min-root merges — the
+      // global min never loses a merge, so find() = component min id.
+      val es = e.collect()
+      val parent = new java.util.HashMap[Long, Long](es.length * 2)
+      def find(x0: Long): Long = { // iterative: planted chains can be long
+        var x = x0
+        while (parent.getOrDefault(x, x) != x) {
+          val p = parent.get(x)
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp) // path halving
+          x = gp
+        }
+        x
+      }
+      es.foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val nodes = es.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      if (debug) System.err.println(
+        s"[cc] driver route: ${es.length} edges, ${nodes.length} nodes")
+      import spark.implicits._
+      return spark.createDataset(nodes.toSeq.map(n => (n, find(n))))
+        .toDF("id", "comp")
+    }
+    // DISTRIBUTED ROUTE: alternating large-star / small-star
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
-      val nbrMin = sym
-        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("comp")).as("nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
-          (col("nbr") < col("comp")).as("chg"))
+      // large-star: for every node n (symmetric view), m = min(Γ(n)∪{n});
+      // re-point every LARGER neighbor b > n at m. Canonical (b > m) by
+      // construction: m ≤ n < b.
+      val sym = e.select(col("u").as("n"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("n"), col("u").as("b")))
+      val lsMin = sym.groupBy(col("n")).agg(min(col("b")).as("mb"))
+      val ls = sym.join(lsMin, "n")
+        .where(col("b") > col("n"))
+        .select(col("b").as("u"), least(col("mb"), col("n")).as("v"))
+        .distinct()
+      // small-star: on the directed list (u → v, v < u) grouped by u,
+      // m = min(N(u)∪{u}) = min(v); re-point u and every other small
+      // neighbor at m. Canonical again: emitted pairs are (x, m), x > m.
+      val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      val e2 = ls.join(ssMin, "u")
+        .where(col("v") =!= col("mv"))
+        .select(col("v").as("u"), col("mv").as("v"))
+        .unionAll(ssMin.select(col("u"), col("mv").as("v")))
+        .distinct()
         .localCheckpoint(true)
-      changed = next.where(col("chg")).count()
-      labels = next.select(col("id"), col("comp"))
+      // fixpoint ⟺ edge set unchanged (the only fixpoints of the
+      // alternating algorithm are star forests): counts first (one
+      // cheap job on the checkpointed table), set difference only when
+      // counts agree
+      val cnt2 = e2.count()
+      changed =
+        if (cnt2 != cnt) 1L
+        else e2.exceptAll(e).count()
+      if (debug) System.err.println(s"[cc] star iter ${iter + 1} edges=$cnt2 changed=$changed")
+      e = e2
+      cnt = cnt2
       iter += 1
     }
     if (changed > 0)
       sys.error(s"connectedComponents did not converge within maxIters=$maxIters " +
-        s"($changed labels still changing) — component ids would be wrong; " +
-        "raise maxIters or switch to large-star/small-star for huge-diameter graphs")
-    labels
+        "(edge set still changing) — component ids would be wrong; raise maxIters")
+    // star-forest sanity (fail-loud, the prefixJaccard collision-guard
+    // convention): in a star forest no edge TARGET is also a SOURCE; a
+    // residual chain here would silently mislabel its tail
+    val chained = e.select(col("u")).intersect(e.select(col("v")).toDF("u")).count()
+    if (chained > 0)
+      sys.error(s"connectedComponents: converged edge set is not a star forest " +
+        s"($chained chained nodes) — labels would be wrong")
+    // star forest → labels: members point at their center; centers label
+    // themselves (every center appears only on the v side)
+    e.select(col("u").as("id"), col("v").as("comp"))
+      .unionAll(e.select(col("v").as("id"), col("v").as("comp")))
+      .distinct()
   }
 
   /** Gate face (q38): duplicate CLUSTERS from the MinHash-LSH near-dup

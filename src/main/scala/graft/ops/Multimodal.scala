@@ -886,7 +886,12 @@ object Multimodal {
     val classes = h.groupBy(col(hashCol))
       .agg(min(col("media_id")).as("rep"), count(lit(1)).as("n"))
     val nCh = maxHam + 1
-    val width = 13 // 4×13 + 12 = 64
+    // chunk width derived from the chunk count (r16 ADVICE: the 13-bit
+    // hardcode silently broke pigeonhole completeness for maxHam >= 5 —
+    // the 6th chunk shifted past bit 64 and masked to nothing). ceil
+    // division covers all 64 bits in nCh chunks; at the default
+    // maxHam = 4 this is the same 13/13/13/13/12 split as before.
+    val width = (64 + nCh - 1) / nCh
     val chunks = (0 until nCh).map { i =>
       val bits = math.min(width, 64 - i * width)
       shiftrightunsigned(col(hashCol), i * width)

@@ -317,7 +317,7 @@ object Pipelines {
     * exactly what the planted canaries prove (negative doc_ids, the
     * q157/q187 disjoint-canary convention): a quote/backslash row, a
     * tab+newline+CR row, and a multi-byte row (accented latin, CJK, an
-    * astral-plane emoji, a 0x01 control).
+    * astral-plane emoji).
     *
     * The face writes a doc subset + canaries as JSONL, re-reads the
     * artifact with a declared schema, and emits per-row null-safe

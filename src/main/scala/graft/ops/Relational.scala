@@ -1878,22 +1878,28 @@ object Relational {
     * VARCHAR cast both engines share. */
   def analyzeColumnStats(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-    def stat(name: String, c: Column): DataFrame =
+    // r16 ADVICE: NDV/counts aggregate on the RAW column (the oracle's
+    // count(DISTINCT l_shipdate) is over raw timestamps — aggregating on
+    // the second-truncated epoch would diverge if the column ever grew
+    // sub-second precision); only min/max RENDER through the epoch cast,
+    // which commutes with min/max because unix_timestamp is monotone.
+    def stat(name: String, c: Column,
+        render: Column => Column = _.cast("string")): DataFrame =
       li.agg(
           count(lit(1)).as("n_rows"),
           count(c).as("n_notnull"),
           countDistinct(c).as("n_distinct"),
-          min(c).cast("string").as("min_s"),
-          max(c).cast("string").as("max_s"))
+          render(min(c)).as("min_s"),
+          render(max(c)).as("max_s"))
         .select(lit(name).as("column"), col("n_rows"),
           (col("n_rows") - col("n_notnull")).as("n_null"),
           col("n_distinct"), col("min_s"), col("max_s"))
     Seq(
-      ("l_orderkey", col("l_orderkey")),
-      ("l_linenumber", col("l_linenumber").cast("long")),
-      ("l_returnflag", col("l_returnflag")),
-      ("l_shipdate_epoch", unix_timestamp(col("l_shipdate"))))
-      .map { case (n, c) => stat(n, c) }
+      stat("l_orderkey", col("l_orderkey")),
+      stat("l_linenumber", col("l_linenumber").cast("long")),
+      stat("l_returnflag", col("l_returnflag")),
+      stat("l_shipdate_epoch", col("l_shipdate"),
+        x => unix_timestamp(x).cast("string")))
       .reduce(_ unionByName _)
       .orderBy(col("column"))
   }

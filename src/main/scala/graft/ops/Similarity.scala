@@ -4797,7 +4797,7 @@ object Similarity {
       |ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q204: k-center greedy coreset selection
+  // q203: k-center greedy coreset selection
   // ---------------------------------------------------------------------
 
   /** k-center coreset selection — Gonzalez (1985) farthest-point

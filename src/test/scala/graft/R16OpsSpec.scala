@@ -608,6 +608,10 @@ class R16OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     val classes = hashes.groupBy(_._2).map { case (h, xs) => h -> xs.map(_._1).min }
     def rep(id: Long): Long = classes(hashes.find(_._1 == id).get._2)
+    // r16 ADVICE: the per-canary assertions below are conditional on
+    // ham ∈ [1,4]; without this guard the near-dup banding leg could go
+    // VACUOUSLY untested (the image test has the same non-vacuous check)
+    var nInRange = 0
     for (id <- Multimodal.AudioFpCanaryIds) {
       assert(rep(-(id + 1L)) == rep(id),
         s"AIFF re-encode of $id not collapsed with the original")
@@ -615,12 +619,15 @@ class R16OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         hashes.find(_._1 == -(id + 1001L)).get._2 ^
           hashes.find(_._1 == id).get._2).toLong
       if (ham >= 1 && ham <= 4) {
+        nInRange += 1
         val (a, b) = (math.min(rep(-(id + 1001L)), rep(id)),
           math.max(rep(-(id + 1001L)), rep(id)))
         assert(face.contains((a, b)) && face((a, b)) == ham,
           s"perturbed canary pair ($a,$b) ham=$ham missing/mismatched")
       }
     }
+    assert(nInRange >= 1, "no perturbed audio canary landed in Hamming " +
+      "[1,4] — the near-dup banding assertions above ran vacuously")
     // banding completeness vs brute force over reps
     val reps = classes.toSeq.map { case (h, r) => (r, h) }
     val brute = (for {

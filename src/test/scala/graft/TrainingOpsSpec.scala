@@ -269,12 +269,83 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Seq(1L, 2L, 3L, 4L, 5L).forall(got(_) == 1L))
     assert(got(10L) == 10L && got(11L) == 10L)
     assert(Seq(20L, 21L, 22L).forall(got(_) == 20L))
-    // a maxIters smaller than the diameter must FAIL FAST, never return
-    // unconverged (wrong) component ids
-    val e = intercept[RuntimeException] {
-      graft.ops.Dedup.connectedComponents(edges, maxIters = 1).collect()
+    // a maxIters smaller than needed must FAIL FAST, never return
+    // unconverged (wrong) component ids — forced onto the DISTRIBUTED
+    // branch (the driver union-find route has no iteration bound)
+    spark.conf.set("graft.cc.driverMaxEdges", "0")
+    try {
+      val e = intercept[RuntimeException] {
+        graft.ops.Dedup.connectedComponents(edges, maxIters = 1).collect()
+      }
+      assert(e.getMessage.contains("did not converge"))
+    } finally spark.conf.unset("graft.cc.driverMaxEdges")
+  }
+
+  test("connectedComponents: planted 40-node chain + forest — driver route, star route, and local union-find all agree") {
+    val s = spark
+    import s.implicits._
+    // r17 (r16 verdict item 3): BOTH routes (driver union-find below the
+    // edge-count threshold; alternating large-star/small-star above it)
+    // must emit the identical min-id fixpoint. Worst case for
+    // propagation: a long DESCENDING chain (the min id at the far end),
+    // plus star/triangle/pair components and shared-id noise edges —
+    // compared against a plain local union-find.
+    val chain = (1L to 40L).sliding(2).map(p => (p(1), p(0))).toSeq
+    val star = Seq((100L, 101L), (100L, 102L), (100L, 103L), (100L, 104L))
+    val noise = Seq((200L, 201L), (201L, 202L), (202L, 200L), (300L, 301L),
+      (104L, 105L), (40L, 41L), (41L, 42L))
+    val all = chain ++ star ++ noise
+    val edges = all.toDF("d1", "d2")
+    // local reference: textbook union-find with min-id roots
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
     }
-    assert(e.getMessage.contains("did not converge"))
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    all.foreach { case (a, b) => union(a, b) }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    // driver route (default threshold ≫ 33 edges)
+    val gotDriver = graft.ops.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDriver == expected)
+    // distributed star route, with the O(log d) guarantee pinned: the
+    // 41-long chain must converge inside 10 alternating iterations — the
+    // old O(diameter) min-label loop needed 42+ and would trip this
+    spark.conf.set("graft.cc.driverMaxEdges", "0")
+    try {
+      val gotStar = graft.ops.Dedup.connectedComponents(edges, maxIters = 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotStar == expected)
+    } finally spark.conf.unset("graft.cc.driverMaxEdges")
+  }
+
+  test("connectedComponents star route: randomized graphs agree with the driver route") {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random multi-component graphs exercise LS/SS
+    // on shapes beyond the planted ones (dense blobs, bridges, repeated
+    // edges, both orientations)
+    val rnd = new scala.util.Random(20260818L)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 30
+      val es = (1 to n * 2).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (a, b)
+      }.filter { case (a, b) => a != b }
+      val edges = es.toDF("d1", "d2")
+      val viaDriver = graft.ops.Dedup.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.conf.set("graft.cc.driverMaxEdges", "0")
+      try {
+        val viaStar = graft.ops.Dedup.connectedComponents(edges)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(viaStar == viaDriver, s"trial $trial: routes disagree")
+      } finally spark.conf.unset("graft.cc.driverMaxEdges")
+    }
   }
 
   test("decontaminate: matches a brute-force trigram-overlap check; benchmark docs never flagged") {
