@@ -2909,26 +2909,36 @@ object Similarity {
     * partitions are dynamic-overwritten in place; a partition whose
     * every row was erased (dynamic overwrite cannot express "now
     * empty") has its directory deleted explicitly. Returns
-    * (rows erased, partitions touched). */
+    * (rows erased, partitions touched).
+    *
+    * r17 (§1.2 job-count, not data): the old form ran FOUR driver
+    * actions per store (victim-parts distinct, victim count, survivor
+    * write, survivor-parts distinct) — one per-partition aggregate now
+    * yields victim AND survivor counts in a single scan, so each store
+    * is two jobs: stats + the survivor rewrite. Dynamic overwrite is a
+    * per-write option (not the session conf), making the function safe
+    * to run for several stores concurrently from driver threads
+    * (guide §2.6). */
   private[graft] def eraseFromStore(s: SparkSession, path: String,
       partCol: String, victim: Column): (Long, Long) = {
     val store = s.read.parquet(path)
-    val victims = store.where(victim)
-    val parts = victims.select(col(partCol)).distinct().collect()
-      .map(_.get(0))
-    val nErased = victims.count()
+    // one scan: per-partition victim/survivor occupancy
+    val stats = store.groupBy(col(partCol))
+      .agg(count(when(victim, 1)).as("nvic"),
+        count(when(!victim, 1)).as("nsur"))
+      .collect()
+    val parts = stats.filter(_.getLong(1) > 0).map(_.get(0))
+    val nErased = stats.map(_.getLong(1)).sum
     if (parts.nonEmpty) {
-      val affected = store.where(col(partCol).isin(parts.toIndexedSeq: _*))
-      val survivors = affected.where(!victim)
-      val survivorParts = survivors.select(col(partCol)).distinct()
-        .collect().map(_.get(0)).toSet
-      withDynamicOverwrite(s) {
-        survivors.repartition(col(partCol)).write.mode("overwrite")
-          .partitionBy(partCol).parquet(path)
-      }
-      parts.filterNot(survivorParts).foreach(p =>
-        scala.reflect.io.Path(
-          new java.io.File(s"$path/$partCol=$p")).deleteRecursively())
+      val survivors = store
+        .where(col(partCol).isin(parts.toIndexedSeq: _*) && !victim)
+      survivors.repartition(col(partCol)).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol).parquet(path)
+      stats.filter(r => r.getLong(1) > 0 && r.getLong(2) == 0L)
+        .map(_.get(0)).foreach(p =>
+          scala.reflect.io.Path(
+            new java.io.File(s"$path/$partCol=$p")).deleteRecursively())
     }
     (nErased, parts.length.toLong)
   }
@@ -3731,18 +3741,39 @@ object Similarity {
         copyDir(new java.io.File(s"$fix/$t"), new java.io.File(s"$work/$t")))
       val victimVec = pmod(col("vec_id"), lit(97)) === 3
       val victimDoc = pmod(col("doc_id"), lit(97)) === 3
-      val (nStoreErased, nStoreBkts) =
-        eraseFromStore(s, s"$work/store", "bkt", victimVec)
-      val (nIndexErased, nCells) =
-        eraseFromStore(s, s"$work/index", "cent_id", victimVec)
-      val (nSigErased, nSigBkts) =
-        eraseFromStore(s, s"$work/sig", "bkt", victimDoc)
-      // residual audit OFF DISK: fresh reads of the repaired artifacts
-      val residual =
-        s.read.parquet(s"$work/store").where(victimVec).count() +
-          s.read.parquet(s"$work/index").where(victimVec).count() +
-          s.read.parquet(s"$work/sig").where(victimDoc).count()
-      val nIndexAfter = s.read.parquet(s"$work/index").count()
+      // r17 (guide §2.6 overlap independent jobs): the three stores are
+      // independent directories, so their erasures run concurrently from
+      // driver threads — wall-clock is the slowest tier, not the sum.
+      // eraseFromStore is thread-safe since the dynamic-overwrite mode
+      // became a per-write option rather than a session-conf mutation.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val erasures = try {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        Await.result(Future.sequence(Seq(
+          Future(eraseFromStore(s, s"$work/store", "bkt", victimVec)),
+          Future(eraseFromStore(s, s"$work/index", "cent_id", victimVec)),
+          Future(eraseFromStore(s, s"$work/sig", "bkt", victimDoc)))),
+          Duration.Inf)
+      } finally pool.shutdown()
+      val Seq((nStoreErased, nStoreBkts), (nIndexErased, nCells),
+        (nSigErased, nSigBkts)) = erasures
+      // residual audit OFF DISK: fresh reads of the repaired artifacts.
+      // r17 (§1.2 job-count): one job for the store+sig victim counts
+      // (union of unit projections) and one per-index aggregate carrying
+      // residual AND total — 4 driver actions → 2, same receipt numbers.
+      val residualStoreSig =
+        s.read.parquet(s"$work/store").where(victimVec).select(lit(1))
+          .unionAll(
+            s.read.parquet(s"$work/sig").where(victimDoc).select(lit(1)))
+          .count()
+      val idxStats = s.read.parquet(s"$work/index")
+        .agg(count(lit(1)).as("n"),
+          count(when(victimVec, 1)).as("resid")).collect().head
+      val nIndexAfter = idxStats.getLong(0)
+      val residual = residualStoreSig + idxStats.getLong(1)
       s.range(1).select(
         lit(nStoreErased).as("n_store_erased"),
         lit(nStoreBkts).as("n_store_buckets"),
