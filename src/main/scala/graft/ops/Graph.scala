@@ -72,6 +72,20 @@ object Graph {
   private[graft] def edgeCache(edges: DataFrame): DataFrame =
     edges.repartition(graphParts(edges.sparkSession.conf), col("src")).persist()
 
+  /** Router threshold for [[pageRankInt]]'s small-graph fast path, in
+    * DIRECTED EDGES: at or below it the cached edge list collects to the
+    * driver (≤ ~32 MB of packed-long pairs at the default) and the exact
+    * integer recurrence runs as a per-round array sweep; above it the
+    * distributed message-passing loop runs. The q112/CC routing
+    * discipline — a measured, physical-plan-only decision (both routes
+    * emit the identical integer fixpoint; GraphSpec machine-checks them
+    * against each other), count-checked BEFORE any collect. Rationale
+    * (r17 probe, the CC lesson applied to the other iterative face):
+    * each distributed round costs ~0.6-0.8 s of join+agg+checkpoint
+    * fixed cost regardless of data — q98's gate-SF graph (1.17M edges)
+    * paid ~2.4 s of round machinery for ~0.1 s of arithmetic. */
+  private val PrDriverMaxEdges = 1L << 21
+
   def pageRankInt(edges: DataFrame, iters: Int): DataFrame = {
     // ONE edge build, cached src-partitioned — the only |E|-sized state;
     // deg and r0 derive from the cache co-partitioned (no exchange).
@@ -83,6 +97,12 @@ object Graph {
     val conf = edges.sparkSession.conf
     val parts = graphParts(conf)
     val e = edgeCache(edges)
+    val maxDriver = conf.getOption("graft.graph.driverMaxEdges")
+      .map(_.toLong).getOrElse(PrDriverMaxEdges)
+    // the count runs off the persisted cache (materializing it up front,
+    // which round 1 would otherwise do lazily — no extra pass either way)
+    val nEdges = e.count()
+    if (nEdges <= maxDriver) return pageRankDriver(e, iters, parts)
     // deg is referenced 4× in the unrolled DAG (r0 + one dd per round);
     // caching the |V|-row table keeps the fused plan from re-aggregating
     // the |E|-row cache each time
@@ -142,6 +162,49 @@ object Graph {
     // the |E|-sized cache instead of leaking it across gate queries
     e.unpersist(); deg.unpersist()
     rN
+  }
+
+  /** Small-graph route: the identical integer recurrence as a driver
+    * array sweep over the collected edge list (bounded by the router's
+    * count check — the q197-FFD/q203-anchor bounded-driver contract).
+    * Faithful to the distributed loop row for row: deg counts EVERY edge
+    * row (no dedup), contributions come only from nodes present in the
+    * previous round's rank table (a node that received no in-edges drops
+    * out, exactly as the groupBy(dst) drops it), and the sum is integer
+    * so accumulation order cannot matter. Node type stays whatever the
+    * caller's src/dst columns are (q98 packs longs, the specs use
+    * strings) — keys are compared as JVM values, same equality the
+    * shuffle hash uses. The result distributes via parallelize rather
+    * than a LocalRelation literal so a threshold-sized |V| never bloats
+    * the plan. */
+  private def pageRankDriver(e: DataFrame, iters: Int, parts: Int): DataFrame = {
+    val s = e.sparkSession
+    val rows = e.collect()
+    e.unpersist()
+    val deg = new java.util.HashMap[Any, Long](rows.length)
+    rows.foreach(r => deg.merge(r.get(0), 1L, (a, b) => a + b))
+    var rank = new java.util.HashMap[Any, Long](deg.size())
+    deg.keySet().forEach(n => rank.put(n, 1000000L))
+    for (_ <- 1 to iters) {
+      val next = new java.util.HashMap[Any, Long](deg.size())
+      rows.foreach { r =>
+        val u = r.get(0)
+        val ru = rank.getOrDefault(u, 0L)
+        if (ru != 0L) // ranks are always > 0; 0 = node absent this round
+          next.merge(r.get(1), ru / deg.get(u), (a, b) => a + b)
+      }
+      next.replaceAll((_, c) => 150000L + (85L * c) / 100L)
+      rank = next
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](rank.size())
+    rank.forEach((n, r) => out += org.apache.spark.sql.Row(n, r))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", e.schema("src").dataType),
+      org.apache.spark.sql.types.StructField("r",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    s.createDataFrame(
+      s.sparkContext.parallelize(out.toSeq, math.max(1, math.min(parts, out.size))),
+      schema)
   }
 
   /** Gate face (q98): PageRank over the bipartite customer↔supplier

@@ -1565,16 +1565,22 @@ object Pipelines {
       .select(col("vec_id"), col("cent_id"))
       .repartition(col("cent_id")).write.mode("overwrite")
       .partitionBy("cent_id").parquet(s"$base/index/batch=$batchId")
-    // receipt legs, each its own eager plan (one path generation
-    // per executed plan — the q159 exchange-reuse lesson)
-    val nBatch = b.count()
-    val touched = bs.read.parquet(s"$base/index/batch=$batchId")
-      .select(col("cent_id")).distinct().count()
+    // receipt legs (r17, the q166 job-count discipline inside the
+    // micro-batch): ONE read-back aggregate of the just-written batch
+    // partition carries the batch size (routing preserves rows) AND the
+    // touched-cell count; coverage is ONE full-outer compare of the
+    // unique-keyed prefix vs index, yielding the index size (non-null
+    // right side) and the missing count together — 4 driver actions → 2,
+    // receipt values identical, both still measured OFF DISK.
+    val wAgg = bs.read.parquet(s"$base/index/batch=$batchId")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("cent_id")).as("t")).collect().head
+    val nBatch = wAgg.getLong(0)
+    val touched = wAgg.getLong(1)
     // state ≤ this batch only: mid-stream the prune is a no-op (later
     // generations don't exist yet); on a replay it hides them, making
     // the receipt a pure function of the batch prefix
     val idx = bs.read.parquet(s"$base/index").where(col("batch") <= batchId)
-    val nIdx = idx.count()
     // corpus-so-far = existing ∪ staged waves ≤ this batch (the
     // staged artifacts ARE the arrival record)
     val stagedDirs = (0L to batchId)
@@ -1583,8 +1589,13 @@ object Pipelines {
     val prefix = stagedDirs
       .map(p => bs.read.parquet(p).select(col("vec_id")))
       .foldLeft(existing.select(col("vec_id")))(_ unionAll _)
-    val nMissing = prefix
-      .join(idx.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
+    val cov = prefix.select(col("vec_id"), lit(1).as("inp"))
+      .join(idx.select(col("vec_id"), lit(1).as("ini")),
+        Seq("vec_id"), "full_outer")
+      .agg(count(col("ini")).as("n_idx"),
+        count(when(col("ini").isNull, 1)).as("n_missing")).collect().head
+    val nIdx = cov.getLong(0)
+    val nMissing = cov.getLong(1)
     bs.range(1).select(
       lit(batchId).as("wave"), lit(nBatch).as("n_batch"),
       lit(touched).as("n_cells_touched"),
@@ -1706,27 +1717,40 @@ object Pipelines {
   }
 
   /** ONE micro-batch of [[streamErasure]] — extracted for the crash-
-    * replay spec. Every leg is replay-stable (see [[streamErasure]]). */
+    * replay spec. Every leg is replay-stable (see [[streamErasure]]).
+    *
+    * r17 (§1.2 job-count, the q166 discipline applied inside the
+    * micro-batch, where every action ALSO pays foreachBatch planning):
+    * the per-cell victim aggregate is ONE collect that carries the
+    * subject total (every subject routes to exactly one argmax cell),
+    * the touched-cell set, and the per-cell victim counts; static
+    * occupancy is a second bounded collect and the cell-death compare
+    * happens in the driver; the survivors' redundant materializing
+    * count() is dropped (the liveCells distinct already computes every
+    * cached partition before any directory is mutated). 9 driver
+    * actions per wave → 6, receipt values identical. */
   private[graft] def seProcessBatch(base: String, cent: DataFrame,
       qe: DataFrame, batch: DataFrame, batchId: Long): Unit = {
     val bs = batch.sparkSession
     batch.write.mode("overwrite").parquet(s"$base/stage/b_$batchId")
     val b = bs.read.parquet(s"$base/stage/b_$batchId")
-    val nSubjects = b.count()
     // STATIC routing of the batch's own vectors — replay-stable (the
     // mutable index would show a replayed batch nothing)
-    val routed = Similarity.assignCells(bs, b, cent)
-      .select(col("vec_id"), col("cent_id"))
-    val myCells = routed.select(col("cent_id")).distinct()
-      .collect().map(_.getAs[Number](0).longValue()).sorted
+    val vicRows = Similarity.assignCells(bs, b, cent)
+      .groupBy(col("cent_id")).agg(count(lit(1)).as("nv")).collect()
+    val nvByCell = vicRows
+      .map(r => r.getAs[Number](0).longValue() -> r.getLong(1)).toMap
+    val myCells = nvByCell.keys.toArray.sorted
+    val nSubjects = nvByCell.values.sum
     // a cell dies iff ALL its static members are THIS batch's subjects
     // (static occupancy vs victim count — replay-stable by routing)
-    val occ = Similarity.assignCells(bs, qe, cent)
-      .where(col("cent_id").isin(myCells: _*))
-      .groupBy(col("cent_id")).agg(count(lit(1)).as("occ"))
-    val vics = routed.groupBy(col("cent_id")).agg(count(lit(1)).as("nv"))
-    val nCellsDeleted = occ.join(vics, Seq("cent_id"))
-      .where(col("occ") === col("nv")).count()
+    val nCellsDeleted =
+      if (myCells.isEmpty) 0L
+      else Similarity.assignCells(bs, qe, cent)
+        .where(col("cent_id").isin(myCells: _*))
+        .groupBy(col("cent_id")).agg(count(lit(1)).as("occ")).collect()
+        .count(r => r.getLong(1) == nvByCell(r.getAs[Number](0).longValue()))
+        .toLong
     // the apply: rewrite ONLY the affected cells without the subjects
     if (myCells.nonEmpty) {
       val idxNow = bs.read.parquet(s"$base/index")
@@ -1735,9 +1759,11 @@ object Pipelines {
         .join(b.select(col("vec_id")), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"))
         .persist()
+      // the distinct scans (and therefore caches) EVERY survivor
+      // partition — survivors are fully materialized before any
+      // directory below is mutated
       val liveCells = survivors.select(col("cent_id")).distinct()
         .collect().map(_.getLong(0)).toSet
-      survivors.count() // materialize BEFORE mutating the dirs it reads
       myCells.filterNot(liveCells).foreach(c => scala.reflect.io.Path(
         new java.io.File(s"$base/index/cent_id=$c")).deleteRecursively())
       if (liveCells.nonEmpty) Similarity.withDynamicOverwrite(bs) {

@@ -3514,20 +3514,33 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("q8").as("cq"))
     val assigned = assignCells(s, qe, cent)
       .select(col("vec_id"), col("q8"), col("cent_id"))
-    val truth = quantizedTopK(s, d, k).select(col("qid"), col("cid"))
-      .localCheckpoint(true) // |probes|·k rows; feeds tot + per-level hits
     // ranked probe cells: pr = 1 is the argmax cell, pr = p widens
     val pcells = assignCellsTopP(s, qe.where(col("vec_id") < 5), cent, maxProbe)
       .select(col("vec_id").as("qid"), col("q8").as("qv"),
         posexplode(col("probe_cells")).as(Seq("pr0", "qcell")))
       .select(col("qid"), col("qv"), (col("pr0") + 1).as("pr"), col("qcell"))
-    // widest-level candidates, computed once (each corpus vector meets a
-    // query at most once per ranked probe cell)
-    val cand = assigned.join(broadcast(pcells),
-        col("cent_id") === col("qcell") && col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("cid"), col("pr"),
-        vecDot(col("qv"), col("q8")).cast("long").as("dot"))
-      .localCheckpoint(true) // |probes|·maxProbe cells' occupancy — bounded
+    // r17 (guide §2.6): the truth pass and the widest-level candidate
+    // pass are independent corpus scans, each eagerly materialized
+    // (bounded: |probes|·k and the probe cells' occupancy) — run them
+    // concurrently from driver threads so one scan's stragglers overlap
+    // the other's start; wall-clock is the slower scan, not the sum.
+    val pool2 = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec2: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool2)
+    val (truth, cand) = try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val truthF = Future(quantizedTopK(s, d, k).select(col("qid"), col("cid"))
+        .localCheckpoint(true)) // feeds tot + per-level hits
+      // widest-level candidates, computed once (each corpus vector meets
+      // a query at most once per ranked probe cell)
+      val candF = Future(assigned.join(broadcast(pcells),
+          col("cent_id") === col("qcell") && col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"), col("pr"),
+          vecDot(col("qv"), col("q8")).cast("long").as("dot"))
+        .localCheckpoint(true))
+      (Await.result(truthF, Duration.Inf), Await.result(candF, Duration.Inf))
+    } finally pool2.shutdown()
     val lv = s.range(1, maxProbe + 1).select(col("id").as("nprobe"))
     val candL = cand.join(broadcast(lv), col("pr") <= col("nprobe"))
     val wTop = Window.partitionBy(col("nprobe"), col("qid"))

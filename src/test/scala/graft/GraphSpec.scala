@@ -53,6 +53,29 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == run(9))
   }
 
+  test("pageRankInt: driver route ≡ distributed loop on randomized graphs") {
+    val s = spark
+    import s.implicits._
+    // deterministic pseudo-random multigraph with asymmetric degrees and
+    // nodes that appear only as dst in some rounds (the drop-out rule)
+    val pairs = (1 to 400).map { i =>
+      val a = (i * 2654435761L) % 37; val b = (i * 40503L) % 53 + 37
+      (s"n$a", s"n$b")
+    }
+    val edges = (pairs ++ pairs.take(150).map(_.swap)).toDF("src", "dst")
+    def run(): Map[String, Long] =
+      Graph.pageRankInt(edges, iters = 3)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaDriver = run() // default threshold: driver route
+    val viaStar = try {
+      spark.conf.set("graft.graph.driverMaxEdges", "0") // force distributed
+      run()
+    } finally spark.conf.unset("graft.graph.driverMaxEdges")
+    assert(viaDriver == viaStar,
+      "both routes must emit the identical integer fixpoint")
+    assert(viaDriver.nonEmpty && viaDriver.values.forall(_ > 0))
+  }
+
   test("pageRankInt: edge-cache partition count follows the session conf, not a literal") {
     val s = spark
     import s.implicits._
