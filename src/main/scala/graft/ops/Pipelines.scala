@@ -1728,7 +1728,7 @@ object Pipelines {
     * happens in the driver; the survivors' redundant materializing
     * count() is dropped (the liveCells distinct already computes every
     * cached partition before any directory is mutated). 9 driver
-    * actions per wave → 6, receipt values identical. */
+    * actions per wave → 7, receipt values identical. */
   private[graft] def seProcessBatch(base: String, cent: DataFrame,
       qe: DataFrame, batch: DataFrame, batchId: Long): Unit = {
     val bs = batch.sparkSession
