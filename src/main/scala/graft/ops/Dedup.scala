@@ -119,6 +119,13 @@ object Dedup {
   private[graft] def jaccardPairsPlan(s: SparkSession, d: String, maxDf: Int): DataFrame =
     jaccardPairsOf(Tables.documents(s, d), maxDf)
 
+  // r18 NOTE (falsified, kept out): persisting the shingle postings
+  // in-query so the df aggregate and the join side share one evaluation
+  // was A/B'd at sf1 (ConfAB, one JVM, AB/BA alternated) and LOST —
+  // q32 flat (7.34 vs 7.59 s warm-min), q209 flat (6.45 vs 6.68), q112
+  // markedly WORSE (11.75 vs 19.08: the persist forces a full postings
+  // materialization where the router's 1/4 hash-sample stats pass only
+  // needed a map-side-filtered scan). The two-evaluation shape stays.
   private[graft] def jaccardPairsOf(docs: DataFrame, maxDf: Int): DataFrame = {
     val shAll = shingles(docs)
     val rare = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -996,7 +1003,15 @@ object Dedup {
     * by term frequency; near-dups differ in few bits. Hamming-distance
     * pairs are found by pigeonhole banding (16-bit chunks) — same LSH
     * join shape as MinHash, no all-pairs. Signatures oracle-checked. */
-  def simhash(s: SparkSession, d: String): DataFrame = {
+  def simhash(s: SparkSession, d: String): DataFrame =
+    simhashSig(s, d).orderBy(col("doc_id"))
+
+  /** [[simhash]] without the output orderBy — the signature table for
+    * consumers that join or aggregate it (q36), where the sort
+    * contributes nothing (r18, guide §2.4 "an orderBy used only to make
+    * output deterministic": the committed q36 plan carried TWO full
+    * signature sorts + range exchanges under the candidate self-join). */
+  private[graft] def simhashSig(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val terms = docs
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
@@ -1011,7 +1026,7 @@ object Dedup {
     val sh = (0 until 60).map(i =>
       when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
       .reduce((a, b) => a.bitwiseOR(b))
-    sums.select(col("doc_id"), sh.as("simhash")).orderBy(col("doc_id"))
+    sums.select(col("doc_id"), sh.as("simhash"))
   }
 
   /** SimHash near-dup pairs via GENERALIZED pigeonhole (multi-index,
@@ -1043,7 +1058,18 @@ object Dedup {
     // key packs both chunk values (widths ≤ 31 bits combined — one long)
     val pairKeys = for (i <- 0 until c; j <- i + 1 until c)
       yield shiftleft(chunk(i), widths(j)).bitwiseOR(chunk(j))
-    val sig = simhash(s, d)
+    // unordered signatures (§2.4) + in-query persist (guide §5): the
+    // signature table is 16 bytes/doc and feeds BOTH self-join sides —
+    // without the persist the whole tokenize → tf → 60-sum pipeline
+    // evaluates twice (committed r17 q36 plan, nodes 1-12 ≍ 13-24). sf1
+    // A/B (one JVM, alternating): persist 3.07/3.19 s warm-min/med vs
+    // recompute 3.17/3.51. The persisted table is n×16 bytes — safe at
+    // any corpus size; graft.simhash.sigPersist=off restores recompute.
+    val sig0 = simhashSig(s, d)
+    val sig =
+      if (s.conf.getOption("graft.simhash.sigPersist").contains("off"))
+        sig0
+      else sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(
       col("doc_id"), col("simhash"),
       posexplode(array(pairKeys: _*)).as(Seq("combo", "key")))
@@ -1504,9 +1530,29 @@ object Dedup {
       val nodes = es.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
       if (debug) System.err.println(
         s"[cc] driver route: ${es.length} edges, ${nodes.length} nodes")
-      import spark.implicits._
-      return spark.createDataset(nodes.toSeq.map(n => (n, find(n))))
-        .toDF("id", "comp")
+      // r18 (VERDICT r17 item 3): distribute via parallelize, NOT
+      // createDataset — a Dataset of a driver Seq is a LocalRelation
+      // literal embedded in every consumer plan (and serialized into
+      // every task); near the 2²⁰-edge threshold that bloats task
+      // closures. parallelize ships the rows as RDD partitions instead
+      // (the pageRankDriver convention, Graph.scala). The broadcast hint
+      // preserves the consumer join shape the LocalRelation's accurate
+      // size stats used to give: the route bound (≤ maxDriver edges ⇒
+      // ≤ 2·maxDriver label rows ≈ 32 MB) keeps it broadcastable, while
+      // the bare ExistingRDD's unknown stats would flip consumers to
+      // sort-merge joins.
+      val labelRows = nodes.map(n =>
+        org.apache.spark.sql.Row(n, find(n)): org.apache.spark.sql.Row)
+      val labelSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("comp",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      return broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(labelRows),
+          math.max(1, math.min(spark.sparkContext.defaultParallelism, labelRows.length))),
+        labelSchema))
     }
     // DISTRIBUTED ROUTE: alternating large-star / small-star
     var iter = 0
@@ -1723,13 +1769,25 @@ object Dedup {
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val winWords = (0 until w).map(k =>
       if (k == 0) col("word") else lead(col("word"), k).over(byPos))
-    val wins = docs
+    // r18 NOTE (falsified, kept out): narrowing h to 16-byte binary via
+    // unhex(md5(…)) — guide §2.3 narrower types; value-identical since
+    // unhex is injective on md5 hex — measured SLOWER at sf1 (one-JVM
+    // interleaved A/B: binary 1.72/1.84 s warm-min/med vs hex 1.61/1.73):
+    // at this scale the shuffles fit in memory and the per-row unhex CPU
+    // outweighs the narrower key. The hex key stays.
+    val winsRaw = docs
       .select(col("doc_id"), posexplode(TextAnalysis.words(col("text"))).as(Seq("pos", "word")))
       .select(col("doc_id"), col("pos"),
         md5(concat_ws(" ", winWords: _*)).as("h"),
         lead(col("word"), w - 1).over(byPos).as("w_last"))
       .where(col("w_last").isNotNull)
       .select(col("doc_id"), col("pos"), col("h"))
+    // r18 NOTE (falsified, kept out): persisting `wins` so the frequency
+    // aggregate and the join-back share one evaluation of the tokenize →
+    // posexplode → window pipeline was A/B'd at sf1 and came back noise
+    // (warm-min 2.17 vs 2.51, warm-med 2.87 vs 2.78 — min and med
+    // disagree on the ordering). The two-evaluation shape stays.
+    val wins = winsRaw
     val dupH = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .where(col("c") > 1).select(col("h"))
     val marked = wins.join(dupH, "h").select(col("doc_id"), col("pos"))

@@ -1235,9 +1235,21 @@ object Similarity {
       .select(col("vec_id"), col("e.m").as("m"), col("e.sub").as("sub"))
     val seeds = subs.where(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").cast("int").as("j"), col("sub").as("cent"))
-    // exact-integer squared L2 on the int8 grid (≤ 8·254² per subspace)
-    def d2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), _ + _)
+    // exact-integer squared L2 on the int8 grid (≤ 8·254² per subspace).
+    // r18 (the q94/q92 de-HOF rule, guide §4.1/§1.2 per-task work): the
+    // encode kernel runs n×M×K times, and the old `aggregate(zip_with(…))`
+    // form is CodegenFallback — interpreted lambda dispatch plus a fresh
+    // 8-slot array per evaluation. Expanded to ‖a‖² − 2a·b + ‖b‖² over
+    // the codegen'd DotProduct: every term is an exact integer (≤ 8·254²,
+    // far under 2⁵³), so values — and the (d2, j) tie-break — are
+    // IDENTICAL (oracle re-verified). sf1 A/B (ConfAB, one JVM,
+    // alternating): q106 1.19/1.22 s warm-min/med vs HOF 1.65/1.78
+    // (−28/−31%); q200 (same pipeline on the rotated grid) 1.11/1.16 vs
+    // 1.33/1.37.
+    def d2(a: Column, b: Column): Column = {
+      import graft.functions.VectorExprs.vecDot
+      vecDot(a, a) - lit(2.0d) * vecDot(a, b) + vecDot(b, b)
+    }
     val codes = subs.join(broadcast(seeds), Seq("m"))
       .groupBy(col("vec_id"), col("m"))
       .agg(min(struct(d2(col("sub"), col("cent")).as("d2"), col("j"))).as("w"))

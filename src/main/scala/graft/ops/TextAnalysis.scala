@@ -1431,10 +1431,27 @@ object TextAnalysis {
       transform(sequence(lit(1), size(wArr) - 1), i =>
         concat(element_at(wArr, i), lit(" "), element_at(wArr, i + 1))))
       .otherwise(array().cast("array<string>"))
-    val feats = docs.select(col("doc_id"), col("lang"), words(col("text")).as("w"))
+    val featsRaw = docs.select(col("doc_id"), col("lang"), words(col("text")).as("w"))
       .select(col("doc_id"), col("lang"),
         explode(concat(wArr, bigrams)).as("f"))
       .select(col("doc_id"), col("lang"), dsirBucket(col("f")).as("b"))
+    // r18 (guide §5 cache-vs-recompute): persist the hashed feature
+    // table (three narrow long columns; in-query and CacheManager-
+    // tracked, so Bench's per-pass clearCache releases it — NOT
+    // localCheckpoint, which clearCache cannot release and would carry
+    // materialized data across bench passes) so the MODEL pass and the
+    // SCORING pass both read it instead of each re-running the regexp
+    // tokenize + explode + md5 bucket. sf1 A/B (ConfAB, one JVM,
+    // alternating): persist 1.99/2.13 s warm-min/med vs recompute
+    // 2.53/2.67 — −21%, consistent ordering; at 100 TB this halves the
+    // tokenize CPU for one narrow materialization that spills to disk
+    // at worst. graft.dsir.featsPersist=off restores the two-scan shape
+    // (the scale dial if executor storage is the binding constraint).
+    val feats =
+      if (docs.sparkSession.conf.getOption("graft.dsir.featsPersist")
+            .contains("off"))
+        featsRaw
+      else featsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one pass builds BOTH models: raw count + filtered target count;
     // the ≤B-row model is COLLECTED into a LocalRelation (not .cache(),
     // which outlived the query and accumulated across invocations — r9
