@@ -80,6 +80,19 @@ object Bench {
       // incremental snapshots vs HDFSBacked's full-map rewrite per commit
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // r18 (VERDICT r17 item 4, the state-store knob probe): changelog
+      // checkpointing commits the batch's CHANGELOG instead of a full
+      // RocksDB snapshot per store per batch. Two independent sf1
+      // interleaved A/Bs (ConfAB, AB/BA alternated) read it equal or
+      // faster on every stateful face (q57 −6%, q121 −7%, q108 −14% on
+      // warm-min; q103/q192 flat; never worse beyond noise), and the
+      // saving grows with state size — at 100 TB state the full-snapshot
+      // upload per commit is the dominant term this removes. Checkpoint
+      // format only; results and receipts are byte-identical (oracle
+      // re-gated). writeBufferSizeMB and the HDFSBacked provider were
+      // probed in the same pass: noise/flat, not adopted.
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       // r15 (r14 verdict item 1): the driver lost the ENTIRE r14 bench
       // record ("parsed": null) because the state-store maintenance
       // thread fired at shutdown — after spark.stop(), after the JSON

@@ -27,6 +27,10 @@ object Verify {
       // verify the provider the bench actually runs
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // r18: and its changelog-checkpointing mode (adopted this round —
+      // the gate must verify the adopted config; see Bench.scala)
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       // gate SF carries tiny streaming state -> the same small-state
       // stream width the bench runs (the gate must verify that config)
       .config("graft.stream.parts", graft.ops.Pipelines.StreamParts)

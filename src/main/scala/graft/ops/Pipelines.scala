@@ -1342,32 +1342,69 @@ object Pipelines {
   def streamDedupAdmission(s: SparkSession, d: String): DataFrame = {
     val base = freshTmp(SdaName)
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    // the "prior run": corpus signatures from the persisted artifact
-    // (r14, the q127 convention — filter commutes with per-doc signing)
-    Dedup.minhashSigShared(s, d).where(col("doc_id") % 7 =!= 0)
-      .write.mode("overwrite").parquet(s"$base/sig")
-    val idxSig = s.read.parquet(s"$base/sig")
-    Dedup.sigBands(idxSig).write.mode("overwrite").parquet(s"$base/bands")
-    // admitted state starts EMPTY with a committed schema. Layout is
-    // one `batch=N` subdir per writer (seed = batch=-1): foreachBatch
-    // is AT-LEAST-ONCE, so every batch-side write must be a per-batch
-    // OVERWRITE, never an append — a checkpoint replay after a
-    // mid-batch crash then reproduces state bit-for-bit instead of
-    // double-appending it (r12 advice). Partition discovery makes the
-    // parent dir one readable table with a `batch` column, which the
-    // serve read ALSO uses: `batch < batchId` partition-prunes a
-    // replayed batch's own half-written admissions out of its input.
-    idxSig.limit(0).write.mode("overwrite").parquet(s"$base/adm_sig/batch=-1")
-    // wave delivery, mtimes strictly increasing (the q121 r9-advice fix:
+    // r18 (§2.6 overlap independent jobs, the q103 tier-write pattern):
+    // the setup's two halves are independent — (a) the corpus index
+    // chain (sig artifact → bands → admitted-state seed, each step
+    // reading its predecessor's artifact) and (b) the three wave
+    // deliveries (filtered doc scans). They previously ran as six
+    // SEQUENTIAL driver actions; the chain and the three wave writes
+    // now run concurrently from a bounded pool, waves staging into
+    // per-wave dirs whose part files are then MOVED into in/ with the
+    // same ascending stamped mtimes as before — wave composition (one
+    // file per wave, mtime order {t0,t1,t2}, maxFilesPerTrigger=1) is
+    // EXACTLY the sequential writer's. graft.q149.setupOverlap=off
+    // restores sequential (A/B seam).
+    val seqSetup = s.conf.getOption("graft.q149.setupOverlap").contains("off")
+    def chain(): Unit = {
+      s.sparkContext.setJobDescription("q149: corpus sig/bands/seed chain")
+      // the "prior run": corpus signatures from the persisted artifact
+      // (r14, the q127 convention — filter commutes with per-doc signing)
+      Dedup.minhashSigShared(s, d).where(col("doc_id") % 7 =!= 0)
+        .write.mode("overwrite").parquet(s"$base/sig")
+      val idxSig = s.read.parquet(s"$base/sig")
+      Dedup.sigBands(idxSig).write.mode("overwrite").parquet(s"$base/bands")
+      // admitted state starts EMPTY with a committed schema. Layout is
+      // one `batch=N` subdir per writer (seed = batch=-1): foreachBatch
+      // is AT-LEAST-ONCE, so every batch-side write must be a per-batch
+      // OVERWRITE, never an append — a checkpoint replay after a
+      // mid-batch crash then reproduces state bit-for-bit instead of
+      // double-appending it (r12 advice). Partition discovery makes the
+      // parent dir one readable table with a `batch` column, which the
+      // serve read ALSO uses: `batch < batchId` partition-prunes a
+      // replayed batch's own half-written admissions out of its input.
+      idxSig.limit(0).write.mode("overwrite").parquet(s"$base/adm_sig/batch=-1")
+    }
+    def wave(i: Int): Unit = {
+      s.sparkContext.setJobDescription(s"q149: wave $i delivery")
+      docs.where(col("doc_id") % 7 === 0 && pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/stage_w$i")
+    }
+    if (seqSetup) { chain(); (0 until 3).foreach(wave) }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        val jobs = (() => chain()) +: (0 until 3).map(i => () => wave(i))
+        jobs.map(f => pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = f()
+        })).foreach(_.get())
+      } finally pool.shutdown()
+    }
+    // wave move-in, mtimes strictly increasing (the q121 r9-advice fix:
     // the file source orders by modification time and sequential appends
     // can tie within stamp granularity)
     val inDir = streamDedupAdmissionInputDir
-    val stamped = scala.collection.mutable.HashSet[String]()
+    inDir.mkdirs()
     (0 until 3).foreach { i =>
-      docs.where(col("doc_id") % 7 === 0 && pmod(col("doc_id"), lit(3)) === i)
-        .coalesce(1).write.mode("append").parquet(s"$base/in")
       val waveT = 1700000000000L + i * 600000L
-      inDir.listFiles().foreach(f => if (stamped.add(f.getName)) f.setLastModified(waveT))
+      Option(new java.io.File(s"$base/stage_w$i").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.startsWith("part-")).foreach { f =>
+          val dst = new java.io.File(inDir, f.getName)
+          if (!f.renameTo(dst))
+            throw new IllegalStateException(s"q149: move failed for $f")
+          dst.setLastModified(waveT)
+          ()
+        }
     }
     val stream = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$base/in")

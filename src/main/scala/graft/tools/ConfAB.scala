@@ -29,6 +29,8 @@ object ConfAB {
         graft.Tables.aqeInitialPartitions(sfDir, 32).toString)
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
